@@ -1,0 +1,13 @@
+import os
+import sys
+
+# Tests run sharding on a virtual CPU mesh; the real-chip path is exercised
+# by bench.py / the driver.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    (os.environ.get("XLA_FLAGS", "") +
+     " --xla_force_host_platform_device_count=8").strip(),
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,370 @@
+"""HEVC parameter-set and slice-header writers (spec 7.3.2, 7.3.6).
+
+Analog of x265's header coders (source/encoder/entropy.cpp codeVPS/codeSPS/
+codePPS/codeSliceHeader and source/common/slice.h data model), restructured
+as pure functions param->RBSP bytes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from ..params import EncoderParams, CHROMA_420
+from .bitwriter import BitWriter
+
+SLICE_B, SLICE_P, SLICE_I = 0, 1, 2
+
+
+@dataclass
+class ProfileTierLevel:
+    profile_idc: int = 1          # 1 Main, 2 Main10
+    tier_flag: int = 0
+    level_idc: int = 120          # level 4.0 x30
+    progressive_source: bool = True
+    interlaced_source: bool = False
+    non_packed: bool = True
+    frame_only: bool = True
+
+
+@dataclass
+class SPSInfo:
+    """Derived sequence-level state shared by header writers and the slice
+    encoder (analog of x265 common/slice.h SPS)."""
+    width: int = 0
+    height: int = 0
+    conf_win_right: int = 0       # in chroma units
+    conf_win_bottom: int = 0
+    chroma_format_idc: int = 1
+    bit_depth: int = 8
+    log2_max_poc_lsb: int = 8
+    log2_ctu_size: int = 5
+    log2_min_cu_size: int = 3
+    log2_min_tu_size: int = 2
+    log2_max_tu_size: int = 5
+    max_transform_hierarchy_depth_inter: int = 0
+    max_transform_hierarchy_depth_intra: int = 0
+    sao_enabled: bool = False
+    amp_enabled: bool = False
+    temporal_mvp: bool = False
+    strong_intra_smoothing: bool = True
+    max_dec_pic_buffering: int = 5
+    num_reorder_pics: int = 0
+    ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
+
+    @property
+    def pic_width_in_ctus(self) -> int:
+        return -(-self.width // (1 << self.log2_ctu_size))
+
+    @property
+    def pic_height_in_ctus(self) -> int:
+        return -(-self.height // (1 << self.log2_ctu_size))
+
+
+@dataclass
+class PPSInfo:
+    sign_hide: bool = False
+    cabac_init_present: bool = False
+    init_qp: int = 26
+    cu_qp_delta_enabled: bool = False
+    diff_cu_qp_delta_depth: int = 0
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    weighted_pred: bool = False
+    weighted_bipred: bool = False
+    transquant_bypass: bool = False
+    entropy_coding_sync: bool = False   # WPP
+    loop_filter_across_slices: bool = True
+    deblocking_disabled: bool = False
+    deblock_tc_offset_div2: int = 0
+    deblock_beta_offset_div2: int = 0
+    num_ref_idx_l0_default: int = 1
+    num_ref_idx_l1_default: int = 1
+    log2_parallel_merge_level: int = 2
+
+
+def build_sps_info(p: EncoderParams) -> SPSInfo:
+    s = SPSInfo()
+    cu = p.min_cu_size
+    # pad to min CU multiples; signal the crop via the conformance window
+    s.width = -(-p.source_width // cu) * cu
+    s.height = -(-p.source_height // cu) * cu
+    sub = 2 if p.internal_csp == CHROMA_420 else 1
+    s.conf_win_right = (s.width - p.source_width) // sub
+    s.conf_win_bottom = (s.height - p.source_height) // sub
+    s.chroma_format_idc = p.internal_csp
+    s.bit_depth = p.internal_bit_depth
+    s.log2_ctu_size = p.log2_ctu_size
+    s.log2_min_cu_size = p.min_cu_size.bit_length() - 1
+    s.log2_max_tu_size = min(p.max_tu_size, p.ctu_size).bit_length() - 1
+    s.max_transform_hierarchy_depth_intra = p.tu_intra_depth - 1
+    s.max_transform_hierarchy_depth_inter = p.tu_inter_depth - 1
+    s.sao_enabled = p.sao
+    s.amp_enabled = p.amp
+    s.temporal_mvp = p.temporal_mvp and p.keyframe_max > 1
+    s.strong_intra_smoothing = p.strong_intra_smoothing
+    s.max_dec_pic_buffering = min(p.max_num_references + 1 + p.bframes, 16)
+    s.num_reorder_pics = min(p.bframes, s.max_dec_pic_buffering - 1)
+    s.ptl.profile_idc = 2 if p.internal_bit_depth > 8 else 1
+    s.ptl.level_idc = p.level_idc if p.level_idc else _auto_level(p)
+    return s
+
+
+def build_pps_info(p: EncoderParams) -> PPSInfo:
+    q = PPSInfo()
+    q.sign_hide = p.sign_hide
+    q.init_qp = p.qp if p.rc_mode == "cqp" else 26
+    q.cu_qp_delta_enabled = p.aq_mode > 0 or p.cu_tree or p.rc_mode != "cqp"
+    q.diff_cu_qp_delta_depth = 0
+    q.cb_qp_offset = p.cb_qp_offset
+    q.cr_qp_offset = p.cr_qp_offset
+    q.entropy_coding_sync = p.wpp
+    q.deblocking_disabled = not p.deblock
+    q.deblock_tc_offset_div2 = p.deblock_tc_offset
+    q.deblock_beta_offset_div2 = p.deblock_beta_offset
+    q.num_ref_idx_l0_default = max(1, p.max_num_references)
+    return q
+
+
+def _auto_level(p: EncoderParams) -> int:
+    """Minimal level determination by luma samples (spec A.4; full table in
+    reference encoder/level.cpp:45).  Values are level*30."""
+    samples = p.source_width * p.source_height
+    sps_per_sec = samples * p.fps_num / max(1, p.fps_denom)
+    for level, max_ls, max_sr in (
+            (30, 36864, 552960), (60, 122880, 3686400),
+            (63, 245760, 7372800), (90, 552960, 16588800),
+            (93, 983040, 33177600), (120, 2228224, 66846720),
+            (123, 2228224, 133693440), (150, 8912896, 267386880),
+            (153, 8912896, 534773760), (156, 8912896, 1069547520),
+            (180, 35651584, 1069547520), (183, 35651584, 2139095040),
+            (186, 35651584, 4278190080)):
+        if samples <= max_ls and sps_per_sec <= max_sr:
+            return level
+    return 186
+
+
+def _write_ptl(bw: BitWriter, ptl: ProfileTierLevel, max_sub_layers_minus1: int = 0) -> None:
+    bw.u(0, 2)                               # general_profile_space
+    bw.flag(ptl.tier_flag)
+    bw.u(ptl.profile_idc, 5)
+    for j in range(32):                      # compatibility flags
+        bw.flag(j in (1, 2) if ptl.profile_idc in (1, 2) else j == ptl.profile_idc)
+    bw.flag(ptl.progressive_source)
+    bw.flag(ptl.interlaced_source)
+    bw.flag(ptl.non_packed)
+    bw.flag(ptl.frame_only)
+    bw.u(0, 32)                              # reserved_zero_44bits
+    bw.u(0, 12)
+    bw.u(ptl.level_idc, 8)
+    for _ in range(max_sub_layers_minus1):
+        raise NotImplementedError("sub-layers")
+
+
+def write_vps(sps: SPSInfo) -> bytes:
+    bw = BitWriter()
+    bw.u(0, 4)                               # vps_video_parameter_set_id
+    bw.flag(1)                               # vps_base_layer_internal_flag
+    bw.flag(1)                               # vps_base_layer_available_flag
+    bw.u(0, 6)                               # vps_max_layers_minus1
+    bw.u(0, 3)                               # vps_max_sub_layers_minus1
+    bw.flag(1)                               # vps_temporal_id_nesting_flag
+    bw.u(0xFFFF, 16)                         # vps_reserved_0xffff_16bits
+    _write_ptl(bw, sps.ptl)
+    bw.flag(1)                               # vps_sub_layer_ordering_info_present
+    bw.ue(sps.max_dec_pic_buffering - 1)
+    bw.ue(sps.num_reorder_pics)
+    bw.ue(0)                                 # vps_max_latency_increase_plus1
+    bw.u(0, 6)                               # vps_max_layer_id
+    bw.ue(0)                                 # vps_num_layer_sets_minus1
+    bw.flag(0)                               # vps_timing_info_present_flag
+    bw.flag(0)                               # vps_extension_flag
+    bw.rbsp_trailing_bits()
+    return bw.get_bytes()
+
+
+def write_sps(sps: SPSInfo) -> bytes:
+    bw = BitWriter()
+    bw.u(0, 4)                               # sps_video_parameter_set_id
+    bw.u(0, 3)                               # sps_max_sub_layers_minus1
+    bw.flag(1)                               # sps_temporal_id_nesting_flag
+    _write_ptl(bw, sps.ptl)
+    bw.ue(0)                                 # sps_seq_parameter_set_id
+    bw.ue(sps.chroma_format_idc)
+    if sps.chroma_format_idc == 3:
+        bw.flag(0)                           # separate_colour_plane_flag
+    bw.ue(sps.width)
+    bw.ue(sps.height)
+    crop = sps.conf_win_right or sps.conf_win_bottom
+    bw.flag(crop)
+    if crop:
+        bw.ue(0)                             # left
+        bw.ue(sps.conf_win_right)
+        bw.ue(0)                             # top
+        bw.ue(sps.conf_win_bottom)
+    bw.ue(sps.bit_depth - 8)
+    bw.ue(sps.bit_depth - 8)
+    bw.ue(sps.log2_max_poc_lsb - 4)
+    bw.flag(1)                               # sps_sub_layer_ordering_info_present
+    bw.ue(sps.max_dec_pic_buffering - 1)
+    bw.ue(sps.num_reorder_pics)
+    bw.ue(0)                                 # sps_max_latency_increase_plus1
+    bw.ue(sps.log2_min_cu_size - 3)
+    bw.ue(sps.log2_ctu_size - sps.log2_min_cu_size)
+    bw.ue(sps.log2_min_tu_size - 2)
+    bw.ue(sps.log2_max_tu_size - sps.log2_min_tu_size)
+    bw.ue(sps.max_transform_hierarchy_depth_inter)
+    bw.ue(sps.max_transform_hierarchy_depth_intra)
+    bw.flag(0)                               # scaling_list_enabled_flag
+    bw.flag(sps.amp_enabled)
+    bw.flag(sps.sao_enabled)
+    bw.flag(0)                               # pcm_enabled_flag
+    bw.ue(0)                                 # num_short_term_ref_pic_sets
+    bw.flag(0)                               # long_term_ref_pics_present_flag
+    bw.flag(sps.temporal_mvp)
+    bw.flag(sps.strong_intra_smoothing)
+    bw.flag(0)                               # vui_parameters_present_flag
+    bw.flag(0)                               # sps_extension_present_flag
+    bw.rbsp_trailing_bits()
+    return bw.get_bytes()
+
+
+def write_pps(pps: PPSInfo) -> bytes:
+    bw = BitWriter()
+    bw.ue(0)                                 # pps_pic_parameter_set_id
+    bw.ue(0)                                 # pps_seq_parameter_set_id
+    bw.flag(0)                               # dependent_slice_segments_enabled
+    bw.flag(0)                               # output_flag_present_flag
+    bw.u(0, 3)                               # num_extra_slice_header_bits
+    bw.flag(pps.sign_hide)
+    bw.flag(pps.cabac_init_present)
+    bw.ue(pps.num_ref_idx_l0_default - 1)
+    bw.ue(pps.num_ref_idx_l1_default - 1)
+    bw.se(pps.init_qp - 26)
+    bw.flag(0)                               # constrained_intra_pred_flag
+    bw.flag(0)                               # transform_skip_enabled_flag
+    bw.flag(pps.cu_qp_delta_enabled)
+    if pps.cu_qp_delta_enabled:
+        bw.ue(pps.diff_cu_qp_delta_depth)
+    bw.se(pps.cb_qp_offset)
+    bw.se(pps.cr_qp_offset)
+    bw.flag(0)                               # pps_slice_chroma_qp_offsets_present
+    bw.flag(pps.weighted_pred)
+    bw.flag(pps.weighted_bipred)
+    bw.flag(pps.transquant_bypass)
+    bw.flag(0)                               # tiles_enabled_flag
+    bw.flag(pps.entropy_coding_sync)
+    bw.flag(pps.loop_filter_across_slices)
+    bw.flag(1)                               # deblocking_filter_control_present
+    bw.flag(0)                               # deblocking_filter_override_enabled
+    bw.flag(pps.deblocking_disabled)
+    if not pps.deblocking_disabled:
+        bw.se(pps.deblock_beta_offset_div2)
+        bw.se(pps.deblock_tc_offset_div2)
+    bw.flag(0)                               # pps_scaling_list_data_present
+    bw.flag(0)                               # lists_modification_present_flag
+    bw.ue(pps.log2_parallel_merge_level - 2)
+    bw.flag(0)                               # slice_segment_header_extension
+    bw.flag(0)                               # pps_extension_present_flag
+    bw.rbsp_trailing_bits()
+    return bw.get_bytes()
+
+
+@dataclass
+class SliceHeader:
+    slice_type: int = SLICE_I
+    nal_type: int = 19               # IDR_W_RADL
+    poc: int = 0
+    qp: int = 26
+    first_slice: bool = True
+    segment_address: int = 0
+    sao_luma: bool = False
+    sao_chroma: bool = False
+    deblocking_disabled: bool = False
+    num_ref_idx: tuple = (0, 0)
+    # short-term RPS coded inline (delta POCs, negative then positive)
+    st_rps_neg: tuple = ()           # tuple of (delta_poc, used) for refs before
+    st_rps_pos: tuple = ()
+    temporal_mvp: bool = False
+    collocated_from_l0: bool = True
+    five_minus_max_num_merge_cand: int = 2
+    entry_points: tuple = ()         # WPP substream byte sizes (all but last)
+
+
+def write_slice_header(sh: SliceHeader, sps: SPSInfo, pps: PPSInfo) -> BitWriter:
+    """Write slice_segment_header; returns the (unaligned until
+    byte_align) BitWriter so slice data can be appended after alignment."""
+    from .nal import is_idr, is_irap
+    bw = BitWriter()
+    bw.flag(sh.first_slice)
+    if is_irap(sh.nal_type):
+        bw.flag(0)                           # no_output_of_prior_pics_flag
+    bw.ue(0)                                 # slice_pic_parameter_set_id
+    if not sh.first_slice:
+        addr_bits = max(1, (sps.pic_width_in_ctus * sps.pic_height_in_ctus - 1)
+                        .bit_length())
+        bw.u(sh.segment_address, addr_bits)
+    bw.ue(sh.slice_type)
+    if not is_idr(sh.nal_type):
+        bw.u(sh.poc & ((1 << sps.log2_max_poc_lsb) - 1), sps.log2_max_poc_lsb)
+        # short_term_ref_pic_set(num_short_term_ref_pic_sets) coded inline
+        bw.flag(0)                           # short_term_ref_pic_set_sps_flag
+        _write_st_rps(bw, sh)
+        if sps.temporal_mvp:
+            bw.flag(sh.temporal_mvp)
+    if sps.sao_enabled:
+        bw.flag(sh.sao_luma)
+        if sps.chroma_format_idc != 0:
+            bw.flag(sh.sao_chroma)
+    if sh.slice_type != SLICE_I:
+        defaults = (pps.num_ref_idx_l0_default, pps.num_ref_idx_l1_default)
+        explicit = sh.num_ref_idx[:2 if sh.slice_type == SLICE_B else 1] != \
+            defaults[:2 if sh.slice_type == SLICE_B else 1]
+        bw.flag(explicit)                    # num_ref_idx_active_override_flag
+        if explicit:
+            bw.ue(sh.num_ref_idx[0] - 1)
+            if sh.slice_type == SLICE_B:
+                bw.ue(sh.num_ref_idx[1] - 1)
+        if sh.slice_type == SLICE_B:
+            bw.flag(0)                       # mvd_l1_zero_flag
+        if sh.temporal_mvp:
+            if sh.slice_type == SLICE_B:
+                bw.flag(sh.collocated_from_l0)
+            col_refs = sh.num_ref_idx[0 if sh.collocated_from_l0 else 1]
+            if col_refs > 1:
+                bw.ue(0)                     # collocated_ref_idx
+        bw.ue(sh.five_minus_max_num_merge_cand)
+    bw.se(sh.qp - pps.init_qp)
+    # deblocking_filter_override is disabled in our PPS, so the slice
+    # inherits pps_deblocking_filter_disabled_flag with no syntax here
+    if pps.loop_filter_across_slices and \
+            (sh.sao_luma or sh.sao_chroma or not pps.deblocking_disabled):
+        bw.flag(1)                           # slice_loop_filter_across_slices
+    if pps.entropy_coding_sync:
+        bw.ue(len(sh.entry_points))
+        if sh.entry_points:
+            max_len = max(sh.entry_points)
+            nbits = max(1, (max_len - 1).bit_length())
+            bw.ue(nbits - 1)                 # offset_len_minus1
+            for ep in sh.entry_points:
+                bw.u(ep - 1, nbits)
+    # byte_alignment()
+    bw.u(1, 1)
+    bw.byte_align_zero()
+    return bw
+
+
+def _write_st_rps(bw: BitWriter, sh: SliceHeader) -> None:
+    """short_term_ref_pic_set coded in the slice header (spec 7.3.7),
+    always as explicit delta POCs (inter_ref_pic_set_prediction off)."""
+    bw.ue(len(sh.st_rps_neg))
+    bw.ue(len(sh.st_rps_pos))
+    prev = 0
+    for delta_poc, used in sh.st_rps_neg:    # delta_poc negative, descending
+        bw.ue(prev - delta_poc - 1)
+        bw.flag(used)
+        prev = delta_poc
+    prev = 0
+    for delta_poc, used in sh.st_rps_pos:
+        bw.ue(delta_poc - prev - 1)
+        bw.flag(used)
+        prev = delta_poc

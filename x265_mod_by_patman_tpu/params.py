@@ -1,0 +1,202 @@
+"""Encoder parameter system.
+
+TPU-native analog of x265's single ~300-field `x265_param` + string parser +
+preset system (reference: source/x265.h:1092-2393, source/common/param.cpp:
+461 x265_param_default_preset, :1519 x265_param_parse, :1701
+x265_check_params).  Same layered resolution order: defaults -> preset ->
+tune -> explicit key=value -> validation/derivation.
+
+Only the subset wired into the current pipeline is present; the namespace
+is kept x265-compatible (same CLI key strings) so configurations port 1:1.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+CHROMA_400, CHROMA_420, CHROMA_422, CHROMA_444 = 0, 1, 2, 3
+
+PRESETS = ("ultrafast", "superfast", "veryfast", "faster", "fast",
+           "medium", "slow", "slower", "veryslow", "placebo")
+
+
+@dataclass
+class EncoderParams:
+    # source description
+    source_width: int = 0
+    source_height: int = 0
+    fps_num: int = 25
+    fps_denom: int = 1
+    internal_bit_depth: int = 8
+    internal_csp: int = CHROMA_420
+    total_frames: int = 0
+
+    # coding tools / structure (x265: maxCUSize, minCUSize, tuQTMax*Depth)
+    ctu_size: int = 32
+    min_cu_size: int = 8
+    max_tu_size: int = 32
+    tu_intra_depth: int = 1
+    tu_inter_depth: int = 1
+
+    # GOP / slice type
+    keyframe_max: int = 250
+    keyframe_min: int = 0
+    bframes: int = 4
+    b_adapt: int = 2
+    b_pyramid: bool = True
+    open_gop: bool = True
+    max_num_references: int = 3
+    rc_lookahead: int = 20
+
+    # rate control
+    rc_mode: str = "cqp"            # cqp | crf | abr
+    qp: int = 32
+    crf: float = 23.0
+    bitrate_kbps: int = 0
+    qp_min: int = 0
+    qp_max: int = 51
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    aq_mode: int = 0
+    aq_strength: float = 1.0
+    cu_tree: bool = False
+
+    # analysis / RDO
+    rd_level: int = 2
+    rdoq_level: int = 0
+    psy_rd: float = 0.0
+    intra_in_bframes: bool = True
+    fast_intra: bool = False
+    search_method: str = "hex"      # dia | hex | umh | star | full
+    search_range: int = 57
+    subpel_refine: int = 2
+    max_merge: int = 3
+
+    # loop filters
+    deblock: bool = True
+    deblock_tc_offset: int = 0
+    deblock_beta_offset: int = 0
+    sao: bool = True
+
+    # bitstream features
+    sign_hide: bool = False
+    strong_intra_smoothing: bool = True
+    constrained_intra: bool = False
+    temporal_mvp: bool = True
+    amp: bool = False
+    rect: bool = False
+    wpp: bool = True
+    repeat_headers: bool = False
+    decoded_picture_hash: int = 1   # 0 none, 1 md5 (SEI)
+    aud: bool = False
+
+    # profile / level
+    profile: str = "main"
+    level_idc: int = 0              # 0 = auto
+
+    # parallel layout (TPU)
+    mesh_gop_shards: int = 1        # GOPs across hosts (P10 analog)
+    mesh_tile_rows: int = 1         # CTU tile-row shards per frame
+    mesh_streams: int = 1           # batch-encode streams axis (P9 analog)
+    frame_parallel_window: int = 1  # concurrently analyzed frames (P2)
+
+    # derived (set by validate())
+    pic_width_in_ctus: int = 0
+    pic_height_in_ctus: int = 0
+    max_cu_depth: int = 2
+    log2_ctu_size: int = 5
+
+    def validate(self) -> "EncoderParams":
+        """Validation + derivation (analog of x265_check_params +
+        Encoder::configure)."""
+        p = self
+        assert p.source_width > 0 and p.source_height > 0, "frame size unset"
+        assert p.ctu_size in (16, 32, 64)
+        assert p.min_cu_size in (8, 16, 32) and p.min_cu_size < p.ctu_size or \
+            p.min_cu_size == p.ctu_size
+        assert p.internal_bit_depth in (8, 10, 12)
+        assert p.internal_csp in (CHROMA_400, CHROMA_420, CHROMA_422, CHROMA_444)
+        assert 0 <= p.qp <= 51
+        p.log2_ctu_size = p.ctu_size.bit_length() - 1
+        p.max_cu_depth = p.log2_ctu_size - (p.min_cu_size.bit_length() - 1)
+        p.pic_width_in_ctus = -(-p.source_width // p.ctu_size)
+        p.pic_height_in_ctus = -(-p.source_height // p.ctu_size)
+        if p.keyframe_max <= 1:
+            p.keyframe_max = 1
+            p.bframes = 0
+        return p
+
+    def apply_preset(self, preset: str) -> "EncoderParams":
+        """Speed/quality trade-off ladder (x265 param.cpp:461).  Values
+        chosen for the TPU pipeline: batching changes which tools are cheap
+        (mode breadth is near-free; sequential dependencies are not)."""
+        if preset not in PRESETS:
+            raise ValueError(f"unknown preset {preset!r}")
+        i = PRESETS.index(preset)
+        self.ctu_size = 32 if i <= 1 else 64
+        self.bframes = [3, 3, 4, 4, 4, 4, 4, 8, 8, 8][i]
+        self.rc_lookahead = [5, 10, 15, 15, 15, 20, 25, 30, 40, 60][i]
+        self.max_num_references = [1, 1, 1, 1, 2, 3, 4, 4, 5, 5][i]
+        self.rd_level = [2, 2, 2, 2, 2, 3, 4, 6, 6, 6][i]
+        self.rdoq_level = [0, 0, 0, 0, 0, 0, 2, 2, 2, 2][i]
+        self.sao = i >= 1
+        self.rect = i >= 6
+        self.amp = i >= 7
+        self.b_adapt = 0 if i <= 3 else 2
+        self.subpel_refine = [0, 1, 1, 2, 2, 2, 3, 3, 4, 5][i]
+        self.search_method = "hex" if i <= 5 else "star"
+        self.sign_hide = i >= 1
+        return self
+
+    def parse(self, key: str, value: str) -> "EncoderParams":
+        """String key=value parser with the x265 CLI namespace
+        (x265_param_parse analog)."""
+        key = key.replace("-", "_")
+        alias = {
+            "input_res": None, "fps": None,
+            "ctu": "ctu_size", "min_cu": "min_cu_size",
+            "ref": "max_num_references", "keyint": "keyframe_max",
+            "min_keyint": "keyframe_min", "bitrate": "bitrate_kbps",
+            "rd": "rd_level", "me": "search_method", "merange": "search_range",
+            "subme": "subpel_refine", "qpmin": "qp_min", "qpmax": "qp_max",
+            "hash": "decoded_picture_hash",
+        }
+        if key == "input_res":
+            w, h = value.lower().split("x")
+            self.source_width, self.source_height = int(w), int(h)
+            return self
+        if key == "fps":
+            if "/" in value:
+                n, d = value.split("/")
+                self.fps_num, self.fps_denom = int(n), int(d)
+            else:
+                self.fps_num, self.fps_denom = int(float(value) * 1000), 1000
+            return self
+        if key == "preset":
+            return self.apply_preset(value)
+        key = alias.get(key, key)
+        if key is None or not hasattr(self, key):
+            raise KeyError(f"unknown param {key!r}")
+        cur = getattr(self, key)
+        if isinstance(cur, bool):
+            setattr(self, key, value.lower() in ("1", "true", "yes", "on"))
+        elif isinstance(cur, int):
+            setattr(self, key, int(value))
+        elif isinstance(cur, float):
+            setattr(self, key, float(value))
+        else:
+            setattr(self, key, value)
+        return self
+
+    def to_string(self) -> str:
+        """Canonical 'k=v k=v' dump (x265_param2string analog, used for the
+        SEI user-data string and CSV logs)."""
+        fields = dataclasses.fields(self)
+        return " ".join(f"{f.name}={getattr(self, f.name)}" for f in fields)
+
+
+def default_params(width: int = 0, height: int = 0, **kw) -> EncoderParams:
+    p = EncoderParams(source_width=width, source_height=height)
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p
