@@ -1,0 +1,167 @@
+"""Forward/inverse transforms and (de)quantization.
+
+TPU-native analog of the reference kernel families dct/idct/dst/quant/
+dequant (x265 source/common/dct.cpp:418-614 partial butterflies,
+source/common/quant.cpp quant/dequant; table registry primitives.h
+cu[].dct/idct/quant slots).
+
+Two implementations of each op:
+  *_ref  — numpy golden, scalar-faithful to the spec's integer arithmetic
+           (the "C kernel" of the checkasm strategy, SURVEY.md §4.1)
+  jax fns — batched over a leading axis of blocks, same bit-exact integer
+           math in int32, shaped for MXU matmuls (batch, N, N) x (N, N).
+
+All transforms are expressed as two rounded integer matmuls instead of the
+reference's butterfly factorization: on TPU the MXU makes the full matmul
+the fast path; butterflies are a scalar-ISA optimization we deliberately
+do not port.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants.hevc_tables import (
+    DCT4, DCT8, DCT16, DCT32, DST4, QUANT_SCALES, INV_QUANT_SCALES,
+    dct_matrix,
+)
+
+MAX_TR_DYNAMIC_RANGE = 15
+QUANT_SHIFT = 14
+IQUANT_SHIFT = 20
+
+
+# ---------------------------------------------------------------------------
+# numpy golden
+# ---------------------------------------------------------------------------
+
+def _rshift_round(x: np.ndarray, shift: int) -> np.ndarray:
+    return (x + (1 << (shift - 1))) >> shift
+
+
+def dct_ref(resi: np.ndarray, bit_depth: int = 8, dst: bool = False) -> np.ndarray:
+    """Forward core transform of an NxN residual block -> int16 coeffs.
+
+    Matches HM/x265 two-stage arithmetic: stage shifts log2N-9+bitDepth
+    and log2N+6 with round-half-up, intermediate kept in int32.
+    """
+    n = resi.shape[0]
+    log2n = n.bit_length() - 1
+    t = (DST4 if dst else dct_matrix(log2n)).astype(np.int64)
+    s1 = log2n - 9 + bit_depth
+    s2 = log2n + 6
+    src = resi.astype(np.int64)
+    tmp = _rshift_round(t @ src.T, s1)
+    out = _rshift_round(t @ tmp.T, s2)
+    return out.astype(np.int16)
+
+
+def idct_ref(coef: np.ndarray, bit_depth: int = 8, dst: bool = False) -> np.ndarray:
+    """Inverse core transform -> int16 residual (clipped per spec)."""
+    n = coef.shape[0]
+    log2n = n.bit_length() - 1
+    t = (DST4 if dst else dct_matrix(log2n)).astype(np.int64)
+    s1 = 7
+    s2 = 20 - bit_depth
+    tmp = np.clip(_rshift_round((t.T @ coef.astype(np.int64)).T, s1),
+                  -32768, 32767)
+    out = np.clip(_rshift_round((t.T @ tmp).T, s2), -32768, 32767)
+    return out.astype(np.int16)
+
+
+def quant_ref(coef: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
+              is_intra: bool = True) -> np.ndarray:
+    """Scalar RDO-free quantization (x265 quant.cpp quant_c path, flat
+    scaling list)."""
+    per, rem = qp // 6, qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = QUANT_SHIFT + per + transform_shift
+    add = (171 if is_intra else 85) << (qbits - 9)
+    scale = int(QUANT_SCALES[rem])
+    c = coef.astype(np.int64)
+    level = (np.abs(c) * scale + add) >> qbits
+    level = np.clip(level, 0, 32767)
+    return (np.sign(c) * level).astype(np.int16)
+
+
+def dequant_ref(level: np.ndarray, qp: int, log2_size: int,
+                bit_depth: int = 8) -> np.ndarray:
+    """Flat-list dequant (x265 dequant_normal_c)."""
+    per, rem = qp // 6, qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    shift = IQUANT_SHIFT - QUANT_SHIFT - transform_shift
+    scale = int(INV_QUANT_SCALES[rem]) << per
+    lv = level.astype(np.int64)
+    coef = (lv * scale + (1 << (shift - 1))) >> shift
+    return np.clip(coef, -32768, 32767).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# JAX batched (leading blocks axis); integer math in int32
+# ---------------------------------------------------------------------------
+
+def _jr(x, shift):
+    return (x + (1 << (shift - 1))) >> shift
+
+
+@functools.partial(jax.jit, static_argnames=("log2n", "bit_depth", "dst"))
+def dct_batch(resi: jnp.ndarray, log2n: int, bit_depth: int = 8,
+              dst: bool = False) -> jnp.ndarray:
+    """(B, N, N) int residual -> (B, N, N) int32 coeffs, bit-exact to
+    dct_ref.  Two MXU matmuls with integer rounding."""
+    t = jnp.asarray((DST4 if dst else dct_matrix(log2n)).astype(np.int32))
+    s1 = log2n - 9 + bit_depth
+    s2 = log2n + 6
+    src = resi.astype(jnp.int32)
+    # stage 1: tmp[b, k, j] = sum_i T[k,i] src[b, j, i]
+    tmp = _jr(jnp.einsum("ki,bji->bkj", t, src,
+                         preferred_element_type=jnp.int32), s1)
+    out = _jr(jnp.einsum("ki,bji->bkj", t, tmp,
+                         preferred_element_type=jnp.int32), s2)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("log2n", "bit_depth", "dst"))
+def idct_batch(coef: jnp.ndarray, log2n: int, bit_depth: int = 8,
+               dst: bool = False) -> jnp.ndarray:
+    t = jnp.asarray((DST4 if dst else dct_matrix(log2n)).astype(np.int32))
+    s2 = 20 - bit_depth
+    c = coef.astype(jnp.int32)
+    tmp = jnp.clip(_jr(jnp.einsum("ik,bij->bjk", t, c,
+                                  preferred_element_type=jnp.int32), 7),
+                   -32768, 32767)
+    out = jnp.clip(_jr(jnp.einsum("ik,bij->bjk", t, tmp,
+                                  preferred_element_type=jnp.int32), s2),
+                   -32768, 32767)
+    return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("qp", "log2_size", "bit_depth", "is_intra"))
+def quant_batch(coef: jnp.ndarray, qp: int, log2_size: int,
+                bit_depth: int = 8, is_intra: bool = True) -> jnp.ndarray:
+    per, rem = qp // 6, qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = QUANT_SHIFT + per + transform_shift
+    add = (171 if is_intra else 85) << (qbits - 9)
+    scale = int(QUANT_SCALES[rem])
+    c = coef.astype(jnp.int32)
+    # abs(coef)<2^15 and scale<2^15 so the product fits int32; the rounding
+    # bias add < 2^27 keeps the sum in range (no int64 needed on TPU)
+    level = jnp.clip((jnp.abs(c) * scale + add) >> qbits, 0, 32767)
+    return (jnp.sign(c) * level).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "log2_size", "bit_depth"))
+def dequant_batch(level: jnp.ndarray, qp: int, log2_size: int,
+                  bit_depth: int = 8) -> jnp.ndarray:
+    per, rem = qp // 6, qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    shift = IQUANT_SHIFT - QUANT_SHIFT - transform_shift
+    scale = int(INV_QUANT_SCALES[rem]) << per
+    lv = level.astype(jnp.int32)
+    coef = (lv * scale + (1 << (shift - 1))) >> shift
+    return jnp.clip(coef, -32768, 32767).astype(jnp.int32)
