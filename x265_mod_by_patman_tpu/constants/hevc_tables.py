@@ -185,6 +185,16 @@ def _sub_block_scan(log2_tb: int, scan_idx: int) -> np.ndarray:
     return np.array(out, dtype=np.int32)
 
 
+def cg_scan_order(log2_tb: int, scan_idx: int) -> np.ndarray:
+    """(nCG, 2) array of 4x4 coefficient-group (x, y) grid positions in
+    scan order for a TB of the given size (grid = N/4)."""
+    if log2_tb == 2:
+        return np.zeros((1, 2), dtype=np.int32)
+    grid = 1 << (log2_tb - 2)
+    return {SCAN_DIAG: _diag_scan, SCAN_HOR: _hor_scan,
+            SCAN_VER: _ver_scan}[scan_idx](grid)
+
+
 _SCAN_CACHE: dict = {}
 
 

@@ -1,0 +1,428 @@
+"""CU / CTU / transform-tree syntax for intra slices (spec 7.3.8.4-7.3.8.11).
+
+Analog of the reference's Entropy::encodeCTU CU-syntax path (x265
+source/encoder/entropy.cpp:1161 encodeCTU, codeIntraLumaAng, codeQtCbf
+etc.), split into a bin-IR writer (SliceSyntaxEncoder) and a CABAC parser
+(SliceSyntaxDecoder) for conformance validation.  Both sides share the
+neighbor-context derivations via per-frame 4x4-minblock maps, mirroring
+the reference's CUData neighbor queries (source/common/cudata.cpp).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..constants.hevc_tables import intra_scan_idx
+from .contexts import OFF
+from .binir import BinIR
+from .cabac import CabacDecoder
+from .residual import encode_residual, decode_residual
+
+INTRA_PLANAR, INTRA_DC, INTRA_HOR, INTRA_VER = 0, 1, 10, 26
+CHROMA_MODE_TABLE = (INTRA_PLANAR, INTRA_VER, INTRA_HOR, INTRA_DC)
+
+
+@dataclass
+class CodedCU:
+    """One intra CU's coded decisions + quantized coefficients.
+
+    coeffs maps (c_idx, x, y, log2_size) -> (N, N) int level array, with
+    (x, y) in the component's own sample coordinates.  Absent or all-zero
+    entries mean cbf=0.
+    """
+    x0: int
+    y0: int
+    log2_size: int
+    luma_modes: Tuple[int, ...]          # len 1 (2Nx2N) or 4 (NxN)
+    chroma_idx: int = 4                  # intra_chroma_pred_mode index; 4=DM
+    coeffs: Dict = field(default_factory=dict)
+
+    @property
+    def part_nxn(self) -> bool:
+        return len(self.luma_modes) == 4
+
+
+class FrameSyntaxMaps:
+    """Per-frame neighbor state at 4x4 minblock granularity (the syntax
+    analog of x265 CUData SoA arrays)."""
+
+    def __init__(self, width: int, height: int) -> None:
+        self.w4 = -(-width // 4)
+        self.h4 = -(-height // 4)
+        self.depth = np.full((self.h4, self.w4), -1, dtype=np.int8)
+        self.mode = np.full((self.h4, self.w4), -1, dtype=np.int8)
+
+    def set_cu(self, x0: int, y0: int, log2_size: int, depth: int) -> None:
+        n4 = 1 << (log2_size - 2)
+        self.depth[y0 >> 2:(y0 >> 2) + n4, x0 >> 2:(x0 >> 2) + n4] = depth
+
+    def set_mode(self, x0: int, y0: int, log2_size: int, mode: int) -> None:
+        n4 = 1 << (log2_size - 2)
+        self.mode[y0 >> 2:(y0 >> 2) + n4, x0 >> 2:(x0 >> 2) + n4] = mode
+
+    def depth_at(self, x: int, y: int) -> int:
+        if x < 0 or y < 0 or x >= self.w4 * 4 or y >= self.h4 * 4:
+            return -1
+        return int(self.depth[y >> 2, x >> 2])
+
+    def mode_at(self, x: int, y: int) -> int:
+        if x < 0 or y < 0 or x >= self.w4 * 4 or y >= self.h4 * 4:
+            return -1
+        return int(self.mode[y >> 2, x >> 2])
+
+
+def derive_mpm(maps: FrameSyntaxMaps, x0: int, y0: int,
+               log2_ctu: int) -> list:
+    """Luma most-probable-mode list (spec 8.4.2)."""
+    a = maps.mode_at(x0 - 1, y0)             # left PU
+    if a < 0:
+        a = INTRA_DC
+    # above PU: unavailable or in the CTU row above -> DC
+    if y0 == 0 or ((y0 - 1) >> log2_ctu) != (y0 >> log2_ctu):
+        b = INTRA_DC
+    else:
+        b = maps.mode_at(x0, y0 - 1)
+        if b < 0:
+            b = INTRA_DC
+    if a == b:
+        if a < 2:
+            return [INTRA_PLANAR, INTRA_DC, INTRA_VER]
+        return [a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32)]
+    if a != INTRA_PLANAR and b != INTRA_PLANAR:
+        c = INTRA_PLANAR
+    elif a != INTRA_DC and b != INTRA_DC:
+        c = INTRA_DC
+    else:
+        c = INTRA_VER
+    return [a, b, c]
+
+
+def chroma_mode_from_idx(idx: int, luma_mode: int) -> int:
+    """intra_chroma_pred_mode syntax index -> prediction mode (8.4.3)."""
+    if idx == 4:
+        return luma_mode
+    m = CHROMA_MODE_TABLE[idx]
+    return 34 if m == luma_mode else m
+
+
+def _split_ctx(maps: FrameSyntaxMaps, x0: int, y0: int, depth: int) -> int:
+    ctx = 0
+    d = maps.depth_at(x0 - 1, y0)
+    if d > depth:
+        ctx += 1
+    d = maps.depth_at(x0, y0 - 1)
+    if d > depth:
+        ctx += 1
+    return OFF["SPLIT_FLAG"] + ctx
+
+
+class SliceSyntaxEncoder:
+    """Walks CTUs in raster order emitting the slice-data bin IR."""
+
+    def __init__(self, sps, pps, slice_qp: int) -> None:
+        self.sps = sps
+        self.pps = pps
+        self.qp = slice_qp
+        self.maps = FrameSyntaxMaps(sps.width, sps.height)
+        self.min_log2_cu = sps.log2_min_cu_size
+        self.log2_ctu = sps.log2_ctu_size
+
+    def encode_ctu(self, ir: BinIR, cu_list, ctu_x: int, ctu_y: int,
+                   last_ctu: bool) -> None:
+        """cu_list: CodedCU objects of this CTU in z-scan order."""
+        cu_by_pos = {(cu.x0, cu.y0): cu for cu in cu_list}
+        x0 = ctu_x << self.log2_ctu
+        y0 = ctu_y << self.log2_ctu
+        self._quadtree(ir, cu_by_pos, x0, y0, self.log2_ctu, 0)
+        ir.term(1 if last_ctu else 0)
+
+    # -- coding_quadtree (7.3.8.4) -------------------------------------------
+    def _quadtree(self, ir: BinIR, cu_by_pos, x0, y0, log2_size, depth):
+        sps = self.sps
+        # regions fully outside the picture are skipped (implicit split)
+        inside = x0 + (1 << log2_size) <= sps.width and \
+            y0 + (1 << log2_size) <= sps.height
+        cu = cu_by_pos.get((x0, y0))
+        split = cu is None or cu.log2_size < log2_size
+        if inside and log2_size > self.min_log2_cu:
+            ir.cbin(1 if split else 0, _split_ctx(self.maps, x0, y0, depth))
+        if split or not inside:
+            half = 1 << (log2_size - 1)
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                if x0 + dx < sps.width and y0 + dy < sps.height:
+                    self._quadtree(ir, cu_by_pos, x0 + dx, y0 + dy,
+                                   log2_size - 1, depth + 1)
+            return
+        self.maps.set_cu(x0, y0, log2_size, depth)
+        self._coding_unit(ir, cu)
+
+    # -- coding_unit, intra (7.3.8.5) ------------------------------------------
+    def _coding_unit(self, ir: BinIR, cu: CodedCU) -> None:
+        log2 = cu.log2_size
+        if log2 == self.min_log2_cu:
+            ir.cbin(0 if cu.part_nxn else 1, OFF["PART_SIZE"])
+        n_pu = 4 if cu.part_nxn else 1
+        pu_size = 1 << (log2 - (1 if cu.part_nxn else 0))
+        pu_pos = [(cu.x0 + (k & 1) * pu_size, cu.y0 + (k >> 1) * pu_size)
+                  for k in range(n_pu)]
+        mpms, flags = [], []
+        for k in range(n_pu):
+            mpm = derive_mpm(self.maps, pu_pos[k][0], pu_pos[k][1],
+                             self.log2_ctu)
+            mpms.append(mpm)
+            flags.append(cu.luma_modes[k] in mpm)
+            ir.cbin(1 if flags[k] else 0, OFF["ADI"])
+            # modes must be visible to the next PU's MPM inside this CU
+            self.maps.set_mode(pu_pos[k][0], pu_pos[k][1],
+                               log2 - (1 if cu.part_nxn else 0),
+                               cu.luma_modes[k])
+        for k in range(n_pu):
+            mode = cu.luma_modes[k]
+            if flags[k]:
+                idx = mpms[k].index(mode)
+                ir.bypass(0 if idx == 0 else 1)
+                if idx:
+                    ir.bypass(idx - 1)
+            else:
+                rem = mode
+                for m in sorted(mpms[k], reverse=True):
+                    if mode > m:
+                        rem -= 1
+                ir.bypass_bits(rem, 5)
+        # intra_chroma_pred_mode (one per CU in 4:2:0)
+        if cu.chroma_idx == 4:
+            ir.cbin(0, OFF["CHROMA_PRED"])
+        else:
+            ir.cbin(1, OFF["CHROMA_PRED"])
+            ir.bypass_bits(cu.chroma_idx, 2)
+        self._transform_tree(ir, cu, cu.x0, cu.y0, log2, 0, 0,
+                             parent_cbf_cb=True, parent_cbf_cr=True)
+
+    # -- transform_tree / transform_unit (7.3.8.8/7.3.8.10) -------------------
+    def _cbf(self, cu: CodedCU, c_idx: int, x: int, y: int, log2: int) -> bool:
+        lv = cu.coeffs.get((c_idx, x, y, log2))
+        return lv is not None and bool(np.any(lv))
+
+    def _cbf_region(self, cu: CodedCU, c_idx: int, x: int, y: int,
+                    log2: int) -> bool:
+        """cbf over a component region (covers TU-split subtrees)."""
+        size = 1 << log2
+        for (ci, cx, cy, _cl), lv in cu.coeffs.items():
+            if ci == c_idx and x <= cx < x + size and y <= cy < y + size \
+                    and np.any(lv):
+                return True
+        return False
+
+    def _transform_tree(self, ir: BinIR, cu: CodedCU, x0, y0, log2,
+                        trafo_depth, blk_idx, parent_cbf_cb, parent_cbf_cr):
+        sps = self.sps
+        intra_split = cu.part_nxn
+        max_depth = sps.max_transform_hierarchy_depth_intra + \
+            (1 if intra_split else 0)
+        can_code_split = (log2 <= sps.log2_max_tu_size and
+                          log2 > sps.log2_min_tu_size and
+                          trafo_depth < max_depth and
+                          not (intra_split and trafo_depth == 0))
+        split = (log2 > sps.log2_max_tu_size or
+                 (intra_split and trafo_depth == 0))
+        if can_code_split:
+            # v1 analysis never splits TUs voluntarily
+            ir.cbin(1 if split else 0,
+                    OFF["TRANS_SUBDIV"] + 5 - log2)
+        cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1   # 4:2:0 chroma geometry
+        cbf_cb = cbf_cr = False
+        if log2 > 2:
+            cbf_cb = self._cbf_region(cu, 1, cx, cy, clog2)
+            cbf_cr = self._cbf_region(cu, 2, cx, cy, clog2)
+            if parent_cbf_cb:
+                ir.cbin(1 if cbf_cb else 0, OFF["QT_CBF"] + 2 + trafo_depth)
+            if parent_cbf_cr:
+                ir.cbin(1 if cbf_cr else 0, OFF["QT_CBF"] + 2 + trafo_depth)
+        else:
+            cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if split:
+            half = 1 << (log2 - 1)
+            for k, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
+                                          (half, half))):
+                self._transform_tree(ir, cu, x0 + dx, y0 + dy, log2 - 1,
+                                     trafo_depth + 1, k, cbf_cb, cbf_cr)
+            return
+        cbf_luma = self._cbf(cu, 0, x0, y0, log2)
+        ir.cbin(1 if cbf_luma else 0,
+                OFF["QT_CBF"] + (1 if trafo_depth == 0 else 0))
+        self._transform_unit(ir, cu, x0, y0, log2, trafo_depth, blk_idx,
+                             cbf_luma, cbf_cb, cbf_cr)
+
+    def _transform_unit(self, ir: BinIR, cu: CodedCU, x0, y0, log2,
+                        trafo_depth, blk_idx, cbf_luma, cbf_cb, cbf_cr):
+        if not (cbf_luma or cbf_cb or cbf_cr):
+            return
+        pu_idx = 0
+        if cu.part_nxn:
+            half = 1 << (cu.log2_size - 1)
+            pu_idx = (1 if x0 & half else 0) + (2 if y0 & half else 0)
+        luma_mode = cu.luma_modes[pu_idx]
+        chroma_mode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
+        if cbf_luma:
+            scan = intra_scan_idx(luma_mode, log2, 0)
+            encode_residual(ir, cu.coeffs[(0, x0, y0, log2)], log2, 0,
+                            scan, self.pps.sign_hide)
+        # chroma TBs: at log2>2 alongside; at log2==2 only on blk_idx 3
+        if log2 > 2:
+            cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1
+        elif blk_idx == 3:
+            cx, cy, clog2 = (x0 - 4) >> 1, (y0 - 4) >> 1, 2
+        else:
+            return
+        for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
+            if cbf:
+                scan = intra_scan_idx(chroma_mode, clog2, c_idx)
+                encode_residual(ir, cu.coeffs[(c_idx, cx, cy, clog2)],
+                                clog2, c_idx, scan, self.pps.sign_hide)
+
+
+class SliceSyntaxDecoder:
+    """CABAC slice-data parser mirroring SliceSyntaxEncoder; yields
+    CodedCU objects for the validation decoder's reconstruction."""
+
+    def __init__(self, dec: CabacDecoder, states: np.ndarray, sps, pps,
+                 slice_qp: int) -> None:
+        self.dec = dec
+        self.states = states
+        self.sps = sps
+        self.pps = pps
+        self.qp = slice_qp
+        self.maps = FrameSyntaxMaps(sps.width, sps.height)
+        self.min_log2_cu = sps.log2_min_cu_size
+        self.log2_ctu = sps.log2_ctu_size
+
+    def decode_ctu(self, ctu_x: int, ctu_y: int):
+        """Returns (cu_list, end_of_slice_flag)."""
+        cus: list = []
+        x0 = ctu_x << self.log2_ctu
+        y0 = ctu_y << self.log2_ctu
+        self._quadtree(cus, x0, y0, self.log2_ctu, 0)
+        end = self.dec.decode_bin_trm()
+        return cus, end
+
+    def _quadtree(self, cus, x0, y0, log2_size, depth):
+        sps = self.sps
+        inside = x0 + (1 << log2_size) <= sps.width and \
+            y0 + (1 << log2_size) <= sps.height
+        if inside and log2_size > self.min_log2_cu:
+            split = self.dec.decode_bin(
+                self.states, _split_ctx(self.maps, x0, y0, depth))
+        else:
+            split = not inside            # implicit split at boundary
+        if split:
+            half = 1 << (log2_size - 1)
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                if x0 + dx < sps.width and y0 + dy < sps.height:
+                    self._quadtree(cus, x0 + dx, y0 + dy, log2_size - 1,
+                                   depth + 1)
+            return
+        self.maps.set_cu(x0, y0, log2_size, depth)
+        cus.append(self._coding_unit(x0, y0, log2_size))
+
+    def _coding_unit(self, x0, y0, log2) -> CodedCU:
+        dec, states = self.dec, self.states
+        part_nxn = False
+        if log2 == self.min_log2_cu:
+            part_nxn = dec.decode_bin(states, OFF["PART_SIZE"]) == 0
+        n_pu = 4 if part_nxn else 1
+        pu_size = 1 << (log2 - (1 if part_nxn else 0))
+        pu_pos = [(x0 + (k & 1) * pu_size, y0 + (k >> 1) * pu_size)
+                  for k in range(n_pu)]
+        flags = [dec.decode_bin(states, OFF["ADI"]) for _ in range(n_pu)]
+        modes = []
+        for k in range(n_pu):
+            mpm = derive_mpm(self.maps, pu_pos[k][0], pu_pos[k][1],
+                             self.log2_ctu)
+            if flags[k]:
+                idx = 0
+                if dec.decode_bin_ep():
+                    idx = 1 + dec.decode_bin_ep()
+                mode = mpm[idx]
+            else:
+                rem = dec.decode_bins_ep(5)
+                for m in sorted(mpm):
+                    if rem >= m:
+                        rem += 1
+                mode = rem
+            modes.append(mode)
+            self.maps.set_mode(pu_pos[k][0], pu_pos[k][1],
+                               log2 - (1 if part_nxn else 0), mode)
+        if dec.decode_bin(states, OFF["CHROMA_PRED"]):
+            chroma_idx = dec.decode_bins_ep(2)
+        else:
+            chroma_idx = 4
+        cu = CodedCU(x0, y0, log2, tuple(modes), chroma_idx)
+        self._transform_tree(cu, x0, y0, log2, 0, 0, True, True)
+        return cu
+
+    def _transform_tree(self, cu, x0, y0, log2, trafo_depth, blk_idx,
+                        parent_cbf_cb, parent_cbf_cr):
+        sps = self.sps
+        intra_split = cu.part_nxn
+        max_depth = sps.max_transform_hierarchy_depth_intra + \
+            (1 if intra_split else 0)
+        can_code_split = (log2 <= sps.log2_max_tu_size and
+                          log2 > sps.log2_min_tu_size and
+                          trafo_depth < max_depth and
+                          not (intra_split and trafo_depth == 0))
+        if can_code_split:
+            split = bool(self.dec.decode_bin(
+                self.states, OFF["TRANS_SUBDIV"] + 5 - log2))
+        else:
+            split = (log2 > sps.log2_max_tu_size or
+                     (intra_split and trafo_depth == 0))
+        cbf_cb = cbf_cr = False
+        if log2 > 2:
+            if parent_cbf_cb:
+                cbf_cb = bool(self.dec.decode_bin(
+                    self.states, OFF["QT_CBF"] + 2 + trafo_depth))
+            if parent_cbf_cr:
+                cbf_cr = bool(self.dec.decode_bin(
+                    self.states, OFF["QT_CBF"] + 2 + trafo_depth))
+        else:
+            cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if split:
+            half = 1 << (log2 - 1)
+            for k, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
+                                          (half, half))):
+                self._transform_tree(cu, x0 + dx, y0 + dy, log2 - 1,
+                                     trafo_depth + 1, k, cbf_cb, cbf_cr)
+            return
+        cbf_luma = bool(self.dec.decode_bin(
+            self.states, OFF["QT_CBF"] + (1 if trafo_depth == 0 else 0)))
+        self._transform_unit(cu, x0, y0, log2, trafo_depth, blk_idx,
+                             cbf_luma, cbf_cb, cbf_cr)
+
+    def _transform_unit(self, cu, x0, y0, log2, trafo_depth, blk_idx,
+                        cbf_luma, cbf_cb, cbf_cr):
+        if not (cbf_luma or cbf_cb or cbf_cr):
+            return
+        pu_idx = 0
+        if cu.part_nxn:
+            half = 1 << (cu.log2_size - 1)
+            pu_idx = (1 if x0 & half else 0) + (2 if y0 & half else 0)
+        luma_mode = cu.luma_modes[pu_idx]
+        chroma_mode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
+        if cbf_luma:
+            scan = intra_scan_idx(luma_mode, log2, 0)
+            cu.coeffs[(0, x0, y0, log2)] = decode_residual(
+                self.dec, self.states, log2, 0, scan, self.pps.sign_hide)
+        if log2 > 2:
+            cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1
+        elif blk_idx == 3:
+            cx, cy, clog2 = (x0 - 4) >> 1, (y0 - 4) >> 1, 2
+        else:
+            return
+        for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
+            if cbf:
+                scan = intra_scan_idx(chroma_mode, clog2, c_idx)
+                cu.coeffs[(c_idx, cx, cy, clog2)] = decode_residual(
+                    self.dec, self.states, clog2, c_idx, scan,
+                    self.pps.sign_hide)
