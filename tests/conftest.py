@@ -19,3 +19,9 @@ import jax  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_x265tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu and keeps the default
+# backend on the (remote, tunnel-attached) chip; force all test compute
+# onto the local CPU backend so iteration is fast and the virtual
+# 8-device mesh is usable.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])

@@ -1,0 +1,60 @@
+"""Batched intra mode decision.
+
+TPU-first inversion of the reference's per-CU sequential mode search
+(x265 Search::estIntraPredQT search.cpp:1855, intra_pred_allangs
+primitive): ALL blocks of the frame evaluate ALL 35 modes in one batched
+pass, using ORIGINAL pixels as prediction references (decouples the
+decision from the recon feedback chain; the recon pass then uses true
+reconstructed neighbors with the chosen mode).  This is the standard
+parallel-intra decoupling — slightly suboptimal RD, massively parallel.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.intra import intra_pred_all_batch, substitute_filter_batch
+from ..ops.cost import satd_batch
+from ..frame.zscan import frame_avail_masks
+
+
+@functools.partial(jax.jit, static_argnames=("log2n", "bit_depth"))
+def _mode_costs(orig, avail, bx, by, log2n: int, bit_depth: int = 8):
+    """SATD cost of all 35 modes for a batch of blocks predicted from
+    original neighbors.  Returns (B, 35) int32."""
+    n = 1 << log2n
+    h, w = orig.shape
+    x0 = bx * n
+    y0 = by * n
+    ks = np.arange(4 * n + 1)
+    k_x = np.where(ks <= 2 * n, -1, ks - (2 * n + 1))
+    k_y = np.where(ks < 2 * n, 2 * n - 1 - ks, -1)
+    xs = jnp.clip(x0[:, None] + jnp.asarray(k_x)[None, :], 0, w - 1)
+    ys = jnp.clip(y0[:, None] + jnp.asarray(k_y)[None, :], 0, h - 1)
+    s_raw = orig[ys, xs]
+    s_sub, s_filt = substitute_filter_batch(s_raw, avail, log2n, bit_depth)
+    preds = intra_pred_all_batch(s_sub, s_filt, log2n, 0, bit_depth)
+    gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+    org = orig[gy, gx].astype(jnp.int32)
+    return satd_batch(org[:, None], preds)
+
+
+def decide_modes(y: np.ndarray, sps, block: int = 16) -> np.ndarray:
+    """Choose the SATD-best of 35 modes per block.  Returns (nby, nbx)."""
+    h, w = sps.height, sps.width
+    nbx, nby = w // block, h // block
+    log2n = block.bit_length() - 1
+    avail = frame_avail_masks(w, h, block, sps.log2_ctu_size, 0)
+    bys, bxs = np.mgrid[0:nby, 0:nbx]
+    orig = jnp.asarray(np.asarray(y, dtype=np.int32))
+    costs = _mode_costs(orig,
+                        jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+                        jnp.asarray(bxs.ravel().astype(np.int32)),
+                        jnp.asarray(bys.ravel().astype(np.int32)),
+                        log2n, sps.bit_depth)
+    modes = np.asarray(jnp.argmin(costs, axis=1), dtype=np.int32)
+    return modes.reshape(nby, nbx)

@@ -1,0 +1,146 @@
+"""Command-line encoder app.
+
+Analog of the reference CLI (x265 source/x265.cpp + x265cli.cpp) with the
+x265 option namespace, including the Patman mod's extended progress line:
+percent, frames a/b, fps, kb/s, elapsed + ETA, current & estimated final
+file size (reference x265cli.cpp:628-690).
+
+Usage:
+  python -m x265_mod_by_patman_tpu.cli --input in.y4m --output out.hevc \
+      --qp 32 [--frames N] [--recon recon.y4m] [--preset medium] [k=v ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+
+# persistent compile cache + optional device override (the axon plugin
+# ignores JAX_PLATFORMS, so X265TPU_DEVICE=cpu forces the CPU backend)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_x265tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+if os.environ.get("X265TPU_DEVICE"):
+    jax.config.update("jax_default_device",
+                      jax.devices(os.environ["X265TPU_DEVICE"])[0])
+
+from .params import default_params
+from .encoder.top import Encoder
+from .io.y4m import Y4MWriter, open_input
+
+
+def _fmt_size(nbytes: float) -> str:
+    for unit in ("B", "KiB", "MiB", "GiB"):
+        if nbytes < 1024 or unit == "GiB":
+            return f"{nbytes:.2f} {unit}"
+        nbytes /= 1024
+    return f"{nbytes:.2f} GiB"
+
+
+def _fmt_time(seconds: float) -> str:
+    s = int(seconds)
+    return f"{s // 3600:02d}:{(s % 3600) // 60:02d}:{s % 60:02d}"
+
+
+def progress_line(done: int, total: int, t0: float, out_bytes: int,
+                  fps_num: int, fps_denom: int) -> str:
+    """The mod's extended progress bar."""
+    elapsed = max(time.time() - t0, 1e-6)
+    fps = done / elapsed
+    kbps = out_bytes * 8 * fps_num / max(1, fps_denom) / max(done, 1) / 1000
+    line = f"[{100 * done / total:5.1f}%] " if total else ""
+    line += f"{done}/{total or '?'} frames, {fps:.2f} fps, {kbps:.2f} kb/s"
+    line += f", elapsed {_fmt_time(elapsed)}"
+    if total and done:
+        eta = elapsed * (total - done) / done
+        est_size = out_bytes * total / done
+        line += f", ETA {_fmt_time(eta)}, {_fmt_size(out_bytes)}" \
+                f" (est. {_fmt_size(est_size)})"
+    else:
+        line += f", {_fmt_size(out_bytes)}"
+    return line
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="x265-tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--input", required=True, help=".y4m or raw .yuv")
+    ap.add_argument("--output", "-o", required=True, help="Annex-B .hevc")
+    ap.add_argument("--input-res", default=None, help="WxH for raw yuv")
+    ap.add_argument("--fps", default="25", help="num or num/denom (raw yuv)")
+    ap.add_argument("--frames", "-f", type=int, default=0,
+                    help="max frames to encode")
+    ap.add_argument("--qp", "-q", type=int, default=32)
+    ap.add_argument("--preset", "-p", default=None)
+    ap.add_argument("--recon", "-r", default=None, help="recon .y4m out")
+    ap.add_argument("--no-progress", action="store_true")
+    ap.add_argument("--csv", default=None, help="per-frame CSV log")
+    ap.add_argument("params", nargs="*", help="extra key=value options")
+    args = ap.parse_args(argv)
+
+    w = h = 0
+    if args.input_res:
+        w, h = (int(t) for t in args.input_res.lower().split("x"))
+    fps = (int(float(args.fps) * 1000), 1000) if "/" not in args.fps else \
+        tuple(int(t) for t in args.fps.split("/"))
+    src = open_input(args.input, w, h, fps)
+    info = src.info
+
+    p = default_params(info.width, info.height)
+    p.fps_num, p.fps_denom = info.fps_num, info.fps_denom
+    p.total_frames = info.total_frames
+    if args.preset:
+        p.apply_preset(args.preset)
+    p.qp = args.qp
+    p.rc_mode = "cqp"
+    for kv in args.params:
+        k, _, v = kv.partition("=")
+        p.parse(k, v or "1")
+
+    enc = Encoder(p)
+    out = open(args.output, "wb")
+    recon_w = Y4MWriter(args.recon, info) if args.recon else None
+    csv = open(args.csv, "w") if args.csv else None
+    if csv:
+        csv.write("poc,bits,md5\n")
+
+    total = args.frames or info.total_frames
+    t0 = time.time()
+    done = 0
+    out_bytes = 0
+    for (y, u, v) in src:
+        f = enc.encode_frame(y, u, v)
+        out.write(f.bitstream)
+        out_bytes += len(f.bitstream)
+        if recon_w:
+            recon_w.write(*f.recon)
+        if csv:
+            csv.write(f"{f.poc},{f.bits},{f.md5.hex()}\n")
+        done += 1
+        if not args.no_progress:
+            sys.stderr.write("\r" + progress_line(
+                done, total, t0, out_bytes, info.fps_num, info.fps_denom))
+            sys.stderr.flush()
+        if args.frames and done >= args.frames:
+            break
+    if not args.no_progress:
+        sys.stderr.write("\n")
+    elapsed = time.time() - t0
+    sys.stderr.write(
+        f"encoded {done} frames in {elapsed:.2f}s ({done / max(elapsed, 1e-6):.2f} fps), "
+        f"{out_bytes * 8 * info.fps_num / max(1, info.fps_denom) / max(done, 1) / 1000:.2f} kb/s\n")
+    out.close()
+    src.close()
+    if recon_w:
+        recon_w.close()
+    if csv:
+        csv.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

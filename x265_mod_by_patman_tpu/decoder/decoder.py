@@ -1,0 +1,271 @@
+"""Conformance-validation HEVC decoder (intra profile subset).
+
+The testbench role of the reference's checkasm + decoded-picture-hash
+validation (SURVEY.md §4): an independent scalar implementation that
+parses our bitstreams and reconstructs pictures with the golden numpy
+kernels (ops.intra.predict_block_ref, ops.transform.*_ref).  Encoder recon
+MUST equal decoder recon; the MD5 hash SEI seals it.
+
+Intentionally scalar/slow — correctness oracle, not a product decoder.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..bitstream.bitreader import BitReader
+from ..bitstream.nal import (
+    NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_SUFFIX_SEI, NAL_VPS,
+    is_idr, remove_emulation, split_annexb)
+from ..bitstream.sei import SEI_DECODED_PICTURE_HASH, parse_sei, plane_md5
+from ..bitstream.headers import SPSInfo, PPSInfo, ProfileTierLevel
+from ..entropy.cabac import CabacDecoder
+from ..entropy.contexts import init_states
+from ..entropy.cu_syntax import (
+    SliceSyntaxDecoder, chroma_mode_from_idx)
+from ..ops.intra import (
+    predict_block_ref, substitute_refs, strong_smoothing_condition)
+from ..ops.transform import dequant_ref, idct_ref
+from ..frame.zscan import s_vector_coords, zscan_index
+from ..frame.recon_intra import chroma_qp
+
+
+def parse_ptl(br: BitReader) -> ProfileTierLevel:
+    ptl = ProfileTierLevel()
+    br.u(2)
+    ptl.tier_flag = br.u(1)
+    ptl.profile_idc = br.u(5)
+    br.u(32)                              # compatibility flags
+    ptl.progressive_source = br.flag()
+    ptl.interlaced_source = br.flag()
+    ptl.non_packed = br.flag()
+    ptl.frame_only = br.flag()
+    br.u(32)
+    br.u(12)
+    ptl.level_idc = br.u(8)
+    return ptl
+
+
+def parse_sps(rbsp: bytes) -> SPSInfo:
+    br = BitReader(rbsp)
+    s = SPSInfo()
+    br.u(4)                               # sps_video_parameter_set_id
+    br.u(3)                               # max_sub_layers_minus1
+    br.flag()                             # temporal_id_nesting
+    s.ptl = parse_ptl(br)
+    br.ue()                               # sps id
+    s.chroma_format_idc = br.ue()
+    if s.chroma_format_idc == 3:
+        br.flag()
+    s.width = br.ue()
+    s.height = br.ue()
+    if br.flag():                         # conformance window
+        br.ue()
+        s.conf_win_right = br.ue()
+        br.ue()
+        s.conf_win_bottom = br.ue()
+    s.bit_depth = br.ue() + 8
+    br.ue()                               # chroma bit depth
+    s.log2_max_poc_lsb = br.ue() + 4
+    br.flag()                             # sub_layer_ordering_info_present
+    s.max_dec_pic_buffering = br.ue() + 1
+    s.num_reorder_pics = br.ue()
+    br.ue()                               # max_latency
+    s.log2_min_cu_size = br.ue() + 3
+    s.log2_ctu_size = br.ue() + s.log2_min_cu_size
+    s.log2_min_tu_size = br.ue() + 2
+    s.log2_max_tu_size = br.ue() + s.log2_min_tu_size
+    s.max_transform_hierarchy_depth_inter = br.ue()
+    s.max_transform_hierarchy_depth_intra = br.ue()
+    assert br.flag() == 0, "scaling lists unsupported"
+    s.amp_enabled = br.flag()
+    s.sao_enabled = br.flag()
+    assert br.flag() == 0, "pcm unsupported"
+    num_rps = br.ue()
+    assert num_rps == 0, "SPS RPS unsupported"
+    assert br.flag() == 0, "long-term refs unsupported"
+    s.temporal_mvp = br.flag()
+    s.strong_intra_smoothing = br.flag()
+    br.flag()                             # vui
+    br.flag()                             # extensions
+    return s
+
+
+def parse_pps(rbsp: bytes) -> PPSInfo:
+    br = BitReader(rbsp)
+    q = PPSInfo()
+    br.ue()                               # pps id
+    br.ue()                               # sps id
+    assert br.flag() == 0                 # dependent slices
+    br.flag()                             # output_flag_present
+    br.u(3)                               # extra slice header bits
+    q.sign_hide = br.flag()
+    q.cabac_init_present = br.flag()
+    q.num_ref_idx_l0_default = br.ue() + 1
+    q.num_ref_idx_l1_default = br.ue() + 1
+    q.init_qp = br.se() + 26
+    br.flag()                             # constrained intra
+    assert br.flag() == 0, "transform skip unsupported"
+    q.cu_qp_delta_enabled = br.flag()
+    if q.cu_qp_delta_enabled:
+        q.diff_cu_qp_delta_depth = br.ue()
+    q.cb_qp_offset = br.se()
+    q.cr_qp_offset = br.se()
+    br.flag()                             # slice chroma qp offsets present
+    q.weighted_pred = br.flag()
+    q.weighted_bipred = br.flag()
+    q.transquant_bypass = br.flag()
+    assert br.flag() == 0, "tiles unsupported"
+    q.entropy_coding_sync = br.flag()
+    q.loop_filter_across_slices = br.flag()
+    if br.flag():                         # deblocking_filter_control_present
+        assert br.flag() == 0             # override enabled
+        q.deblocking_disabled = br.flag()
+        if not q.deblocking_disabled:
+            q.deblock_beta_offset_div2 = br.se()
+            q.deblock_tc_offset_div2 = br.se()
+    return q
+
+
+@dataclass
+class DecodedPicture:
+    poc: int
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    md5: bytes = b""
+    sei_md5: Optional[bytes] = None
+
+
+class Decoder:
+    """Annex-B stream -> decoded pictures."""
+
+    def __init__(self) -> None:
+        self.sps: Optional[SPSInfo] = None
+        self.pps: Optional[PPSInfo] = None
+        self.pictures: List[DecodedPicture] = []
+
+    def decode(self, stream: bytes) -> List[DecodedPicture]:
+        for nal in split_annexb(stream):
+            nal_type = (nal[0] >> 1) & 0x3F
+            rbsp = remove_emulation(nal[2:])
+            if nal_type == NAL_VPS:
+                continue
+            if nal_type == NAL_SPS:
+                self.sps = parse_sps(rbsp)
+            elif nal_type == NAL_PPS:
+                self.pps = parse_pps(rbsp)
+            elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+                self.pictures.append(self._decode_slice(nal_type, rbsp))
+            elif nal_type == NAL_SUFFIX_SEI:
+                for ptype, payload in parse_sei(rbsp):
+                    if ptype == SEI_DECODED_PICTURE_HASH and \
+                            payload[0] == 0 and self.pictures:
+                        self.pictures[-1].sei_md5 = payload[1:49]
+            else:
+                raise NotImplementedError(f"nal type {nal_type}")
+        return self.pictures
+
+    # -- slice ----------------------------------------------------------------
+    def _decode_slice(self, nal_type: int, rbsp: bytes) -> DecodedPicture:
+        sps, pps = self.sps, self.pps
+        br = BitReader(rbsp)
+        assert br.flag() == 1, "only single-slice streams"
+        if 16 <= nal_type <= 23:
+            br.flag()                     # no_output_of_prior_pics
+        br.ue()                           # pps id
+        slice_type = br.ue()
+        assert slice_type == 2, "intra decoder"
+        sao_luma = sao_chroma = False
+        if sps.sao_enabled:
+            sao_luma = br.flag()
+            sao_chroma = br.flag()
+        qp = br.se() + pps.init_qp
+        if pps.loop_filter_across_slices and \
+                (sao_luma or sao_chroma or not pps.deblocking_disabled):
+            br.flag()
+        if pps.entropy_coding_sync:
+            n_ep = br.ue()
+            assert n_ep == 0, "WPP substreams unsupported in v1 decoder"
+        br.u(1)                           # byte_alignment stop bit
+        br.byte_align()
+        data = rbsp[br.byte_pos:]
+
+        states = init_states(slice_type, qp)
+        syn = SliceSyntaxDecoder(CabacDecoder(data), states, sps, pps, qp)
+
+        h, w = sps.height, sps.width
+        y = np.zeros((h, w), np.int32)
+        u = np.zeros((h >> 1, w >> 1), np.int32)
+        v = np.zeros((h >> 1, w >> 1), np.int32)
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
+
+        n_ctu_x = sps.pic_width_in_ctus
+        n_ctu_y = sps.pic_height_in_ctus
+        end = 0
+        for cy in range(n_ctu_y):
+            for cx in range(n_ctu_x):
+                cus, end = syn.decode_ctu(cx, cy)
+                for cu in cus:
+                    self._recon_cu(cu, y, u, v, qp, qp_cb, qp_cr)
+        assert end == 1, "missing end_of_slice flag"
+        pic = DecodedPicture(0, y.astype(np.uint8), u.astype(np.uint8),
+                             v.astype(np.uint8))
+        pic.md5 = plane_md5(pic.y, pic.u, pic.v)
+        return pic
+
+    # -- reconstruction (golden scalar path) -----------------------------------
+    def _recon_cu(self, cu, y, u, v, qp, qp_cb, qp_cr) -> None:
+        sps = self.sps
+        bd = sps.bit_depth
+        if cu.part_nxn:
+            half = 1 << (cu.log2_size - 1)
+            for k, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
+                                          (half, half))):
+                self._recon_tb(y, cu.x0 + dx, cu.y0 + dy, cu.log2_size - 1,
+                               cu.luma_modes[k], 0, qp,
+                               cu.coeffs.get((0, cu.x0 + dx, cu.y0 + dy,
+                                              cu.log2_size - 1)))
+        else:
+            self._recon_tb(y, cu.x0, cu.y0, cu.log2_size, cu.luma_modes[0],
+                           0, qp, cu.coeffs.get((0, cu.x0, cu.y0,
+                                                 cu.log2_size)))
+        cmode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
+        clog2 = max(2, cu.log2_size - 1)
+        cx, cy = cu.x0 >> 1, cu.y0 >> 1
+        self._recon_tb(u, cx, cy, clog2, cmode, 1, qp_cb,
+                       cu.coeffs.get((1, cx, cy, clog2)))
+        self._recon_tb(v, cx, cy, clog2, cmode, 2, qp_cr,
+                       cu.coeffs.get((2, cx, cy, clog2)))
+
+    def _recon_tb(self, plane, x0, y0, log2, mode, c_idx, qp, levels) -> None:
+        sps = self.sps
+        bd = sps.bit_depth
+        n = 1 << log2
+        ph, pw = plane.shape
+        comp_shift = 1 if c_idx else 0
+        xs, ys = s_vector_coords(x0, y0, n)
+        inside = (xs >= 0) & (ys >= 0) & (xs < pw) & (ys < ph)
+        w_ctus = sps.pic_width_in_ctus
+        z = zscan_index(np.clip(xs, 0, pw - 1) << comp_shift,
+                        np.clip(ys, 0, ph - 1) << comp_shift,
+                        sps.log2_ctu_size, w_ctus)
+        z0 = zscan_index(np.array(x0 << comp_shift),
+                         np.array(y0 << comp_shift),
+                         sps.log2_ctu_size, w_ctus)
+        avail = inside & (z < z0)
+        s_raw = plane[np.clip(ys, 0, ph - 1), np.clip(xs, 0, pw - 1)]
+        s = substitute_refs(s_raw, avail, bd)
+        pred = predict_block_ref(
+            mode, s, log2, c_idx, bd,
+            strong_smoothing=sps.strong_intra_smoothing)
+        if levels is not None and np.any(levels):
+            coef = dequant_ref(levels.astype(np.int16), qp, log2, bd)
+            resi = idct_ref(coef, bd, dst=(log2 == 2 and c_idx == 0))
+            rec = np.clip(pred + resi, 0, (1 << bd) - 1)
+        else:
+            rec = pred
+        plane[y0:y0 + n, x0:x0 + n] = rec

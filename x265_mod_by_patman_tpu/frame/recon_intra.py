@@ -1,0 +1,213 @@
+"""Batched intra reconstruction over CTU wavefronts.
+
+TPU-first replacement of the reference's sequential per-CTU intra coding
+loop (x265 FrameEncoder::processRowEncoder frameencoder.cpp:1638 +
+Search::codeIntraLumaQT search.cpp:646): CTUs on a wavefront diagonal
+(d = cx + 2*cy, the WPP schedule) are processed as one batched step;
+within a CTU the z-order block positions are sequential substeps.  The
+ENTIRE wavefront schedule runs as one lax.fori_loop under a single jit —
+one device dispatch per frame, no host round-trips (the analog of x265
+keeping the whole row loop inside one thread, but batched).
+
+Bit-exactness contract: identical integer math to the scalar golden path
+used by the validation decoder (ops.intra.predict_block_ref /
+ops.transform.*_ref).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants.hevc_tables import CHROMA_QP_TABLE
+from ..ops.intra import intra_pred_select_batch, substitute_filter_batch
+from ..ops.transform import dct_batch, quant_batch, dequant_batch, idct_batch
+from .zscan import frame_avail_masks, ctu_wavefront_order
+
+
+def chroma_qp(qp: int, offset: int = 0) -> int:
+    return int(CHROMA_QP_TABLE[min(max(qp + offset, 0), 69)])
+
+
+def _substep_body(plane, levels, orig, bx, by, modes, avail,
+                  log2n: int, qp: int, c_idx: int, bit_depth: int = 8):
+    """One wavefront substep for one component (traced inline).
+
+    plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
+    levels: (nby+1, nbx, N, N) int32 quantized-level store (dump row nby)
+    orig:   (H, W) int32 source samples
+    bx/by:  (B,) int32 block coords (invalid lanes redirected to dump)
+    modes:  (B,) int32 intra modes
+    avail:  (B, 4N+1) bool reference availability (False on invalid lanes)
+    """
+    n = 1 << log2n
+    maxval = (1 << bit_depth) - 1
+    hp, wp = plane.shape
+    x0 = bx * n
+    y0 = by * n
+
+    ks = np.arange(4 * n + 1)
+    k_x = np.where(ks <= 2 * n, -1, ks - (2 * n + 1))
+    k_y = np.where(ks < 2 * n, 2 * n - 1 - ks, -1)
+    xs = jnp.clip(x0[:, None] + jnp.asarray(k_x)[None, :], 0, wp - 1)
+    ys = jnp.clip(y0[:, None] + jnp.asarray(k_y)[None, :], 0, hp - 1)
+    s_raw = plane[ys, xs]
+    s_sub, s_filt = substitute_filter_batch(s_raw, avail, log2n, bit_depth)
+
+    pred = intra_pred_select_batch(s_sub, s_filt, modes, log2n, c_idx,
+                                   bit_depth)
+    gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+    gyc = jnp.clip(gy, 0, orig.shape[0] - 1)
+    gxc = jnp.clip(gx, 0, orig.shape[1] - 1)
+    org = orig[gyc, gxc].astype(jnp.int32)
+    resi = org - pred
+    coef = dct_batch(resi, log2n, bit_depth)
+    lev = quant_batch(coef, qp, log2n, bit_depth, is_intra=True)
+    deq = dequant_batch(lev, qp, log2n, bit_depth)
+    rres = idct_batch(deq, log2n, bit_depth)
+    recon = jnp.clip(pred + rres, 0, maxval)
+
+    plane = plane.at[jnp.clip(gy, 0, hp - 1), gx].set(recon)
+    levels = levels.at[by, bx].set(lev)
+    return plane, levels
+
+
+# standalone-jitted variant for unit tests / kernel benches
+_component_substep = jax.jit(
+    _substep_body,
+    static_argnames=("log2n", "qp", "c_idx", "bit_depth"),
+    donate_argnums=(0, 1),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qp", "qp_cb", "qp_cr", "bit_depth"),
+    donate_argnums=(0, 1, 2, 3, 4, 5),
+)
+def _wavefront_run(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
+                   sb_bx, sb_by, sb_avy, sb_avc,
+                   qp: int, qp_cb: int, qp_cr: int, bit_depth: int = 8):
+    """Run the full wavefront schedule in one compiled loop.
+
+    sb_bx/sb_by: (S, B) int32 block coords per substep
+    sb_avy:      (S, B, 65) bool luma availability
+    sb_avc:      (S, B, 33) bool chroma availability
+    """
+    nby = lev_y.shape[0] - 1
+    nbx = lev_y.shape[1]
+
+    def step(s, carry):
+        yp, up, vp, lev_y, lev_u, lev_v = carry
+        bx = sb_bx[s]
+        by = sb_by[s]
+        md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
+        yp, lev_y = _substep_body(yp, lev_y, oy, bx, by, md, sb_avy[s],
+                                  4, qp, 0, bit_depth)
+        up, lev_u = _substep_body(up, lev_u, ou, bx, by, md, sb_avc[s],
+                                  3, qp_cb, 1, bit_depth)
+        vp, lev_v = _substep_body(vp, lev_v, ov, bx, by, md, sb_avc[s],
+                                  3, qp_cr, 2, bit_depth)
+        return yp, up, vp, lev_y, lev_u, lev_v
+
+    carry = (yp, up, vp, lev_y, lev_u, lev_v)
+    carry = jax.lax.fori_loop(0, sb_bx.shape[0], step, carry)
+    return carry
+
+
+class IntraReconstructor:
+    """Runs the wavefront over a frame; produces recon planes + levels."""
+
+    def __init__(self, sps, qp: int, cb_qp_offset: int = 0,
+                 cr_qp_offset: int = 0) -> None:
+        self.sps = sps
+        self.qp = qp
+        self.qp_cb = chroma_qp(qp, cb_qp_offset)
+        self.qp_cr = chroma_qp(qp, cr_qp_offset)
+        self.bd = sps.bit_depth
+        self.log2_ctu = sps.log2_ctu_size
+        self.nl = 16                       # luma block size (v1 uniform)
+        self.nc = 8                        # chroma block size (4:2:0)
+        w, h = sps.width, sps.height
+        assert w % self.nl == 0 and h % self.nl == 0, \
+            "v1 requires 16-aligned dimensions"
+        self.nbx = w // self.nl
+        self.nby = h // self.nl
+        self.n_ctu_x = sps.pic_width_in_ctus
+        self.n_ctu_y = sps.pic_height_in_ctus
+        self.bpc = (1 << self.log2_ctu) // self.nl
+        self._build_schedule()
+
+    def _build_schedule(self) -> None:
+        """Static (per frame geometry) stacked wavefront schedule."""
+        w, h = self.sps.width, self.sps.height
+        avail_y = frame_avail_masks(w, h, self.nl, self.log2_ctu, 0)
+        avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, 1)
+        waves = ctu_wavefront_order(self.n_ctu_x, self.n_ctu_y)
+        B = max(len(wv[0]) for wv in waves)
+        bxs, bys, avys, avcs = [], [], [], []
+        for (cxs, cys) in waves:
+            nb = len(cxs)
+            for zy in range(self.bpc):
+                for zx in range(self.bpc):
+                    bx = cxs * self.bpc + zx
+                    by = cys * self.bpc + zy
+                    valid = (bx < self.nbx) & (by < self.nby)
+                    bxp = np.where(valid, bx, 0).astype(np.int32)
+                    byp = np.where(valid, by, self.nby).astype(np.int32)
+                    if nb < B:
+                        pad = B - nb
+                        bxp = np.concatenate([bxp, np.zeros(pad, np.int32)])
+                        byp = np.concatenate(
+                            [byp, np.full(pad, self.nby, np.int32)])
+                        valid = np.concatenate([valid, np.zeros(pad, bool)])
+                    if not valid.any():
+                        continue
+                    avy = avail_y[np.where(valid, byp, 0),
+                                  np.where(valid, bxp, 0)] & valid[:, None]
+                    avc = avail_c[np.where(valid, byp, 0),
+                                  np.where(valid, bxp, 0)] & valid[:, None]
+                    bxs.append(bxp)
+                    bys.append(byp)
+                    avys.append(avy)
+                    avcs.append(avc)
+        self.sb_bx = jnp.asarray(np.stack(bxs))
+        self.sb_by = jnp.asarray(np.stack(bys))
+        self.sb_avy = jnp.asarray(np.stack(avys))
+        self.sb_avc = jnp.asarray(np.stack(avcs))
+
+    def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+            modes: np.ndarray):
+        """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
+        luma modes (chroma uses DM).  Returns dict of recon planes and
+        level arrays."""
+        nl, nc = self.nl, self.nc
+        w, h = self.sps.width, self.sps.height
+        wc, hc = w // 2, h // 2
+        yp = jnp.zeros((h + nl, w), jnp.int32)
+        up = jnp.zeros((hc + nc, wc), jnp.int32)
+        vp = jnp.zeros((hc + nc, wc), jnp.int32)
+        lev_y = jnp.zeros((self.nby + 1, self.nbx, nl, nl), jnp.int32)
+        lev_u = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        lev_v = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        oy = jnp.asarray(np.asarray(y, dtype=np.int32))
+        ou = jnp.asarray(np.asarray(u, dtype=np.int32))
+        ov = jnp.asarray(np.asarray(v, dtype=np.int32))
+        modes_j = jnp.asarray(modes.astype(np.int32))
+
+        yp, up, vp, lev_y, lev_u, lev_v = _wavefront_run(
+            yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
+            self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
+            self.qp, self.qp_cb, self.qp_cr, self.bd)
+
+        return {
+            "recon_y": np.asarray(yp[:h]).astype(np.uint8),
+            "recon_u": np.asarray(up[:hc]).astype(np.uint8),
+            "recon_v": np.asarray(vp[:hc]).astype(np.uint8),
+            "lev_y": np.asarray(lev_y[:self.nby]),
+            "lev_u": np.asarray(lev_u[:self.nby]),
+            "lev_v": np.asarray(lev_v[:self.nby]),
+        }

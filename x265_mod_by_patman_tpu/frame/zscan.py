@@ -1,0 +1,99 @@
+"""Z-scan addressing and neighbor-sample availability (spec 6.4.1).
+
+Analog of x265's CUGeom/z-order geometry tables (source/common/cudata.h:81
+calcCTUGeoms, g_zscanToRaster) — here computed as vectorized numpy maps so
+availability masks for whole frames of blocks are built in one shot and
+cached per (frame size, block size).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def morton(y: np.ndarray, x: np.ndarray, bits: int) -> np.ndarray:
+    """Interleave y/x bit-planes (y major) -> z-order index within a CTU."""
+    out = np.zeros_like(x)
+    for b in range(bits):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def zscan_index(x: np.ndarray, y: np.ndarray, log2_ctu: int,
+                pic_width_in_ctus: int) -> np.ndarray:
+    """Frame-wide z-scan index of the 4x4 minblock containing luma sample
+    (x, y): CTU raster index * minblocks-per-CTU + in-CTU Morton index."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    ctu = (y >> log2_ctu) * pic_width_in_ctus + (x >> log2_ctu)
+    bits = log2_ctu - 2
+    lx = (x >> 2) & ((1 << bits) - 1)
+    ly = (y >> 2) & ((1 << bits) - 1)
+    return ctu * (1 << (2 * bits)) + morton(ly, lx, bits)
+
+
+def s_vector_coords(x0: int, y0: int, n: int):
+    """Sample coordinates of the S reference vector (length 4N+1) for a
+    block with top-left (x0, y0):  S[0..2N-1] left column bottom-up,
+    S[2N] corner, S[2N+1..4N] top row."""
+    ks = np.arange(4 * n + 1)
+    xs = np.where(ks <= 2 * n, x0 - 1, x0 + (ks - (2 * n + 1)))
+    ys = np.where(ks < 2 * n, y0 + 2 * n - 1 - ks,
+                  np.where(ks == 2 * n, y0 - 1, y0 - 1))
+    return xs, ys
+
+
+@functools.lru_cache(maxsize=None)
+def frame_avail_masks(width: int, height: int, block: int, log2_ctu: int,
+                      comp_shift: int = 0):
+    """Availability masks of the S vector for every block of a frame.
+
+    width/height: LUMA picture dimensions; block: block size in THIS
+    component's samples; comp_shift: 1 for 4:2:0 chroma (coords scale x2 to
+    luma for the z-scan test).
+
+    Returns (blocks_y, blocks_x, 4*block+1) bool array.
+    """
+    cw = width >> comp_shift
+    ch = height >> comp_shift
+    bx = cw // block
+    by = ch // block
+    w_ctus = -(-width // (1 << log2_ctu))
+    n = block
+    masks = np.zeros((by, bx, 4 * n + 1), dtype=bool)
+    ks = np.arange(4 * n + 1)
+    for j in range(by):
+        for i in range(bx):
+            x0, y0 = i * n, j * n
+            xs, ys = s_vector_coords(x0, y0, n)
+            inside = (xs >= 0) & (ys >= 0) & (xs < cw) & (ys < ch)
+            # z-scan comparison in luma coordinates
+            lx = np.clip(xs, 0, cw - 1) << comp_shift
+            ly = np.clip(ys, 0, ch - 1) << comp_shift
+            z = zscan_index(lx, ly, log2_ctu, w_ctus)
+            z0 = zscan_index(np.array(x0 << comp_shift),
+                             np.array(y0 << comp_shift), log2_ctu, w_ctus)
+            masks[j, i] = inside & (z < z0)
+    del ks
+    return masks
+
+
+@functools.lru_cache(maxsize=None)
+def ctu_wavefront_order(n_ctu_x: int, n_ctu_y: int):
+    """CTU coordinates grouped by wavefront diagonal d = cx + 2*cy
+    (the WPP dependency schedule, reference doc/reST/threading.rst:40-60).
+
+    Returns list of (cx_array, cy_array) per wave.
+    """
+    waves = []
+    n_waves = n_ctu_x + 2 * (n_ctu_y - 1)
+    for d in range(n_waves):
+        cys = np.arange(n_ctu_y)
+        cxs = d - 2 * cys
+        sel = (cxs >= 0) & (cxs < n_ctu_x)
+        if sel.any():
+            waves.append((cxs[sel].astype(np.int32),
+                          cys[sel].astype(np.int32)))
+    return waves

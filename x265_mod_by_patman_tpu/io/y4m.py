@@ -1,0 +1,141 @@
+"""Y4M and raw YUV file I/O.
+
+Analog of the reference's input/output layer (x265 source/input/y4m.cpp,
+source/input/yuv.cpp, source/output/{y4m,yuv}.cpp), including the Patman
+mod's XLENGTH y4m header tag (total frame count for progress/planning,
+reference input/y4m.cpp:277).
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class VideoInfo:
+    width: int = 0
+    height: int = 0
+    fps_num: int = 25
+    fps_denom: int = 1
+    csp: str = "420"
+    bit_depth: int = 8
+    total_frames: int = 0     # 0 = unknown; y4m XLENGTH fills this
+
+
+class Y4MReader:
+    """Iterates (y, u, v) uint8 planes from a .y4m file."""
+
+    def __init__(self, path: str) -> None:
+        self.f = open(path, "rb")
+        header = b""
+        while not header.endswith(b"\n"):
+            c = self.f.read(1)
+            if not c:
+                raise EOFError("truncated y4m header")
+            header += c
+        if not header.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a y4m file")
+        self.info = VideoInfo()
+        for tok in header.decode().split()[1:]:
+            tag, val = tok[0], tok[1:]
+            if tag == "W":
+                self.info.width = int(val)
+            elif tag == "H":
+                self.info.height = int(val)
+            elif tag == "F":
+                n, d = val.split(":")
+                self.info.fps_num, self.info.fps_denom = int(n), int(d)
+            elif tag == "C":
+                m = re.match(r"(\d+)(p(\d+))?", val)
+                self.info.csp = m.group(1)
+                if m.group(3):
+                    self.info.bit_depth = int(m.group(3))
+            elif tag == "X" and val.startswith("LENGTH="):
+                # Patman mod: XLENGTH frame-count tag
+                self.info.total_frames = int(val[len("LENGTH="):])
+        assert self.info.csp == "420", "v1: 4:2:0 only"
+        w, h = self.info.width, self.info.height
+        self._fsize = w * h * 3 // 2
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        w, h = self.info.width, self.info.height
+        while True:
+            line = b""
+            while not line.endswith(b"\n"):
+                c = self.f.read(1)
+                if not c:
+                    return
+                line += c
+            if not line.startswith(b"FRAME"):
+                raise ValueError("bad frame header")
+            data = self.f.read(self._fsize)
+            if len(data) < self._fsize:
+                return
+            buf = np.frombuffer(data, np.uint8)
+            y = buf[:w * h].reshape(h, w)
+            u = buf[w * h:w * h * 5 // 4].reshape(h // 2, w // 2)
+            v = buf[w * h * 5 // 4:].reshape(h // 2, w // 2)
+            yield y, u, v
+
+    def close(self) -> None:
+        self.f.close()
+
+
+class YUVReader:
+    """Raw planar 4:2:0 reader; dimensions supplied by the caller."""
+
+    def __init__(self, path: str, width: int, height: int,
+                 fps: Tuple[int, int] = (25, 1)) -> None:
+        self.f = open(path, "rb")
+        self.info = VideoInfo(width=width, height=height,
+                              fps_num=fps[0], fps_denom=fps[1])
+        self._fsize = width * height * 3 // 2
+        size = os.fstat(self.f.fileno()).st_size
+        self.info.total_frames = size // self._fsize
+
+    def __iter__(self):
+        w, h = self.info.width, self.info.height
+        while True:
+            data = self.f.read(self._fsize)
+            if len(data) < self._fsize:
+                return
+            buf = np.frombuffer(data, np.uint8)
+            yield (buf[:w * h].reshape(h, w),
+                   buf[w * h:w * h * 5 // 4].reshape(h // 2, w // 2),
+                   buf[w * h * 5 // 4:].reshape(h // 2, w // 2))
+
+    def close(self) -> None:
+        self.f.close()
+
+
+class Y4MWriter:
+    """Recon writer (x265 --recon analog), with XLENGTH when known."""
+
+    def __init__(self, path: str, info: VideoInfo) -> None:
+        self.f = open(path, "wb")
+        hdr = f"YUV4MPEG2 W{info.width} H{info.height} " \
+              f"F{info.fps_num}:{info.fps_denom} Ip A1:1 C420"
+        if info.total_frames:
+            hdr += f" XLENGTH={info.total_frames}"
+        self.f.write((hdr + "\n").encode())
+
+    def write(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
+        self.f.write(b"FRAME\n")
+        self.f.write(y.astype(np.uint8).tobytes())
+        self.f.write(u.astype(np.uint8).tobytes())
+        self.f.write(v.astype(np.uint8).tobytes())
+
+    def close(self) -> None:
+        self.f.close()
+
+
+def open_input(path: str, width: int = 0, height: int = 0,
+               fps: Tuple[int, int] = (25, 1)):
+    if path.endswith(".y4m"):
+        return Y4MReader(path)
+    assert width and height, "--input-res required for raw yuv"
+    return YUVReader(path, width, height, fps)

@@ -295,3 +295,106 @@ def intra_pred_all_batch(s_unfilt: jnp.ndarray, s_filt: jnp.ndarray,
             (left_u[:, 0] + 2 * dc + top_u[:, 0] + 2) >> 2)
 
     return jnp.concatenate([planar[:, None], dcp[:, None], ang], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("log2_size", "c_idx", "bit_depth"))
+def intra_pred_select_batch(s_unfilt: jnp.ndarray, s_filt: jnp.ndarray,
+                            modes: jnp.ndarray, log2_size: int,
+                            c_idx: int = 0,
+                            bit_depth: int = 8) -> jnp.ndarray:
+    """Predict ONE selected mode per block (recon path).
+
+    s_unfilt/s_filt: (B, 4N+1) int32 substituted S vectors; modes: (B,)
+    int32.  Returns (B, N, N) int32, bit-exact to intra_pred_ref.
+    """
+    n = 1 << log2_size
+    maxval = (1 << bit_depth) - 1
+    gather, pix_idx, pix_fact, vert = _angular_tables(log2_size)
+    filt_sel = np.array([intra_filter_flag(m, log2_size) and c_idx == 0
+                         for m in range(35)])
+
+    su = s_unfilt.astype(jnp.int32)
+    sf = s_filt.astype(jnp.int32)
+    left_u = su[:, 2 * n - 1::-1]
+    corner_u = su[:, 2 * n]
+    top_u = su[:, 2 * n + 1:]
+
+    m33 = jnp.clip(modes - 2, 0, 32)                 # angular table row
+    use_filt = jnp.asarray(filt_sel)[modes]          # (B,)
+    s_sel = jnp.where(use_filt[:, None], sf, su)     # (B, 4N+1)
+
+    g = jnp.asarray(gather)[m33]                     # (B, 3N+2)
+    emain = jnp.take_along_axis(s_sel, g, axis=1)    # (B, 3N+2)
+    k_idx = jnp.asarray(pix_idx)[m33][:, :, None] + \
+        jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)    # (B, N, N)
+    j0 = jnp.clip(n + 1 + k_idx, 0, 3 * n + 1).reshape(-1, n * n)
+    j1 = jnp.clip(j0 + 1, 0, 3 * n + 2 - 1)
+    f = jnp.asarray(pix_fact)[m33][:, :, None]               # (B, N, 1)
+    p0 = jnp.take_along_axis(emain, j0, axis=1).reshape(-1, n, n)
+    p1 = jnp.take_along_axis(emain, j1, axis=1).reshape(-1, n, n)
+    ang = ((32 - f) * p0 + f * p1 + 16) >> 5
+    ang = jnp.where(jnp.asarray(vert)[m33][:, None, None], ang,
+                    jnp.swapaxes(ang, 1, 2))
+
+    if c_idx == 0 and n < 32:
+        col0 = jnp.clip(top_u[:, :1] + ((left_u[:, :n] - corner_u[:, None]) >> 1),
+                        0, maxval)
+        row0 = jnp.clip(left_u[:, :1] + ((top_u[:, :n] - corner_u[:, None]) >> 1),
+                        0, maxval)
+        ang = jnp.where((modes == 26)[:, None, None],
+                        ang.at[:, :, 0].set(col0), ang)
+        ang = jnp.where((modes == 10)[:, None, None],
+                        ang.at[:, 0, :].set(row0), ang)
+
+    # planar
+    s_pl = sf if (c_idx == 0 and intra_filter_flag(0, log2_size)) else su
+    left_p = s_pl[:, 2 * n - 1::-1]
+    top_p = s_pl[:, 2 * n + 1:]
+    x = jnp.arange(n)[None, None, :]
+    y = jnp.arange(n)[None, :, None]
+    planar = ((n - 1 - x) * left_p[:, :n][:, :, None]
+              + (x + 1) * top_p[:, n][:, None, None]
+              + (n - 1 - y) * top_p[:, :n][:, None, :]
+              + (y + 1) * left_p[:, n][:, None, None]
+              + n) >> (log2_size + 1)
+
+    # DC
+    dc = (jnp.sum(top_u[:, :n], axis=1) + jnp.sum(left_u[:, :n], axis=1)
+          + n) >> (log2_size + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (dc.shape[0], n, n))
+    if c_idx == 0 and n < 32:
+        dcp = dcp.at[:, 0, :].set((top_u[:, :n] + 3 * dc[:, None] + 2) >> 2)
+        dcp = dcp.at[:, 1:, 0].set((left_u[:, 1:n] + 3 * dc[:, None] + 2) >> 2)
+        dcp = dcp.at[:, 0, 0].set(
+            (left_u[:, 0] + 2 * dc + top_u[:, 0] + 2) >> 2)
+
+    pred = jnp.where((modes == 0)[:, None, None], planar,
+                     jnp.where((modes == 1)[:, None, None], dcp, ang))
+    return pred
+
+
+@functools.partial(jax.jit, static_argnames=("log2_size", "bit_depth"))
+def substitute_filter_batch(s_raw: jnp.ndarray, avail: jnp.ndarray,
+                            log2_size: int, bit_depth: int = 8):
+    """Batched reference substitution (spec 8.4.4.2.2) + [1 2 1] smoothing.
+
+    s_raw: (B, 4N+1) gathered samples (garbage where unavailable);
+    avail:  (B, 4N+1) bool.
+    Returns (s_unfilt, s_filt) both (B, 4N+1) int32.
+    """
+    slen = s_raw.shape[-1]
+    s = s_raw.astype(jnp.int32)
+    idx = jnp.where(avail, jax.lax.broadcasted_iota(jnp.int32, s.shape, 1),
+                    -1)
+    fill = jax.lax.cummax(idx, axis=1)               # last avail idx <= k
+    first = jnp.argmax(avail, axis=1)                # first avail index
+    take = jnp.where(fill >= 0, fill, first[:, None])
+    s_sub = jnp.take_along_axis(s, take, axis=1)
+    mid = 1 << (bit_depth - 1)
+    any_avail = jnp.any(avail, axis=1, keepdims=True)
+    s_sub = jnp.where(any_avail, s_sub, mid)
+    # [1 2 1] / 4 smoothing, endpoints passthrough
+    sm = (s_sub[:, :-2] + 2 * s_sub[:, 1:-1] + s_sub[:, 2:] + 2) >> 2
+    s_filt = jnp.concatenate(
+        [s_sub[:, :1], sm, s_sub[:, -1:]], axis=1)
+    return s_sub, s_filt
