@@ -310,6 +310,19 @@ ENTROPY_BITS = np.array([
 # Golomb-Rice adaptation range (x265 constants.cpp g_goRiceRange; spec 9.3.3.13)
 GO_RICE_RANGE = np.array([7, 14, 26, 46, 78], dtype=np.uint8)
 
+# ---------------------------------------------------------------------------
+# Deblocking filter thresholds (spec Table 8-12; x265 deblock.cpp:499-507)
+# ---------------------------------------------------------------------------
+DEBLOCK_TC = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11,
+    13, 14, 16, 18, 20, 22, 24], dtype=np.int32)
+
+DEBLOCK_BETA = np.array([
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
+    44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], dtype=np.int32)
+
 # sig_coeff_flag context map for 4x4 TBs (spec 9.3.4.2.5 ctxIdxMap)
 SIG_CTX_MAP_4x4 = np.array(
     [0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8], dtype=np.int32)

@@ -212,6 +212,19 @@ class Decoder:
                 for cu in cus:
                     self._recon_cu(cu, y, u, v, qp, qp_cb, qp_cr)
         assert end == 1, "missing end_of_slice flag"
+        if not pps.deblocking_disabled:
+            from ..ops.deblock import (
+                deblock_luma_ref, deblock_chroma_ref, intra_bs_maps,
+                chroma_on_maps)
+            bs_v, bs_h = intra_bs_maps(w, h, 16)
+            on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> 1, w >> 1)
+            y = deblock_luma_ref(y, bs_v, bs_h, qp,
+                                 pps.deblock_beta_offset_div2,
+                                 pps.deblock_tc_offset_div2)
+            u = deblock_chroma_ref(u, on_v, on_h, qp_cb,
+                                   pps.deblock_tc_offset_div2)
+            v = deblock_chroma_ref(v, on_v, on_h, qp_cr,
+                                   pps.deblock_tc_offset_div2)
         pic = DecodedPicture(0, y.astype(np.uint8), u.astype(np.uint8),
                              v.astype(np.uint8))
         pic.md5 = plane_md5(pic.y, pic.u, pic.v)

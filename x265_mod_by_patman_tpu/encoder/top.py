@@ -50,15 +50,21 @@ class Encoder:
             "v1: 4:2:0 8-bit"
         self.sps = build_sps_info(self.p)
         self.pps = build_pps_info(self.p)
-        # v1 restrictions: no WPP substreams, no SAO, no deblock, no SBH
+        # v1 restrictions: no WPP substreams, no SAO, no SBH
         self.pps.entropy_coding_sync = False
         self.pps.sign_hide = False
         self.pps.cu_qp_delta_enabled = False
-        self.pps.deblocking_disabled = True
+        self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = False
         self.recon = IntraReconstructor(self.sps, self.p.qp,
                                         self.p.cb_qp_offset,
                                         self.p.cr_qp_offset)
+        if self.p.deblock:
+            from ..ops.deblock import intra_bs_maps, chroma_on_maps
+            bs_v, bs_h = intra_bs_maps(self.sps.width, self.sps.height, 16)
+            on_v, on_h = chroma_on_maps(bs_v, bs_h, self.sps.height // 2,
+                                        self.sps.width // 2)
+            self._bs = tuple(np.asarray(a) for a in (bs_v, bs_h, on_v, on_h))
         self.frame_count = 0
         self._headers_sent = False
 
@@ -78,6 +84,23 @@ class Encoder:
         r = self.recon.run(y, u, v, modes)
 
         slice_rbsp = self._encode_slice(modes, r)
+        if p.deblock:
+            # in-loop deblock post-pass (intra refs used pre-filter samples;
+            # the output/hash picture is the filtered one)
+            import jax.numpy as jnp
+            from ..ops.deblock import deblock_frame_batch
+            bs_v, bs_h, on_v, on_h = self._bs
+            dy, du, dv = deblock_frame_batch(
+                jnp.asarray(r["recon_y"].astype(np.int32)),
+                jnp.asarray(r["recon_u"].astype(np.int32)),
+                jnp.asarray(r["recon_v"].astype(np.int32)),
+                jnp.asarray(bs_v), jnp.asarray(bs_h),
+                jnp.asarray(on_v), jnp.asarray(on_h),
+                p.qp, self.recon.qp_cb, self.recon.qp_cr,
+                p.deblock_beta_offset, p.deblock_tc_offset)
+            r["recon_y"] = np.asarray(dy).astype(np.uint8)
+            r["recon_u"] = np.asarray(du).astype(np.uint8)
+            r["recon_v"] = np.asarray(dv).astype(np.uint8)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"])
         out = b""
         if not self._headers_sent or p.repeat_headers:

@@ -1,0 +1,350 @@
+"""In-loop deblocking filter (spec 8.7.2).
+
+Analog of the reference's Deblock (x265 source/common/deblock.cpp:37
+deblockCTU, pelFilterLumaStrong/pelFilterChroma primitives), restructured
+TPU-first: instead of per-CTU sequential edge walks, ALL vertical edges of
+the frame filter in one batched pass, then all horizontal edges (the spec
+already orders V-then-H frame-wide, and 8-px edge spacing means windows
+never overlap -> embarrassingly parallel).
+
+Two implementations (checkasm strategy, SURVEY.md §4):
+  *_ref  — scalar numpy golden, used by the validation decoder
+  *_batch — jitted JAX, used by the encoder
+Both must agree bit-exactly.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants.hevc_tables import DEBLOCK_BETA, DEBLOCK_TC, CHROMA_QP_TABLE
+
+
+def _clip3(lo, hi, x):
+    return np.minimum(np.maximum(x, lo), hi)
+
+
+# ---------------------------------------------------------------------------
+# Boundary-strength maps
+# ---------------------------------------------------------------------------
+
+def intra_bs_maps(width: int, height: int, tu_size: int = 16):
+    """BS maps for an all-intra frame with a uniform TU grid: every TU
+    boundary on the 8-px deblock grid has BS=2 (spec 8.7.2.4: either side
+    intra -> bS 2); interior 8-px lines are not transform edges -> 0.
+
+    Returns (bs_v, bs_h):
+      bs_v: (H/4, W/8 - 1) BS of vertical edge at x=8*(e+1), rows 4y..4y+3
+      bs_h: (H/8 - 1, W/4) BS of horizontal edge at y=8*(e+1)
+    """
+    ev = width // 8 - 1
+    eh = height // 8 - 1
+    bs_v = np.zeros((height // 4, max(ev, 0)), dtype=np.int32)
+    bs_h = np.zeros((max(eh, 0), width // 4), dtype=np.int32)
+    for e in range(ev):
+        if ((e + 1) * 8) % tu_size == 0:
+            bs_v[:, e] = 2
+    for e in range(eh):
+        if ((e + 1) * 8) % tu_size == 0:
+            bs_h[e, :] = 2
+    return bs_v, bs_h
+
+
+# ---------------------------------------------------------------------------
+# Golden scalar implementation (spec-text faithful)
+# ---------------------------------------------------------------------------
+
+def _filter_luma_edge_ref(seg: np.ndarray, bs: int, qp: int,
+                          beta_off: int, tc_off: int, bit_depth: int):
+    """Filter one 4-line luma edge segment.  seg: (4, 8) int array of
+    [p3 p2 p1 p0 q0 q1 q2 q3] per line; modified in place."""
+    if bs == 0:
+        return
+    idx_b = min(max(qp + (beta_off << 1), 0), 51)
+    beta = int(DEBLOCK_BETA[idx_b]) << (bit_depth - 8)
+    idx_t = min(max(qp + 2 * (bs - 1) + (tc_off << 1), 0), 53)
+    tc = int(DEBLOCK_TC[idx_t]) << (bit_depth - 8)
+    if beta == 0:
+        return
+    p = seg[:, 3::-1]   # p0..p3 (view with reversed cols)
+    q = seg[:, 4:]
+    dp0 = abs(int(seg[0, 1]) - 2 * int(seg[0, 2]) + int(seg[0, 3]))
+    dp3 = abs(int(seg[3, 1]) - 2 * int(seg[3, 2]) + int(seg[3, 3]))
+    dq0 = abs(int(seg[0, 6]) - 2 * int(seg[0, 5]) + int(seg[0, 4]))
+    dq3 = abs(int(seg[3, 6]) - 2 * int(seg[3, 5]) + int(seg[3, 4]))
+    d = dp0 + dq0 + dp3 + dq3
+    if d >= beta:
+        return
+    maxv = (1 << bit_depth) - 1
+
+    def strong_line(i):
+        return (2 * ((dp0 if i == 0 else dp3) + (dq0 if i == 0 else dq3))
+                < (beta >> 2)) and \
+            (abs(int(seg[i, 0]) - int(seg[i, 3]))
+             + abs(int(seg[i, 4]) - int(seg[i, 7])) < (beta >> 3)) and \
+            (abs(int(seg[i, 3]) - int(seg[i, 4])) < ((5 * tc + 1) >> 1))
+
+    strong = strong_line(0) and strong_line(3)
+    s = seg.astype(np.int64)
+    if strong:
+        for i in range(4):
+            p3, p2, p1, p0, q0, q1, q2, q3 = (int(x) for x in s[i])
+            seg[i, 3] = _clip3(p0 - 2 * tc, p0 + 2 * tc,
+                               (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+            seg[i, 2] = _clip3(p1 - 2 * tc, p1 + 2 * tc,
+                               (p2 + p1 + p0 + q0 + 2) >> 2)
+            seg[i, 1] = _clip3(p2 - 2 * tc, p2 + 2 * tc,
+                               (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+            seg[i, 4] = _clip3(q0 - 2 * tc, q0 + 2 * tc,
+                               (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+            seg[i, 5] = _clip3(q1 - 2 * tc, q1 + 2 * tc,
+                               (q2 + q1 + q0 + p0 + 2) >> 2)
+            seg[i, 6] = _clip3(q2 - 2 * tc, q2 + 2 * tc,
+                               (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+        return
+    # weak filter
+    thr_side = (beta + (beta >> 1)) >> 3
+    filt_p = (dp0 + dp3) < thr_side
+    filt_q = (dq0 + dq3) < thr_side
+    for i in range(4):
+        p2, p1, p0, q0, q1 = (int(s[i, 1]), int(s[i, 2]), int(s[i, 3]),
+                              int(s[i, 4]), int(s[i, 5]))
+        delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+        if abs(delta) >= tc * 10:
+            continue
+        delta = _clip3(-tc, tc, delta)
+        seg[i, 3] = _clip3(0, maxv, p0 + delta)
+        seg[i, 4] = _clip3(0, maxv, q0 - delta)
+        if filt_p:
+            dp = _clip3(-(tc >> 1), tc >> 1,
+                        (((p2 + p0 + 1) >> 1) - p1 + delta) >> 1)
+            seg[i, 2] = _clip3(0, maxv, p1 + dp)
+        if filt_q:
+            q2 = int(s[i, 6])
+            dq = _clip3(-(tc >> 1), tc >> 1,
+                        (((q2 + q0 + 1) >> 1) - q1 - delta) >> 1)
+            seg[i, 5] = _clip3(0, maxv, q1 + dq)
+
+
+def deblock_luma_ref(plane: np.ndarray, bs_v: np.ndarray, bs_h: np.ndarray,
+                     qp: int, beta_off: int = 0, tc_off: int = 0,
+                     bit_depth: int = 8) -> np.ndarray:
+    """Golden frame deblock: all vertical edges, then all horizontal."""
+    out = plane.astype(np.int32).copy()
+    h, w = out.shape
+    for e in range(bs_v.shape[1]):
+        x = (e + 1) * 8
+        for g in range(h // 4):
+            seg = out[g * 4:g * 4 + 4, x - 4:x + 4]
+            _filter_luma_edge_ref(seg, int(bs_v[g, e]), qp, beta_off,
+                                  tc_off, bit_depth)
+    for e in range(bs_h.shape[0]):
+        y = (e + 1) * 8
+        for g in range(w // 4):
+            seg = out[y - 4:y + 4, g * 4:g * 4 + 4].T.copy()
+            _filter_luma_edge_ref(seg, int(bs_h[e, g]), qp, beta_off,
+                                  tc_off, bit_depth)
+            out[y - 4:y + 4, g * 4:g * 4 + 4] = seg.T
+    return out
+
+
+def chroma_on_maps(bs_v: np.ndarray, bs_h: np.ndarray, hc: int, wc: int):
+    """Map luma BS to per-chroma-sample edge-on masks (4:2:0).
+
+    Chroma vertical edge at chroma x=8c is the luma edge at 16c (luma edge
+    index e=2c-1); chroma row r maps to luma 4-row group (2r)//4 = r//2.
+    Returns on_v: (Hc, Wc/8-1) bool, on_h: (Hc/8-1, Wc) bool.
+    """
+    ev = wc // 8 - 1
+    eh = hc // 8 - 1
+    on_v = np.zeros((hc, max(ev, 0)), dtype=bool)
+    on_h = np.zeros((max(eh, 0), wc), dtype=bool)
+    for c in range(ev):
+        e = 2 * c + 1
+        on_v[:, c] = bs_v[np.arange(hc) // 2, e] == 2
+    for c in range(eh):
+        e = 2 * c + 1
+        on_h[c, :] = bs_h[e, np.arange(wc) // 2] == 2
+    return on_v, on_h
+
+
+def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
+                       on_h: np.ndarray, qpc: int, tc_off: int = 0,
+                       bit_depth: int = 8) -> np.ndarray:
+    """Golden chroma deblock: per-sample on masks from chroma_on_maps."""
+    out = plane.astype(np.int32).copy()
+    h, w = out.shape
+    maxv = (1 << bit_depth) - 1
+    idx = min(max(qpc + 2 + (tc_off << 1), 0), 53)
+    tc = int(DEBLOCK_TC[idx]) << (bit_depth - 8)
+    if tc == 0:
+        return out
+    for e in range(on_v.shape[1]):
+        x = (e + 1) * 8
+        for y in range(h):
+            if not on_v[y, e]:
+                continue
+            p1, p0, q0, q1 = (int(out[y, x - 2]), int(out[y, x - 1]),
+                              int(out[y, x]), int(out[y, x + 1]))
+            delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+            out[y, x - 1] = _clip3(0, maxv, p0 + delta)
+            out[y, x] = _clip3(0, maxv, q0 - delta)
+    for e in range(on_h.shape[0]):
+        y = (e + 1) * 8
+        for x in range(w):
+            if not on_h[e, x]:
+                continue
+            p1, p0, q0, q1 = (int(out[y - 2, x]), int(out[y - 1, x]),
+                              int(out[y, x]), int(out[y + 1, x]))
+            delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+            out[y - 1, x] = _clip3(0, maxv, p0 + delta)
+            out[y, x] = _clip3(0, maxv, q0 - delta)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Batched JAX implementation
+# ---------------------------------------------------------------------------
+
+def _luma_edges_pass(plane, bs, edge_x, qp: int, beta_off: int, tc_off: int,
+                     bit_depth: int):
+    """Filter all vertical luma edges of a plane in one shot.
+
+    plane: (H, W) int32;  bs: (H/4, E) int32;  edge_x: (E,) int32.
+    Horizontal pass = call on transposed plane with transposed maps.
+    """
+    h, w = plane.shape
+    e_cnt = edge_x.shape[0]
+    if e_cnt == 0:
+        return plane
+    idx_b = min(max(qp + (beta_off << 1), 0), 51)
+    beta = int(DEBLOCK_BETA[idx_b]) << (bit_depth - 8)
+    tc_bs = [0, 0, 0]
+    for b in (1, 2):
+        idx_t = min(max(qp + 2 * (b - 1) + (tc_off << 1), 0), 53)
+        tc_bs[b] = int(DEBLOCK_TC[idx_t]) << (bit_depth - 8)
+    tc_arr = jnp.asarray(np.array(tc_bs, np.int32))
+    maxv = (1 << bit_depth) - 1
+
+    cols = edge_x[:, None] + jnp.arange(-4, 4)[None, :]      # (E, 8)
+    seg = plane[:, cols]                                      # (H, E, 8)
+    seg = seg.reshape(h // 4, 4, e_cnt, 8).astype(jnp.int32)  # (G,4,E,8)
+    p3, p2, p1, p0 = seg[..., 0], seg[..., 1], seg[..., 2], seg[..., 3]
+    q0, q1, q2, q3 = seg[..., 4], seg[..., 5], seg[..., 6], seg[..., 7]
+
+    tc = tc_arr[jnp.clip(bs, 0, 2)]                           # (G, E)
+    on = (bs > 0) & (beta > 0)
+
+    dp_l = jnp.abs(p2 - 2 * p1 + p0)                          # (G,4,E)
+    dq_l = jnp.abs(q2 - 2 * q1 + q0)
+    dp0, dp3 = dp_l[:, 0], dp_l[:, 3]                         # (G,E)
+    dq0, dq3 = dq_l[:, 0], dq_l[:, 3]
+    d = dp0 + dq0 + dp3 + dq3
+    on = on & (d < beta)
+
+    def strong_i(i):
+        dpi = dp_l[:, i]
+        dqi = dq_l[:, i]
+        return (2 * (dpi + dqi) < (beta >> 2)) & \
+            (jnp.abs(p3[:, i] - p0[:, i]) + jnp.abs(q0[:, i] - q3[:, i])
+             < (beta >> 3)) & \
+            (jnp.abs(p0[:, i] - q0[:, i]) < ((5 * tc + 1) >> 1))
+
+    strong = strong_i(0) & strong_i(3)                        # (G, E)
+    tc4 = tc[:, None]                                         # (G,1,E)
+    strong4 = (strong & on)[:, None]
+
+    sp0 = jnp.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                   p0 - 2 * tc4, p0 + 2 * tc4)
+    sp1 = jnp.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - 2 * tc4, p1 + 2 * tc4)
+    sp2 = jnp.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3,
+                   p2 - 2 * tc4, p2 + 2 * tc4)
+    sq0 = jnp.clip((q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+                   q0 - 2 * tc4, q0 + 2 * tc4)
+    sq1 = jnp.clip((q2 + q1 + q0 + p0 + 2) >> 2, q1 - 2 * tc4, q1 + 2 * tc4)
+    sq2 = jnp.clip((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3,
+                   q2 - 2 * tc4, q2 + 2 * tc4)
+
+    thr_side = (beta + (beta >> 1)) >> 3
+    filt_p = ((dp0 + dp3) < thr_side)[:, None]
+    filt_q = ((dq0 + dq3) < thr_side)[:, None]
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    w_on = (jnp.abs(delta) < tc4 * 10) & (~strong & on)[:, None]
+    dclip = jnp.clip(delta, -tc4, tc4)
+    wp0 = jnp.clip(p0 + dclip, 0, maxv)
+    wq0 = jnp.clip(q0 - dclip, 0, maxv)
+    dp_side = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + dclip) >> 1,
+                       -(tc4 >> 1), tc4 >> 1)
+    wp1 = jnp.clip(p1 + dp_side, 0, maxv)
+    dq_side = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - dclip) >> 1,
+                       -(tc4 >> 1), tc4 >> 1)
+    wq1 = jnp.clip(q1 + dq_side, 0, maxv)
+
+    np0 = jnp.where(strong4, sp0, jnp.where(w_on, wp0, p0))
+    nq0 = jnp.where(strong4, sq0, jnp.where(w_on, wq0, q0))
+    np1 = jnp.where(strong4, sp1, jnp.where(w_on & filt_p, wp1, p1))
+    nq1 = jnp.where(strong4, sq1, jnp.where(w_on & filt_q, wq1, q1))
+    np2 = jnp.where(strong4, sp2, p2)
+    nq2 = jnp.where(strong4, sq2, q2)
+
+    new_seg = jnp.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3], axis=-1)
+    new_seg = new_seg.reshape(h, e_cnt, 8)
+    return plane.at[:, cols].set(new_seg)
+
+
+def _chroma_edges_pass(plane, on, edge_x, qpc: int, tc_off: int,
+                       bit_depth: int):
+    """All vertical chroma edges; on: (H, E) bool per-sample edge mask."""
+    h, w = plane.shape
+    e_cnt = edge_x.shape[0]
+    if e_cnt == 0:
+        return plane
+    idx_t = min(max(qpc + 2 + (tc_off << 1), 0), 53)
+    tc = int(DEBLOCK_TC[idx_t]) << (bit_depth - 8)
+    if tc == 0:
+        return plane
+    maxv = (1 << bit_depth) - 1
+    cols = edge_x[:, None] + jnp.arange(-2, 2)[None, :]      # (E, 4)
+    seg = plane[:, cols].astype(jnp.int32)                   # (H, E, 4)
+    p1, p0, q0, q1 = seg[..., 0], seg[..., 1], seg[..., 2], seg[..., 3]
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    np0 = jnp.where(on, jnp.clip(p0 + delta, 0, maxv), p0)
+    nq0 = jnp.where(on, jnp.clip(q0 - delta, 0, maxv), q0)
+    new_seg = jnp.stack([p1, np0, nq0, q1], axis=-1)
+    return plane.at[:, cols].set(new_seg)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "qp", "qpc_cb", "qpc_cr", "beta_off", "tc_off", "bit_depth"))
+def deblock_frame_batch(y, u, v, bs_v, bs_h, on_vc, on_hc, qp: int,
+                        qpc_cb: int, qpc_cr: int, beta_off: int = 0,
+                        tc_off: int = 0, bit_depth: int = 8):
+    """Deblock a full 4:2:0 frame: luma + chroma, V edges then H edges.
+
+    y: (H, W) int32; u/v: (H/2, W/2) int32
+    bs_v: (H/4, W/8-1); bs_h: (H/8-1, W/4) luma BS maps;
+    on_vc/on_hc: chroma edge masks from chroma_on_maps.
+    """
+    h, w = y.shape
+    ev = jnp.arange(1, w // 8) * 8
+    eh = jnp.arange(1, h // 8) * 8
+    y = _luma_edges_pass(y, bs_v, ev, qp, beta_off, tc_off, bit_depth)
+    y = _luma_edges_pass(y.T, bs_h.T, eh, qp, beta_off, tc_off,
+                         bit_depth).T
+
+    hc, wc = u.shape
+    evc = jnp.arange(1, wc // 8) * 8
+    ehc = jnp.arange(1, hc // 8) * 8
+    for pl_idx, qpc in ((0, qpc_cb), (1, qpc_cr)):
+        pl = u if pl_idx == 0 else v
+        pl = _chroma_edges_pass(pl, on_vc, evc, qpc, tc_off, bit_depth)
+        pl = _chroma_edges_pass(pl.T, on_hc.T, ehc, qpc, tc_off,
+                                bit_depth).T
+        if pl_idx == 0:
+            u = pl
+        else:
+            v = pl
+    return y, u, v
