@@ -1,0 +1,104 @@
+"""P-frame analysis: batched ME + inter/intra decision + MC prediction.
+
+TPU-first replacement of the reference's per-CU compressInterCU_rd0_4
+(x265 source/encoder/analysis.cpp:1663): every block of the frame runs
+full-search ME, subpel refinement, a neighbor-MV coherence pass (the
+batched stand-in for merge estimation, reference analysis.cpp:3485
+checkMerge2Nx2N), and an inter-vs-intra SATD decision — all as dense
+tensor ops.  The recon wavefront then consumes the per-block decisions.
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.me import full_search_batch, subpel_refine_batch, mv_bits
+from ..ops.interp import mc_batch
+from ..ops.cost import satd_batch
+from .intra_mode import _mode_costs
+from ..frame.zscan import frame_avail_masks
+
+
+def lambda_qp(qp: int) -> Tuple[float, float]:
+    """(lambda, lambda2) — SAD/SATD and SSE lambdas (reference
+    constants.cpp:34 x265_lambda_tab / x265_lambda2_tab derivation)."""
+    lam2 = 0.85 * (2.0 ** ((qp - 12) / 3.0))
+    return math.sqrt(lam2), lam2
+
+
+def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
+                    search_range: int = 16, block: int = 16):
+    """Returns (intra_modes (nby,nbx), inter_mask (nby,nbx) bool,
+    mvs (nby,nbx,2) qpel, (mc_y, mc_u, mc_v) per-block predictions)."""
+    h, w = sps.height, sps.width
+    n = block
+    nbx, nby = w // n, h // n
+    nb = nbx * nby
+    lam, _ = lambda_qp(qp)
+    lam256 = int(round(lam * 256))
+
+    bys, bxs = np.mgrid[0:nby, 0:nbx]
+    bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
+    by = jnp.asarray((bys.ravel() * n).astype(np.int32))
+    oy = jnp.asarray(np.asarray(y, np.int32))
+    ry = jnp.asarray(np.asarray(ref_y, np.int32))
+
+    # 1. integer full search + subpel (predictor (0,0) for bit costing)
+    pz = jnp.zeros(nb, jnp.int32)
+    imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256, n,
+                                    search_range)
+    mvx, mvy, cost_me = subpel_refine_batch(ry, oy, bx, by, imx, imy,
+                                            pz, pz, lam256, n)
+
+    # 2. neighbor-coherence pass: try the left/top neighbor's MV with a
+    # small bit charge; adopt when cheaper (merge-style coherence)
+    gy = by[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = bx[:, None, None] + jnp.arange(n)[None, None, :]
+    org = oy[jnp.clip(gy, 0, h - 1), jnp.clip(gx, 0, w - 1)].astype(jnp.int32)
+    mvx2d = mvx.reshape(nby, nbx)
+    mvy2d = mvy.reshape(nby, nbx)
+    cost = cost_me
+    for (sy, sx) in ((0, 1), (1, 0)):          # left neighbor, top neighbor
+        cx_ = jnp.roll(mvx2d, (sy, sx), (0, 1)).ravel()
+        cy_ = jnp.roll(mvy2d, (sy, sx), (0, 1)).ravel()
+        pred = mc_batch(ry, bx, by, cx_, cy_, n, 0)
+        c = satd_batch(org, pred) + ((lam256 * 2) >> 8)
+        upd = c < cost
+        mvx = jnp.where(upd, cx_, mvx)
+        mvy = jnp.where(upd, cy_, mvy)
+        cost = jnp.where(upd, c, cost)
+
+    # 3. intra costs (orig-neighbor batched sweep)
+    avail = frame_avail_masks(w, h, n, sps.log2_ctu_size, 0)
+    icosts = _mode_costs(oy,
+                         jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+                         jnp.asarray(bxs.ravel().astype(np.int32)),
+                         jnp.asarray(bys.ravel().astype(np.int32)),
+                         n.bit_length() - 1, sps.bit_depth)
+    intra_best = jnp.min(icosts, axis=1)
+    intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
+
+    # 4. decision: inter unless intra clearly wins (intra pays ~5 bits of
+    # mode signalling in P slices)
+    use_inter = cost <= (intra_best + ((lam256 * 5) >> 8))
+
+    # 5. MC predictions for every block (unused lanes harmless)
+    mc_y = mc_batch(ry, bx, by, mvx, mvy, n, 0)
+    ru = jnp.asarray(np.asarray(ref_u, np.int32))
+    rv = jnp.asarray(np.asarray(ref_v, np.int32))
+    nc = n // 2
+    mc_u = mc_batch(ru, bx // 2, by // 2, mvx, mvy, nc, 1)
+    mc_v = mc_batch(rv, bx // 2, by // 2, mvx, mvy, nc, 1)
+
+    mvs = np.stack([np.asarray(mvx), np.asarray(mvy)],
+                   axis=-1).reshape(nby, nbx, 2)
+    return (np.asarray(intra_modes).reshape(nby, nbx),
+            np.asarray(use_inter).reshape(nby, nbx),
+            mvs.astype(np.int32),
+            (np.asarray(mc_y).reshape(nby, nbx, n, n),
+             np.asarray(mc_u).reshape(nby, nbx, nc, nc),
+             np.asarray(mc_v).reshape(nby, nbx, nc, nc)))

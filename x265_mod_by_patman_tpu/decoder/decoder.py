@@ -17,8 +17,10 @@ import numpy as np
 
 from ..bitstream.bitreader import BitReader
 from ..bitstream.nal import (
-    NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_SUFFIX_SEI, NAL_VPS,
+    NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_SUFFIX_SEI,
+    NAL_TRAIL_N, NAL_TRAIL_R, NAL_VPS,
     is_idr, remove_emulation, split_annexb)
+from ..ops.interp import mc_block_ref
 from ..bitstream.sei import SEI_DECODED_PICTURE_HASH, parse_sei, plane_md5
 from ..bitstream.headers import SPSInfo, PPSInfo, ProfileTierLevel
 from ..entropy.cabac import CabacDecoder
@@ -146,6 +148,7 @@ class Decoder:
         self.sps: Optional[SPSInfo] = None
         self.pps: Optional[PPSInfo] = None
         self.pictures: List[DecodedPicture] = []
+        self._ref: Optional[tuple] = None     # previous decoded picture
 
     def decode(self, stream: bytes) -> List[DecodedPicture]:
         for nal in split_annexb(stream):
@@ -157,7 +160,8 @@ class Decoder:
                 self.sps = parse_sps(rbsp)
             elif nal_type == NAL_PPS:
                 self.pps = parse_pps(rbsp)
-            elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP):
+            elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP,
+                              NAL_TRAIL_R, NAL_TRAIL_N):
                 self.pictures.append(self._decode_slice(nal_type, rbsp))
             elif nal_type == NAL_SUFFIX_SEI:
                 for ptype, payload in parse_sei(rbsp):
@@ -177,11 +181,29 @@ class Decoder:
             br.flag()                     # no_output_of_prior_pics
         br.ue()                           # pps id
         slice_type = br.ue()
-        assert slice_type == 2, "intra decoder"
+        poc = 0
+        if not is_idr(nal_type):
+            poc = br.u(sps.log2_max_poc_lsb)
+            assert br.flag() == 0          # short_term_ref_pic_set_sps_flag
+            self._parse_st_rps(br)
+            if sps.temporal_mvp:
+                br.flag()
         sao_luma = sao_chroma = False
         if sps.sao_enabled:
             sao_luma = br.flag()
             sao_chroma = br.flag()
+        num_refs = 1
+        max_merge = 3
+        if slice_type != 2:
+            if br.flag():                  # num_ref_idx_active_override
+                num_refs = br.ue() + 1
+                if slice_type == 0:
+                    br.ue()
+            else:
+                num_refs = pps.num_ref_idx_l0_default
+            if slice_type == 0:
+                br.flag()                  # mvd_l1_zero
+            max_merge = 5 - br.ue()
         qp = br.se() + pps.init_qp
         if pps.loop_filter_across_slices and \
                 (sao_luma or sao_chroma or not pps.deblocking_disabled):
@@ -194,7 +216,8 @@ class Decoder:
         data = rbsp[br.byte_pos:]
 
         states = init_states(slice_type, qp)
-        syn = SliceSyntaxDecoder(CabacDecoder(data), states, sps, pps, qp)
+        syn = SliceSyntaxDecoder(CabacDecoder(data), states, sps, pps, qp,
+                                 slice_type, max_merge, num_refs)
 
         h, w = sps.height, sps.width
         y = np.zeros((h, w), np.int32)
@@ -206,17 +229,33 @@ class Decoder:
         n_ctu_x = sps.pic_width_in_ctus
         n_ctu_y = sps.pic_height_in_ctus
         end = 0
+        all_cus = []
         for cy in range(n_ctu_y):
             for cx in range(n_ctu_x):
                 cus, end = syn.decode_ctu(cx, cy)
+                all_cus.extend(cus)
                 for cu in cus:
                     self._recon_cu(cu, y, u, v, qp, qp_cb, qp_cr)
         assert end == 1, "missing end_of_slice flag"
         if not pps.deblocking_disabled:
             from ..ops.deblock import (
-                deblock_luma_ref, deblock_chroma_ref, intra_bs_maps,
-                chroma_on_maps)
-            bs_v, bs_h = intra_bs_maps(w, h, 16)
+                deblock_luma_ref, deblock_chroma_ref, inter_bs_maps,
+                intra_bs_maps, chroma_on_maps)
+            if slice_type != 2:
+                nbx, nby = w // 16, h // 16
+                intra_mask = np.ones((nby, nbx), bool)
+                mvs = np.zeros((nby, nbx, 2), np.int32)
+                cbf = np.zeros((nby, nbx), bool)
+                for cu in all_cus:
+                    bx, by = cu.x0 // 16, cu.y0 // 16
+                    intra_mask[by, bx] = not cu.is_inter
+                    if cu.is_inter:
+                        mvs[by, bx] = cu.mv
+                    lv = cu.coeffs.get((0, cu.x0, cu.y0, 4))
+                    cbf[by, bx] = lv is not None and bool(np.any(lv))
+                bs_v, bs_h = inter_bs_maps(intra_mask, mvs, cbf, w, h, 16)
+            else:
+                bs_v, bs_h = intra_bs_maps(w, h, 16)
             on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> 1, w >> 1)
             y = deblock_luma_ref(y, bs_v, bs_h, qp,
                                  pps.deblock_beta_offset_div2,
@@ -225,15 +264,26 @@ class Decoder:
                                    pps.deblock_tc_offset_div2)
             v = deblock_chroma_ref(v, on_v, on_h, qp_cr,
                                    pps.deblock_tc_offset_div2)
-        pic = DecodedPicture(0, y.astype(np.uint8), u.astype(np.uint8),
+        pic = DecodedPicture(poc, y.astype(np.uint8), u.astype(np.uint8),
                              v.astype(np.uint8))
         pic.md5 = plane_md5(pic.y, pic.u, pic.v)
+        self._ref = (pic.y, pic.u, pic.v)
         return pic
+
+    def _parse_st_rps(self, br: BitReader) -> None:
+        n_neg = br.ue()
+        n_pos = br.ue()
+        for _ in range(n_neg + n_pos):
+            br.ue()                        # delta_poc_minus1
+            br.flag()                      # used_by_curr_pic
 
     # -- reconstruction (golden scalar path) -----------------------------------
     def _recon_cu(self, cu, y, u, v, qp, qp_cb, qp_cr) -> None:
         sps = self.sps
         bd = sps.bit_depth
+        if cu.is_inter:
+            self._recon_inter_cu(cu, y, u, v, qp, qp_cb, qp_cr)
+            return
         if cu.part_nxn:
             half = 1 << (cu.log2_size - 1)
             for k, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
@@ -253,6 +303,30 @@ class Decoder:
                        cu.coeffs.get((1, cx, cy, clog2)))
         self._recon_tb(v, cx, cy, clog2, cmode, 2, qp_cr,
                        cu.coeffs.get((2, cx, cy, clog2)))
+
+    def _recon_inter_cu(self, cu, y, u, v, qp, qp_cb, qp_cr) -> None:
+        """Golden inter recon: MC (mc_block_ref) + residual."""
+        assert self._ref is not None, "P slice without reference"
+        bd = self.sps.bit_depth
+        maxv = (1 << bd) - 1
+        n = 1 << cu.log2_size
+        ry, ru, rv = self._ref
+        mvx, mvy = cu.mv
+        for plane, ref, c_idx, qpc, cx, cy, clog2 in (
+                (y, ry, 0, qp, cu.x0, cu.y0, cu.log2_size),
+                (u, ru, 1, qp_cb, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1),
+                (v, rv, 2, qp_cr, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1)):
+            cn = 1 << clog2
+            pred = mc_block_ref(ref.astype(np.int32), cx, cy, mvx, mvy,
+                                cn, cn, c_idx, bd)
+            levels = cu.coeffs.get((c_idx, cx, cy, clog2))
+            if levels is not None and np.any(levels):
+                coef = dequant_ref(levels.astype(np.int16), qpc, clog2, bd)
+                resi = idct_ref(coef, bd, dst=False)
+                rec = np.clip(pred + resi, 0, maxv)
+            else:
+                rec = pred
+            plane[cy:cy + cn, cx:cx + cn] = rec
 
     def _recon_tb(self, plane, x0, y0, log2, mode, c_idx, qp, levels) -> None:
         sps = self.sps

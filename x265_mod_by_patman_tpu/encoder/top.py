@@ -1,13 +1,15 @@
 """Top-level encoder: frames in, Annex-B HEVC out.
 
 Analog of x265's Encoder (source/encoder/encoder.cpp Encoder::encode) +
-FrameEncoder pipeline, restructured for the TPU execution model:
+FrameEncoder pipeline + DPB (source/encoder/dpb.cpp), restructured for
+the TPU execution model:
   analysis (batched JAX)  ->  recon wavefront (batched JAX)  ->
   syntax IR (host numpy)  ->  CABAC serialization (host)  ->  NALs.
 
-v1 scope: intra-only CQP, 4:2:0 8-bit, uniform 16x16 CUs in 32x32 CTUs,
-deblock/SAO off.  Every frame is an IDR (keyint=1 semantics, matching
-north-star config 1: BasketballPass intra QP32).
+v1 scope: 4:2:0 8-bit, uniform 16x16 CUs in 32x32 CTUs, CQP.
+GOP: IDR + IPPP with a single reference (keyframe_max controls the IDR
+interval; keyframe_max == 1 -> all-intra, north-star config 1).
+Deblock in-loop; SAO/WPP/SBH off.
 """
 from __future__ import annotations
 
@@ -15,21 +17,28 @@ from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..params import EncoderParams
 from ..bitstream.bitwriter import BitWriter
 from ..bitstream.headers import (
-    SLICE_I, SliceHeader, build_pps_info, build_sps_info, write_pps,
-    write_slice_header, write_sps, write_vps)
+    SLICE_I, SLICE_P, SliceHeader, build_pps_info, build_sps_info,
+    write_pps, write_slice_header, write_sps, write_vps)
 from ..bitstream.nal import (
-    NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_SUFFIX_SEI, NAL_VPS, annexb)
+    NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_R, NAL_VPS,
+    annexb)
 from ..bitstream.sei import plane_md5, write_decoded_picture_hash
 from ..entropy.binir import BinIR
 from ..entropy.cabac import CabacEncoder
 from ..entropy.contexts import init_states
 from ..entropy.cu_syntax import CodedCU, SliceSyntaxEncoder
 from ..analysis.intra_mode import decide_modes
+from ..analysis.inter_mode import analyse_p_frame
 from ..frame.recon_intra import IntraReconstructor
+from ..ops.deblock import (
+    chroma_on_maps, deblock_frame_batch, inter_bs_maps, intra_bs_maps)
+
+MAX_MERGE = 3
 
 
 @dataclass
@@ -39,6 +48,7 @@ class EncodedFrame:
     recon: tuple                  # (y, u, v) uint8 planes
     bits: int = 0
     md5: bytes = b""
+    slice_type: str = "I"
 
 
 class Encoder:
@@ -50,23 +60,20 @@ class Encoder:
             "v1: 4:2:0 8-bit"
         self.sps = build_sps_info(self.p)
         self.pps = build_pps_info(self.p)
-        # v1 restrictions: no WPP substreams, no SAO, no SBH
+        # v1 restrictions: no WPP substreams, no SAO, no SBH, no TMVP
         self.pps.entropy_coding_sync = False
         self.pps.sign_hide = False
         self.pps.cu_qp_delta_enabled = False
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = False
+        self.sps.temporal_mvp = False
         self.recon = IntraReconstructor(self.sps, self.p.qp,
                                         self.p.cb_qp_offset,
                                         self.p.cr_qp_offset)
-        if self.p.deblock:
-            from ..ops.deblock import intra_bs_maps, chroma_on_maps
-            bs_v, bs_h = intra_bs_maps(self.sps.width, self.sps.height, 16)
-            on_v, on_h = chroma_on_maps(bs_v, bs_h, self.sps.height // 2,
-                                        self.sps.width // 2)
-            self._bs = tuple(np.asarray(a) for a in (bs_v, bs_h, on_v, on_h))
         self.frame_count = 0
+        self.poc = 0
         self._headers_sent = False
+        self._ref: Optional[tuple] = None      # (y, u, v) uint8 recon
 
     # -- headers -------------------------------------------------------------
     def headers(self) -> bytes:
@@ -77,43 +84,67 @@ class Encoder:
     # -- per-frame -----------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray) -> EncodedFrame:
-        sps, pps, p = self.sps, self.pps, self.p
+        p = self.p
         y, u, v = (self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+        is_idr = (self.frame_count % max(1, p.keyframe_max) == 0) or \
+            self._ref is None
 
-        modes = decide_modes(y, sps, block=16)
-        r = self.recon.run(y, u, v, modes)
+        if is_idr:
+            self.poc = 0
+            modes = decide_modes(y, self.sps, block=16)
+            r = self.recon.run(y, u, v, modes)
+            inter_mask = np.zeros(modes.shape, bool)
+            mvs = np.zeros(modes.shape + (2,), np.int32)
+        else:
+            modes, inter_mask, mvs, mc = analyse_p_frame(
+                y, u, v, *self._ref, self.sps, p.qp,
+                search_range=min(p.search_range, 24))
+            r = self.recon.run(y, u, v, modes, mc, inter_mask)
 
-        slice_rbsp = self._encode_slice(modes, r)
-        if p.deblock:
-            # in-loop deblock post-pass (intra refs used pre-filter samples;
-            # the output/hash picture is the filtered one)
-            import jax.numpy as jnp
-            from ..ops.deblock import deblock_frame_batch
-            bs_v, bs_h, on_v, on_h = self._bs
-            dy, du, dv = deblock_frame_batch(
-                jnp.asarray(r["recon_y"].astype(np.int32)),
-                jnp.asarray(r["recon_u"].astype(np.int32)),
-                jnp.asarray(r["recon_v"].astype(np.int32)),
-                jnp.asarray(bs_v), jnp.asarray(bs_h),
-                jnp.asarray(on_v), jnp.asarray(on_h),
-                p.qp, self.recon.qp_cb, self.recon.qp_cr,
-                p.deblock_beta_offset, p.deblock_tc_offset)
-            r["recon_y"] = np.asarray(dy).astype(np.uint8)
-            r["recon_u"] = np.asarray(du).astype(np.uint8)
-            r["recon_v"] = np.asarray(dv).astype(np.uint8)
+        slice_rbsp = self._encode_slice(modes, inter_mask, mvs, r, is_idr)
+        self._deblock(r, inter_mask, mvs)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"])
+
         out = b""
-        if not self._headers_sent or p.repeat_headers:
+        if not self._headers_sent or (p.repeat_headers and is_idr):
             out += self.headers()
             self._headers_sent = True
-        out += annexb(NAL_IDR_W_RADL, slice_rbsp)
+        out += annexb(NAL_IDR_W_RADL if is_idr else NAL_TRAIL_R, slice_rbsp)
         if p.decoded_picture_hash:
             out += annexb(NAL_SUFFIX_SEI, write_decoded_picture_hash(md5))
-        frame = EncodedFrame(self.frame_count, out,
+        frame = EncodedFrame(self.poc, out,
                              (r["recon_y"], r["recon_u"], r["recon_v"]),
-                             bits=len(out) * 8, md5=md5)
+                             bits=len(out) * 8, md5=md5,
+                             slice_type="I" if is_idr else "P")
+        self._ref = frame.recon if p.keyframe_max != 1 else None
         self.frame_count += 1
+        self.poc += 1
         return frame
+
+    def _deblock(self, r: dict, inter_mask, mvs) -> None:
+        if not self.p.deblock:
+            return
+        p = self.p
+        w, h = self.sps.width, self.sps.height
+        if inter_mask.any():
+            cbf = np.array([[bool(np.any(r["lev_y"][by, bx]))
+                             for bx in range(self.recon.nbx)]
+                            for by in range(self.recon.nby)])
+            bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16)
+        else:
+            bs_v, bs_h = intra_bs_maps(w, h, 16)
+        on_v, on_h = chroma_on_maps(bs_v, bs_h, h // 2, w // 2)
+        dy, du, dv = deblock_frame_batch(
+            jnp.asarray(r["recon_y"].astype(np.int32)),
+            jnp.asarray(r["recon_u"].astype(np.int32)),
+            jnp.asarray(r["recon_v"].astype(np.int32)),
+            jnp.asarray(bs_v), jnp.asarray(bs_h),
+            jnp.asarray(on_v), jnp.asarray(on_h),
+            p.qp, self.recon.qp_cb, self.recon.qp_cr,
+            p.deblock_beta_offset, p.deblock_tc_offset)
+        r["recon_y"] = np.asarray(dy).astype(np.uint8)
+        r["recon_u"] = np.asarray(du).astype(np.uint8)
+        r["recon_v"] = np.asarray(dv).astype(np.uint8)
 
     def _pad(self, plane: np.ndarray, comp_shift: int) -> np.ndarray:
         """Pad a source plane to the coded (min-CU aligned) size by edge
@@ -129,14 +160,22 @@ class Encoder:
         out[h:, :] = out[h - 1:h, :]
         return out
 
-    def _encode_slice(self, modes: np.ndarray, r: dict) -> bytes:
+    def _encode_slice(self, modes, inter_mask, mvs, r: dict,
+                      is_idr: bool) -> bytes:
         sps, pps = self.sps, self.pps
-        sh = SliceHeader(slice_type=SLICE_I, nal_type=NAL_IDR_W_RADL,
-                         poc=0, qp=self.p.qp,
-                         deblocking_disabled=pps.deblocking_disabled)
+        slice_type = SLICE_I if is_idr else SLICE_P
+        sh = SliceHeader(slice_type=slice_type,
+                         nal_type=NAL_IDR_W_RADL if is_idr else NAL_TRAIL_R,
+                         poc=self.poc, qp=self.p.qp,
+                         deblocking_disabled=pps.deblocking_disabled,
+                         five_minus_max_num_merge_cand=5 - MAX_MERGE)
+        if not is_idr:
+            sh.num_ref_idx = (1, 0)
+            sh.st_rps_neg = ((-1, True),)
         bw = write_slice_header(sh, sps, pps)
 
-        syn = SliceSyntaxEncoder(sps, pps, self.p.qp)
+        syn = SliceSyntaxEncoder(sps, pps, self.p.qp, slice_type,
+                                 MAX_MERGE, num_refs=1)
         ir = BinIR()
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
         bpc = self.recon.bpc
@@ -150,8 +189,15 @@ class Encoder:
                         if bx >= nbx or by >= nby:
                             continue
                         x0, y0 = bx * 16, by * 16
-                        cu = CodedCU(x0, y0, 4,
-                                     (int(modes[by, bx]),), 4)
+                        if inter_mask[by, bx]:
+                            cu = CodedCU(x0, y0, 4, (1,), 4, {},
+                                         is_inter=True,
+                                         mv=(int(mvs[by, bx, 0]),
+                                             int(mvs[by, bx, 1])),
+                                         ref_idx=0)
+                        else:
+                            cu = CodedCU(x0, y0, 4,
+                                         (int(modes[by, bx]),), 4)
                         for c_idx, key, clog2 in ((0, "lev_y", 4),
                                                   (1, "lev_u", 3),
                                                   (2, "lev_v", 3)):
@@ -164,7 +210,7 @@ class Encoder:
                 last = (cy == n_ctu_y - 1) and (cx == n_ctu_x - 1)
                 syn.encode_ctu(ir, cus, cx, cy, last)
 
-        states = init_states(SLICE_I, self.p.qp)
+        states = init_states(slice_type, self.p.qp)
         cab = CabacEncoder(bw)
         bins, ctx = ir.arrays()
         cab.encode_stream(bins, ctx, states)

@@ -1,11 +1,11 @@
-"""CU / CTU / transform-tree syntax for intra slices (spec 7.3.8.4-7.3.8.11).
+"""CU / CTU / transform-tree syntax (spec 7.3.8.4-7.3.8.11), I + P slices.
 
 Analog of the reference's Entropy::encodeCTU CU-syntax path (x265
-source/encoder/entropy.cpp:1161 encodeCTU, codeIntraLumaAng, codeQtCbf
-etc.), split into a bin-IR writer (SliceSyntaxEncoder) and a CABAC parser
-(SliceSyntaxDecoder) for conformance validation.  Both sides share the
-neighbor-context derivations via per-frame 4x4-minblock maps, mirroring
-the reference's CUData neighbor queries (source/common/cudata.cpp).
+source/encoder/entropy.cpp:1161 encodeCTU, codeIntraLumaAng, codeQtCbf,
+codeMvd etc.), split into a bin-IR writer (SliceSyntaxEncoder) and a CABAC
+parser (SliceSyntaxDecoder) for conformance validation.  Both sides share
+the neighbor-context derivations via per-frame 4x4-minblock maps,
+mirroring the reference's CUData neighbor queries (common/cudata.cpp).
 """
 from __future__ import annotations
 
@@ -14,11 +14,13 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..constants.hevc_tables import intra_scan_idx
+from ..constants.hevc_tables import intra_scan_idx, SCAN_DIAG
+from ..frame.zscan import zscan_index
 from .contexts import OFF
 from .binir import BinIR
 from .cabac import CabacDecoder
 from .residual import encode_residual, decode_residual
+from .mv_pred import InterMaps, amvp_candidates, merge_candidates, mvd_bits
 
 INTRA_PLANAR, INTRA_DC, INTRA_HOR, INTRA_VER = 0, 1, 10, 26
 CHROMA_MODE_TABLE = (INTRA_PLANAR, INTRA_VER, INTRA_HOR, INTRA_DC)
@@ -26,22 +28,31 @@ CHROMA_MODE_TABLE = (INTRA_PLANAR, INTRA_VER, INTRA_HOR, INTRA_DC)
 
 @dataclass
 class CodedCU:
-    """One intra CU's coded decisions + quantized coefficients.
+    """One CU's coded decisions + quantized coefficients.
 
     coeffs maps (c_idx, x, y, log2_size) -> (N, N) int level array, with
     (x, y) in the component's own sample coordinates.  Absent or all-zero
     entries mean cbf=0.
+
+    Inter fields: is_inter selects the prediction type; mv is the final
+    motion vector (qpel); skip/merge coding decisions are derived from the
+    candidate lists at syntax time, not stored.
     """
     x0: int
     y0: int
     log2_size: int
-    luma_modes: Tuple[int, ...]          # len 1 (2Nx2N) or 4 (NxN)
+    luma_modes: Tuple[int, ...] = (1,)   # len 1 (2Nx2N) or 4 (NxN)
     chroma_idx: int = 4                  # intra_chroma_pred_mode index; 4=DM
     coeffs: Dict = field(default_factory=dict)
+    is_inter: bool = False
+    mv: Tuple[int, int] = (0, 0)         # qpel
+    ref_idx: int = 0
+    # decoder-filled coding metadata (for stats / BS derivation)
+    was_skip: bool = False
 
     @property
     def part_nxn(self) -> bool:
-        return len(self.luma_modes) == 4
+        return (not self.is_inter) and len(self.luma_modes) == 4
 
 
 class FrameSyntaxMaps:
@@ -121,13 +132,22 @@ def _split_ctx(maps: FrameSyntaxMaps, x0: int, y0: int, depth: int) -> int:
 class SliceSyntaxEncoder:
     """Walks CTUs in raster order emitting the slice-data bin IR."""
 
-    def __init__(self, sps, pps, slice_qp: int) -> None:
+    def __init__(self, sps, pps, slice_qp: int, slice_type: int = 2,
+                 max_merge: int = 3, num_refs: int = 1) -> None:
         self.sps = sps
         self.pps = pps
         self.qp = slice_qp
+        self.slice_type = slice_type        # 0=B 1=P 2=I
+        self.max_merge = max_merge
+        self.num_refs = num_refs
         self.maps = FrameSyntaxMaps(sps.width, sps.height)
+        self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
         self.log2_ctu = sps.log2_ctu_size
+
+    def _z0(self, x0: int, y0: int) -> int:
+        return int(zscan_index(np.array(x0), np.array(y0), self.log2_ctu,
+                               self.sps.pic_width_in_ctus))
 
     def encode_ctu(self, ir: BinIR, cu_list, ctu_x: int, ctu_y: int,
                    last_ctu: bool) -> None:
@@ -158,8 +178,118 @@ class SliceSyntaxEncoder:
         self.maps.set_cu(x0, y0, log2_size, depth)
         self._coding_unit(ir, cu)
 
-    # -- coding_unit, intra (7.3.8.5) ------------------------------------------
+    # -- coding_unit (7.3.8.5) --------------------------------------------------
     def _coding_unit(self, ir: BinIR, cu: CodedCU) -> None:
+        if self.slice_type != 2:
+            self._coding_unit_p(ir, cu)
+        else:
+            self._coding_unit_intra(ir, cu)
+            self.imaps.set_cu(cu.x0, cu.y0, cu.log2_size, False)
+
+    def _skip_ctx(self, x0: int, y0: int) -> int:
+        ctx = 0
+        if self.imaps.skip_at(x0 - 1, y0):
+            ctx += 1
+        if self.imaps.skip_at(x0, y0 - 1):
+            ctx += 1
+        return OFF["SKIP_FLAG"] + ctx
+
+    def _coding_unit_p(self, ir: BinIR, cu: CodedCU) -> None:
+        x0, y0, log2 = cu.x0, cu.y0, cu.log2_size
+        nbs = 1 << log2
+        z0 = self._z0(x0, y0)
+        has_resi = any(np.any(v) for v in cu.coeffs.values())
+        if cu.is_inter:
+            mot = (cu.mv[0], cu.mv[1], cu.ref_idx)
+            mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
+                                     self.max_merge, self.num_refs)
+            midx = mlist.index(mot) if mot in mlist else -1
+            if midx >= 0 and not has_resi:
+                # SKIP
+                ir.cbin(1, self._skip_ctx(x0, y0))
+                self._merge_idx(ir, midx)
+                self.imaps.set_cu(x0, y0, log2, True, cu.mv, cu.ref_idx,
+                                  skip=True)
+                return
+            ir.cbin(0, self._skip_ctx(x0, y0))
+            ir.cbin(0, OFF["PRED_MODE"])          # MODE_INTER
+            ir.cbin(1, OFF["PART_SIZE"])          # PART_2Nx2N
+            if midx >= 0:
+                ir.cbin(1, OFF["MERGE_FLAG"])
+                self._merge_idx(ir, midx)
+                # rqt_root_cbf not coded for 2Nx2N merge (inferred 1)
+            else:
+                ir.cbin(0, OFF["MERGE_FLAG"])
+                if self.num_refs > 1:
+                    self._ref_idx(ir, cu.ref_idx)
+                alist = amvp_candidates(self.imaps, x0, y0, nbs, z0,
+                                        cu.ref_idx)
+                costs = [mvd_bits(cu.mv[0] - c[0], cu.mv[1] - c[1])
+                         for c in alist]
+                mvp_idx = 0 if costs[0] <= costs[1] else 1
+                mvd = (cu.mv[0] - alist[mvp_idx][0],
+                       cu.mv[1] - alist[mvp_idx][1])
+                self._mvd(ir, mvd[0], mvd[1])
+                ir.cbin(mvp_idx, OFF["MVP_IDX"])
+                ir.cbin(1 if has_resi else 0, OFF["QT_ROOT_CBF"])
+            self.imaps.set_cu(x0, y0, log2, True, cu.mv, cu.ref_idx)
+            if has_resi or midx >= 0:
+                self._transform_tree(ir, cu, x0, y0, log2, 0, 0,
+                                     parent_cbf_cb=True, parent_cbf_cr=True)
+            return
+        # intra CU in P slice
+        ir.cbin(0, self._skip_ctx(x0, y0))
+        ir.cbin(1, OFF["PRED_MODE"])              # MODE_INTRA
+        self._coding_unit_intra(ir, cu)
+        self.imaps.set_cu(x0, y0, log2, False)
+
+    def _merge_idx(self, ir: BinIR, idx: int) -> None:
+        cmax = self.max_merge - 1
+        if cmax == 0:
+            return
+        ir.cbin(1 if idx > 0 else 0, OFF["MERGE_IDX"])
+        for k in range(1, idx):
+            ir.bypass(1)
+        if 0 < idx < cmax:
+            ir.bypass(0)
+
+    def _ref_idx(self, ir: BinIR, ref: int) -> None:
+        cmax = self.num_refs - 1
+        ir.cbin(1 if ref > 0 else 0, OFF["REF_NO"])
+        if ref > 0 and cmax > 1:
+            ir.cbin(1 if ref > 1 else 0, OFF["REF_NO"] + 1)
+            for k in range(2, ref):
+                ir.bypass(1)
+            if 1 < ref < cmax:
+                ir.bypass(0)
+
+    def _mvd(self, ir: BinIR, mvd_x: int, mvd_y: int) -> None:
+        """mvd_coding (spec 7.3.8.9)."""
+        ax, ay = abs(mvd_x), abs(mvd_y)
+        ir.cbin(1 if ax > 0 else 0, OFF["MV_RES"])
+        ir.cbin(1 if ay > 0 else 0, OFF["MV_RES"])
+        if ax > 0:
+            ir.cbin(1 if ax > 1 else 0, OFF["MV_RES"] + 1)
+        if ay > 0:
+            ir.cbin(1 if ay > 1 else 0, OFF["MV_RES"] + 1)
+        for v, a in ((mvd_x, ax), (mvd_y, ay)):
+            if a > 0:
+                if a > 1:
+                    self._eg1(ir, a - 2)
+                ir.bypass(1 if v < 0 else 0)
+
+    def _eg1(self, ir: BinIR, v: int) -> None:
+        """1st-order Exp-Golomb, bypass (abs_mvd_minus2 binarization)."""
+        k = 1
+        while v >= (1 << k):
+            ir.bypass(1)
+            v -= 1 << k
+            k += 1
+        ir.bypass(0)
+        ir.bypass_bits(v, k)
+
+    # -- coding_unit, intra ------------------------------------------------------
+    def _coding_unit_intra(self, ir: BinIR, cu: CodedCU) -> None:
         log2 = cu.log2_size
         if log2 == self.min_log2_cu:
             ir.cbin(0 if cu.part_nxn else 1, OFF["PART_SIZE"])
@@ -219,7 +349,9 @@ class SliceSyntaxEncoder:
                         trafo_depth, blk_idx, parent_cbf_cb, parent_cbf_cr):
         sps = self.sps
         intra_split = cu.part_nxn
-        max_depth = sps.max_transform_hierarchy_depth_intra + \
+        max_depth = (sps.max_transform_hierarchy_depth_inter
+                     if cu.is_inter else
+                     sps.max_transform_hierarchy_depth_intra) + \
             (1 if intra_split else 0)
         can_code_split = (log2 <= sps.log2_max_tu_size and
                           log2 > sps.log2_min_tu_size and
@@ -250,8 +382,13 @@ class SliceSyntaxEncoder:
                                      trafo_depth + 1, k, cbf_cb, cbf_cr)
             return
         cbf_luma = self._cbf(cu, 0, x0, y0, log2)
-        ir.cbin(1 if cbf_luma else 0,
-                OFF["QT_CBF"] + (1 if trafo_depth == 0 else 0))
+        if (not cu.is_inter) or trafo_depth != 0 or cbf_cb or cbf_cr:
+            ir.cbin(1 if cbf_luma else 0,
+                    OFF["QT_CBF"] + (1 if trafo_depth == 0 else 0))
+        else:
+            assert cbf_luma, \
+                "inter TU with no chroma cbf must have luma residual " \
+                "(cbf_luma inferred 1; zero-residual merge must be SKIP)"
         self._transform_unit(ir, cu, x0, y0, log2, trafo_depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
 
@@ -266,7 +403,8 @@ class SliceSyntaxEncoder:
         luma_mode = cu.luma_modes[pu_idx]
         chroma_mode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
         if cbf_luma:
-            scan = intra_scan_idx(luma_mode, log2, 0)
+            scan = SCAN_DIAG if cu.is_inter else \
+                intra_scan_idx(luma_mode, log2, 0)
             encode_residual(ir, cu.coeffs[(0, x0, y0, log2)], log2, 0,
                             scan, self.pps.sign_hide)
         # chroma TBs: at log2>2 alongside; at log2==2 only on blk_idx 3
@@ -278,7 +416,8 @@ class SliceSyntaxEncoder:
             return
         for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
             if cbf:
-                scan = intra_scan_idx(chroma_mode, clog2, c_idx)
+                scan = SCAN_DIAG if cu.is_inter else \
+                    intra_scan_idx(chroma_mode, clog2, c_idx)
                 encode_residual(ir, cu.coeffs[(c_idx, cx, cy, clog2)],
                                 clog2, c_idx, scan, self.pps.sign_hide)
 
@@ -288,15 +427,32 @@ class SliceSyntaxDecoder:
     CodedCU objects for the validation decoder's reconstruction."""
 
     def __init__(self, dec: CabacDecoder, states: np.ndarray, sps, pps,
-                 slice_qp: int) -> None:
+                 slice_qp: int, slice_type: int = 2, max_merge: int = 3,
+                 num_refs: int = 1) -> None:
         self.dec = dec
         self.states = states
         self.sps = sps
         self.pps = pps
         self.qp = slice_qp
+        self.slice_type = slice_type
+        self.max_merge = max_merge
+        self.num_refs = num_refs
         self.maps = FrameSyntaxMaps(sps.width, sps.height)
+        self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
         self.log2_ctu = sps.log2_ctu_size
+
+    def _z0(self, x0: int, y0: int) -> int:
+        return int(zscan_index(np.array(x0), np.array(y0), self.log2_ctu,
+                               self.sps.pic_width_in_ctus))
+
+    def _skip_ctx(self, x0: int, y0: int) -> int:
+        ctx = 0
+        if self.imaps.skip_at(x0 - 1, y0):
+            ctx += 1
+        if self.imaps.skip_at(x0, y0 - 1):
+            ctx += 1
+        return OFF["SKIP_FLAG"] + ctx
 
     def decode_ctu(self, ctu_x: int, ctu_y: int):
         """Returns (cu_list, end_of_slice_flag)."""
@@ -327,6 +483,105 @@ class SliceSyntaxDecoder:
         cus.append(self._coding_unit(x0, y0, log2_size))
 
     def _coding_unit(self, x0, y0, log2) -> CodedCU:
+        if self.slice_type != 2:
+            return self._coding_unit_p(x0, y0, log2)
+        cu = self._coding_unit_intra(x0, y0, log2)
+        self.imaps.set_cu(x0, y0, log2, False)
+        return cu
+
+    def _coding_unit_p(self, x0, y0, log2) -> CodedCU:
+        dec, states = self.dec, self.states
+        nbs = 1 << log2
+        z0 = self._z0(x0, y0)
+        if dec.decode_bin(states, self._skip_ctx(x0, y0)):
+            midx = self._merge_idx()
+            mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
+                                     self.max_merge, self.num_refs)
+            mvx, mvy, ref = mlist[midx]
+            cu = CodedCU(x0, y0, log2, (1,), 4, {}, is_inter=True,
+                         mv=(mvx, mvy), ref_idx=ref, was_skip=True)
+            self.imaps.set_cu(x0, y0, log2, True, (mvx, mvy), ref,
+                              skip=True)
+            return cu
+        if dec.decode_bin(states, OFF["PRED_MODE"]):
+            cu = self._coding_unit_intra(x0, y0, log2)
+            self.imaps.set_cu(x0, y0, log2, False)
+            return cu
+        part_2nx2n = dec.decode_bin(states, OFF["PART_SIZE"])
+        assert part_2nx2n, "only 2Nx2N inter PUs supported"
+        if dec.decode_bin(states, OFF["MERGE_FLAG"]):
+            midx = self._merge_idx()
+            mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
+                                     self.max_merge, self.num_refs)
+            mvx, mvy, ref = mlist[midx]
+            cu = CodedCU(x0, y0, log2, (1,), 4, {}, is_inter=True,
+                         mv=(mvx, mvy), ref_idx=ref)
+            self.imaps.set_cu(x0, y0, log2, True, (mvx, mvy), ref)
+            # rqt_root_cbf inferred 1 for 2Nx2N merge
+            self._transform_tree(cu, x0, y0, log2, 0, 0, True, True)
+            return cu
+        ref = self._ref_idx() if self.num_refs > 1 else 0
+        mvd = self._mvd()
+        mvp_idx = dec.decode_bin(states, OFF["MVP_IDX"])
+        alist = amvp_candidates(self.imaps, x0, y0, nbs, z0, ref)
+        mv = (alist[mvp_idx][0] + mvd[0], alist[mvp_idx][1] + mvd[1])
+        cu = CodedCU(x0, y0, log2, (1,), 4, {}, is_inter=True, mv=mv,
+                     ref_idx=ref)
+        self.imaps.set_cu(x0, y0, log2, True, mv, ref)
+        if dec.decode_bin(states, OFF["QT_ROOT_CBF"]):
+            self._transform_tree(cu, x0, y0, log2, 0, 0, True, True)
+        return cu
+
+    def _merge_idx(self) -> int:
+        cmax = self.max_merge - 1
+        if cmax == 0:
+            return 0
+        if not self.dec.decode_bin(self.states, OFF["MERGE_IDX"]):
+            return 0
+        idx = 1
+        while idx < cmax and self.dec.decode_bin_ep():
+            idx += 1
+        return idx
+
+    def _ref_idx(self) -> int:
+        cmax = self.num_refs - 1
+        if not self.dec.decode_bin(self.states, OFF["REF_NO"]):
+            return 0
+        if cmax == 1:
+            return 1
+        if not self.dec.decode_bin(self.states, OFF["REF_NO"] + 1):
+            return 1
+        ref = 2
+        while ref < cmax and self.dec.decode_bin_ep():
+            ref += 1
+        return ref
+
+    def _mvd(self):
+        dec, states = self.dec, self.states
+        g0x = dec.decode_bin(states, OFF["MV_RES"])
+        g0y = dec.decode_bin(states, OFF["MV_RES"])
+        g1x = dec.decode_bin(states, OFF["MV_RES"] + 1) if g0x else 0
+        g1y = dec.decode_bin(states, OFF["MV_RES"] + 1) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            if not g0:
+                out.append(0)
+                continue
+            v = 1
+            if g1:
+                v = 2 + self._eg1()
+            out.append(-v if dec.decode_bin_ep() else v)
+        return tuple(out)
+
+    def _eg1(self) -> int:
+        k = 1
+        base = 0
+        while self.dec.decode_bin_ep():
+            base += 1 << k
+            k += 1
+        return base + self.dec.decode_bins_ep(k)
+
+    def _coding_unit_intra(self, x0, y0, log2) -> CodedCU:
         dec, states = self.dec, self.states
         part_nxn = False
         if log2 == self.min_log2_cu:
@@ -366,7 +621,9 @@ class SliceSyntaxDecoder:
                         parent_cbf_cb, parent_cbf_cr):
         sps = self.sps
         intra_split = cu.part_nxn
-        max_depth = sps.max_transform_hierarchy_depth_intra + \
+        max_depth = (sps.max_transform_hierarchy_depth_inter
+                     if cu.is_inter else
+                     sps.max_transform_hierarchy_depth_intra) + \
             (1 if intra_split else 0)
         can_code_split = (log2 <= sps.log2_max_tu_size and
                           log2 > sps.log2_min_tu_size and
@@ -395,8 +652,12 @@ class SliceSyntaxDecoder:
                 self._transform_tree(cu, x0 + dx, y0 + dy, log2 - 1,
                                      trafo_depth + 1, k, cbf_cb, cbf_cr)
             return
-        cbf_luma = bool(self.dec.decode_bin(
-            self.states, OFF["QT_CBF"] + (1 if trafo_depth == 0 else 0)))
+        if (not cu.is_inter) or trafo_depth != 0 or cbf_cb or cbf_cr:
+            cbf_luma = bool(self.dec.decode_bin(
+                self.states,
+                OFF["QT_CBF"] + (1 if trafo_depth == 0 else 0)))
+        else:
+            cbf_luma = True                    # inferred (inter, no chroma)
         self._transform_unit(cu, x0, y0, log2, trafo_depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
 
@@ -411,7 +672,8 @@ class SliceSyntaxDecoder:
         luma_mode = cu.luma_modes[pu_idx]
         chroma_mode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
         if cbf_luma:
-            scan = intra_scan_idx(luma_mode, log2, 0)
+            scan = SCAN_DIAG if cu.is_inter else \
+                intra_scan_idx(luma_mode, log2, 0)
             cu.coeffs[(0, x0, y0, log2)] = decode_residual(
                 self.dec, self.states, log2, 0, scan, self.pps.sign_hide)
         if log2 > 2:
@@ -422,7 +684,8 @@ class SliceSyntaxDecoder:
             return
         for c_idx, cbf in ((1, cbf_cb), (2, cbf_cr)):
             if cbf:
-                scan = intra_scan_idx(chroma_mode, clog2, c_idx)
+                scan = SCAN_DIAG if cu.is_inter else \
+                    intra_scan_idx(chroma_mode, clog2, c_idx)
                 cu.coeffs[(c_idx, cx, cy, clog2)] = decode_residual(
                     self.dec, self.states, clog2, c_idx, scan,
                     self.pps.sign_hide)

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..constants.hevc_tables import CHROMA_QP_TABLE
 from ..ops.intra import intra_pred_select_batch, substitute_filter_batch
-from ..ops.transform import dct_batch, quant_batch, dequant_batch, idct_batch
+from ..ops.transform import (
+    dct_batch, quant_batch, quant_batch_mask, dequant_batch, idct_batch)
 from .zscan import frame_avail_masks, ctu_wavefront_order
 
 
@@ -32,7 +33,8 @@ def chroma_qp(qp: int, offset: int = 0) -> int:
 
 
 def _substep_body(plane, levels, orig, bx, by, modes, avail,
-                  log2n: int, qp: int, c_idx: int, bit_depth: int = 8):
+                  log2n: int, qp: int, c_idx: int, bit_depth: int = 8,
+                  mc_pred=None, inter_mask=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -41,6 +43,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     bx/by:  (B,) int32 block coords (invalid lanes redirected to dump)
     modes:  (B,) int32 intra modes
     avail:  (B, 4N+1) bool reference availability (False on invalid lanes)
+    mc_pred: optional (nby+1, nbx, N, N) precomputed inter predictions
+    inter_mask: optional (nby+1, nbx) bool — True = block uses mc_pred
     """
     n = 1 << log2n
     maxval = (1 << bit_depth) - 1
@@ -58,6 +62,9 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
 
     pred = intra_pred_select_batch(s_sub, s_filt, modes, log2n, c_idx,
                                    bit_depth)
+    if mc_pred is not None:
+        is_inter = inter_mask[by, bx]                       # (B,)
+        pred = jnp.where(is_inter[:, None, None], mc_pred[by, bx], pred)
     gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
     gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
     gyc = jnp.clip(gy, 0, orig.shape[0] - 1)
@@ -65,7 +72,10 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     org = orig[gyc, gxc].astype(jnp.int32)
     resi = org - pred
     coef = dct_batch(resi, log2n, bit_depth)
-    lev = quant_batch(coef, qp, log2n, bit_depth, is_intra=True)
+    if mc_pred is not None:
+        lev = quant_batch_mask(coef, ~is_inter, qp, log2n, bit_depth)
+    else:
+        lev = quant_batch(coef, qp, log2n, bit_depth, is_intra=True)
     deq = dequant_batch(lev, qp, log2n, bit_depth)
     rres = idct_batch(deq, log2n, bit_depth)
     recon = jnp.clip(pred + rres, 0, maxval)
@@ -90,12 +100,15 @@ _component_substep = jax.jit(
 )
 def _wavefront_run(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                    sb_bx, sb_by, sb_avy, sb_avc,
+                   mc_y, mc_u, mc_v, inter_mask,
                    qp: int, qp_cb: int, qp_cr: int, bit_depth: int = 8):
     """Run the full wavefront schedule in one compiled loop.
 
     sb_bx/sb_by: (S, B) int32 block coords per substep
     sb_avy:      (S, B, 65) bool luma availability
     sb_avc:      (S, B, 33) bool chroma availability
+    mc_*:        (nby+1, nbx, N, N) inter predictions (zeros for I frames)
+    inter_mask:  (nby+1, nbx) bool
     """
     nby = lev_y.shape[0] - 1
     nbx = lev_y.shape[1]
@@ -106,11 +119,11 @@ def _wavefront_run(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
         by = sb_by[s]
         md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
         yp, lev_y = _substep_body(yp, lev_y, oy, bx, by, md, sb_avy[s],
-                                  4, qp, 0, bit_depth)
+                                  4, qp, 0, bit_depth, mc_y, inter_mask)
         up, lev_u = _substep_body(up, lev_u, ou, bx, by, md, sb_avc[s],
-                                  3, qp_cb, 1, bit_depth)
+                                  3, qp_cb, 1, bit_depth, mc_u, inter_mask)
         vp, lev_v = _substep_body(vp, lev_v, ov, bx, by, md, sb_avc[s],
-                                  3, qp_cr, 2, bit_depth)
+                                  3, qp_cr, 2, bit_depth, mc_v, inter_mask)
         return yp, up, vp, lev_y, lev_u, lev_v
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v)
@@ -180,10 +193,11 @@ class IntraReconstructor:
         self.sb_avc = jnp.asarray(np.stack(avcs))
 
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-            modes: np.ndarray):
+            modes: np.ndarray, mc_pred=None, inter_mask=None):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
-        luma modes (chroma uses DM).  Returns dict of recon planes and
-        level arrays."""
+        luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
+        inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
+        Returns dict of recon planes and level arrays."""
         nl, nc = self.nl, self.nc
         w, h = self.sps.width, self.sps.height
         wc, hc = w // 2, h // 2
@@ -198,9 +212,23 @@ class IntraReconstructor:
         ov = jnp.asarray(np.asarray(v, dtype=np.int32))
         modes_j = jnp.asarray(modes.astype(np.int32))
 
+        def padb(a):                      # add the dump block row
+            return jnp.concatenate(
+                [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+
+        if mc_pred is None:
+            mc_y = jnp.zeros((self.nby + 1, self.nbx, nl, nl), jnp.int32)
+            mc_u = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
+            mc_v = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
+            imask = jnp.zeros((self.nby + 1, self.nbx), bool)
+        else:
+            mc_y, mc_u, mc_v = (padb(jnp.asarray(a)) for a in mc_pred)
+            imask = padb(jnp.asarray(inter_mask))
+
         yp, up, vp, lev_y, lev_u, lev_v = _wavefront_run(
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
+            mc_y, mc_u, mc_v, imask,
             self.qp, self.qp_cb, self.qp_cr, self.bd)
 
         return {

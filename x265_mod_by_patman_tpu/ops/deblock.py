@@ -53,6 +53,50 @@ def intra_bs_maps(width: int, height: int, tu_size: int = 16):
     return bs_v, bs_h
 
 
+def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
+                  cbf_luma: np.ndarray, width: int, height: int,
+                  block: int = 16):
+    """BS maps for a P frame with a uniform CU/TU grid (spec 8.7.2.4):
+    edges on the 8-px grid that are block boundaries get BS 2 if either
+    side is intra, else 1 if either side has luma coefficients or the MV
+    difference is >= 1 integer sample (4 qpel), else 0.
+
+    intra_mask/cbf_luma: (nby, nbx) bool; mvs: (nby, nbx, 2) qpel.
+    """
+    ev = width // 8 - 1
+    eh = height // 8 - 1
+    bs_v = np.zeros((height // 4, max(ev, 0)), dtype=np.int32)
+    bs_h = np.zeros((max(eh, 0), width // 4), dtype=np.int32)
+    gpr = block // 4          # 4-row groups per block row
+
+    def seg_bs(p, q):
+        ip, iq = intra_mask[p], intra_mask[q]
+        two = ip | iq
+        mvd = np.abs(mvs[p].astype(np.int64) - mvs[q]).max(axis=-1) >= 4
+        one = cbf_luma[p] | cbf_luma[q] | mvd
+        return np.where(two, 2, np.where(one, 1, 0))
+
+    for e in range(ev):
+        x = (e + 1) * 8
+        if x % block:
+            continue
+        bxq = x // block
+        bys = np.arange(height // 4) * 4 // block       # group -> block row
+        p = (bys, np.full_like(bys, bxq - 1))
+        q = (bys, np.full_like(bys, bxq))
+        bs_v[:, e] = seg_bs(p, q)
+    for e in range(eh):
+        yy = (e + 1) * 8
+        if yy % block:
+            continue
+        byq = yy // block
+        bxs = np.arange(width // 4) * 4 // block
+        p = (np.full_like(bxs, byq - 1), bxs)
+        q = (np.full_like(bxs, byq), bxs)
+        bs_h[e, :] = seg_bs(p, q)
+    return bs_v, bs_h
+
+
 # ---------------------------------------------------------------------------
 # Golden scalar implementation (spec-text faithful)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,183 @@
+"""Subpel interpolation for motion compensation (spec 8.5.4.2.2).
+
+Analog of the reference's largest kernel family: 8-tap luma / 4-tap chroma
+interpolation (x265 source/common/ipfilter.cpp:518 C templates;
+ipfilter8.asm 14.9 KLoC).  TPU-native formulation: a filter along an axis
+is a dense (N, N+taps-1) x (taps) contraction over a gathered window —
+batched over blocks, it maps to MXU-friendly matmuls via the stacked-shift
+trick (windows materialized as (B, N, N, taps) and contracted with the
+tap vector).
+
+Conventions (match the reference exactly for bit-exact recon):
+  B = bit depth; shift1 = B-8; two-stage keeps 14-bit intermediates;
+  final rounding (v + 32) >> 6 with clip.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants.hevc_tables import LUMA_FILTER, CHROMA_FILTER
+
+LUMA_TAPS = 8
+CHROMA_TAPS = 4
+
+
+# ---------------------------------------------------------------------------
+# Golden scalar (numpy) — validation decoder's MC path
+# ---------------------------------------------------------------------------
+
+def _filt1d_ref(win: np.ndarray, taps: np.ndarray, axis: int) -> np.ndarray:
+    """Correlate along axis with the given taps (valid mode), int64."""
+    t = len(taps)
+    out_len = win.shape[axis] - t + 1
+    sl = [slice(None)] * win.ndim
+    acc = np.zeros([out_len if a == axis else s
+                    for a, s in enumerate(win.shape)], dtype=np.int64)
+    for i in range(t):
+        sl[axis] = slice(i, i + out_len)
+        acc += int(taps[i]) * win[tuple(sl)].astype(np.int64)
+    return acc
+
+
+def mc_block_ref(ref: np.ndarray, x: int, y: int, mv_x: int, mv_y: int,
+                 w: int, h: int, c_idx: int = 0,
+                 bit_depth: int = 8) -> np.ndarray:
+    """Golden MC of one block: ref plane, block origin (x, y), MV in
+    quarter-pel luma units (eighth-pel chroma units for c_idx>0).
+
+    Out-of-bounds reads use edge clamping (the reference pads planes;
+    clamping is equivalent for border extension, picyuv.cpp padding).
+    """
+    taps_tbl = LUMA_FILTER if c_idx == 0 else CHROMA_FILTER
+    nt = LUMA_TAPS if c_idx == 0 else CHROMA_TAPS
+    frac_bits = 2 if c_idx == 0 else 3
+    fx = mv_x & ((1 << frac_bits) - 1)
+    fy = mv_y & ((1 << frac_bits) - 1)
+    ix = x + (mv_x >> frac_bits)
+    iy = y + (mv_y >> frac_bits)
+    half = nt // 2 - 1
+    ph, pw = ref.shape
+    shift1 = bit_depth - 8
+    maxv = (1 << bit_depth) - 1
+
+    ys = np.clip(np.arange(iy - half, iy + h + nt - 1 - half), 0, ph - 1)
+    xs = np.clip(np.arange(ix - half, ix + w + nt - 1 - half), 0, pw - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)   # (h+nt-1, w+nt-1)
+
+    # final stage per spec 8.5.4.3 (default weighted pred): the 14-bit
+    # intermediate is truncated to 14-bit FIRST, then rounded to B bits
+    off2 = 1 << (13 - bit_depth)
+    sh2 = 14 - bit_depth
+    if fx == 0 and fy == 0:
+        return win[half:half + h, half:half + w].astype(np.int32)
+    if fy == 0:
+        acc = _filt1d_ref(win[half:half + h, :], taps_tbl[fx], axis=1)
+        return np.clip(((acc >> shift1) + off2) >> sh2,
+                       0, maxv).astype(np.int32)
+    if fx == 0:
+        acc = _filt1d_ref(win[:, half:half + w], taps_tbl[fy], axis=0)
+        return np.clip(((acc >> shift1) + off2) >> sh2,
+                       0, maxv).astype(np.int32)
+    tmp = _filt1d_ref(win, taps_tbl[fx], axis=1) >> shift1
+    acc = _filt1d_ref(tmp, taps_tbl[fy], axis=0)
+    return np.clip(((acc >> 6) + off2) >> sh2, 0, maxv).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Batched JAX
+# ---------------------------------------------------------------------------
+
+def _gather_windows(ref, x0, y0, n: int, nt: int):
+    """(B,) block origins -> (B, n+nt-1, n+nt-1) clamped windows."""
+    ph, pw = ref.shape
+    half = nt // 2 - 1
+    dy = jnp.arange(n + nt - 1)[None, :, None]
+    dx = jnp.arange(n + nt - 1)[None, None, :]
+    ys = jnp.clip(y0[:, None, None] - half + dy, 0, ph - 1)
+    xs = jnp.clip(x0[:, None, None] - half + dx, 0, pw - 1)
+    return ref[ys, xs].astype(jnp.int32)
+
+
+def _filt1d(win, taps, axis: int):
+    """Correlate along axis (valid); win int32, taps (T,) int32 array."""
+    t = taps.shape[0]
+    out_len = win.shape[axis] - t + 1
+    idx = [slice(None)] * win.ndim
+    acc = None
+    for i in range(t):
+        idx[axis] = slice(i, i + out_len)
+        term = taps[i] * win[tuple(idx)]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "c_idx", "bit_depth"))
+def mc_batch(ref, x0, y0, mv_x, mv_y, n: int, c_idx: int = 0,
+             bit_depth: int = 8):
+    """Batched MC: (B,) origins + (B,) MVs -> (B, n, n) predictions.
+
+    MVs in quarter-pel (luma) / eighth-pel (chroma) units.  All 4
+    (frac_x!=0, frac_y!=0) cases are computed branch-free and selected
+    per block (the TPU way: compute the superset, mask the result).
+    """
+    taps_np = (LUMA_FILTER if c_idx == 0 else CHROMA_FILTER).astype(np.int32)
+    nt = LUMA_TAPS if c_idx == 0 else CHROMA_TAPS
+    fb = 2 if c_idx == 0 else 3
+    half = nt // 2 - 1
+    shift1 = bit_depth - 8
+    maxv = (1 << bit_depth) - 1
+
+    fx = mv_x & ((1 << fb) - 1)
+    fy = mv_y & ((1 << fb) - 1)
+    ix = x0 + (mv_x >> fb)
+    iy = y0 + (mv_y >> fb)
+    win = _gather_windows(ref, ix, iy, n, nt)        # (B, n+nt-1, n+nt-1)
+
+    taps = jnp.asarray(taps_np)                      # (F, nt)
+    tx = taps[fx]                                    # (B, nt)
+    ty = taps[fy]                                    # (B, nt)
+
+    # horizontal stage on all rows (for the hv path), int32 is enough:
+    # |tap|<=64? (8-bit samples * 8 taps * 64) < 2^18
+    def filt_h(w_, t_):
+        out_len = w_.shape[2] - nt + 1
+        acc = None
+        for i in range(nt):
+            term = t_[:, i, None, None] * w_[:, :, i:i + out_len]
+            acc = term if acc is None else acc + term
+        return acc
+
+    def filt_v(w_, t_):
+        out_len = w_.shape[1] - nt + 1
+        acc = None
+        for i in range(nt):
+            term = t_[:, i, None, None] * w_[:, i:i + out_len, :]
+            acc = term if acc is None else acc + term
+        return acc
+
+    center = win[:, half:half + n, half:half + n]
+    off2 = 1 << (13 - bit_depth)
+    sh2 = 14 - bit_depth
+
+    # h-only
+    h_acc = filt_h(win[:, half:half + n, :], tx)
+    h_only = jnp.clip(((h_acc >> shift1) + off2) >> sh2, 0, maxv)
+    # v-only
+    v_acc = filt_v(win[:, :, half:half + n], ty)
+    v_only = jnp.clip(((v_acc >> shift1) + off2) >> sh2, 0, maxv)
+    # hv
+    tmp = filt_h(win, tx) >> shift1                   # (B, n+nt-1, n)
+    hv_acc = filt_v(tmp, ty)
+    hv = jnp.clip(((hv_acc >> 6) + off2) >> sh2, 0, maxv)
+
+    fx_nz = (fx != 0)[:, None, None]
+    fy_nz = (fy != 0)[:, None, None]
+    out = jnp.where(fx_nz & fy_nz, hv,
+                    jnp.where(fx_nz, h_only,
+                              jnp.where(fy_nz, v_only, center)))
+    return out

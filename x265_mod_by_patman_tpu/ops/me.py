@@ -1,0 +1,165 @@
+"""Motion estimation: batched full search + subpel refinement.
+
+TPU-first inversion of the reference's sequential pattern searches (x265
+source/encoder/motion.cpp:923 motionEstimate, StarPatternSearch; sad_x4
+multi-candidate primitives): ALL blocks of a frame search ALL candidate
+MVs of a dense window simultaneously — the batched generalization of the
+reference's FULL search (`--me full`, x265.h:516), which on the MXU/VPU is
+cheaper per candidate than pattern searches are per step on CPU.  Subpel
+then evaluates the 8 half + 8 quarter offsets with SATD on interpolated
+references (reference motion.cpp:1775 subpelCompare).
+
+MV cost: lambda-weighted exp-Golomb bit estimate against the predictor
+(reference's BitCost/bitcost.cpp precomputed tables).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .cost import satd_batch
+from .interp import mc_batch
+
+
+def mv_bits(dx, dy):
+    """Approximate MVD bit count (qpel units): EG1-ish 2*log2(|v|+1)+1
+    per component (reference bitcost.h s_bitsizes analog)."""
+    bx = 2 * jnp.ceil(jnp.log2(jnp.abs(dx).astype(jnp.float32) + 1.0)) + 1
+    by = 2 * jnp.ceil(jnp.log2(jnp.abs(dy).astype(jnp.float32) + 1.0)) + 1
+    return (bx + by).astype(jnp.int32)
+
+
+def mv_bits_np(dx, dy):
+    bx = 2 * np.ceil(np.log2(np.abs(dx).astype(np.float64) + 1.0)) + 1
+    by = 2 * np.ceil(np.log2(np.abs(dy).astype(np.float64) + 1.0)) + 1
+    return (bx + by).astype(np.int64)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "search_range"))
+def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
+                      lambda_x256: int, n: int, search_range: int = 16):
+    """Integer full search for a batch of blocks.
+
+    ref/orig: (H, W) int32 planes; x0/y0: (B,) block origins;
+    pred_mv_*: (B,) MV predictors in QPEL units (bit-cost reference).
+    Returns (mv_x, mv_y) int32 (B,) in QPEL units (integer*4) and the
+    best SAD cost (B,).
+
+    Cost = SAD + (lambda_x256 * bits) >> 8  (reference rdcost.h lambda
+    fixed-point convention).
+    """
+    r = search_range
+    h, w = ref.shape
+    nb = x0.shape[0]
+    # candidate window gathered once per block: (B, n+2r, n+2r)
+    dy = jnp.arange(n + 2 * r)[None, :, None]
+    dx = jnp.arange(n + 2 * r)[None, None, :]
+    ys = jnp.clip(y0[:, None, None] - r + dy, 0, h - 1)
+    xs = jnp.clip(x0[:, None, None] - r + dx, 0, w - 1)
+    win = ref[ys, xs].astype(jnp.int32)
+
+    gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+    org = orig[jnp.clip(gy, 0, h - 1),
+               jnp.clip(gx, 0, w - 1)].astype(jnp.int32)
+
+    n_cand = 2 * r + 1
+
+    def row_cost(iy, best):
+        # SADs of all horizontal offsets at vertical offset iy - r
+        rows = jax.lax.dynamic_slice_in_dim(win, iy, n, axis=1)  # (B,n,n+2r)
+        # build (B, n_cand, n, n) via gather on the x axis
+        cx = jnp.arange(n_cand)[None, :, None, None] + \
+            jnp.arange(n)[None, None, None, :]                   # (1,C,1,n)
+        cand = rows[:, None, :, :]                               # (B,1,n,n+2r)
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(cand, (nb, n_cand, n, n + 2 * r)),
+            jnp.broadcast_to(cx, (nb, n_cand, n, n)), axis=3)
+        sad = jnp.sum(jnp.abs(cand - org[:, None]), axis=(2, 3))  # (B,C)
+        mvx_q = (jnp.arange(n_cand) - r)[None, :] * 4
+        mvy_q = (iy - r) * 4
+        bits = mv_bits(mvx_q - pred_mv_x[:, None],
+                       mvy_q - pred_mv_y[:, None])
+        cost = sad + ((lambda_x256 * bits) >> 8)
+        best_cost, best_x, best_y = best
+        row_best = jnp.min(cost, axis=1)
+        row_arg = jnp.argmin(cost, axis=1)
+        upd = row_best < best_cost
+        best_cost = jnp.where(upd, row_best, best_cost)
+        best_x = jnp.where(upd, (row_arg - r) * 4, best_x)
+        best_y = jnp.where(upd, mvy_q, best_y)
+        return best_cost, best_x, best_y
+
+    init = (jnp.full((nb,), 1 << 30, jnp.int32),
+            jnp.zeros((nb,), jnp.int32), jnp.zeros((nb,), jnp.int32))
+    best_cost, best_x, best_y = jax.lax.fori_loop(0, n_cand, row_cost, init)
+    return best_x, best_y, best_cost
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def subpel_refine_batch(ref, orig, x0, y0, mv_x, mv_y,
+                        pred_mv_x, pred_mv_y, lambda_x256: int, n: int):
+    """Half- then quarter-pel refinement with SATD (one iteration each,
+    reference subme-2 equivalent).  MVs in/out in QPEL units."""
+    h, w = ref.shape
+    gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+    org = orig[jnp.clip(gy, 0, h - 1), jnp.clip(gx, 0, w - 1)] \
+        .astype(jnp.int32)
+
+    def cost_at(mx, my):
+        pred = mc_batch(ref, x0, y0, mx, my, n, 0)
+        satd = satd_batch(org, pred)
+        bits = mv_bits(mx - pred_mv_x, my - pred_mv_y)
+        return satd + ((lambda_x256 * bits) >> 8)
+
+    offs8 = [(0, 0), (0, -2), (0, 2), (-2, 0), (2, 0),
+             (-2, -2), (2, -2), (-2, 2), (2, 2)]
+    offs4 = [(0, 0), (0, -1), (0, 1), (-1, 0), (1, 0),
+             (-1, -1), (1, -1), (-1, 1), (1, 1)]
+
+    def refine(mx, my, offs):
+        best = None
+        bx, by = mx, my
+        for (ox, oy) in offs:
+            c = cost_at(mx + ox, my + oy)
+            if best is None:
+                best, bx, by = c, mx + ox, my + oy
+            else:
+                upd = c < best
+                best = jnp.where(upd, c, best)
+                bx = jnp.where(upd, mx + ox, bx)
+                by = jnp.where(upd, my + oy, by)
+        return bx, by, best
+
+    mx, my, cost = refine(mv_x, mv_y, offs8)
+    mx, my, cost = refine(mx, my, offs4)
+    return mx, my, cost
+
+
+# ---------------------------------------------------------------------------
+# Golden brute force (small ranges; validates the batched search)
+# ---------------------------------------------------------------------------
+
+def full_search_ref(ref, orig, x0, y0, pred_mv, lambda_x256, n,
+                    search_range):
+    best = None
+    h, w = ref.shape
+    org = orig[y0:y0 + n, x0:x0 + n].astype(np.int64)
+    for my in range(-search_range, search_range + 1):
+        for mx in range(-search_range, search_range + 1):
+            ys = np.clip(np.arange(y0 + my, y0 + my + n), 0, h - 1)
+            xs = np.clip(np.arange(x0 + mx, x0 + mx + n), 0, w - 1)
+            blk = ref[np.ix_(ys, xs)].astype(np.int64)
+            sad = int(np.abs(blk - org).sum())
+            bits = int(mv_bits_np(np.array(mx * 4 - pred_mv[0]),
+                                  np.array(my * 4 - pred_mv[1])))
+            cost = sad + ((lambda_x256 * bits) >> 8)
+            # tie-break identical to the batched scan order (row-major,
+            # first occurrence wins)
+            if best is None or cost < best[0]:
+                best = (cost, mx * 4, my * 4)
+    return best[1], best[2], best[0]

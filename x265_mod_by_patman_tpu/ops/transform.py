@@ -155,6 +155,23 @@ def quant_batch(coef: jnp.ndarray, qp: int, log2_size: int,
     return (jnp.sign(c) * level).astype(jnp.int32)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("qp", "log2_size", "bit_depth"))
+def quant_batch_mask(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp: int,
+                     log2_size: int, bit_depth: int = 8) -> jnp.ndarray:
+    """quant_batch with a per-block intra/inter rounding selector
+    (intra 171/512, inter 85/512; x265 quant.cpp setQPforQuant)."""
+    per, rem = qp // 6, qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = QUANT_SHIFT + per + transform_shift
+    add = jnp.where(intra_mask, 171, 85).astype(jnp.int32) << (qbits - 9)
+    scale = int(QUANT_SCALES[rem])
+    c = coef.astype(jnp.int32)
+    level = jnp.clip((jnp.abs(c) * scale + add[:, None, None]) >> qbits,
+                     0, 32767)
+    return (jnp.sign(c) * level).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("qp", "log2_size", "bit_depth"))
 def dequant_batch(level: jnp.ndarray, qp: int, log2_size: int,
                   bit_depth: int = 8) -> jnp.ndarray:
