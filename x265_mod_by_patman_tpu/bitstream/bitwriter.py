@@ -51,6 +51,12 @@ class BitWriter:
         else:
             self.u(byte & 0xFF, 8)
 
+    def write_bytes(self, data: bytes) -> None:
+        """Bulk byte append (native CABAC engine output)."""
+        assert self._cur_bits == 0, "bulk append requires byte alignment"
+        self._buf.extend(data)
+        self._bits += 8 * len(data)
+
     # -- alignment ----------------------------------------------------------
     @property
     def bit_count(self) -> int:

@@ -29,7 +29,7 @@ from ..bitstream.nal import (
     annexb)
 from ..bitstream.sei import plane_md5, write_decoded_picture_hash
 from ..entropy.binir import BinIR
-from ..entropy.cabac import CabacEncoder
+from ..entropy.cabac import CabacEncoder, encode_ir_to_writer
 from ..entropy.contexts import init_states
 from ..entropy.cu_syntax import CodedCU, SliceSyntaxEncoder
 from ..analysis.intra_mode import decide_modes
@@ -211,10 +211,8 @@ class Encoder:
                 syn.encode_ctu(ir, cus, cx, cy, last)
 
         states = init_states(slice_type, self.p.qp)
-        cab = CabacEncoder(bw)
         bins, ctx = ir.arrays()
-        cab.encode_stream(bins, ctx, states)
-        cab.finish()
+        encode_ir_to_writer(bw, bins, ctx, states)
         bw.rbsp_trailing_bits()
         return bw.get_bytes()
 

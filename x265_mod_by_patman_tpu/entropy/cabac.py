@@ -156,6 +156,22 @@ class CabacEncoder:
                 states[c] = self.encode_bin(b, int(states[c]))
 
 
+def encode_ir_to_writer(bw, bins: np.ndarray, ctx: np.ndarray,
+                        states: np.ndarray) -> None:
+    """Serialize a bin-IR into a BitWriter (engine + finish), dispatching
+    to the native C engine when available."""
+    from ..native import native_entropy
+    nat = native_entropy()
+    if nat.available:
+        data, tail_val, tail_n = nat.cabac_encode(bins, ctx, states)
+        bw.write_bytes(data)
+        bw.u(tail_val, tail_n)
+        return
+    enc = CabacEncoder(bw)
+    enc.encode_stream(bins, ctx, states)
+    enc.finish()
+
+
 def stream_frac_bits(bins: np.ndarray, ctx_idx: np.ndarray,
                      states: np.ndarray) -> int:
     """Estimate the cost of a bin-stream IR in 1/32768-bit units without

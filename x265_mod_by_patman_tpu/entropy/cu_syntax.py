@@ -15,7 +15,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from ..constants.hevc_tables import intra_scan_idx, SCAN_DIAG
-from ..frame.zscan import zscan_index
+from ..frame.zscan import zscan_scalar
 from .contexts import OFF
 from .binir import BinIR
 from .cabac import CabacDecoder
@@ -146,8 +146,8 @@ class SliceSyntaxEncoder:
         self.log2_ctu = sps.log2_ctu_size
 
     def _z0(self, x0: int, y0: int) -> int:
-        return int(zscan_index(np.array(x0), np.array(y0), self.log2_ctu,
-                               self.sps.pic_width_in_ctus))
+        return zscan_scalar(x0, y0, self.log2_ctu,
+                            self.sps.pic_width_in_ctus)
 
     def encode_ctu(self, ir: BinIR, cu_list, ctu_x: int, ctu_y: int,
                    last_ctu: bool) -> None:
@@ -443,8 +443,8 @@ class SliceSyntaxDecoder:
         self.log2_ctu = sps.log2_ctu_size
 
     def _z0(self, x0: int, y0: int) -> int:
-        return int(zscan_index(np.array(x0), np.array(y0), self.log2_ctu,
-                               self.sps.pic_width_in_ctus))
+        return zscan_scalar(x0, y0, self.log2_ctu,
+                            self.sps.pic_width_in_ctus)
 
     def _skip_ctx(self, x0: int, y0: int) -> int:
         ctx = 0

@@ -13,7 +13,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..frame.zscan import zscan_index
+from ..frame.zscan import zscan_scalar
 
 
 class InterMaps:
@@ -50,8 +50,7 @@ class InterMaps:
             return False
         if not self.coded[y >> 2, x >> 2]:
             return False
-        return int(zscan_index(np.array(x), np.array(y), self.log2_ctu,
-                               self.w_ctus)) < z0
+        return zscan_scalar(x, y, self.log2_ctu, self.w_ctus) < z0
 
     def motion_at(self, x: int, y: int, z0: int):
         """(mvx, mvy, ref) of the inter PU covering luma sample (x, y), or

@@ -59,13 +59,62 @@ def _min_in_group(gidx: int) -> int:
     return (2 + (gidx & 1)) << ((gidx >> 1) - 1)
 
 
+_NATIVE = None
+_NATIVE_BUFS = None
+_SCAN_CACHE_C: dict = {}
+_OFF_ARR = None
+
+
+def _native_setup():
+    global _NATIVE, _NATIVE_BUFS, _OFF_ARR
+    if _NATIVE is None:
+        from ..native import native_entropy
+        nat = native_entropy()
+        _NATIVE = nat if nat.available else False
+        if _NATIVE:
+            _NATIVE_BUFS = (np.empty(1 << 16, np.uint8),
+                            np.empty(1 << 16, np.int32))
+            _OFF_ARR = np.array(
+                [OFF["SIG_CG"], OFF["SIG"], OFF["LAST_X"], OFF["LAST_Y"],
+                 OFF["ONE"], OFF["ABS"]], dtype=np.int32)
+    return _NATIVE
+
+
+def _scan_arrays(log2_tb: int, scan_idx: int):
+    key = (log2_tb, scan_idx)
+    if key not in _SCAN_CACHE_C:
+        _SCAN_CACHE_C[key] = (
+            np.ascontiguousarray(scan_order(log2_tb, scan_idx), np.int32),
+            np.ascontiguousarray(cg_scan_order(log2_tb, scan_idx),
+                                 np.int32))
+    return _SCAN_CACHE_C[key]
+
+
 def encode_residual(ir: BinIR, level: np.ndarray, log2_tb: int, c_idx: int,
                     scan_idx: int, sign_hide: bool = False) -> None:
     """Append the residual_coding bins of one TB to `ir`.
 
     level: (N, N) int array of quantized levels [y][x]; must be nonzero
-    somewhere (caller checks cbf).
+    somewhere (caller checks cbf).  Dispatches to the native C kernel when
+    available (bit-exact parity enforced by tests/test_native_entropy.py).
     """
+    nat = _native_setup()
+    if nat:
+        scan_xy, cg_xy = _scan_arrays(log2_tb, scan_idx)
+        ir.ensure(1 << 14)            # worst-case 32x32 TB bins
+        bins_buf, ctx_buf = ir.tail_ptrs()
+        cnt = nat.enc_residual(level, log2_tb, c_idx, scan_idx, sign_hide,
+                               scan_xy, cg_xy, _OFF_ARR, bins_buf, ctx_buf)
+        ir.n += cnt
+        return
+    return _encode_residual_py(ir, level, log2_tb, c_idx, scan_idx,
+                               sign_hide)
+
+
+def _encode_residual_py(ir: BinIR, level: np.ndarray, log2_tb: int,
+                        c_idx: int, scan_idx: int,
+                        sign_hide: bool = False) -> None:
+    """Pure-python reference implementation (kept as the golden)."""
     n = 1 << log2_tb
     scan = scan_order(log2_tb, scan_idx)          # (nCoeff, 2) of (x, y)
     sx, sy = scan[:, 0], scan[:, 1]

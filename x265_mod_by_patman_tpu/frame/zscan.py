@@ -34,6 +34,21 @@ def zscan_index(x: np.ndarray, y: np.ndarray, log2_ctu: int,
     return ctu * (1 << (2 * bits)) + morton(ly, lx, bits)
 
 
+def zscan_scalar(x: int, y: int, log2_ctu: int,
+                 pic_width_in_ctus: int) -> int:
+    """Pure-int scalar zscan_index (hot in merge/AMVP derivation)."""
+    ctu = (y >> log2_ctu) * pic_width_in_ctus + (x >> log2_ctu)
+    bits = log2_ctu - 2
+    mask = (1 << bits) - 1
+    lx = (x >> 2) & mask
+    ly = (y >> 2) & mask
+    m = 0
+    for b in range(bits):
+        m |= ((lx >> b) & 1) << (2 * b)
+        m |= ((ly >> b) & 1) << (2 * b + 1)
+    return ctu * (1 << (2 * bits)) + m
+
+
 def s_vector_coords(x0: int, y0: int, n: int):
     """Sample coordinates of the S reference vector (length 4N+1) for a
     block with top-left (x0, y0):  S[0..2N-1] left column bottom-up,

@@ -1,0 +1,114 @@
+"""Native (C) entropy kernels — build + ctypes bindings.
+
+Compiled lazily with the system compiler on first import (cached .so);
+falls back to the pure-Python implementations when unavailable so the
+framework stays importable everywhere.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "entropy_kernels.c")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.md5(f.read()).hexdigest()[:12]
+    so = os.path.join(tempfile.gettempdir(), f"x265tpu_entropy_{tag}.so")
+    if os.path.exists(so):
+        return so
+    cc = os.environ.get("CC", "gcc")
+    cmd = [cc, "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o",
+           so + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        return so
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("X265TPU_NO_NATIVE"):
+        return None
+    so = _build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.cabac_encode.restype = ctypes.c_long
+    lib.cabac_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.enc_residual.restype = ctypes.c_long
+    lib.enc_residual.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+class NativeEntropy:
+    """High-level wrappers; constructed once per process."""
+
+    def __init__(self) -> None:
+        from ..constants.hevc_tables import LPS_TABLE, NEXT_STATE
+        self.lib = get_lib()
+        self.lps = np.ascontiguousarray(LPS_TABLE, dtype=np.uint8)
+        self.next_state = np.ascontiguousarray(NEXT_STATE, dtype=np.uint8)
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    def cabac_encode(self, bins: np.ndarray, ctx: np.ndarray,
+                     states: np.ndarray):
+        """Returns (bytes, tail_value, tail_nbits); states mutated."""
+        n = len(bins)
+        out = np.empty(n // 4 + 4096, dtype=np.uint8)
+        tail = np.zeros(2, dtype=np.int64)
+        bins = np.ascontiguousarray(bins, dtype=np.uint8)
+        ctx = np.ascontiguousarray(ctx, dtype=np.int32)
+        out_len = self.lib.cabac_encode(
+            _ptr(bins), _ptr(ctx), ctypes.c_long(n), _ptr(states),
+            _ptr(self.lps), _ptr(self.next_state), _ptr(out), _ptr(tail))
+        return out[:out_len].tobytes(), int(tail[0]), int(tail[1])
+
+    def enc_residual(self, level: np.ndarray, log2_tb: int, c_idx: int,
+                     scan_idx: int, sign_hide: bool, scan_xy: np.ndarray,
+                     cg_xy: np.ndarray, off: np.ndarray,
+                     bins_buf: np.ndarray, ctx_buf: np.ndarray) -> int:
+        level = np.ascontiguousarray(level, dtype=np.int32)
+        return self.lib.enc_residual(
+            _ptr(level), log2_tb, c_idx, scan_idx,
+            1 if sign_hide else 0, _ptr(scan_xy), _ptr(cg_xy), _ptr(off),
+            _ptr(bins_buf), _ptr(ctx_buf))
+
+
+_native: Optional[NativeEntropy] = None
+
+
+def native_entropy() -> NativeEntropy:
+    global _native
+    if _native is None:
+        _native = NativeEntropy()
+    return _native
