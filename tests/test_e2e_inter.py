@@ -31,7 +31,7 @@ def moving_scene(w, h, n_frames, seed=0):
 @pytest.mark.parametrize("size", [(96, 64)])
 def test_e2e_ippp_bit_exact(size):
     w, h = size
-    p = default_params(w, h, qp=30, keyframe_max=250)
+    p = default_params(w, h, qp=30, keyframe_max=250, bframes=0)
     frames = moving_scene(w, h, 4)
     stream, encoded = encode_sequence(p, frames)
 
@@ -52,7 +52,7 @@ def test_e2e_ippp_bit_exact(size):
 def test_p_frames_compress_better_than_intra():
     w, h = 96, 64
     frames = moving_scene(w, h, 4, seed=2)
-    p_ippp = default_params(w, h, qp=30, keyframe_max=250)
+    p_ippp = default_params(w, h, qp=30, keyframe_max=250, bframes=0)
     p_intra = default_params(w, h, qp=30, keyframe_max=1)
     s_ippp, e_ippp = encode_sequence(p_ippp, frames)
     s_intra, _ = encode_sequence(p_intra, frames)
@@ -75,3 +75,31 @@ def test_idr_interval():
     pics = dec.decode(b"".join(f.bitstream for f in encoded))
     for f, pic in zip(encoded, pics):
         assert pic.md5 == f.md5 == pic.sei_md5
+
+
+def test_e2e_b_frames_bit_exact():
+    """IBBP mini-GOP: B slices with bi-prediction, decode-order output."""
+    w, h = 96, 64
+    p = default_params(w, h, qp=30, keyframe_max=250, bframes=2)
+    frames = moving_scene(w, h, 7, seed=5)
+    stream, encoded = encode_sequence(p, frames)
+    types = [f.slice_type for f in encoded]
+    pocs = [f.poc for f in encoded]
+    assert types == ["I", "P", "B", "B", "P", "B", "B"]
+    assert pocs == [0, 3, 1, 2, 6, 4, 5]
+
+    dec = Decoder()
+    pics = dec.decode(stream)
+    assert len(pics) == 7
+    n_bi = 0
+    for f, pic in zip(encoded, pics):
+        assert pic.poc == f.poc
+        ry, ru, rv = f.recon
+        assert np.array_equal(pic.y, ry), f"luma mismatch poc {f.poc}"
+        assert np.array_equal(pic.u, ru)
+        assert np.array_equal(pic.v, rv)
+        assert pic.md5 == f.md5 == pic.sei_md5
+    # B frames should compress better than the P frames on average
+    b_bits = np.mean([f.bits for f in encoded if f.slice_type == "B"])
+    p_bits = np.mean([f.bits for f in encoded if f.slice_type == "P"])
+    assert b_bits < p_bits

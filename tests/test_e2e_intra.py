@@ -50,7 +50,7 @@ def test_recon_quality():
     p = default_params(w, h, qp=27, keyframe_max=1)
     y, u, v = synth_frame(w, h, seed=3)
     enc = Encoder(p)
-    f = enc.encode_frame(y, u, v)
+    [f] = enc.encode_frame(y, u, v)
     mse = np.mean((f.recon[0].astype(np.int64) - y.astype(np.int64)) ** 2)
     psnr = 10 * np.log10(255 * 255 / max(mse, 1e-9))
     assert psnr > 30, f"luma PSNR {psnr:.2f} too low"

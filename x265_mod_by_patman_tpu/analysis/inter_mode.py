@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.me import full_search_batch, subpel_refine_batch, mv_bits
-from ..ops.interp import mc_batch
+from ..ops.interp import bi_combine, mc_batch, mc_batch_14
 from ..ops.cost import satd_batch
 from .intra_mode import _mode_costs
 from ..frame.zscan import frame_avail_masks
@@ -102,3 +102,104 @@ def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
             (np.asarray(mc_y).reshape(nby, nbx, n, n),
              np.asarray(mc_u).reshape(nby, nbx, nc, nc),
              np.asarray(mc_v).reshape(nby, nbx, nc, nc)))
+
+
+def _me_one_ref(oy, ry, bx, by, n, lam256, search_range):
+    """Full search + subpel + neighbor coherence against one reference.
+    Returns (mvx, mvy, cost) device arrays."""
+    nb = bx.shape[0]
+    pz = jnp.zeros(nb, jnp.int32)
+    imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256,
+                                    n, search_range)
+    mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
+                                         pz, pz, lam256, n)
+    h, w = oy.shape
+    gy = by[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = bx[:, None, None] + jnp.arange(n)[None, None, :]
+    org = oy[jnp.clip(gy, 0, h - 1), jnp.clip(gx, 0, w - 1)] \
+        .astype(jnp.int32)
+    return mvx, mvy, cost, org
+
+
+def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
+                    search_range: int = 16, block: int = 16):
+    """B-frame analysis: ME against both anchors + bi-prediction test +
+    intra fallback (the batched analog of x265 checkBidir2Nx2N,
+    analysis.cpp:4007).
+
+    ref0/ref1: (y, u, v) plane tuples of the L0 (past) and L1 (future)
+    anchors.  Returns (intra_modes, inter_mask, dirs, mv_l0, mv_l1,
+    (mc_y, mc_u, mc_v))."""
+    h, w = sps.height, sps.width
+    n = block
+    nbx, nby = w // n, h // n
+    nb = nbx * nby
+    lam, _ = lambda_qp(qp)
+    lam256 = int(round(lam * 256))
+
+    bys, bxs = np.mgrid[0:nby, 0:nbx]
+    bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
+    by = jnp.asarray((bys.ravel() * n).astype(np.int32))
+    oy = jnp.asarray(np.asarray(y, np.int32))
+    r0y = jnp.asarray(np.asarray(ref0[0], np.int32))
+    r1y = jnp.asarray(np.asarray(ref1[0], np.int32))
+
+    mv0x, mv0y, cost0, org = _me_one_ref(oy, r0y, bx, by, n, lam256,
+                                         search_range)
+    mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y, bx, by, n, lam256,
+                                       search_range)
+
+    # bi-prediction of the two best uni MVs (x265 checkBidir2Nx2N)
+    p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0)
+    p1_14 = mc_batch_14(r1y, bx, by, mv1x, mv1y, n, 0)
+    bi_pred = bi_combine(p0_14, p1_14)
+    bits_bi = mv_bits(mv0x, mv0y) + mv_bits(mv1x, mv1y)
+    cost_bi = satd_batch(org, bi_pred) + ((lam256 * bits_bi) >> 8)
+
+    # intra fallback
+    avail = frame_avail_masks(w, h, n, sps.log2_ctu_size, 0)
+    icosts = _mode_costs(oy,
+                         jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+                         jnp.asarray(bxs.ravel().astype(np.int32)),
+                         jnp.asarray(bys.ravel().astype(np.int32)),
+                         n.bit_length() - 1, sps.bit_depth)
+    intra_best = jnp.min(icosts, axis=1) + ((lam256 * 5) >> 8)
+    intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
+
+    costs = jnp.stack([cost0, cost1, cost_bi, intra_best], axis=0)
+    choice = jnp.argmin(costs, axis=0)       # 0=L0, 1=L1, 2=BI, 3=intra
+    use_inter = choice != 3
+    dirs = jnp.where(choice == 0, 1,
+                     jnp.where(choice == 1, 2,
+                               jnp.where(choice == 2, 3, 0)))
+
+    # MC predictions of the chosen mode per block
+    ru0 = jnp.asarray(np.asarray(ref0[1], np.int32))
+    rv0 = jnp.asarray(np.asarray(ref0[2], np.int32))
+    ru1 = jnp.asarray(np.asarray(ref1[1], np.int32))
+    rv1 = jnp.asarray(np.asarray(ref1[2], np.int32))
+    nc = n // 2
+    is_bi = (dirs == 3)
+    use_l0 = (dirs == 1) | is_bi
+    mc = []
+    for (r0p, r1p, c_idx, sz, bx_, by_) in (
+            (r0y, r1y, 0, n, bx, by),
+            (ru0, ru1, 1, nc, bx // 2, by // 2),
+            (rv0, rv1, 2, nc, bx // 2, by // 2)):
+        u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx)
+        u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx)
+        b0 = mc_batch_14(r0p, bx_, by_, mv0x, mv0y, sz, c_idx)
+        b1 = mc_batch_14(r1p, bx_, by_, mv1x, mv1y, sz, c_idx)
+        bi = bi_combine(b0, b1)
+        sel = jnp.where(is_bi[:, None, None], bi,
+                        jnp.where(use_l0[:, None, None], u0, u1))
+        mc.append(np.asarray(sel).reshape(nby, nbx, sz, sz))
+
+    mv_l0 = np.stack([np.asarray(mv0x), np.asarray(mv0y)],
+                     -1).reshape(nby, nbx, 2).astype(np.int32)
+    mv_l1 = np.stack([np.asarray(mv1x), np.asarray(mv1y)],
+                     -1).reshape(nby, nbx, 2).astype(np.int32)
+    return (np.asarray(intra_modes).reshape(nby, nbx),
+            np.asarray(use_inter).reshape(nby, nbx),
+            np.asarray(dirs).reshape(nby, nbx).astype(np.int32),
+            mv_l0, mv_l1, tuple(mc))

@@ -106,27 +106,37 @@ def main(argv=None) -> int:
     recon_w = Y4MWriter(args.recon, info) if args.recon else None
     csv = open(args.csv, "w") if args.csv else None
     if csv:
-        csv.write("poc,bits,md5\n")
+        csv.write("poc,type,bits,md5\n")
 
     total = args.frames or info.total_frames
     t0 = time.time()
     done = 0
     out_bytes = 0
+
+    def emit(frames):
+        nonlocal done, out_bytes
+        for f in frames:
+            out.write(f.bitstream)
+            out_bytes += len(f.bitstream)
+            if recon_w:
+                recon_w.write(*f.recon)
+            if csv:
+                csv.write(f"{f.poc},{f.slice_type},{f.bits},"
+                          f"{f.md5.hex()}\n")
+            done += 1
+            if not args.no_progress:
+                sys.stderr.write("\r" + progress_line(
+                    done, total, t0, out_bytes, info.fps_num,
+                    info.fps_denom))
+                sys.stderr.flush()
+
+    fed = 0
     for (y, u, v) in src:
-        f = enc.encode_frame(y, u, v)
-        out.write(f.bitstream)
-        out_bytes += len(f.bitstream)
-        if recon_w:
-            recon_w.write(*f.recon)
-        if csv:
-            csv.write(f"{f.poc},{f.bits},{f.md5.hex()}\n")
-        done += 1
-        if not args.no_progress:
-            sys.stderr.write("\r" + progress_line(
-                done, total, t0, out_bytes, info.fps_num, info.fps_denom))
-            sys.stderr.flush()
-        if args.frames and done >= args.frames:
+        emit(enc.encode_frame(y, u, v))
+        fed += 1
+        if args.frames and fed >= args.frames:
             break
+    emit(enc.flush())
     if not args.no_progress:
         sys.stderr.write("\n")
     elapsed = time.time() - t0

@@ -148,7 +148,9 @@ class Decoder:
         self.sps: Optional[SPSInfo] = None
         self.pps: Optional[PPSInfo] = None
         self.pictures: List[DecodedPicture] = []
-        self._ref: Optional[tuple] = None     # previous decoded picture
+        self._dpb: Dict[int, tuple] = {}      # poc -> (y, u, v) planes
+        self._ref_l0: List[tuple] = []
+        self._ref_l1: List[tuple] = []
 
     def decode(self, stream: bytes) -> List[DecodedPicture]:
         for nal in split_annexb(stream):
@@ -182,25 +184,28 @@ class Decoder:
         br.ue()                           # pps id
         slice_type = br.ue()
         poc = 0
+        rps_neg, rps_pos = [], []
         if not is_idr(nal_type):
             poc = br.u(sps.log2_max_poc_lsb)
             assert br.flag() == 0          # short_term_ref_pic_set_sps_flag
-            self._parse_st_rps(br)
+            rps_neg, rps_pos = self._parse_st_rps(br)
             if sps.temporal_mvp:
                 br.flag()
         sao_luma = sao_chroma = False
         if sps.sao_enabled:
             sao_luma = br.flag()
             sao_chroma = br.flag()
-        num_refs = 1
+        num_refs = (1, 0)
         max_merge = 3
         if slice_type != 2:
+            n_l1 = pps.num_ref_idx_l1_default
             if br.flag():                  # num_ref_idx_active_override
-                num_refs = br.ue() + 1
+                n_l0 = br.ue() + 1
                 if slice_type == 0:
-                    br.ue()
+                    n_l1 = br.ue() + 1
             else:
-                num_refs = pps.num_ref_idx_l0_default
+                n_l0 = pps.num_ref_idx_l0_default
+            num_refs = (n_l0, n_l1 if slice_type == 0 else 0)
             if slice_type == 0:
                 br.flag()                  # mvd_l1_zero
             max_merge = 5 - br.ue()
@@ -215,9 +220,21 @@ class Decoder:
         br.byte_align()
         data = rbsp[br.byte_pos:]
 
+        # reference lists from the RPS (spec 8.3.2/8.3.4): L0 = used
+        # negative refs (closest first) then positive; L1 = positive then
+        # negative.  Pictures fetched from the decoded-picture store.
+        neg_pocs = [poc + d for (d, used) in rps_neg if used]
+        pos_pocs = [poc + d for (d, used) in rps_pos if used]
+        l0_pocs = (neg_pocs + pos_pocs)[:num_refs[0]]
+        l1_pocs = (pos_pocs + neg_pocs)[:num_refs[1]]
+        self._ref_l0 = [self._dpb[p] for p in l0_pocs]
+        self._ref_l1 = [self._dpb[p] for p in l1_pocs]
+        ref_pocs = (tuple(l0_pocs), tuple(l1_pocs))
+
         states = init_states(slice_type, qp)
         syn = SliceSyntaxDecoder(CabacDecoder(data), states, sps, pps, qp,
-                                 slice_type, max_merge, num_refs)
+                                 slice_type, max_merge, num_refs,
+                                 ref_pocs, poc)
 
         h, w = sps.height, sps.width
         y = np.zeros((h, w), np.int32)
@@ -245,15 +262,26 @@ class Decoder:
                 nbx, nby = w // 16, h // 16
                 intra_mask = np.ones((nby, nbx), bool)
                 mvs = np.zeros((nby, nbx, 2), np.int32)
+                mvs1 = np.zeros((nby, nbx, 2), np.int32)
+                dirs = np.zeros((nby, nbx), np.int32)
+                p0 = np.zeros((nby, nbx), np.int64)
+                p1 = np.zeros((nby, nbx), np.int64)
                 cbf = np.zeros((nby, nbx), bool)
                 for cu in all_cus:
                     bx, by = cu.x0 // 16, cu.y0 // 16
                     intra_mask[by, bx] = not cu.is_inter
                     if cu.is_inter:
+                        dirs[by, bx] = cu.inter_dir
                         mvs[by, bx] = cu.mv
+                        mvs1[by, bx] = cu.mv1
+                        if cu.inter_dir & 1:
+                            p0[by, bx] = ref_pocs[0][cu.ref_idx]
+                        if cu.inter_dir & 2:
+                            p1[by, bx] = ref_pocs[1][cu.ref_idx1]
                     lv = cu.coeffs.get((0, cu.x0, cu.y0, 4))
                     cbf[by, bx] = lv is not None and bool(np.any(lv))
-                bs_v, bs_h = inter_bs_maps(intra_mask, mvs, cbf, w, h, 16)
+                bs_v, bs_h = inter_bs_maps(intra_mask, mvs, cbf, w, h, 16,
+                                           dirs, mvs1, p0, p1)
             else:
                 bs_v, bs_h = intra_bs_maps(w, h, 16)
             on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> 1, w >> 1)
@@ -267,15 +295,27 @@ class Decoder:
         pic = DecodedPicture(poc, y.astype(np.uint8), u.astype(np.uint8),
                              v.astype(np.uint8))
         pic.md5 = plane_md5(pic.y, pic.u, pic.v)
-        self._ref = (pic.y, pic.u, pic.v)
+        if is_idr(nal_type):
+            self._dpb.clear()
+        self._dpb[poc] = (pic.y, pic.u, pic.v)
         return pic
 
-    def _parse_st_rps(self, br: BitReader) -> None:
+    def _parse_st_rps(self, br: BitReader):
+        """Returns ([(delta_poc, used)...neg], [...pos])."""
         n_neg = br.ue()
         n_pos = br.ue()
-        for _ in range(n_neg + n_pos):
-            br.ue()                        # delta_poc_minus1
-            br.flag()                      # used_by_curr_pic
+        neg, pos = [], []
+        prev = 0
+        for _ in range(n_neg):
+            delta = prev - (br.ue() + 1)
+            neg.append((delta, br.flag()))
+            prev = delta
+        prev = 0
+        for _ in range(n_pos):
+            delta = prev + br.ue() + 1
+            pos.append((delta, br.flag()))
+            prev = delta
+        return neg, pos
 
     # -- reconstruction (golden scalar path) -----------------------------------
     def _recon_cu(self, cu, y, u, v, qp, qp_cb, qp_cr) -> None:
@@ -305,20 +345,31 @@ class Decoder:
                        cu.coeffs.get((2, cx, cy, clog2)))
 
     def _recon_inter_cu(self, cu, y, u, v, qp, qp_cb, qp_cr) -> None:
-        """Golden inter recon: MC (mc_block_ref) + residual."""
-        assert self._ref is not None, "P slice without reference"
+        """Golden inter recon: uni MC (mc_block_ref) or bi-prediction
+        (14-bit combine, spec 8.5.4.3) + residual."""
+        from ..ops.interp import mc_block_ref_14, bi_combine_ref
         bd = self.sps.bit_depth
         maxv = (1 << bd) - 1
-        n = 1 << cu.log2_size
-        ry, ru, rv = self._ref
-        mvx, mvy = cu.mv
-        for plane, ref, c_idx, qpc, cx, cy, clog2 in (
-                (y, ry, 0, qp, cu.x0, cu.y0, cu.log2_size),
-                (u, ru, 1, qp_cb, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1),
-                (v, rv, 2, qp_cr, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1)):
+        d = cu.inter_dir
+        refs0 = self._ref_l0[cu.ref_idx] if d & 1 else None
+        refs1 = self._ref_l1[cu.ref_idx1] if d & 2 else None
+        for pi, (plane, c_idx, qpc, cx, cy, clog2) in enumerate((
+                (y, 0, qp, cu.x0, cu.y0, cu.log2_size),
+                (u, 1, qp_cb, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1),
+                (v, 2, qp_cr, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1))):
             cn = 1 << clog2
-            pred = mc_block_ref(ref.astype(np.int32), cx, cy, mvx, mvy,
-                                cn, cn, c_idx, bd)
+            if d == 3:
+                p0 = mc_block_ref_14(refs0[pi].astype(np.int32), cx, cy,
+                                     cu.mv[0], cu.mv[1], cn, cn, c_idx, bd)
+                p1 = mc_block_ref_14(refs1[pi].astype(np.int32), cx, cy,
+                                     cu.mv1[0], cu.mv1[1], cn, cn, c_idx, bd)
+                pred = bi_combine_ref(p0, p1, bd)
+            elif d == 1:
+                pred = mc_block_ref(refs0[pi].astype(np.int32), cx, cy,
+                                    cu.mv[0], cu.mv[1], cn, cn, c_idx, bd)
+            else:
+                pred = mc_block_ref(refs1[pi].astype(np.int32), cx, cy,
+                                    cu.mv1[0], cu.mv1[1], cn, cn, c_idx, bd)
             levels = cu.coeffs.get((c_idx, cx, cy, clog2))
             if levels is not None and np.any(levels):
                 coef = dequant_ref(levels.astype(np.int16), qpc, clog2, bd)

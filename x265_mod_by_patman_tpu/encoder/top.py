@@ -4,17 +4,21 @@ Analog of x265's Encoder (source/encoder/encoder.cpp Encoder::encode) +
 FrameEncoder pipeline + DPB (source/encoder/dpb.cpp), restructured for
 the TPU execution model:
   analysis (batched JAX)  ->  recon wavefront (batched JAX)  ->
-  syntax IR (host numpy)  ->  CABAC serialization (host)  ->  NALs.
+  syntax IR (host python + native C)  ->  CABAC (native C)  ->  NALs.
 
-v1 scope: 4:2:0 8-bit, uniform 16x16 CUs in 32x32 CTUs, CQP.
-GOP: IDR + IPPP with a single reference (keyframe_max controls the IDR
-interval; keyframe_max == 1 -> all-intra, north-star config 1).
-Deblock in-loop; SAO/WPP/SBH off.
+GOP structure: IDR + [B..B P] mini-GOPs (display-order B frames between
+anchors, encoded after the trailing anchor; non-ref Bs, no pyramid yet).
+keyframe_max controls the IDR interval; keyframe_max == 1 -> all-intra.
+Frame-type QP offsets follow x265's CQP convention (I: -3, B: +2,
+reference param ipFactor/pbFactor).
+
+v1 scope: 4:2:0 8-bit, uniform 16x16 CUs in 32x32 CTUs, CQP, deblock on,
+SAO/WPP/SBH off, 1 reference per list.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 import jax.numpy as jnp
@@ -22,23 +26,24 @@ import jax.numpy as jnp
 from ..params import EncoderParams
 from ..bitstream.bitwriter import BitWriter
 from ..bitstream.headers import (
-    SLICE_I, SLICE_P, SliceHeader, build_pps_info, build_sps_info,
+    SLICE_B, SLICE_I, SLICE_P, SliceHeader, build_pps_info, build_sps_info,
     write_pps, write_slice_header, write_sps, write_vps)
 from ..bitstream.nal import (
-    NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_R, NAL_VPS,
-    annexb)
+    NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_N,
+    NAL_TRAIL_R, NAL_VPS, annexb)
 from ..bitstream.sei import plane_md5, write_decoded_picture_hash
 from ..entropy.binir import BinIR
-from ..entropy.cabac import CabacEncoder, encode_ir_to_writer
+from ..entropy.cabac import encode_ir_to_writer
 from ..entropy.contexts import init_states
 from ..entropy.cu_syntax import CodedCU, SliceSyntaxEncoder
 from ..analysis.intra_mode import decide_modes
-from ..analysis.inter_mode import analyse_p_frame
+from ..analysis.inter_mode import analyse_b_frame, analyse_p_frame
 from ..frame.recon_intra import IntraReconstructor
 from ..ops.deblock import (
     chroma_on_maps, deblock_frame_batch, inter_bs_maps, intra_bs_maps)
 
 MAX_MERGE = 3
+QP_OFFSET = {"I": -3, "P": 0, "B": 2}    # x265 CQP ip/pb factor analog
 
 
 @dataclass
@@ -52,7 +57,11 @@ class EncodedFrame:
 
 
 class Encoder:
-    """x265_encoder_open/encode analog (reference api.cpp:75,423)."""
+    """x265_encoder_open/encode analog (reference api.cpp:75,423).
+
+    encode_frame() accepts display-order frames and returns 0+ encoded
+    frames in decode order; call flush() at end of stream.
+    """
 
     def __init__(self, params: EncoderParams) -> None:
         self.p = params.validate()
@@ -67,13 +76,25 @@ class Encoder:
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = False
         self.sps.temporal_mvp = False
-        self.recon = IntraReconstructor(self.sps, self.p.qp,
-                                        self.p.cb_qp_offset,
-                                        self.p.cr_qp_offset)
-        self.frame_count = 0
-        self.poc = 0
+        self._recons: Dict[int, IntraReconstructor] = {}
+        self.frame_count = 0          # display index, global
+        self._disp_since_idr = 0
+        self._queue: List[tuple] = []  # (padded planes, poc)
+        self._anchor: Optional[tuple] = None   # (recon planes, poc)
         self._headers_sent = False
-        self._ref: Optional[tuple] = None      # (y, u, v) uint8 recon
+        self.bframes = max(0, self.p.bframes) if self.p.keyframe_max > 1 \
+            else 0
+
+    def _recon_for(self, qp: int) -> IntraReconstructor:
+        if qp not in self._recons:
+            self._recons[qp] = IntraReconstructor(
+                self.sps, qp, self.p.cb_qp_offset, self.p.cr_qp_offset)
+        return self._recons[qp]
+
+    def _qp_for(self, ftype: str) -> int:
+        return int(np.clip(self.p.qp + QP_OFFSET[ftype]
+                           if self.p.keyframe_max > 1 else self.p.qp,
+                           0, 51))
 
     # -- headers -------------------------------------------------------------
     def headers(self) -> bytes:
@@ -81,56 +102,113 @@ class Encoder:
                 annexb(NAL_SPS, write_sps(self.sps)) +
                 annexb(NAL_PPS, write_pps(self.pps)))
 
-    # -- per-frame -----------------------------------------------------------
+    # -- streaming API ---------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
-                     v: np.ndarray) -> EncodedFrame:
+                     v: np.ndarray) -> List[EncodedFrame]:
         p = self.p
-        y, u, v = (self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
-        is_idr = (self.frame_count % max(1, p.keyframe_max) == 0) or \
-            self._ref is None
+        planes = (self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+        out: List[EncodedFrame] = []
+        force_idr = (self.frame_count % max(1, p.keyframe_max) == 0)
+        if force_idr:
+            out.extend(self.flush())
+            self._disp_since_idr = 0
+            out.append(self._encode_picture(planes, 0, "I"))
+        else:
+            self._queue.append((planes, self._disp_since_idr))
+            if len(self._queue) >= self.bframes + 1:
+                out.extend(self._emit_minigop())
+        self.frame_count += 1
+        self._disp_since_idr += 1
+        return out
 
-        if is_idr:
-            self.poc = 0
+    def flush(self) -> List[EncodedFrame]:
+        return self._emit_minigop() if self._queue else []
+
+    def _emit_minigop(self) -> List[EncodedFrame]:
+        frames = self._queue
+        self._queue = []
+        out = [self._encode_picture(frames[-1][0], frames[-1][1], "P")]
+        anchor1 = out[0]
+        for (planes, poc) in frames[:-1]:
+            out.append(self._encode_picture(planes, poc, "B",
+                                            next_anchor=anchor1))
+        # decode order emitted; DPB anchor advances to the new P
+        self._anchor = (anchor1.recon, anchor1.poc)
+        return out
+
+    # -- one picture -----------------------------------------------------------
+    def _encode_picture(self, planes, poc: int, ftype: str,
+                        next_anchor: Optional[EncodedFrame] = None
+                        ) -> EncodedFrame:
+        p = self.p
+        y, u, v = planes
+        qp = self._qp_for(ftype)
+        recon = self._recon_for(qp)
+        dirs = None
+        mvs1 = None
+        if ftype == "I":
             modes = decide_modes(y, self.sps, block=16)
-            r = self.recon.run(y, u, v, modes)
+            r = recon.run(y, u, v, modes)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
-        else:
+            ref_pocs = ((), ())
+        elif ftype == "P":
+            assert self._anchor is not None
             modes, inter_mask, mvs, mc = analyse_p_frame(
-                y, u, v, *self._ref, self.sps, p.qp,
+                y, u, v, *self._anchor[0], self.sps, qp,
                 search_range=min(p.search_range, 24))
-            r = self.recon.run(y, u, v, modes, mc, inter_mask)
+            r = recon.run(y, u, v, modes, mc, inter_mask)
+            ref_pocs = ((self._anchor[1],), ())
+        else:
+            modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
+                y, u, v, self._anchor[0], next_anchor.recon, self.sps, qp,
+                search_range=min(p.search_range, 24))
+            r = recon.run(y, u, v, modes, mc, inter_mask)
+            ref_pocs = ((self._anchor[1],), (next_anchor.poc,))
 
-        slice_rbsp = self._encode_slice(modes, inter_mask, mvs, r, is_idr)
-        self._deblock(r, inter_mask, mvs)
+        slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
+                                        r, ftype, poc, qp, ref_pocs)
+        self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, qp, recon)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"])
 
         out = b""
-        if not self._headers_sent or (p.repeat_headers and is_idr):
+        if not self._headers_sent or (p.repeat_headers and ftype == "I"):
             out += self.headers()
             self._headers_sent = True
-        out += annexb(NAL_IDR_W_RADL if is_idr else NAL_TRAIL_R, slice_rbsp)
+        nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
+               "B": NAL_TRAIL_N}[ftype]
+        out += annexb(nal, slice_rbsp)
         if p.decoded_picture_hash:
             out += annexb(NAL_SUFFIX_SEI, write_decoded_picture_hash(md5))
-        frame = EncodedFrame(self.poc, out,
+        frame = EncodedFrame(poc, out,
                              (r["recon_y"], r["recon_u"], r["recon_v"]),
-                             bits=len(out) * 8, md5=md5,
-                             slice_type="I" if is_idr else "P")
-        self._ref = frame.recon if p.keyframe_max != 1 else None
-        self.frame_count += 1
-        self.poc += 1
+                             bits=len(out) * 8, md5=md5, slice_type=ftype)
+        if ftype == "I":
+            self._anchor = (frame.recon, poc)
         return frame
 
-    def _deblock(self, r: dict, inter_mask, mvs) -> None:
+    def _deblock(self, r: dict, inter_mask, mvs, mvs1, dirs, ref_pocs,
+                 qp: int, recon) -> None:
         if not self.p.deblock:
             return
         p = self.p
         w, h = self.sps.width, self.sps.height
-        if inter_mask.any():
+        if inter_mask is not None and inter_mask.any():
+            nbx, nby = recon.nbx, recon.nby
             cbf = np.array([[bool(np.any(r["lev_y"][by, bx]))
-                             for bx in range(self.recon.nbx)]
-                            for by in range(self.recon.nby)])
-            bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16)
+                             for bx in range(nbx)] for by in range(nby)])
+            if dirs is None:
+                dirs_m = np.where(inter_mask, 1, 0).astype(np.int32)
+                mvs1_m = np.zeros_like(mvs)
+            else:
+                dirs_m = np.where(inter_mask, dirs, 0).astype(np.int32)
+                mvs1_m = mvs1
+            p0 = np.full((nby, nbx),
+                         ref_pocs[0][0] if ref_pocs[0] else 0, np.int64)
+            p1 = np.full((nby, nbx),
+                         ref_pocs[1][0] if ref_pocs[1] else 0, np.int64)
+            bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16,
+                                       dirs_m, mvs1_m, p0, p1)
         else:
             bs_v, bs_h = intra_bs_maps(w, h, 16)
         on_v, on_h = chroma_on_maps(bs_v, bs_h, h // 2, w // 2)
@@ -140,7 +218,7 @@ class Encoder:
             jnp.asarray(r["recon_v"].astype(np.int32)),
             jnp.asarray(bs_v), jnp.asarray(bs_h),
             jnp.asarray(on_v), jnp.asarray(on_h),
-            p.qp, self.recon.qp_cb, self.recon.qp_cr,
+            qp, recon.qp_cb, recon.qp_cr,
             p.deblock_beta_offset, p.deblock_tc_offset)
         r["recon_y"] = np.asarray(dy).astype(np.uint8)
         r["recon_u"] = np.asarray(du).astype(np.uint8)
@@ -160,26 +238,36 @@ class Encoder:
         out[h:, :] = out[h - 1:h, :]
         return out
 
-    def _encode_slice(self, modes, inter_mask, mvs, r: dict,
-                      is_idr: bool) -> bytes:
+    def _encode_slice(self, modes, inter_mask, mvs, mvs1, dirs, r: dict,
+                      ftype: str, poc: int, qp: int, ref_pocs) -> bytes:
         sps, pps = self.sps, self.pps
-        slice_type = SLICE_I if is_idr else SLICE_P
-        sh = SliceHeader(slice_type=slice_type,
-                         nal_type=NAL_IDR_W_RADL if is_idr else NAL_TRAIL_R,
-                         poc=self.poc, qp=self.p.qp,
+        slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
+        nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
+               "B": NAL_TRAIL_N}[ftype]
+        sh = SliceHeader(slice_type=slice_type, nal_type=nal, poc=poc,
+                         qp=qp,
                          deblocking_disabled=pps.deblocking_disabled,
                          five_minus_max_num_merge_cand=5 - MAX_MERGE)
-        if not is_idr:
+        num_refs = (0, 0)
+        if ftype == "P":
+            num_refs = (1, 0)
             sh.num_ref_idx = (1, 0)
-            sh.st_rps_neg = ((-1, True),)
+            sh.st_rps_neg = ((ref_pocs[0][0] - poc, True),)
+        elif ftype == "B":
+            num_refs = (1, 1)
+            sh.num_ref_idx = (1, 1)
+            sh.st_rps_neg = ((ref_pocs[0][0] - poc, True),)
+            sh.st_rps_pos = ((ref_pocs[1][0] - poc, True),)
         bw = write_slice_header(sh, sps, pps)
 
-        syn = SliceSyntaxEncoder(sps, pps, self.p.qp, slice_type,
-                                 MAX_MERGE, num_refs=1)
-        ir = BinIR()
+        syn = SliceSyntaxEncoder(sps, pps, qp, slice_type, MAX_MERGE,
+                                 num_refs=num_refs, ref_pocs=ref_pocs,
+                                 cur_poc=poc)
+        ir = BinIR(1 << 18)
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
-        bpc = self.recon.bpc
-        nbx, nby = self.recon.nbx, self.recon.nby
+        rec = self._recon_for(qp)
+        bpc = rec.bpc
+        nbx, nby = rec.nbx, rec.nby
         for cy in range(n_ctu_y):
             for cx in range(n_ctu_x):
                 cus: List[CodedCU] = []
@@ -189,12 +277,17 @@ class Encoder:
                         if bx >= nbx or by >= nby:
                             continue
                         x0, y0 = bx * 16, by * 16
-                        if inter_mask[by, bx]:
-                            cu = CodedCU(x0, y0, 4, (1,), 4, {},
-                                         is_inter=True,
-                                         mv=(int(mvs[by, bx, 0]),
-                                             int(mvs[by, bx, 1])),
-                                         ref_idx=0)
+                        if inter_mask is not None and inter_mask[by, bx]:
+                            d = 1 if dirs is None else int(dirs[by, bx])
+                            cu = CodedCU(
+                                x0, y0, 4, (1,), 4, {}, is_inter=True,
+                                mv=(int(mvs[by, bx, 0]),
+                                    int(mvs[by, bx, 1])),
+                                ref_idx=0, inter_dir=d,
+                                mv1=(int(mvs1[by, bx, 0]),
+                                     int(mvs1[by, bx, 1]))
+                                if mvs1 is not None else (0, 0),
+                                ref_idx1=0)
                         else:
                             cu = CodedCU(x0, y0, 4,
                                          (int(modes[by, bx]),), 4)
@@ -210,7 +303,7 @@ class Encoder:
                 last = (cy == n_ctu_y - 1) and (cx == n_ctu_x - 1)
                 syn.encode_ctu(ir, cus, cx, cy, last)
 
-        states = init_states(slice_type, self.p.qp)
+        states = init_states(slice_type, qp)
         bins, ctx = ir.arrays()
         encode_ir_to_writer(bw, bins, ctx, states)
         bw.rbsp_trailing_bits()
@@ -220,12 +313,15 @@ class Encoder:
 def encode_sequence(params: EncoderParams, frames) -> tuple:
     """Convenience: encode an iterable of (y, u, v) frames.
 
-    Returns (annexb bytestream, [EncodedFrame...])."""
+    Returns (annexb bytestream in decode order, [EncodedFrame...])."""
     enc = Encoder(params)
     stream = b""
     encoded = []
     for (y, u, v) in frames:
-        f = enc.encode_frame(y, u, v)
+        for f in enc.encode_frame(y, u, v):
+            stream += f.bitstream
+            encoded.append(f)
+    for f in enc.flush():
         stream += f.bitstream
         encoded.append(f)
     return stream, encoded

@@ -20,7 +20,8 @@ from .contexts import OFF
 from .binir import BinIR
 from .cabac import CabacDecoder
 from .residual import encode_residual, decode_residual
-from .mv_pred import InterMaps, amvp_candidates, merge_candidates, mvd_bits
+from .mv_pred import (Motion, InterMaps, amvp_candidates,
+                      merge_candidates, mvd_bits)
 
 INTRA_PLANAR, INTRA_DC, INTRA_HOR, INTRA_VER = 0, 1, 10, 26
 CHROMA_MODE_TABLE = (INTRA_PLANAR, INTRA_VER, INTRA_HOR, INTRA_DC)
@@ -45,10 +46,21 @@ class CodedCU:
     chroma_idx: int = 4                  # intra_chroma_pred_mode index; 4=DM
     coeffs: Dict = field(default_factory=dict)
     is_inter: bool = False
-    mv: Tuple[int, int] = (0, 0)         # qpel
+    mv: Tuple[int, int] = (0, 0)         # qpel, list 0
     ref_idx: int = 0
+    inter_dir: int = 1                   # 1=L0, 2=L1, 3=BI
+    mv1: Tuple[int, int] = (0, 0)        # qpel, list 1
+    ref_idx1: int = 0
     # decoder-filled coding metadata (for stats / BS derivation)
     was_skip: bool = False
+
+    def motion(self) -> "Motion":
+        d = self.inter_dir
+        return Motion(d,
+                      self.mv if d & 1 else (0, 0),
+                      self.ref_idx if d & 1 else -1,
+                      self.mv1 if d & 2 else (0, 0),
+                      self.ref_idx1 if d & 2 else -1)
 
     @property
     def part_nxn(self) -> bool:
@@ -133,13 +145,24 @@ class SliceSyntaxEncoder:
     """Walks CTUs in raster order emitting the slice-data bin IR."""
 
     def __init__(self, sps, pps, slice_qp: int, slice_type: int = 2,
-                 max_merge: int = 3, num_refs: int = 1) -> None:
+                 max_merge: int = 3, num_refs=(1, 0), ref_pocs=((), ()),
+                 cur_poc: int = 0) -> None:
         self.sps = sps
         self.pps = pps
         self.qp = slice_qp
         self.slice_type = slice_type        # 0=B 1=P 2=I
         self.max_merge = max_merge
-        self.num_refs = num_refs
+        self.num_refs = (num_refs, 0) if isinstance(num_refs, int) \
+            else tuple(num_refs)
+        if ref_pocs == ((), ()):
+            # default synthetic POCs (tests / callers without a DPB):
+            # L0 descending behind, L1 ascending ahead of cur_poc
+            ref_pocs = (tuple(cur_poc - 1 - i
+                              for i in range(self.num_refs[0])),
+                        tuple(cur_poc + 1 + i
+                              for i in range(self.num_refs[1])))
+        self.ref_pocs = ref_pocs
+        self.cur_poc = cur_poc
         self.maps = FrameSyntaxMaps(sps.width, sps.height)
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
@@ -184,7 +207,7 @@ class SliceSyntaxEncoder:
             self._coding_unit_p(ir, cu)
         else:
             self._coding_unit_intra(ir, cu)
-            self.imaps.set_cu(cu.x0, cu.y0, cu.log2_size, False)
+            self.imaps.set_cu(cu.x0, cu.y0, cu.log2_size, None)
 
     def _skip_ctx(self, x0: int, y0: int) -> int:
         ctx = 0
@@ -200,16 +223,16 @@ class SliceSyntaxEncoder:
         z0 = self._z0(x0, y0)
         has_resi = any(np.any(v) for v in cu.coeffs.values())
         if cu.is_inter:
-            mot = (cu.mv[0], cu.mv[1], cu.ref_idx)
+            mot = cu.motion()
             mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
-                                     self.max_merge, self.num_refs)
+                                     self.max_merge, self.num_refs,
+                                     self.ref_pocs)
             midx = mlist.index(mot) if mot in mlist else -1
             if midx >= 0 and not has_resi:
                 # SKIP
                 ir.cbin(1, self._skip_ctx(x0, y0))
                 self._merge_idx(ir, midx)
-                self.imaps.set_cu(x0, y0, log2, True, cu.mv, cu.ref_idx,
-                                  skip=True)
+                self.imaps.set_cu(x0, y0, log2, mot, skip=True)
                 return
             ir.cbin(0, self._skip_ctx(x0, y0))
             ir.cbin(0, OFF["PRED_MODE"])          # MODE_INTER
@@ -220,28 +243,42 @@ class SliceSyntaxEncoder:
                 # rqt_root_cbf not coded for 2Nx2N merge (inferred 1)
             else:
                 ir.cbin(0, OFF["MERGE_FLAG"])
-                if self.num_refs > 1:
-                    self._ref_idx(ir, cu.ref_idx)
-                alist = amvp_candidates(self.imaps, x0, y0, nbs, z0,
-                                        cu.ref_idx)
-                costs = [mvd_bits(cu.mv[0] - c[0], cu.mv[1] - c[1])
-                         for c in alist]
-                mvp_idx = 0 if costs[0] <= costs[1] else 1
-                mvd = (cu.mv[0] - alist[mvp_idx][0],
-                       cu.mv[1] - alist[mvp_idx][1])
-                self._mvd(ir, mvd[0], mvd[1])
-                ir.cbin(mvp_idx, OFF["MVP_IDX"])
+                if self.slice_type == 0:
+                    self._inter_pred_idc(ir, mot.dir, self.log2_ctu - log2)
+                for lst in (0, 1):
+                    if not mot.has(lst):
+                        continue
+                    if self.num_refs[lst] > 1:
+                        self._ref_idx(ir, mot.ref(lst), lst)
+                    alist = amvp_candidates(self.imaps, x0, y0, nbs, z0,
+                                            lst, mot.ref(lst),
+                                            self.ref_pocs, self.cur_poc)
+                    mv = mot.mv(lst)
+                    costs = [mvd_bits(mv[0] - c[0], mv[1] - c[1])
+                             for c in alist]
+                    mvp_idx = 0 if costs[0] <= costs[1] else 1
+                    self._mvd(ir, mv[0] - alist[mvp_idx][0],
+                              mv[1] - alist[mvp_idx][1])
+                    ir.cbin(mvp_idx, OFF["MVP_IDX"])
                 ir.cbin(1 if has_resi else 0, OFF["QT_ROOT_CBF"])
-            self.imaps.set_cu(x0, y0, log2, True, cu.mv, cu.ref_idx)
+            self.imaps.set_cu(x0, y0, log2, mot)
             if has_resi or midx >= 0:
                 self._transform_tree(ir, cu, x0, y0, log2, 0, 0,
                                      parent_cbf_cb=True, parent_cbf_cr=True)
             return
-        # intra CU in P slice
+        # intra CU in P/B slice
         ir.cbin(0, self._skip_ctx(x0, y0))
         ir.cbin(1, OFF["PRED_MODE"])              # MODE_INTRA
         self._coding_unit_intra(ir, cu)
-        self.imaps.set_cu(x0, y0, log2, False)
+        self.imaps.set_cu(x0, y0, log2, None)
+
+    def _inter_pred_idc(self, ir: BinIR, d: int, ct_depth: int) -> None:
+        """inter_pred_idc binarization (spec 9.3.3.8, 2Nx2N PU)."""
+        if d == 3:
+            ir.cbin(1, OFF["INTER_DIR"] + ct_depth)
+        else:
+            ir.cbin(0, OFF["INTER_DIR"] + ct_depth)
+            ir.cbin(0 if d == 1 else 1, OFF["INTER_DIR"] + 4)
 
     def _merge_idx(self, ir: BinIR, idx: int) -> None:
         cmax = self.max_merge - 1
@@ -253,8 +290,8 @@ class SliceSyntaxEncoder:
         if 0 < idx < cmax:
             ir.bypass(0)
 
-    def _ref_idx(self, ir: BinIR, ref: int) -> None:
-        cmax = self.num_refs - 1
+    def _ref_idx(self, ir: BinIR, ref: int, lst: int) -> None:
+        cmax = self.num_refs[lst] - 1
         ir.cbin(1 if ref > 0 else 0, OFF["REF_NO"])
         if ref > 0 and cmax > 1:
             ir.cbin(1 if ref > 1 else 0, OFF["REF_NO"] + 1)
@@ -428,7 +465,8 @@ class SliceSyntaxDecoder:
 
     def __init__(self, dec: CabacDecoder, states: np.ndarray, sps, pps,
                  slice_qp: int, slice_type: int = 2, max_merge: int = 3,
-                 num_refs: int = 1) -> None:
+                 num_refs=(1, 0), ref_pocs=((), ()),
+                 cur_poc: int = 0) -> None:
         self.dec = dec
         self.states = states
         self.sps = sps
@@ -436,7 +474,17 @@ class SliceSyntaxDecoder:
         self.qp = slice_qp
         self.slice_type = slice_type
         self.max_merge = max_merge
-        self.num_refs = num_refs
+        self.num_refs = (num_refs, 0) if isinstance(num_refs, int) \
+            else tuple(num_refs)
+        if ref_pocs == ((), ()):
+            # default synthetic POCs (tests / callers without a DPB):
+            # L0 descending behind, L1 ascending ahead of cur_poc
+            ref_pocs = (tuple(cur_poc - 1 - i
+                              for i in range(self.num_refs[0])),
+                        tuple(cur_poc + 1 + i
+                              for i in range(self.num_refs[1])))
+        self.ref_pocs = ref_pocs
+        self.cur_poc = cur_poc
         self.maps = FrameSyntaxMaps(sps.width, sps.height)
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
@@ -486,8 +534,15 @@ class SliceSyntaxDecoder:
         if self.slice_type != 2:
             return self._coding_unit_p(x0, y0, log2)
         cu = self._coding_unit_intra(x0, y0, log2)
-        self.imaps.set_cu(x0, y0, log2, False)
+        self.imaps.set_cu(x0, y0, log2, None)
         return cu
+
+    def _cu_from_motion(self, x0, y0, log2, mot: Motion,
+                        was_skip: bool = False) -> CodedCU:
+        return CodedCU(x0, y0, log2, (1,), 4, {}, is_inter=True,
+                       mv=mot.mv0, ref_idx=max(mot.ref0, 0),
+                       inter_dir=mot.dir, mv1=mot.mv1,
+                       ref_idx1=max(mot.ref1, 0), was_skip=was_skip)
 
     def _coding_unit_p(self, x0, y0, log2) -> CodedCU:
         dec, states = self.dec, self.states
@@ -496,41 +551,58 @@ class SliceSyntaxDecoder:
         if dec.decode_bin(states, self._skip_ctx(x0, y0)):
             midx = self._merge_idx()
             mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
-                                     self.max_merge, self.num_refs)
-            mvx, mvy, ref = mlist[midx]
-            cu = CodedCU(x0, y0, log2, (1,), 4, {}, is_inter=True,
-                         mv=(mvx, mvy), ref_idx=ref, was_skip=True)
-            self.imaps.set_cu(x0, y0, log2, True, (mvx, mvy), ref,
-                              skip=True)
+                                     self.max_merge, self.num_refs,
+                                     self.ref_pocs)
+            mot = mlist[midx]
+            cu = self._cu_from_motion(x0, y0, log2, mot, was_skip=True)
+            self.imaps.set_cu(x0, y0, log2, mot, skip=True)
             return cu
         if dec.decode_bin(states, OFF["PRED_MODE"]):
             cu = self._coding_unit_intra(x0, y0, log2)
-            self.imaps.set_cu(x0, y0, log2, False)
+            self.imaps.set_cu(x0, y0, log2, None)
             return cu
         part_2nx2n = dec.decode_bin(states, OFF["PART_SIZE"])
         assert part_2nx2n, "only 2Nx2N inter PUs supported"
         if dec.decode_bin(states, OFF["MERGE_FLAG"]):
             midx = self._merge_idx()
             mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
-                                     self.max_merge, self.num_refs)
-            mvx, mvy, ref = mlist[midx]
-            cu = CodedCU(x0, y0, log2, (1,), 4, {}, is_inter=True,
-                         mv=(mvx, mvy), ref_idx=ref)
-            self.imaps.set_cu(x0, y0, log2, True, (mvx, mvy), ref)
+                                     self.max_merge, self.num_refs,
+                                     self.ref_pocs)
+            mot = mlist[midx]
+            cu = self._cu_from_motion(x0, y0, log2, mot)
+            self.imaps.set_cu(x0, y0, log2, mot)
             # rqt_root_cbf inferred 1 for 2Nx2N merge
             self._transform_tree(cu, x0, y0, log2, 0, 0, True, True)
             return cu
-        ref = self._ref_idx() if self.num_refs > 1 else 0
-        mvd = self._mvd()
-        mvp_idx = dec.decode_bin(states, OFF["MVP_IDX"])
-        alist = amvp_candidates(self.imaps, x0, y0, nbs, z0, ref)
-        mv = (alist[mvp_idx][0] + mvd[0], alist[mvp_idx][1] + mvd[1])
-        cu = CodedCU(x0, y0, log2, (1,), 4, {}, is_inter=True, mv=mv,
-                     ref_idx=ref)
-        self.imaps.set_cu(x0, y0, log2, True, mv, ref)
+        if self.slice_type == 0:
+            d = self._inter_pred_idc(self.log2_ctu - log2)
+        else:
+            d = 1
+        mvs = [(0, 0), (0, 0)]
+        refs = [-1, -1]
+        for lst in (0, 1):
+            if not (d & (1 << lst)):
+                continue
+            refs[lst] = self._ref_idx(lst) if self.num_refs[lst] > 1 else 0
+            mvd = self._mvd()
+            mvp_idx = dec.decode_bin(states, OFF["MVP_IDX"])
+            alist = amvp_candidates(self.imaps, x0, y0, nbs, z0, lst,
+                                    refs[lst], self.ref_pocs,
+                                    self.cur_poc)
+            mvs[lst] = (alist[mvp_idx][0] + mvd[0],
+                        alist[mvp_idx][1] + mvd[1])
+        mot = Motion(d, mvs[0], refs[0], mvs[1], refs[1])
+        cu = self._cu_from_motion(x0, y0, log2, mot)
+        self.imaps.set_cu(x0, y0, log2, mot)
         if dec.decode_bin(states, OFF["QT_ROOT_CBF"]):
             self._transform_tree(cu, x0, y0, log2, 0, 0, True, True)
         return cu
+
+    def _inter_pred_idc(self, ct_depth: int) -> int:
+        if self.dec.decode_bin(self.states, OFF["INTER_DIR"] + ct_depth):
+            return 3
+        return 1 if self.dec.decode_bin(
+            self.states, OFF["INTER_DIR"] + 4) == 0 else 2
 
     def _merge_idx(self) -> int:
         cmax = self.max_merge - 1
@@ -543,8 +615,8 @@ class SliceSyntaxDecoder:
             idx += 1
         return idx
 
-    def _ref_idx(self) -> int:
-        cmax = self.num_refs - 1
+    def _ref_idx(self, lst: int) -> int:
+        cmax = self.num_refs[lst] - 1
         if not self.dec.decode_bin(self.states, OFF["REF_NO"]):
             return 0
         if cmax == 1:

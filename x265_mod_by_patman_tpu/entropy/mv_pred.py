@@ -4,16 +4,43 @@ Analog of the reference's CUData::getInterMergeCandidates / getPMV
 (x265 source/common/cudata.cpp), shared verbatim by the encoder's entropy
 stage and the validation decoder so both sides derive identical lists.
 
-v1 scope: P slices, single reference (no temporal MVP, no scaling — with
-one ref picture all candidates are same-ref by construction).
+Full two-list (B slice) motion with POC-distance MV scaling for spatial
+AMVP candidates; temporal MVP is not used (slice_temporal_mvp off).
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ..frame.zscan import zscan_scalar
+
+
+@dataclass(frozen=True)
+class Motion:
+    """Full inter motion of a PU: direction bitmask (1=L0, 2=L1) plus
+    per-list MV/ref (unused list slots zeroed, ref -1)."""
+    dir: int
+    mv0: Tuple[int, int] = (0, 0)
+    ref0: int = -1
+    mv1: Tuple[int, int] = (0, 0)
+    ref1: int = -1
+
+    def mv(self, lst: int) -> Tuple[int, int]:
+        return self.mv0 if lst == 0 else self.mv1
+
+    def ref(self, lst: int) -> int:
+        return self.ref0 if lst == 0 else self.ref1
+
+    def has(self, lst: int) -> bool:
+        return bool(self.dir & (1 << lst))
+
+
+def uni_motion(lst: int, mv: Tuple[int, int], ref: int) -> Motion:
+    if lst == 0:
+        return Motion(1, mv, ref)
+    return Motion(2, (0, 0), -1, mv, ref)
 
 
 class InterMaps:
@@ -27,23 +54,28 @@ class InterMaps:
         self.w_ctus = -(-width // (1 << log2_ctu))
         w4 = -(-width // 4)
         h4 = -(-height // 4)
-        self.inter = np.zeros((h4, w4), dtype=bool)
+        self.dir = np.zeros((h4, w4), dtype=np.int8)    # 0 = intra/uncoded
         self.coded = np.zeros((h4, w4), dtype=bool)
         self.skip = np.zeros((h4, w4), dtype=bool)
-        self.mv = np.zeros((h4, w4, 2), dtype=np.int32)
-        self.ref = np.full((h4, w4), -1, dtype=np.int8)
+        self.mv = np.zeros((h4, w4, 2, 2), dtype=np.int32)
+        self.ref = np.full((h4, w4, 2), -1, dtype=np.int8)
 
-    def set_cu(self, x0: int, y0: int, log2_size: int, is_inter: bool,
-               mv=(0, 0), ref: int = -1, skip: bool = False) -> None:
+    def set_cu(self, x0: int, y0: int, log2_size: int, motion=None,
+               skip: bool = False) -> None:
+        """motion: Motion for inter CUs, None for intra."""
         n4 = 1 << (log2_size - 2)
         ys = slice(y0 >> 2, (y0 >> 2) + n4)
         xs = slice(x0 >> 2, (x0 >> 2) + n4)
         self.coded[ys, xs] = True
-        self.inter[ys, xs] = is_inter
         self.skip[ys, xs] = skip
-        if is_inter:
-            self.mv[ys, xs] = mv
-            self.ref[ys, xs] = ref
+        if motion is None:
+            self.dir[ys, xs] = 0
+        else:
+            self.dir[ys, xs] = motion.dir
+            self.mv[ys, xs, 0] = motion.mv0
+            self.mv[ys, xs, 1] = motion.mv1
+            self.ref[ys, xs, 0] = motion.ref0
+            self.ref[ys, xs, 1] = motion.ref1
 
     def _avail(self, x: int, y: int, z0: int) -> bool:
         if x < 0 or y < 0 or x >= self.w or y >= self.h:
@@ -52,16 +84,20 @@ class InterMaps:
             return False
         return zscan_scalar(x, y, self.log2_ctu, self.w_ctus) < z0
 
-    def motion_at(self, x: int, y: int, z0: int):
-        """(mvx, mvy, ref) of the inter PU covering luma sample (x, y), or
-        None if unavailable/intra."""
+    def motion_at(self, x: int, y: int, z0: int) -> Optional[Motion]:
+        """Motion of the inter PU covering luma sample (x, y), or None."""
         if not self._avail(x, y, z0):
             return None
-        if not self.inter[y >> 2, x >> 2]:
+        d = int(self.dir[y >> 2, x >> 2])
+        if d == 0:
             return None
-        return (int(self.mv[y >> 2, x >> 2, 0]),
-                int(self.mv[y >> 2, x >> 2, 1]),
-                int(self.ref[y >> 2, x >> 2]))
+        return Motion(d,
+                      (int(self.mv[y >> 2, x >> 2, 0, 0]),
+                       int(self.mv[y >> 2, x >> 2, 0, 1])),
+                      int(self.ref[y >> 2, x >> 2, 0]),
+                      (int(self.mv[y >> 2, x >> 2, 1, 0]),
+                       int(self.mv[y >> 2, x >> 2, 1, 1])),
+                      int(self.ref[y >> 2, x >> 2, 1]))
 
     def skip_at(self, x: int, y: int) -> bool:
         if x < 0 or y < 0 or x >= self.w or y >= self.h:
@@ -71,15 +107,15 @@ class InterMaps:
 
 def merge_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
                      z0: int, max_cands: int = 3,
-                     num_refs: int = 1) -> List[Tuple[int, int, int]]:
+                     num_refs=(1, 0), ref_pocs=None) -> List[Motion]:
     """Spatial merge candidate list for a 2Nx2N PU (spec 8.5.3.2.3);
-    temporal candidate omitted (slice_temporal_mvp off).  Zero-filled to
-    max_cands."""
+    temporal candidate omitted.  Combined-bi stage (8.5.3.2.4 needs ref
+    POCs) then zero fill (bi zeros for B, L0 zeros for P)."""
     a1 = maps.motion_at(x0 - 1, y0 + nbs - 1, z0)
     b1 = maps.motion_at(x0 + nbs - 1, y0 - 1, z0)
     b0 = maps.motion_at(x0 + nbs, y0 - 1, z0)
     a0 = maps.motion_at(x0 - 1, y0 + nbs, z0)
-    cands: List[Tuple[int, int, int]] = []
+    cands: List[Motion] = []
     if a1 is not None:
         cands.append(a1)
     if b1 is not None and b1 != a1:
@@ -92,37 +128,110 @@ def merge_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
         b2 = maps.motion_at(x0 - 1, y0 - 1, z0)
         if b2 is not None and b2 != a1 and b2 != b1:
             cands.append(b2)
-    # zero candidates with increasing ref idx (spec 8.5.3.2.4)
+    # combined bi-predictive candidates (spec 8.5.3.2.4) are only derived
+    # from existing bi lists; with spatial-only cands and no TMVP the
+    # combined stage contributes when two uni cands of opposite lists
+    # exist — HEVC derives them for B slices:
+    is_b = num_refs[1] > 0
+    if is_b and len(cands) > 1 and len(cands) < max_cands:
+        order = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+                 (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
+        base = list(cands)
+        for (i, j) in order:
+            if len(cands) >= max_cands:
+                break
+            if i >= len(base) or j >= len(base):
+                continue
+            ci, cj = base[i], base[j]
+            if ci.has(0) and cj.has(1):
+                # add unless both directions reference the same picture
+                # with the same MV (POC comparison, spec 8.5.3.2.4)
+                same_pic = (ref_pocs is not None and
+                            ref_pocs[0][ci.ref0] == ref_pocs[1][cj.ref1])
+                if same_pic and ci.mv0 == cj.mv1:
+                    continue
+                cands.append(Motion(3, ci.mv0, ci.ref0, cj.mv1, cj.ref1))
     zero_ref = 0
+    nr = min(num_refs[0], num_refs[1]) if is_b else num_refs[0]
     while len(cands) < max_cands:
-        cands.append((0, 0, min(zero_ref, num_refs - 1)))
+        r = zero_ref if zero_ref < nr else 0
+        if is_b:
+            cands.append(Motion(3, (0, 0), r, (0, 0), r))
+        else:
+            cands.append(Motion(1, (0, 0), r))
         zero_ref += 1
     return cands[:max_cands]
 
 
+def _scale_mv(mv: Tuple[int, int], tb: int, td: int) -> Tuple[int, int]:
+    """POC-distance MV scaling (spec 8.5.3.2.8 derivation)."""
+    if td == tb:
+        return mv
+    tx = (16384 + (abs(td) >> 1)) // td
+    dsf = min(4095, max(-4096, (tb * tx + 32) >> 6))
+    out = []
+    for c in mv:
+        v = dsf * c
+        s = (abs(v) + 127) >> 8
+        out.append(min(32767, max(-32768, -s if v < 0 else s)))
+    return (out[0], out[1])
+
+
 def amvp_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
-                    z0: int, ref_idx: int = 0) -> List[Tuple[int, int]]:
-    """AMVP list (2 entries) for single-ref P slices (spec 8.5.3.2.6
-    simplified: one ref picture -> every neighbor is same-ref, no
-    scaling)."""
-    a = None
-    for (nx, ny) in ((x0 - 1, y0 + nbs), (x0 - 1, y0 + nbs - 1)):
-        m = maps.motion_at(nx, ny, z0)
-        if m is not None:
-            a = (m[0], m[1])
-            break
-    b = None
-    for (nx, ny) in ((x0 + nbs, y0 - 1), (x0 + nbs - 1, y0 - 1),
-                     (x0 - 1, y0 - 1)):
-        m = maps.motion_at(nx, ny, z0)
-        if m is not None:
-            b = (m[0], m[1])
-            break
+                    z0: int, lst: int, ref_idx: int,
+                    ref_pocs, cur_poc: int) -> List[Tuple[int, int]]:
+    """AMVP list (2 entries) for list `lst` (spec 8.5.3.2.6/7).
+
+    ref_pocs: (pocs_l0, pocs_l1) tuples of reference POCs.
+    Spatial candidates only (no TMVP); same-POC pass then scaled pass
+    following the spec's A/B candidate rules.
+    """
+    target_poc = ref_pocs[lst][ref_idx]
+
+    def neigh(nx, ny):
+        return maps.motion_at(nx, ny, z0)
+
+    a_pos = ((x0 - 1, y0 + nbs), (x0 - 1, y0 + nbs - 1))
+    b_pos = ((x0 + nbs, y0 - 1), (x0 + nbs - 1, y0 - 1), (x0 - 1, y0 - 1))
+    a_motions = [neigh(*p) for p in a_pos]
+    b_motions = [neigh(*p) for p in b_pos]
+
+    def same_poc_pass(motions):
+        for m in motions:
+            if m is None:
+                continue
+            for l in (lst, 1 - lst):
+                if m.has(l) and ref_pocs[l][m.ref(l)] == target_poc:
+                    return m.mv(l)
+        return None
+
+    def scaled_pass(motions):
+        for m in motions:
+            if m is None:
+                continue
+            for l in (lst, 1 - lst):
+                if m.has(l):
+                    src_poc = ref_pocs[l][m.ref(l)]
+                    tb = cur_poc - target_poc
+                    td = cur_poc - src_poc
+                    if td == 0:
+                        continue
+                    return _scale_mv(m.mv(l), tb, td)
+        return None
+
+    mv_a = same_poc_pass(a_motions)
+    is_scaled = any(m is not None for m in a_motions)
+    if mv_a is None and is_scaled:
+        mv_a = scaled_pass(a_motions)
+    mv_b = same_poc_pass(b_motions)
+    if mv_b is None and not is_scaled:
+        mv_b = scaled_pass(b_motions)
+
     cands: List[Tuple[int, int]] = []
-    if a is not None:
-        cands.append(a)
-    if b is not None and b != a:
-        cands.append(b)
+    if mv_a is not None:
+        cands.append(mv_a)
+    if mv_b is not None and mv_b != mv_a:
+        cands.append(mv_b)
     while len(cands) < 2:
         cands.append((0, 0))
     return cands[:2]

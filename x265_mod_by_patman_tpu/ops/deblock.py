@@ -55,25 +55,77 @@ def intra_bs_maps(width: int, height: int, tu_size: int = 16):
 
 def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
                   cbf_luma: np.ndarray, width: int, height: int,
-                  block: int = 16):
-    """BS maps for a P frame with a uniform CU/TU grid (spec 8.7.2.4):
-    edges on the 8-px grid that are block boundaries get BS 2 if either
-    side is intra, else 1 if either side has luma coefficients or the MV
-    difference is >= 1 integer sample (4 qpel), else 0.
+                  block: int = 16, dirs: np.ndarray = None,
+                  mvs1: np.ndarray = None, poc0: np.ndarray = None,
+                  poc1: np.ndarray = None):
+    """BS maps for a P/B frame with a uniform CU/TU grid (spec 8.7.2.4):
+    block-boundary edges on the 8-px grid get BS 2 if either side is
+    intra, else 1 if either side has luma coefficients or the motion
+    differs (different ref pictures, different MV count, or any matched
+    MV component differing by >= 4 qpel), else 0.
 
-    intra_mask/cbf_luma: (nby, nbx) bool; mvs: (nby, nbx, 2) qpel.
+    intra_mask/cbf_luma: (nby, nbx) bool; mvs: (nby, nbx, 2) L0 qpel.
+    B extras: dirs (bitmask 1/2/3), mvs1 (L1), poc0/poc1 per-block ref
+    POCs.  P default: dirs=1 everywhere, single ref.
     """
+    nby, nbx = intra_mask.shape
+    if dirs is None:
+        dirs = np.ones((nby, nbx), np.int32)
+    if mvs1 is None:
+        mvs1 = np.zeros_like(mvs)
+    if poc0 is None:
+        poc0 = np.zeros((nby, nbx), np.int64)
+    if poc1 is None:
+        poc1 = np.zeros((nby, nbx), np.int64)
     ev = width // 8 - 1
     eh = height // 8 - 1
     bs_v = np.zeros((height // 4, max(ev, 0)), dtype=np.int32)
     bs_h = np.zeros((max(eh, 0), width // 4), dtype=np.int32)
-    gpr = block // 4          # 4-row groups per block row
+
+    def motion_differs(p, q):
+        dp, dq = dirs[p], dirs[q]
+        np_ = (dp & 1) + ((dp >> 1) & 1)
+        nq_ = (dq & 1) + ((dq >> 1) & 1)
+        diff = np_ != nq_
+        # canonical active (poc, mv) per side: uni -> its list; bi -> both
+        def active(idx, d):
+            a_poc = np.where(d == 2, poc1[idx], poc0[idx])
+            a_mv = np.where((d == 2)[..., None], mvs1[idx], mvs[idx])
+            return a_poc, a_mv
+        ap, amvp = active(p, dp)
+        aq, amvq = active(q, dq)
+        uni = (np_ == 1) & (nq_ == 1)
+        uni_diff = (ap != aq) | \
+            (np.abs(amvp.astype(np.int64) - amvq).max(axis=-1) >= 4)
+        bi = (np_ == 2) & (nq_ == 2)
+        # ref-pair equality (unordered)
+        pair_p = np.stack([np.minimum(poc0[p], poc1[p]),
+                           np.maximum(poc0[p], poc1[p])], -1)
+        pair_q = np.stack([np.minimum(poc0[q], poc1[q]),
+                           np.maximum(poc0[q], poc1[q])], -1)
+        pair_diff = np.any(pair_p != pair_q, axis=-1)
+        # same ref pair: straight and swapped MV matchings
+        d00 = np.abs(mvs[p].astype(np.int64) - mvs[q]).max(axis=-1)
+        d11 = np.abs(mvs1[p].astype(np.int64) - mvs1[q]).max(axis=-1)
+        d01 = np.abs(mvs[p].astype(np.int64) - mvs1[q]).max(axis=-1)
+        d10 = np.abs(mvs1[p].astype(np.int64) - mvs[q]).max(axis=-1)
+        straight = (d00 < 4) & (d11 < 4)
+        swapped = (d01 < 4) & (d10 < 4)
+        same_refs = poc0[p] == poc1[p]            # both lists same pic
+        # distinct refs: lists are matched by picture; if L0/L1 pics are
+        # swapped between P and Q the cross pairing applies
+        l0_matches = poc0[p] == poc0[q]
+        bi_diff = pair_diff | np.where(
+            same_refs, ~(straight | swapped),
+            np.where(l0_matches, ~straight, ~swapped))
+        return np.where(diff, True,
+                        np.where(uni, uni_diff,
+                                 np.where(bi, bi_diff, True)))
 
     def seg_bs(p, q):
         ip, iq = intra_mask[p], intra_mask[q]
         two = ip | iq
-        mvd = np.abs(mvs[p].astype(np.int64) - mvs[q]).max(axis=-1) >= 4
-        one = cbf_luma[p] | cbf_luma[q] | mvd
+        one = cbf_luma[p] | cbf_luma[q] | motion_differs(p, q)
         return np.where(two, 2, np.where(one, 1, 0))
 
     for e in range(ev):

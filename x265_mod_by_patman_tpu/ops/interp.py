@@ -181,3 +181,99 @@ def mc_batch(ref, x0, y0, mv_x, mv_y, n: int, c_idx: int = 0,
                     jnp.where(fx_nz, h_only,
                               jnp.where(fy_nz, v_only, center)))
     return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "c_idx", "bit_depth"))
+def mc_batch_14(ref, x0, y0, mv_x, mv_y, n: int, c_idx: int = 0,
+                bit_depth: int = 8):
+    """Batched MC keeping the 14-bit intermediate (spec predSamplesLX),
+    for bi-prediction combining (8.5.4.3: bi output = (L0 + L1 +
+    offset2) >> (15 - B))."""
+    taps_np = (LUMA_FILTER if c_idx == 0 else CHROMA_FILTER).astype(np.int32)
+    nt = LUMA_TAPS if c_idx == 0 else CHROMA_TAPS
+    fb = 2 if c_idx == 0 else 3
+    half = nt // 2 - 1
+    shift1 = bit_depth - 8
+
+    fx = mv_x & ((1 << fb) - 1)
+    fy = mv_y & ((1 << fb) - 1)
+    ix = x0 + (mv_x >> fb)
+    iy = y0 + (mv_y >> fb)
+    win = _gather_windows(ref, ix, iy, n, nt)
+    taps = jnp.asarray(taps_np)
+    tx = taps[fx]
+    ty = taps[fy]
+
+    def filt_h(w_, t_):
+        out_len = w_.shape[2] - nt + 1
+        acc = None
+        for i in range(nt):
+            term = t_[:, i, None, None] * w_[:, :, i:i + out_len]
+            acc = term if acc is None else acc + term
+        return acc
+
+    def filt_v(w_, t_):
+        out_len = w_.shape[1] - nt + 1
+        acc = None
+        for i in range(nt):
+            term = t_[:, i, None, None] * w_[:, i:i + out_len, :]
+            acc = term if acc is None else acc + term
+        return acc
+
+    center = win[:, half:half + n, half:half + n] << (14 - bit_depth)
+    h_only = filt_h(win[:, half:half + n, :], tx) >> shift1
+    v_only = filt_v(win[:, :, half:half + n], ty) >> shift1
+    tmp = filt_h(win, tx) >> shift1
+    hv = filt_v(tmp, ty) >> 6
+
+    fx_nz = (fx != 0)[:, None, None]
+    fy_nz = (fy != 0)[:, None, None]
+    return jnp.where(fx_nz & fy_nz, hv,
+                     jnp.where(fx_nz, h_only,
+                               jnp.where(fy_nz, v_only, center)))
+
+
+def bi_combine(p0_14, p1_14, bit_depth: int = 8):
+    """Default bi-prediction combine of two 14-bit predictions."""
+    sh = 15 - bit_depth
+    off = 1 << (sh - 1)
+    return jnp.clip((p0_14 + p1_14 + off) >> sh, 0, (1 << bit_depth) - 1)
+
+
+def mc_block_ref_14(ref: np.ndarray, x: int, y: int, mv_x: int, mv_y: int,
+                    w: int, h: int, c_idx: int = 0,
+                    bit_depth: int = 8) -> np.ndarray:
+    """Golden 14-bit MC (decoder bi path)."""
+    taps_tbl = LUMA_FILTER if c_idx == 0 else CHROMA_FILTER
+    nt = LUMA_TAPS if c_idx == 0 else CHROMA_TAPS
+    frac_bits = 2 if c_idx == 0 else 3
+    fx = mv_x & ((1 << frac_bits) - 1)
+    fy = mv_y & ((1 << frac_bits) - 1)
+    ix = x + (mv_x >> frac_bits)
+    iy = y + (mv_y >> frac_bits)
+    half = nt // 2 - 1
+    ph, pw = ref.shape
+    shift1 = bit_depth - 8
+    ys = np.clip(np.arange(iy - half, iy + h + nt - 1 - half), 0, ph - 1)
+    xs = np.clip(np.arange(ix - half, ix + w + nt - 1 - half), 0, pw - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    if fx == 0 and fy == 0:
+        return (win[half:half + h, half:half + w]
+                << (14 - bit_depth)).astype(np.int32)
+    if fy == 0:
+        acc = _filt1d_ref(win[half:half + h, :], taps_tbl[fx], axis=1)
+        return (acc >> shift1).astype(np.int32)
+    if fx == 0:
+        acc = _filt1d_ref(win[:, half:half + w], taps_tbl[fy], axis=0)
+        return (acc >> shift1).astype(np.int32)
+    tmp = _filt1d_ref(win, taps_tbl[fx], axis=1) >> shift1
+    return (_filt1d_ref(tmp, taps_tbl[fy], axis=0) >> 6).astype(np.int32)
+
+
+def bi_combine_ref(p0_14: np.ndarray, p1_14: np.ndarray,
+                   bit_depth: int = 8) -> np.ndarray:
+    sh = 15 - bit_depth
+    off = 1 << (sh - 1)
+    return np.clip((p0_14.astype(np.int64) + p1_14 + off) >> sh, 0,
+                   (1 << bit_depth) - 1).astype(np.int32)
