@@ -37,8 +37,9 @@ from ..entropy.cabac import encode_ir_to_writer
 from ..entropy.contexts import init_states
 from ..entropy.cu_syntax import CodedCU, SliceSyntaxEncoder
 from ..analysis.intra_mode import decide_modes
+from ..rc.ratecontrol import RateControl, frame_complexity
 from ..analysis.inter_mode import analyse_b_frame, analyse_p_frame
-from ..frame.recon_intra import IntraReconstructor
+from ..frame.recon_intra import IntraReconstructor, chroma_qp
 from ..ops.deblock import (
     chroma_on_maps, deblock_frame_batch, inter_bs_maps, intra_bs_maps)
 
@@ -76,7 +77,8 @@ class Encoder:
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = False
         self.sps.temporal_mvp = False
-        self._recons: Dict[int, IntraReconstructor] = {}
+        self.recon = IntraReconstructor(self.sps, self.p.cb_qp_offset,
+                                        self.p.cr_qp_offset)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)
@@ -84,17 +86,13 @@ class Encoder:
         self._headers_sent = False
         self.bframes = max(0, self.p.bframes) if self.p.keyframe_max > 1 \
             else 0
+        self.rc = RateControl(self.p.rc_mode, self.p.qp, self.p.crf,
+                              self.p.bitrate_kbps,
+                              self.p.fps_num / max(1, self.p.fps_denom),
+                              self.sps.width, self.sps.height,
+                              self.p.qp_min, self.p.qp_max)
+        self._prev_src_y = None
 
-    def _recon_for(self, qp: int) -> IntraReconstructor:
-        if qp not in self._recons:
-            self._recons[qp] = IntraReconstructor(
-                self.sps, qp, self.p.cb_qp_offset, self.p.cr_qp_offset)
-        return self._recons[qp]
-
-    def _qp_for(self, ftype: str) -> int:
-        return int(np.clip(self.p.qp + QP_OFFSET[ftype]
-                           if self.p.keyframe_max > 1 else self.p.qp,
-                           0, 51))
 
     # -- headers -------------------------------------------------------------
     def headers(self) -> bytes:
@@ -107,14 +105,16 @@ class Encoder:
                      v: np.ndarray) -> List[EncodedFrame]:
         p = self.p
         planes = (self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+        cplx = frame_complexity(planes[0], self._prev_src_y)
+        self._prev_src_y = planes[0]
         out: List[EncodedFrame] = []
         force_idr = (self.frame_count % max(1, p.keyframe_max) == 0)
         if force_idr:
             out.extend(self.flush())
             self._disp_since_idr = 0
-            out.append(self._encode_picture(planes, 0, "I"))
+            out.append(self._encode_picture(planes, 0, "I", cplx))
         else:
-            self._queue.append((planes, self._disp_since_idr))
+            self._queue.append((planes, self._disp_since_idr, cplx))
             if len(self._queue) >= self.bframes + 1:
                 out.extend(self._emit_minigop())
         self.frame_count += 1
@@ -127,10 +127,11 @@ class Encoder:
     def _emit_minigop(self) -> List[EncodedFrame]:
         frames = self._queue
         self._queue = []
-        out = [self._encode_picture(frames[-1][0], frames[-1][1], "P")]
+        out = [self._encode_picture(frames[-1][0], frames[-1][1], "P",
+                                    frames[-1][2])]
         anchor1 = out[0]
-        for (planes, poc) in frames[:-1]:
-            out.append(self._encode_picture(planes, poc, "B",
+        for (planes, poc, cplx) in frames[:-1]:
+            out.append(self._encode_picture(planes, poc, "B", cplx,
                                             next_anchor=anchor1))
         # decode order emitted; DPB anchor advances to the new P
         self._anchor = (anchor1.recon, anchor1.poc)
@@ -138,17 +139,18 @@ class Encoder:
 
     # -- one picture -----------------------------------------------------------
     def _encode_picture(self, planes, poc: int, ftype: str,
+                        complexity: float = 0.0,
                         next_anchor: Optional[EncodedFrame] = None
                         ) -> EncodedFrame:
         p = self.p
         y, u, v = planes
-        qp = self._qp_for(ftype)
-        recon = self._recon_for(qp)
+        qp = self.rc.frame_qp(ftype, complexity)
+        recon = self.recon
         dirs = None
         mvs1 = None
         if ftype == "I":
             modes = decide_modes(y, self.sps, block=16)
-            r = recon.run(y, u, v, modes)
+            r = recon.run(y, u, v, modes, qp=qp)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -157,13 +159,13 @@ class Encoder:
             modes, inter_mask, mvs, mc = analyse_p_frame(
                 y, u, v, *self._anchor[0], self.sps, qp,
                 search_range=min(p.search_range, 24))
-            r = recon.run(y, u, v, modes, mc, inter_mask)
+            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
             ref_pocs = ((self._anchor[1],), ())
         else:
             modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
                 y, u, v, self._anchor[0], next_anchor.recon, self.sps, qp,
                 search_range=min(p.search_range, 24))
-            r = recon.run(y, u, v, modes, mc, inter_mask)
+            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
             ref_pocs = ((self._anchor[1],), (next_anchor.poc,))
 
         slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
@@ -183,6 +185,7 @@ class Encoder:
         frame = EncodedFrame(poc, out,
                              (r["recon_y"], r["recon_u"], r["recon_v"]),
                              bits=len(out) * 8, md5=md5, slice_type=ftype)
+        self.rc.update(ftype, qp, frame.bits, complexity)
         if ftype == "I":
             self._anchor = (frame.recon, poc)
         return frame
@@ -218,7 +221,8 @@ class Encoder:
             jnp.asarray(r["recon_v"].astype(np.int32)),
             jnp.asarray(bs_v), jnp.asarray(bs_h),
             jnp.asarray(on_v), jnp.asarray(on_h),
-            qp, recon.qp_cb, recon.qp_cr,
+            qp, chroma_qp(qp, p.cb_qp_offset),
+            chroma_qp(qp, p.cr_qp_offset),
             p.deblock_beta_offset, p.deblock_tc_offset)
         r["recon_y"] = np.asarray(dy).astype(np.uint8)
         r["recon_u"] = np.asarray(du).astype(np.uint8)
@@ -265,7 +269,7 @@ class Encoder:
                                  cur_poc=poc)
         ir = BinIR(1 << 18)
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
-        rec = self._recon_for(qp)
+        rec = self.recon
         bpc = rec.bpc
         nbx, nby = rec.nbx, rec.nby
         for cy in range(n_ctu_y):

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..constants.hevc_tables import CHROMA_QP_TABLE
 from ..ops.intra import intra_pred_select_batch, substitute_filter_batch
 from ..ops.transform import (
-    dct_batch, quant_batch, quant_batch_mask, dequant_batch, idct_batch)
+    dct_batch, quant_dyn, dequant_dyn, idct_batch)
 from .zscan import frame_avail_masks, ctu_wavefront_order
 
 
@@ -33,7 +33,7 @@ def chroma_qp(qp: int, offset: int = 0) -> int:
 
 
 def _substep_body(plane, levels, orig, bx, by, modes, avail,
-                  log2n: int, qp: int, c_idx: int, bit_depth: int = 8,
+                  log2n: int, qp, c_idx: int, bit_depth: int = 8,
                   mc_pred=None, inter_mask=None):
     """One wavefront substep for one component (traced inline).
 
@@ -65,6 +65,9 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     if mc_pred is not None:
         is_inter = inter_mask[by, bx]                       # (B,)
         pred = jnp.where(is_inter[:, None, None], mc_pred[by, bx], pred)
+        intra_mask = ~is_inter
+    else:
+        intra_mask = jnp.ones(bx.shape, bool)
     gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
     gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
     gyc = jnp.clip(gy, 0, orig.shape[0] - 1)
@@ -72,11 +75,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     org = orig[gyc, gxc].astype(jnp.int32)
     resi = org - pred
     coef = dct_batch(resi, log2n, bit_depth)
-    if mc_pred is not None:
-        lev = quant_batch_mask(coef, ~is_inter, qp, log2n, bit_depth)
-    else:
-        lev = quant_batch(coef, qp, log2n, bit_depth, is_intra=True)
-    deq = dequant_batch(lev, qp, log2n, bit_depth)
+    lev = quant_dyn(coef, intra_mask, qp, log2n, bit_depth)
+    deq = dequant_dyn(lev, qp, log2n, bit_depth)
     rres = idct_batch(deq, log2n, bit_depth)
     recon = jnp.clip(pred + rres, 0, maxval)
 
@@ -88,20 +88,20 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
 # standalone-jitted variant for unit tests / kernel benches
 _component_substep = jax.jit(
     _substep_body,
-    static_argnames=("log2n", "qp", "c_idx", "bit_depth"),
+    static_argnames=("log2n", "c_idx", "bit_depth"),
     donate_argnums=(0, 1),
 )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qp", "qp_cb", "qp_cr", "bit_depth"),
+    static_argnames=("bit_depth",),
     donate_argnums=(0, 1, 2, 3, 4, 5),
 )
 def _wavefront_run(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                    sb_bx, sb_by, sb_avy, sb_avc,
                    mc_y, mc_u, mc_v, inter_mask,
-                   qp: int, qp_cb: int, qp_cr: int, bit_depth: int = 8):
+                   qp, qp_cb, qp_cr, bit_depth: int = 8):
     """Run the full wavefront schedule in one compiled loop.
 
     sb_bx/sb_by: (S, B) int32 block coords per substep
@@ -132,14 +132,15 @@ def _wavefront_run(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
 
 
 class IntraReconstructor:
-    """Runs the wavefront over a frame; produces recon planes + levels."""
+    """Runs the wavefront over a frame; produces recon planes + levels.
+    QP is a per-run traced argument — one compiled program serves every
+    QP (rate-control requirement)."""
 
-    def __init__(self, sps, qp: int, cb_qp_offset: int = 0,
+    def __init__(self, sps, cb_qp_offset: int = 0,
                  cr_qp_offset: int = 0) -> None:
         self.sps = sps
-        self.qp = qp
-        self.qp_cb = chroma_qp(qp, cb_qp_offset)
-        self.qp_cr = chroma_qp(qp, cr_qp_offset)
+        self.cb_qp_offset = cb_qp_offset
+        self.cr_qp_offset = cr_qp_offset
         self.bd = sps.bit_depth
         self.log2_ctu = sps.log2_ctu_size
         self.nl = 16                       # luma block size (v1 uniform)
@@ -193,11 +194,14 @@ class IntraReconstructor:
         self.sb_avc = jnp.asarray(np.stack(avcs))
 
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-            modes: np.ndarray, mc_pred=None, inter_mask=None):
+            modes: np.ndarray, mc_pred=None, inter_mask=None,
+            qp: int = 32):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
         Returns dict of recon planes and level arrays."""
+        qp_cb = chroma_qp(qp, self.cb_qp_offset)
+        qp_cr = chroma_qp(qp, self.cr_qp_offset)
         nl, nc = self.nl, self.nc
         w, h = self.sps.width, self.sps.height
         wc, hc = w // 2, h // 2
@@ -229,7 +233,7 @@ class IntraReconstructor:
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
-            self.qp, self.qp_cb, self.qp_cr, self.bd)
+            jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd)
 
         return {
             "recon_y": np.asarray(yp[:h]).astype(np.uint8),

@@ -305,24 +305,24 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
 # Batched JAX implementation
 # ---------------------------------------------------------------------------
 
-def _luma_edges_pass(plane, bs, edge_x, qp: int, beta_off: int, tc_off: int,
+def _luma_edges_pass(plane, bs, edge_x, qp, beta_off: int, tc_off: int,
                      bit_depth: int):
     """Filter all vertical luma edges of a plane in one shot.
 
-    plane: (H, W) int32;  bs: (H/4, E) int32;  edge_x: (E,) int32.
+    plane: (H, W) int32;  bs: (H/4, E) int32;  edge_x: (E,) int32;
+    qp: traced int32 scalar (one compiled program for all QPs).
     Horizontal pass = call on transposed plane with transposed maps.
     """
     h, w = plane.shape
     e_cnt = edge_x.shape[0]
     if e_cnt == 0:
         return plane
-    idx_b = min(max(qp + (beta_off << 1), 0), 51)
-    beta = int(DEBLOCK_BETA[idx_b]) << (bit_depth - 8)
-    tc_bs = [0, 0, 0]
-    for b in (1, 2):
-        idx_t = min(max(qp + 2 * (b - 1) + (tc_off << 1), 0), 53)
-        tc_bs[b] = int(DEBLOCK_TC[idx_t]) << (bit_depth - 8)
-    tc_arr = jnp.asarray(np.array(tc_bs, np.int32))
+    qp = jnp.asarray(qp, jnp.int32)
+    idx_b = jnp.clip(qp + (beta_off << 1), 0, 51)
+    beta = jnp.asarray(DEBLOCK_BETA)[idx_b] << (bit_depth - 8)
+    idx_t = jnp.clip(qp + 2 * (jnp.arange(3) - 1) + (tc_off << 1), 0, 53)
+    tc_arr = jnp.where(jnp.arange(3) > 0,
+                       jnp.asarray(DEBLOCK_TC)[idx_t] << (bit_depth - 8), 0)
     maxv = (1 << bit_depth) - 1
 
     cols = edge_x[:, None] + jnp.arange(-4, 4)[None, :]      # (E, 8)
@@ -391,22 +391,23 @@ def _luma_edges_pass(plane, bs, edge_x, qp: int, beta_off: int, tc_off: int,
     return plane.at[:, cols].set(new_seg)
 
 
-def _chroma_edges_pass(plane, on, edge_x, qpc: int, tc_off: int,
+def _chroma_edges_pass(plane, on, edge_x, qpc, tc_off: int,
                        bit_depth: int):
-    """All vertical chroma edges; on: (H, E) bool per-sample edge mask."""
+    """All vertical chroma edges; on: (H, E) bool per-sample edge mask;
+    qpc traced."""
     h, w = plane.shape
     e_cnt = edge_x.shape[0]
     if e_cnt == 0:
         return plane
-    idx_t = min(max(qpc + 2 + (tc_off << 1), 0), 53)
-    tc = int(DEBLOCK_TC[idx_t]) << (bit_depth - 8)
-    if tc == 0:
-        return plane
+    qpc = jnp.asarray(qpc, jnp.int32)
+    idx_t = jnp.clip(qpc + 2 + (tc_off << 1), 0, 53)
+    tc = jnp.asarray(DEBLOCK_TC)[idx_t] << (bit_depth - 8)
     maxv = (1 << bit_depth) - 1
     cols = edge_x[:, None] + jnp.arange(-2, 2)[None, :]      # (E, 4)
     seg = plane[:, cols].astype(jnp.int32)                   # (H, E, 4)
     p1, p0, q0, q1 = seg[..., 0], seg[..., 1], seg[..., 2], seg[..., 3]
     delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    on = on & (tc > 0)
     np0 = jnp.where(on, jnp.clip(p0 + delta, 0, maxv), p0)
     nq0 = jnp.where(on, jnp.clip(q0 - delta, 0, maxv), q0)
     new_seg = jnp.stack([p1, np0, nq0, q1], axis=-1)
@@ -414,9 +415,9 @@ def _chroma_edges_pass(plane, on, edge_x, qpc: int, tc_off: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "qp", "qpc_cb", "qpc_cr", "beta_off", "tc_off", "bit_depth"))
-def deblock_frame_batch(y, u, v, bs_v, bs_h, on_vc, on_hc, qp: int,
-                        qpc_cb: int, qpc_cr: int, beta_off: int = 0,
+    "beta_off", "tc_off", "bit_depth"))
+def deblock_frame_batch(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
+                        qpc_cb, qpc_cr, beta_off: int = 0,
                         tc_off: int = 0, bit_depth: int = 8):
     """Deblock a full 4:2:0 frame: luma + chroma, V edges then H edges.
 

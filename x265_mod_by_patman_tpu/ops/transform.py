@@ -182,3 +182,33 @@ def dequant_batch(level: jnp.ndarray, qp: int, log2_size: int,
     lv = level.astype(jnp.int32)
     coef = (lv * scale + (1 << (shift - 1))) >> shift
     return jnp.clip(coef, -32768, 32767).astype(jnp.int32)
+
+
+# --- dynamic-QP variants (qp as a traced scalar: ONE compiled program for
+# all QPs — the requirement for rate control / AQ without recompiles) ------
+
+def quant_dyn(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
+              log2_size: int, bit_depth: int = 8) -> jnp.ndarray:
+    """quant with traced qp scalar + per-block intra/inter rounding."""
+    qp = jnp.asarray(qp, jnp.int32)
+    per, rem = qp // 6, qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = QUANT_SHIFT + per + transform_shift
+    add = jnp.where(intra_mask, 171, 85).astype(jnp.int32) << (qbits - 9)
+    scale = jnp.asarray(QUANT_SCALES)[rem]
+    c = coef.astype(jnp.int32)
+    level = jnp.clip((jnp.abs(c) * scale + add[:, None, None]) >> qbits,
+                     0, 32767)
+    return (jnp.sign(c) * level).astype(jnp.int32)
+
+
+def dequant_dyn(level: jnp.ndarray, qp, log2_size: int,
+                bit_depth: int = 8) -> jnp.ndarray:
+    qp = jnp.asarray(qp, jnp.int32)
+    per, rem = qp // 6, qp % 6
+    transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    shift = IQUANT_SHIFT - QUANT_SHIFT - transform_shift
+    scale = jnp.asarray(INV_QUANT_SCALES)[rem] << per
+    lv = level.astype(jnp.int32)
+    coef = (lv * scale + (1 << (shift - 1))) >> shift
+    return jnp.clip(coef, -32768, 32767).astype(jnp.int32)
