@@ -99,7 +99,7 @@ def test_ctu_syntax_roundtrip(size):
     dec = SliceSyntaxDecoder(CabacDecoder(data), init_states(2, 30),
                              sps, pps, 30)
     for i, ((cx, cy), cus) in enumerate(per_ctu):
-        got, end = dec.decode_ctu(cx, cy)
+        got, end, _ = dec.decode_ctu(cx, cy)
         assert end == (1 if i == len(per_ctu) - 1 else 0)
         assert len(got) == len(cus)
         for a, b in zip(cus, got):

@@ -90,7 +90,7 @@ def test_p_slice_roundtrip(seed):
                              sps, pps, 30, slice_type=1)
     skips = merges = 0
     for i, ((cx, cy), cus) in enumerate(per_ctu):
-        got, end = dec.decode_ctu(cx, cy)
+        got, end, _ = dec.decode_ctu(cx, cy)
         assert len(got) == len(cus)
         for a, b in zip(cus, got):
             assert (a.x0, a.y0, a.is_inter) == (b.x0, b.y0, b.is_inter)

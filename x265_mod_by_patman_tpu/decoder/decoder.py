@@ -247,9 +247,12 @@ class Decoder:
         n_ctu_y = sps.pic_height_in_ctus
         end = 0
         all_cus = []
+        sao_grid = [[None] * n_ctu_x for _ in range(n_ctu_y)]
         for cy in range(n_ctu_y):
             for cx in range(n_ctu_x):
-                cus, end = syn.decode_ctu(cx, cy)
+                cus, end, sao = syn.decode_ctu(
+                    cx, cy, (sao_luma, sao_chroma))
+                sao_grid[cy][cx] = sao
                 all_cus.extend(cus)
                 for cu in cus:
                     self._recon_cu(cu, y, u, v, qp, qp_cb, qp_cr)
@@ -292,6 +295,20 @@ class Decoder:
                                    pps.deblock_tc_offset_div2)
             v = deblock_chroma_ref(v, on_v, on_h, qp_cr,
                                    pps.deblock_tc_offset_div2)
+        if sao_luma or sao_chroma:
+            from ..ops.sao import sao_apply_ref
+            ctu = 1 << sps.log2_ctu_size
+            py = [[sao_grid[cy][cx][0] for cx in range(n_ctu_x)]
+                  for cy in range(n_ctu_y)]
+            pb = [[sao_grid[cy][cx][1] for cx in range(n_ctu_x)]
+                  for cy in range(n_ctu_y)]
+            pr = [[sao_grid[cy][cx][2] for cx in range(n_ctu_x)]
+                  for cy in range(n_ctu_y)]
+            if sao_luma:
+                y = sao_apply_ref(y, py, ctu)
+            if sao_chroma:
+                u = sao_apply_ref(u, pb, ctu // 2)
+                v = sao_apply_ref(v, pr, ctu // 2)
         pic = DecodedPicture(poc, y.astype(np.uint8), u.astype(np.uint8),
                              v.astype(np.uint8))
         pic.md5 = plane_md5(pic.y, pic.u, pic.v)

@@ -75,7 +75,7 @@ class Encoder:
         self.pps.sign_hide = False
         self.pps.cu_qp_delta_enabled = False
         self.pps.deblocking_disabled = not self.p.deblock
-        self.sps.sao_enabled = False
+        self.sps.sao_enabled = bool(self.p.sao)
         self.sps.temporal_mvp = False
         self.recon = IntraReconstructor(self.sps, self.p.cb_qp_offset,
                                         self.p.cr_qp_offset)
@@ -168,9 +168,11 @@ class Encoder:
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
             ref_pocs = ((self._anchor[1],), (next_anchor.poc,))
 
-        slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
-                                        r, ftype, poc, qp, ref_pocs)
         self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, qp, recon)
+        sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
+        slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
+                                        r, ftype, poc, qp, ref_pocs,
+                                        sao_maps)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"])
 
         out = b""
@@ -228,6 +230,49 @@ class Encoder:
         r["recon_u"] = np.asarray(du).astype(np.uint8)
         r["recon_v"] = np.asarray(dv).astype(np.uint8)
 
+    def _sao(self, r: dict, oy, ou, ov, qp: int):
+        """SAO decide + apply on the deblocked recon (stats/apply batched;
+        per-CTU RDO on host).  Mutates r's recon planes; returns the
+        per-plane (type, class, band, offsets) maps for the syntax."""
+        from ..analysis.inter_mode import lambda_qp
+        from ..ops.sao import (sao_stats_batch, sao_decide,
+                               sao_decide_chroma, sao_apply_batch)
+        sps = self.sps
+        ctu = 1 << sps.log2_ctu_size
+        cctu = ctu // 2
+        lam2 = lambda_qp(qp)[1]
+
+        def padded(pl, tile):
+            h, w = pl.shape
+            ph = -(-h // tile) * tile
+            pw = -(-w // tile) * tile
+            if (ph, pw) == (h, w):
+                return jnp.asarray(pl.astype(np.int32))
+            out = np.zeros((ph, pw), np.int32)
+            out[:h, :w] = pl
+            return jnp.asarray(out)
+
+        h, w = sps.height, sps.width
+        hc, wc = h // 2, w // 2
+        st_y = sao_stats_batch(padded(np.asarray(oy), ctu),
+                               padded(r["recon_y"], ctu), ctu, h, w)
+        maps_y = sao_decide(*st_y, lam2)
+        st_cb = sao_stats_batch(padded(np.asarray(ou), cctu),
+                                padded(r["recon_u"], cctu), cctu, hc, wc)
+        st_cr = sao_stats_batch(padded(np.asarray(ov), cctu),
+                                padded(r["recon_v"], cctu), cctu, hc, wc)
+        maps_cb, maps_cr = sao_decide_chroma(st_cb, st_cr, lam2)
+        for key, maps, tile, ph, pw in (("recon_y", maps_y, ctu, h, w),
+                                        ("recon_u", maps_cb, cctu, hc, wc),
+                                        ("recon_v", maps_cr, cctu, hc, wc)):
+            out = sao_apply_batch(padded(r[key], tile),
+                                  jnp.asarray(maps[0]),
+                                  jnp.asarray(maps[1]),
+                                  jnp.asarray(maps[2]),
+                                  jnp.asarray(maps[3]), tile, ph, pw)
+            r[key] = np.asarray(out)[:ph, :pw].astype(np.uint8)
+        return maps_y, maps_cb, maps_cr
+
     def _pad(self, plane: np.ndarray, comp_shift: int) -> np.ndarray:
         """Pad a source plane to the coded (min-CU aligned) size by edge
         replication (reference PicYuv padding, picyuv.cpp)."""
@@ -243,7 +288,8 @@ class Encoder:
         return out
 
     def _encode_slice(self, modes, inter_mask, mvs, mvs1, dirs, r: dict,
-                      ftype: str, poc: int, qp: int, ref_pocs) -> bytes:
+                      ftype: str, poc: int, qp: int, ref_pocs,
+                      sao_maps=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -251,7 +297,9 @@ class Encoder:
         sh = SliceHeader(slice_type=slice_type, nal_type=nal, poc=poc,
                          qp=qp,
                          deblocking_disabled=pps.deblocking_disabled,
-                         five_minus_max_num_merge_cand=5 - MAX_MERGE)
+                         five_minus_max_num_merge_cand=5 - MAX_MERGE,
+                         sao_luma=sao_maps is not None,
+                         sao_chroma=sao_maps is not None)
         num_refs = (0, 0)
         if ftype == "P":
             num_refs = (1, 0)
@@ -305,7 +353,15 @@ class Encoder:
                                 cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
                         cus.append(cu)
                 last = (cy == n_ctu_y - 1) and (cx == n_ctu_x - 1)
-                syn.encode_ctu(ir, cus, cx, cy, last)
+                sao = None
+                if sao_maps is not None:
+                    from ..ops.sao import SaoParams
+                    sao = tuple(
+                        SaoParams(int(m[0][cy, cx]), int(m[1][cy, cx]),
+                                  int(m[2][cy, cx]),
+                                  tuple(int(o) for o in m[3][cy, cx]))
+                        for m in sao_maps)
+                syn.encode_ctu(ir, cus, cx, cy, last, sao)
 
         states = init_states(slice_type, qp)
         bins, ctx = ir.arrays()

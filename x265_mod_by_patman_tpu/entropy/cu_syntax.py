@@ -173,13 +173,53 @@ class SliceSyntaxEncoder:
                             self.sps.pic_width_in_ctus)
 
     def encode_ctu(self, ir: BinIR, cu_list, ctu_x: int, ctu_y: int,
-                   last_ctu: bool) -> None:
-        """cu_list: CodedCU objects of this CTU in z-scan order."""
+                   last_ctu: bool, sao=None) -> None:
+        """cu_list: CodedCU objects of this CTU in z-scan order; sao:
+        optional (SaoParams_y, SaoParams_cb, SaoParams_cr)."""
+        if sao is not None:
+            self._sao_params(ir, sao, ctu_x, ctu_y)
         cu_by_pos = {(cu.x0, cu.y0): cu for cu in cu_list}
         x0 = ctu_x << self.log2_ctu
         y0 = ctu_y << self.log2_ctu
         self._quadtree(ir, cu_by_pos, x0, y0, self.log2_ctu, 0)
         ir.term(1 if last_ctu else 0)
+
+    # -- sao (7.3.8.3); explicit params, merge flags coded 0 -----------------
+    def _sao_params(self, ir: BinIR, sao, ctu_x: int, ctu_y: int) -> None:
+        if ctu_x > 0:
+            ir.cbin(0, OFF["SAO_MERGE"])
+        if ctu_y > 0:
+            ir.cbin(0, OFF["SAO_MERGE"])
+        for c_idx in (0, 1, 2):
+            pr = sao[c_idx]
+            if c_idx == 0:
+                self._sao_type(ir, pr.type_idx)
+            elif c_idx == 1:
+                self._sao_type(ir, sao[1].type_idx)
+            if pr.type_idx == 0:
+                continue
+            for o in pr.offsets:
+                self._sao_offset_abs(ir, abs(int(o)))
+            if pr.type_idx == 1:               # band
+                for o in pr.offsets:
+                    if o != 0:
+                        ir.bypass(1 if o < 0 else 0)
+                ir.bypass_bits(pr.band_pos, 5)
+            elif c_idx == 0:
+                ir.bypass_bits(pr.eo_class, 2)
+            elif c_idx == 1:
+                ir.bypass_bits(pr.eo_class, 2)
+
+    def _sao_type(self, ir: BinIR, t: int) -> None:
+        ir.cbin(1 if t > 0 else 0, OFF["SAO_TYPE"])
+        if t > 0:
+            ir.bypass(1 if t == 2 else 0)
+
+    def _sao_offset_abs(self, ir: BinIR, v: int, cmax: int = 7) -> None:
+        for _ in range(v):
+            ir.bypass(1)
+        if v < cmax:
+            ir.bypass(0)
 
     # -- coding_quadtree (7.3.8.4) -------------------------------------------
     def _quadtree(self, ir: BinIR, cu_by_pos, x0, y0, log2_size, depth):
@@ -502,14 +542,73 @@ class SliceSyntaxDecoder:
             ctx += 1
         return OFF["SKIP_FLAG"] + ctx
 
-    def decode_ctu(self, ctu_x: int, ctu_y: int):
-        """Returns (cu_list, end_of_slice_flag)."""
+    def decode_ctu(self, ctu_x: int, ctu_y: int, sao_flags=(False, False)):
+        """Returns (cu_list, end_of_slice_flag, sao_params_or_None)."""
+        sao = None
+        if sao_flags[0] or sao_flags[1]:
+            sao = self._sao_params(ctu_x, ctu_y, sao_flags)
         cus: list = []
         x0 = ctu_x << self.log2_ctu
         y0 = ctu_y << self.log2_ctu
         self._quadtree(cus, x0, y0, self.log2_ctu, 0)
         end = self.dec.decode_bin_trm()
-        return cus, end
+        return cus, end, sao
+
+    def _sao_params(self, ctu_x: int, ctu_y: int, sao_flags):
+        from ..ops.sao import SaoParams
+        dec, states = self.dec, self.states
+        if ctu_x > 0:
+            assert dec.decode_bin(states, OFF["SAO_MERGE"]) == 0, \
+                "sao merge unsupported"
+        if ctu_y > 0:
+            assert dec.decode_bin(states, OFF["SAO_MERGE"]) == 0, \
+                "sao merge unsupported"
+        out = [SaoParams(), SaoParams(), SaoParams()]
+        for c_idx in (0, 1, 2):
+            if c_idx == 0 and not sao_flags[0]:
+                continue
+            if c_idx > 0 and not sao_flags[1]:
+                continue
+            if c_idx == 0:
+                t = self._sao_type_dec()
+            elif c_idx == 1:
+                t = self._sao_type_dec()
+                out[2].type_idx = t
+            else:
+                t = out[2].type_idx
+            out[c_idx].type_idx = t
+            if t == 0:
+                continue
+            absv = [self._sao_offset_abs_dec() for _ in range(4)]
+            if t == 1:                         # band
+                offs = []
+                for a in absv:
+                    if a and dec.decode_bin_ep():
+                        offs.append(-a)
+                    else:
+                        offs.append(a)
+                out[c_idx].offsets = tuple(offs)
+                out[c_idx].band_pos = dec.decode_bins_ep(5)
+            else:                              # edge: signs inferred
+                out[c_idx].offsets = (absv[0], absv[1], -absv[2], -absv[3])
+                if c_idx == 0:
+                    out[0].eo_class = dec.decode_bins_ep(2)
+                elif c_idx == 1:
+                    ec = dec.decode_bins_ep(2)
+                    out[1].eo_class = ec
+                    out[2].eo_class = ec
+        return out
+
+    def _sao_type_dec(self) -> int:
+        if not self.dec.decode_bin(self.states, OFF["SAO_TYPE"]):
+            return 0
+        return 2 if self.dec.decode_bin_ep() else 1
+
+    def _sao_offset_abs_dec(self, cmax: int = 7) -> int:
+        v = 0
+        while v < cmax and self.dec.decode_bin_ep():
+            v += 1
+        return v
 
     def _quadtree(self, cus, x0, y0, log2_size, depth):
         sps = self.sps
