@@ -57,8 +57,8 @@ def main():
     t0 = time.time()
     nbytes = 0
     for f in frames[1:]:
-        out = enc.encode_frame(*f)
-        nbytes += len(out.bitstream)
+        for out in enc.encode_frame(*f):
+            nbytes += len(out.bitstream)
     dt = time.time() - t0
     fps = FRAMES / dt
 
