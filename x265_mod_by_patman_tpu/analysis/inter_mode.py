@@ -39,7 +39,8 @@ def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
     nbx, nby = w // n, h // n
     nb = nbx * nby
     lam, _ = lambda_qp(qp)
-    lam256 = int(round(lam * 256))
+    bd = sps.bit_depth
+    lam256 = int(round(lam * 256)) << (bd - 8)
 
     bys, bxs = np.mgrid[0:nby, 0:nbx]
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
@@ -52,7 +53,7 @@ def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
     imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256, n,
                                     search_range)
     mvx, mvy, cost_me = subpel_refine_batch(ry, oy, bx, by, imx, imy,
-                                            pz, pz, lam256, n)
+                                            pz, pz, lam256, n, bd)
 
     # 2. neighbor-coherence pass: try the left/top neighbor's MV with a
     # small bit charge; adopt when cheaper (merge-style coherence)
@@ -65,7 +66,7 @@ def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
     for (sy, sx) in ((0, 1), (1, 0)):          # left neighbor, top neighbor
         cx_ = jnp.roll(mvx2d, (sy, sx), (0, 1)).ravel()
         cy_ = jnp.roll(mvy2d, (sy, sx), (0, 1)).ravel()
-        pred = mc_batch(ry, bx, by, cx_, cy_, n, 0)
+        pred = mc_batch(ry, bx, by, cx_, cy_, n, 0, bd)
         c = satd_batch(org, pred) + ((lam256 * 2) >> 8)
         upd = c < cost
         mvx = jnp.where(upd, cx_, mvx)
@@ -87,12 +88,12 @@ def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
     use_inter = cost <= (intra_best + ((lam256 * 5) >> 8))
 
     # 5. MC predictions for every block (unused lanes harmless)
-    mc_y = mc_batch(ry, bx, by, mvx, mvy, n, 0)
+    mc_y = mc_batch(ry, bx, by, mvx, mvy, n, 0, bd)
     ru = jnp.asarray(np.asarray(ref_u, np.int32))
     rv = jnp.asarray(np.asarray(ref_v, np.int32))
     nc = n // 2
-    mc_u = mc_batch(ru, bx // 2, by // 2, mvx, mvy, nc, 1)
-    mc_v = mc_batch(rv, bx // 2, by // 2, mvx, mvy, nc, 1)
+    mc_u = mc_batch(ru, bx // 2, by // 2, mvx, mvy, nc, 1, bd)
+    mc_v = mc_batch(rv, bx // 2, by // 2, mvx, mvy, nc, 1, bd)
 
     mvs = np.stack([np.asarray(mvx), np.asarray(mvy)],
                    axis=-1).reshape(nby, nbx, 2)
@@ -104,7 +105,7 @@ def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
              np.asarray(mc_v).reshape(nby, nbx, nc, nc)))
 
 
-def _me_one_ref(oy, ry, bx, by, n, lam256, search_range):
+def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8):
     """Full search + subpel + neighbor coherence against one reference.
     Returns (mvx, mvy, cost) device arrays."""
     nb = bx.shape[0]
@@ -112,7 +113,7 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range):
     imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256,
                                     n, search_range)
     mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
-                                         pz, pz, lam256, n)
+                                         pz, pz, lam256, n, bit_depth)
     h, w = oy.shape
     gy = by[:, None, None] + jnp.arange(n)[None, :, None]
     gx = bx[:, None, None] + jnp.arange(n)[None, None, :]
@@ -135,7 +136,8 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     nbx, nby = w // n, h // n
     nb = nbx * nby
     lam, _ = lambda_qp(qp)
-    lam256 = int(round(lam * 256))
+    bd = sps.bit_depth
+    lam256 = int(round(lam * 256)) << (bd - 8)
 
     bys, bxs = np.mgrid[0:nby, 0:nbx]
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
@@ -145,14 +147,14 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     r1y = jnp.asarray(np.asarray(ref1[0], np.int32))
 
     mv0x, mv0y, cost0, org = _me_one_ref(oy, r0y, bx, by, n, lam256,
-                                         search_range)
+                                         search_range, bd)
     mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y, bx, by, n, lam256,
-                                       search_range)
+                                       search_range, bd)
 
     # bi-prediction of the two best uni MVs (x265 checkBidir2Nx2N)
-    p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0)
-    p1_14 = mc_batch_14(r1y, bx, by, mv1x, mv1y, n, 0)
-    bi_pred = bi_combine(p0_14, p1_14)
+    p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0, bd)
+    p1_14 = mc_batch_14(r1y, bx, by, mv1x, mv1y, n, 0, bd)
+    bi_pred = bi_combine(p0_14, p1_14, bd)
     bits_bi = mv_bits(mv0x, mv0y) + mv_bits(mv1x, mv1y)
     cost_bi = satd_batch(org, bi_pred) + ((lam256 * bits_bi) >> 8)
 
@@ -186,11 +188,11 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
             (r0y, r1y, 0, n, bx, by),
             (ru0, ru1, 1, nc, bx // 2, by // 2),
             (rv0, rv1, 2, nc, bx // 2, by // 2)):
-        u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx)
-        u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx)
-        b0 = mc_batch_14(r0p, bx_, by_, mv0x, mv0y, sz, c_idx)
-        b1 = mc_batch_14(r1p, bx_, by_, mv1x, mv1y, sz, c_idx)
-        bi = bi_combine(b0, b1)
+        u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd)
+        u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd)
+        b0 = mc_batch_14(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd)
+        b1 = mc_batch_14(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd)
+        bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))
         mc.append(np.asarray(sel).reshape(nby, nbx, sz, sz))

@@ -16,11 +16,15 @@ SEI_DECODED_PICTURE_HASH = 132
 HASH_MD5 = 0
 
 
-def plane_md5(*planes) -> bytes:
-    """Concatenated per-plane MD5 of decoded samples (8-bit: raster bytes)."""
+def plane_md5(*planes, bit_depth: int = 8) -> bytes:
+    """Concatenated per-plane MD5 of decoded samples (spec D.3.19: one
+    byte per sample for 8-bit, little-endian 16-bit above)."""
     out = b""
     for p in planes:
-        out += hashlib.md5(p.astype("uint8").tobytes()).digest()
+        if bit_depth > 8:
+            out += hashlib.md5(p.astype("<u2").tobytes()).digest()
+        else:
+            out += hashlib.md5(p.astype("uint8").tobytes()).digest()
     return out
 
 

@@ -290,11 +290,14 @@ class Decoder:
             on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> 1, w >> 1)
             y = deblock_luma_ref(y, bs_v, bs_h, qp,
                                  pps.deblock_beta_offset_div2,
-                                 pps.deblock_tc_offset_div2)
+                                 pps.deblock_tc_offset_div2,
+                                 sps.bit_depth)
             u = deblock_chroma_ref(u, on_v, on_h, qp_cb,
-                                   pps.deblock_tc_offset_div2)
+                                   pps.deblock_tc_offset_div2,
+                                   sps.bit_depth)
             v = deblock_chroma_ref(v, on_v, on_h, qp_cr,
-                                   pps.deblock_tc_offset_div2)
+                                   pps.deblock_tc_offset_div2,
+                                   sps.bit_depth)
         if sao_luma or sao_chroma:
             from ..ops.sao import sao_apply_ref
             ctu = 1 << sps.log2_ctu_size
@@ -305,13 +308,14 @@ class Decoder:
             pr = [[sao_grid[cy][cx][2] for cx in range(n_ctu_x)]
                   for cy in range(n_ctu_y)]
             if sao_luma:
-                y = sao_apply_ref(y, py, ctu)
+                y = sao_apply_ref(y, py, ctu, sps.bit_depth)
             if sao_chroma:
-                u = sao_apply_ref(u, pb, ctu // 2)
-                v = sao_apply_ref(v, pr, ctu // 2)
-        pic = DecodedPicture(poc, y.astype(np.uint8), u.astype(np.uint8),
-                             v.astype(np.uint8))
-        pic.md5 = plane_md5(pic.y, pic.u, pic.v)
+                u = sao_apply_ref(u, pb, ctu // 2, sps.bit_depth)
+                v = sao_apply_ref(v, pr, ctu // 2, sps.bit_depth)
+        dt = np.uint8 if sps.bit_depth == 8 else np.uint16
+        pic = DecodedPicture(poc, y.astype(dt), u.astype(dt),
+                             v.astype(dt))
+        pic.md5 = plane_md5(pic.y, pic.u, pic.v, bit_depth=sps.bit_depth)
         if is_idr(nal_type):
             self._dpb.clear()
         self._dpb[poc] = (pic.y, pic.u, pic.v)

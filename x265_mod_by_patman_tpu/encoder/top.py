@@ -66,8 +66,10 @@ class Encoder:
 
     def __init__(self, params: EncoderParams) -> None:
         self.p = params.validate()
-        assert self.p.internal_csp == 1 and self.p.internal_bit_depth == 8, \
-            "v1: 4:2:0 8-bit"
+        assert self.p.internal_csp == 1, "v1: 4:2:0 only"
+        assert self.p.internal_bit_depth in (8, 10), "8/10-bit"
+        self.pix_dtype = np.uint8 if self.p.internal_bit_depth == 8 \
+            else np.uint16
         self.sps = build_sps_info(self.p)
         self.pps = build_pps_info(self.p)
         # v1 restrictions: no WPP substreams, no SAO, no SBH, no TMVP
@@ -173,7 +175,8 @@ class Encoder:
         slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
                                         r, ftype, poc, qp, ref_pocs,
                                         sao_maps)
-        md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"])
+        md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
+                        bit_depth=self.sps.bit_depth)
 
         out = b""
         if not self._headers_sent or (p.repeat_headers and ftype == "I"):
@@ -225,10 +228,11 @@ class Encoder:
             jnp.asarray(on_v), jnp.asarray(on_h),
             qp, chroma_qp(qp, p.cb_qp_offset),
             chroma_qp(qp, p.cr_qp_offset),
-            p.deblock_beta_offset, p.deblock_tc_offset)
-        r["recon_y"] = np.asarray(dy).astype(np.uint8)
-        r["recon_u"] = np.asarray(du).astype(np.uint8)
-        r["recon_v"] = np.asarray(dv).astype(np.uint8)
+            p.deblock_beta_offset, p.deblock_tc_offset,
+            self.sps.bit_depth)
+        r["recon_y"] = np.asarray(dy).astype(self.pix_dtype)
+        r["recon_u"] = np.asarray(du).astype(self.pix_dtype)
+        r["recon_v"] = np.asarray(dv).astype(self.pix_dtype)
 
     def _sao(self, r: dict, oy, ou, ov, qp: int):
         """SAO decide + apply on the deblocked recon (stats/apply batched;
@@ -254,14 +258,17 @@ class Encoder:
 
         h, w = sps.height, sps.width
         hc, wc = h // 2, w // 2
+        bd = sps.bit_depth
         st_y = sao_stats_batch(padded(np.asarray(oy), ctu),
-                               padded(r["recon_y"], ctu), ctu, h, w)
-        maps_y = sao_decide(*st_y, lam2)
+                               padded(r["recon_y"], ctu), ctu, h, w, bd)
+        maps_y = sao_decide(*st_y, lam2, bd)
         st_cb = sao_stats_batch(padded(np.asarray(ou), cctu),
-                                padded(r["recon_u"], cctu), cctu, hc, wc)
+                                padded(r["recon_u"], cctu), cctu, hc, wc,
+                                bd)
         st_cr = sao_stats_batch(padded(np.asarray(ov), cctu),
-                                padded(r["recon_v"], cctu), cctu, hc, wc)
-        maps_cb, maps_cr = sao_decide_chroma(st_cb, st_cr, lam2)
+                                padded(r["recon_v"], cctu), cctu, hc, wc,
+                                bd)
+        maps_cb, maps_cr = sao_decide_chroma(st_cb, st_cr, lam2, bd)
         for key, maps, tile, ph, pw in (("recon_y", maps_y, ctu, h, w),
                                         ("recon_u", maps_cb, cctu, hc, wc),
                                         ("recon_v", maps_cr, cctu, hc, wc)):
@@ -269,8 +276,8 @@ class Encoder:
                                   jnp.asarray(maps[0]),
                                   jnp.asarray(maps[1]),
                                   jnp.asarray(maps[2]),
-                                  jnp.asarray(maps[3]), tile, ph, pw)
-            r[key] = np.asarray(out)[:ph, :pw].astype(np.uint8)
+                                  jnp.asarray(maps[3]), tile, ph, pw, bd)
+            r[key] = np.asarray(out)[:ph, :pw].astype(self.pix_dtype)
         return maps_y, maps_cb, maps_cr
 
     def _pad(self, plane: np.ndarray, comp_shift: int) -> np.ndarray:

@@ -198,8 +198,9 @@ class SliceSyntaxEncoder:
                 self._sao_type(ir, sao[1].type_idx)
             if pr.type_idx == 0:
                 continue
+            cmax = (1 << (min(self.sps.bit_depth, 10) - 5)) - 1
             for o in pr.offsets:
-                self._sao_offset_abs(ir, abs(int(o)))
+                self._sao_offset_abs(ir, abs(int(o)), cmax)
             if pr.type_idx == 1:               # band
                 for o in pr.offsets:
                     if o != 0:
@@ -579,7 +580,8 @@ class SliceSyntaxDecoder:
             out[c_idx].type_idx = t
             if t == 0:
                 continue
-            absv = [self._sao_offset_abs_dec() for _ in range(4)]
+            cmax = (1 << (min(self.sps.bit_depth, 10) - 5)) - 1
+            absv = [self._sao_offset_abs_dec(cmax) for _ in range(4)]
             if t == 1:                         # band
                 offs = []
                 for a in absv:

@@ -235,10 +235,11 @@ class IntraReconstructor:
             mc_y, mc_u, mc_v, imask,
             jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd)
 
+        dt = np.uint8 if self.bd == 8 else np.uint16
         return {
-            "recon_y": np.asarray(yp[:h]).astype(np.uint8),
-            "recon_u": np.asarray(up[:hc]).astype(np.uint8),
-            "recon_v": np.asarray(vp[:hc]).astype(np.uint8),
+            "recon_y": np.asarray(yp[:h]).astype(dt),
+            "recon_u": np.asarray(up[:hc]).astype(dt),
+            "recon_v": np.asarray(vp[:hc]).astype(dt),
             "lev_y": np.asarray(lev_y[:self.nby]),
             "lev_u": np.asarray(lev_u[:self.nby]),
             "lev_v": np.asarray(lev_v[:self.nby]),

@@ -59,10 +59,12 @@ class Y4MReader:
                 self.info.total_frames = int(val[len("LENGTH="):])
         assert self.info.csp == "420", "v1: 4:2:0 only"
         w, h = self.info.width, self.info.height
-        self._fsize = w * h * 3 // 2
+        self._spp = 2 if self.info.bit_depth > 8 else 1  # bytes per sample
+        self._fsize = w * h * 3 // 2 * self._spp
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         w, h = self.info.width, self.info.height
+        dt = np.dtype("<u2") if self._spp == 2 else np.uint8
         while True:
             line = b""
             while not line.endswith(b"\n"):
@@ -75,7 +77,7 @@ class Y4MReader:
             data = self.f.read(self._fsize)
             if len(data) < self._fsize:
                 return
-            buf = np.frombuffer(data, np.uint8)
+            buf = np.frombuffer(data, dt)
             y = buf[:w * h].reshape(h, w)
             u = buf[w * h:w * h * 5 // 4].reshape(h // 2, w // 2)
             v = buf[w * h * 5 // 4:].reshape(h // 2, w // 2)
@@ -117,17 +119,19 @@ class Y4MWriter:
 
     def __init__(self, path: str, info: VideoInfo) -> None:
         self.f = open(path, "wb")
+        self.dt = np.dtype("<u2") if info.bit_depth > 8 else np.uint8
+        csp = "420" if info.bit_depth == 8 else f"420p{info.bit_depth}"
         hdr = f"YUV4MPEG2 W{info.width} H{info.height} " \
-              f"F{info.fps_num}:{info.fps_denom} Ip A1:1 C420"
+              f"F{info.fps_num}:{info.fps_denom} Ip A1:1 C{csp}"
         if info.total_frames:
             hdr += f" XLENGTH={info.total_frames}"
         self.f.write((hdr + "\n").encode())
 
     def write(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
         self.f.write(b"FRAME\n")
-        self.f.write(y.astype(np.uint8).tobytes())
-        self.f.write(u.astype(np.uint8).tobytes())
-        self.f.write(v.astype(np.uint8).tobytes())
+        self.f.write(y.astype(self.dt).tobytes())
+        self.f.write(u.astype(self.dt).tobytes())
+        self.f.write(v.astype(self.dt).tobytes())
 
     def close(self) -> None:
         self.f.close()

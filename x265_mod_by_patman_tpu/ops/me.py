@@ -99,9 +99,10 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
     return best_x, best_y, best_cost
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "bit_depth"))
 def subpel_refine_batch(ref, orig, x0, y0, mv_x, mv_y,
-                        pred_mv_x, pred_mv_y, lambda_x256: int, n: int):
+                        pred_mv_x, pred_mv_y, lambda_x256: int, n: int,
+                        bit_depth: int = 8):
     """Half- then quarter-pel refinement with SATD (one iteration each,
     reference subme-2 equivalent).  MVs in/out in QPEL units."""
     h, w = ref.shape
@@ -111,7 +112,7 @@ def subpel_refine_batch(ref, orig, x0, y0, mv_x, mv_y,
         .astype(jnp.int32)
 
     def cost_at(mx, my):
-        pred = mc_batch(ref, x0, y0, mx, my, n, 0)
+        pred = mc_batch(ref, x0, y0, mx, my, n, 0, bit_depth)
         satd = satd_batch(org, pred)
         bits = mv_bits(mx - pred_mv_x, my - pred_mv_y)
         return satd + ((lambda_x256 * bits) >> 8)

@@ -193,7 +193,8 @@ def sao_apply_ref(rec: np.ndarray, params: List[List[SaoParams]],
 # Per-CTU RDO decision (host)
 # ---------------------------------------------------------------------------
 
-def _best_offset(s: int, c: int, lam: float, sign: int = 0) -> Tuple[int, float]:
+def _best_offset(s: int, c: int, lam: float, sign: int = 0,
+                 max_off: int = MAX_OFFSET) -> Tuple[int, float]:
     """Optimal clipped offset and its RD cost for one category.
 
     Distortion delta of offset o on (sum, count): c*o^2 - 2*o*s
@@ -202,7 +203,7 @@ def _best_offset(s: int, c: int, lam: float, sign: int = 0) -> Tuple[int, float]
     if c == 0:
         return 0, 0.0
     o = int(round(s / c))
-    o = min(max(o, -MAX_OFFSET), MAX_OFFSET)
+    o = min(max(o, -max_off), max_off)
     if sign > 0:
         o = max(o, 0)
     elif sign < 0:
@@ -216,117 +217,131 @@ def _best_offset(s: int, c: int, lam: float, sign: int = 0) -> Tuple[int, float]
     return best
 
 
-def sao_decide(eo_sum, eo_cnt, bo_sum, bo_cnt, lam: float
+def _best_offset_vec(s: np.ndarray, c: np.ndarray, lam: float,
+                     sign: int = 0, max_off: int = MAX_OFFSET):
+    """Vectorized optimal clipped offset + cost over stat arrays.
+
+    Evaluates the RD cost of every candidate offset and takes the min
+    (cost(o) = c*o^2 - 2*o*s + lam*(|o|+1); off = 0 cost baseline)."""
+    s = s.astype(np.float64)
+    c = c.astype(np.float64)
+    os_ = np.arange(-max_off, max_off + 1)
+    if sign > 0:
+        os_ = os_[os_ >= 0]
+    elif sign < 0:
+        os_ = os_[os_ <= 0]
+    shape = (len(os_),) + (1,) * s.ndim
+    ob = os_.reshape(shape)
+    cost = c[None] * ob * ob - 2.0 * ob * s[None] + lam * (np.abs(ob) + 1)
+    cost = np.where(ob == 0, 0.0, cost)
+    k = np.argmin(cost, axis=0)
+    return os_[k].astype(np.int32), np.take_along_axis(
+        cost, k[None], axis=0)[0]
+
+
+def sao_decide(eo_sum, eo_cnt, bo_sum, bo_cnt, lam: float,
+               bit_depth: int = 8
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Choose per-CTU type/class/offsets from stats (numpy host RDO).
+    """Choose per-CTU type/class/offsets from stats (vectorized host RDO).
 
     Returns (type_map, class_map, band_map, off_map) numpy arrays."""
-    eo_sum = np.asarray(eo_sum)
-    eo_cnt = np.asarray(eo_cnt)
-    bo_sum = np.asarray(bo_sum)
-    bo_cnt = np.asarray(bo_cnt)
+    eo_sum = np.asarray(eo_sum).astype(np.float64)
+    eo_cnt = np.asarray(eo_cnt).astype(np.float64)
+    bo_sum = np.asarray(bo_sum).astype(np.float64)
+    bo_cnt = np.asarray(bo_cnt).astype(np.float64)
+    max_off = (1 << (min(bit_depth, 10) - 5)) - 1
     ncy, ncx = eo_sum.shape[-2:]
+
+    # EO: offsets per (cls, cat, cy, cx) with sign constraints
+    eo_off = np.zeros((4, 4, ncy, ncx), np.int32)
+    eo_cost = np.zeros((4, 4, ncy, ncx))
+    for cat in range(1, 5):
+        sgn = 1 if cat <= 2 else -1
+        o, c = _best_offset_vec(eo_sum[:, cat], eo_cnt[:, cat], lam, sgn,
+                                max_off)
+        eo_off[:, cat - 1] = o
+        eo_cost[:, cat - 1] = c
+    eo_total = eo_cost.sum(axis=1) + lam * 2.0          # (4, ncy, ncx)
+    best_cls = np.argmin(eo_total, axis=0)              # (ncy, ncx)
+    best_eo_cost = np.take_along_axis(eo_total, best_cls[None], 0)[0]
+
+    # BO: per-band offsets, best 4-consecutive window
+    bo_o, bo_c = _best_offset_vec(bo_sum, bo_cnt, lam, 0, max_off)
+    win = np.stack([bo_c[s0:s0 + 4].sum(axis=0) for s0 in range(29)])
+    best_start = np.argmin(win, axis=0)                 # (ncy, ncx)
+    best_bo_cost = np.take_along_axis(win, best_start[None], 0)[0] \
+        + lam * 7.0
+
     type_map = np.zeros((ncy, ncx), np.int32)
     class_map = np.zeros((ncy, ncx), np.int32)
     band_map = np.zeros((ncy, ncx), np.int32)
     off_map = np.zeros((ncy, ncx, 4), np.int32)
-    for cy in range(ncy):
-        for cx in range(ncx):
-            best_cost = 0.0            # SAO off baseline
-            best = (SAO_OFF, 0, 0, (0, 0, 0, 0))
-            for cls in range(4):
-                offs, cost = [], lam * 2.0      # type+class signalling
-                for cat in range(1, 5):
-                    sgn = 1 if cat <= 2 else -1
-                    o, c = _best_offset(int(eo_sum[cls, cat, cy, cx]),
-                                        int(eo_cnt[cls, cat, cy, cx]),
-                                        lam, sgn)
-                    offs.append(o)
-                    cost += c
-                if cost < best_cost:
-                    best_cost = cost
-                    best = (SAO_EDGE, cls, 0, tuple(offs))
-            # band: best 4 consecutive bands
-            bo_o = np.zeros(32, np.int32)
-            bo_c = np.zeros(32)
-            for b in range(32):
-                o, c = _best_offset(int(bo_sum[b, cy, cx]),
-                                    int(bo_cnt[b, cy, cx]), lam)
-                bo_o[b], bo_c[b] = o, c
-            for start in range(29):
-                cost = bo_c[start:start + 4].sum() + lam * 7.0
-                if cost < best_cost:
-                    best_cost = cost
-                    best = (SAO_BAND, 0, start,
-                            tuple(int(x) for x in bo_o[start:start + 4]))
-            type_map[cy, cx], class_map[cy, cx], band_map[cy, cx] = best[:3]
-            off_map[cy, cx] = best[3]
+    use_eo = (best_eo_cost < 0) & (best_eo_cost <= best_bo_cost)
+    use_bo = (best_bo_cost < 0) & ~use_eo
+    type_map[use_eo] = SAO_EDGE
+    type_map[use_bo] = SAO_BAND
+    class_map[use_eo] = best_cls[use_eo]
+    band_map[use_bo] = best_start[use_bo]
+    for k in range(4):
+        eo_k = np.take_along_axis(eo_off[:, k], best_cls[None], 0)[0]
+        bo_k = np.take_along_axis(
+            bo_o, np.minimum(best_start + k, 31)[None], 0)[0]
+        off_map[..., k] = np.where(use_eo, eo_k,
+                                   np.where(use_bo, bo_k, 0))
     return type_map, class_map, band_map, off_map
 
 
-def _eval_eo(eo_sum, eo_cnt, cls, cy, cx, lam):
-    offs, cost = [], 0.0
-    for cat in range(1, 5):
-        sgn = 1 if cat <= 2 else -1
-        o, c = _best_offset(int(eo_sum[cls, cat, cy, cx]),
-                            int(eo_cnt[cls, cat, cy, cx]), lam, sgn)
-        offs.append(o)
-        cost += c
-    return tuple(offs), cost
-
-
-def _eval_bo(bo_sum, bo_cnt, cy, cx, lam):
-    bo_o = np.zeros(32, np.int32)
-    bo_c = np.zeros(32)
-    for b in range(32):
-        o, c = _best_offset(int(bo_sum[b, cy, cx]),
-                            int(bo_cnt[b, cy, cx]), lam)
-        bo_o[b], bo_c[b] = o, c
-    best = (0, (0, 0, 0, 0), 0.0)
-    for start in range(29):
-        cost = bo_c[start:start + 4].sum()
-        if cost < best[2]:
-            best = (start, tuple(int(x) for x in bo_o[start:start + 4]),
-                    cost)
-    return best
-
-
-def sao_decide_chroma(stats_cb, stats_cr, lam: float):
-    """Joint Cb/Cr decision: type and EO class are shared (spec syntax),
-    offsets/band position are per component.
+def sao_decide_chroma(stats_cb, stats_cr, lam: float,
+                      bit_depth: int = 8):
+    """Joint Cb/Cr decision (vectorized): type and EO class are shared
+    (spec syntax), offsets/band position are per component.
 
     Returns per-plane (type, class, band, off) map tuples (cb_maps,
     cr_maps)."""
-    eo_sum_b, eo_cnt_b, bo_sum_b, bo_cnt_b = (np.asarray(a)
-                                              for a in stats_cb)
-    eo_sum_r, eo_cnt_r, bo_sum_r, bo_cnt_r = (np.asarray(a)
-                                              for a in stats_cr)
-    ncy, ncx = eo_sum_b.shape[-2:]
-    maps = [[np.zeros((ncy, ncx), np.int32) for _ in range(3)] +
-            [np.zeros((ncy, ncx, 4), np.int32)] for _ in range(2)]
-    for cy in range(ncy):
-        for cx in range(ncx):
-            best_cost = 0.0
-            best = None               # (type, cls, (bposB, offsB), (bposR, offsR))
-            for cls in range(4):
-                ob, cb_ = _eval_eo(eo_sum_b, eo_cnt_b, cls, cy, cx, lam)
-                orr, cr_ = _eval_eo(eo_sum_r, eo_cnt_r, cls, cy, cx, lam)
-                cost = cb_ + cr_ + lam * 2.0
-                if cost < best_cost:
-                    best_cost = cost
-                    best = (SAO_EDGE, cls, (0, ob), (0, orr))
-            sb, offb, cb_ = _eval_bo(bo_sum_b, bo_cnt_b, cy, cx, lam)
-            sr, offr, cr_ = _eval_bo(bo_sum_r, bo_cnt_r, cy, cx, lam)
-            cost = cb_ + cr_ + lam * 12.0
-            if cost < best_cost:
-                best_cost = cost
-                best = (SAO_BAND, 0, (sb, offb), (sr, offr))
-            if best is None:
-                continue
-            t, cls, (bpb, ofb), (bpr, ofr) = best
-            for k, (bp, of) in enumerate(((bpb, ofb), (bpr, ofr))):
-                maps[k][0][cy, cx] = t
-                maps[k][1][cy, cx] = cls
-                maps[k][2][cy, cx] = bp
-                maps[k][3][cy, cx] = of
-    return tuple(maps[0]), tuple(maps[1])
+    max_off = (1 << (min(bit_depth, 10) - 5)) - 1
+    planes = []
+    for stats in (stats_cb, stats_cr):
+        eo_sum, eo_cnt, bo_sum, bo_cnt = (np.asarray(a).astype(np.float64)
+                                          for a in stats)
+        eo_off = np.zeros((4, 4) + eo_sum.shape[-2:], np.int32)
+        eo_cost = np.zeros((4, 4) + eo_sum.shape[-2:])
+        for cat in range(1, 5):
+            sgn = 1 if cat <= 2 else -1
+            o, c = _best_offset_vec(eo_sum[:, cat], eo_cnt[:, cat], lam,
+                                    sgn, max_off)
+            eo_off[:, cat - 1] = o
+            eo_cost[:, cat - 1] = c
+        bo_o, bo_c = _best_offset_vec(bo_sum, bo_cnt, lam, 0, max_off)
+        win = np.stack([bo_c[s0:s0 + 4].sum(axis=0) for s0 in range(29)])
+        planes.append((eo_off, eo_cost.sum(axis=1), bo_o, win))
+
+    ncy, ncx = planes[0][1].shape[-2:]
+    eo_joint = planes[0][1] + planes[1][1] + lam * 2.0    # (4, ncy, ncx)
+    best_cls = np.argmin(eo_joint, axis=0)
+    best_eo = np.take_along_axis(eo_joint, best_cls[None], 0)[0]
+    start_b = np.argmin(planes[0][3], axis=0)
+    start_r = np.argmin(planes[1][3], axis=0)
+    best_bo = np.take_along_axis(planes[0][3], start_b[None], 0)[0] + \
+        np.take_along_axis(planes[1][3], start_r[None], 0)[0] + lam * 12.0
+
+    use_eo = (best_eo < 0) & (best_eo <= best_bo)
+    use_bo = (best_bo < 0) & ~use_eo
+    out = []
+    for pi, start in ((0, start_b), (1, start_r)):
+        eo_off, _, bo_o, _ = planes[pi]
+        tm = np.zeros((ncy, ncx), np.int32)
+        cm = np.zeros((ncy, ncx), np.int32)
+        bm = np.zeros((ncy, ncx), np.int32)
+        om = np.zeros((ncy, ncx, 4), np.int32)
+        tm[use_eo] = SAO_EDGE
+        tm[use_bo] = SAO_BAND
+        cm[use_eo] = best_cls[use_eo]
+        bm[use_bo] = start[use_bo]
+        for k in range(4):
+            eo_k = np.take_along_axis(eo_off[:, k], best_cls[None], 0)[0]
+            bo_k = np.take_along_axis(
+                bo_o, np.minimum(start + k, 31)[None], 0)[0]
+            om[..., k] = np.where(use_eo, eo_k,
+                                  np.where(use_bo, bo_k, 0))
+        out.append((tm, cm, bm, om))
+    return out[0], out[1]
