@@ -49,16 +49,16 @@ def main():
     from x265_mod_by_patman_tpu.params import default_params
     from x265_mod_by_patman_tpu.encoder.top import Encoder
 
-    frames = synth_frames(FRAMES + 1)
-    p = default_params(W, H, qp=QP, keyframe_max=1)
+    frames = synth_frames(FRAMES)
+    # ultrafast-equivalent intra config (matches the x265 baseline run:
+    # deblock on, SAO off at ultrafast)
+    p = default_params(W, H, qp=QP, keyframe_max=1, sao=False)
     enc = Encoder(p)
-    enc.encode_frame(*frames[0])          # warmup: jit compiles
+    enc.encode_batch(frames)              # warmup: jit compiles (same F)
 
     t0 = time.time()
-    nbytes = 0
-    for f in frames[1:]:
-        for out in enc.encode_frame(*f):
-            nbytes += len(out.bitstream)
+    nbytes = sum(len(out.bitstream)
+                 for out in enc.encode_batch(frames))
     dt = time.time() - t0
     fps = FRAMES / dt
 

@@ -43,6 +43,31 @@ def _mode_costs(orig, avail, bx, by, log2n: int, bit_depth: int = 8):
     return satd_batch(org[:, None], preds)
 
 
+@functools.partial(jax.jit, static_argnames=("log2n", "bit_depth"))
+def _mode_costs_multi(origs, avail, bx, by, log2n: int, bit_depth: int = 8):
+    """_mode_costs vmapped over a leading frame axis of origs."""
+    def fn(o):
+        return _mode_costs(o, avail, bx, by, log2n, bit_depth)
+    return jax.vmap(fn)(origs)
+
+
+def decide_modes_batch(ys, sps, block: int = 16) -> np.ndarray:
+    """Batched mode decision for (F, h, w) frame stacks -> (F, nby, nbx)."""
+    h, w = sps.height, sps.width
+    nbx, nby = w // block, h // block
+    log2n = block.bit_length() - 1
+    avail = frame_avail_masks(w, h, block, sps.log2_ctu_size, 0)
+    bys, bxs = np.mgrid[0:nby, 0:nbx]
+    costs = _mode_costs_multi(
+        jnp.asarray(np.asarray(ys, np.int32)),
+        jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+        jnp.asarray(bxs.ravel().astype(np.int32)),
+        jnp.asarray(bys.ravel().astype(np.int32)),
+        log2n, sps.bit_depth)
+    modes = np.asarray(jnp.argmin(costs, axis=-1), dtype=np.int32)
+    return modes.reshape(-1, nby, nbx)
+
+
 def decide_modes(y: np.ndarray, sps, block: int = 16) -> np.ndarray:
     """Choose the SATD-best of 35 modes per block.  Returns (nby, nbx)."""
     h, w = sps.height, sps.width

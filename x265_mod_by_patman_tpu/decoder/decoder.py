@@ -213,9 +213,12 @@ class Decoder:
         if pps.loop_filter_across_slices and \
                 (sao_luma or sao_chroma or not pps.deblocking_disabled):
             br.flag()
+        entry_points = []
         if pps.entropy_coding_sync:
             n_ep = br.ue()
-            assert n_ep == 0, "WPP substreams unsupported in v1 decoder"
+            if n_ep:
+                nbits = br.ue() + 1      # offset_len_minus1
+                entry_points = [br.u(nbits) + 1 for _ in range(n_ep)]
         br.u(1)                           # byte_alignment stop bit
         br.byte_align()
         data = rbsp[br.byte_pos:]
@@ -245,10 +248,20 @@ class Decoder:
 
         n_ctu_x = sps.pic_width_in_ctus
         n_ctu_y = sps.pic_height_in_ctus
+        use_wpp = pps.entropy_coding_sync and n_ctu_y > 1
+        sub_offsets = [0]
+        for ep in entry_points:
+            sub_offsets.append(sub_offsets[-1] + ep)
         end = 0
         all_cus = []
         sao_grid = [[None] * n_ctu_x for _ in range(n_ctu_y)]
+        sync_states = None
         for cy in range(n_ctu_y):
+            if use_wpp and cy > 0:
+                # new substream: fresh arithmetic engine, synced contexts
+                syn.dec = CabacDecoder(data[sub_offsets[cy]:])
+                syn.states = sync_states.copy()
+                states = syn.states
             for cx in range(n_ctu_x):
                 cus, end, sao = syn.decode_ctu(
                     cx, cy, (sao_luma, sao_chroma))
@@ -256,6 +269,11 @@ class Decoder:
                 all_cus.extend(cus)
                 for cu in cus:
                     self._recon_cu(cu, y, u, v, qp, qp_cb, qp_cr)
+                if use_wpp and cx == min(1, n_ctu_x - 1):
+                    sync_states = syn.states.copy()
+                if use_wpp and cx == n_ctu_x - 1 and not end:
+                    assert syn.dec.decode_bin_trm() == 1, \
+                        "missing end_of_subset bit"
         assert end == 1, "missing end_of_slice flag"
         if not pps.deblocking_disabled:
             from ..ops.deblock import (

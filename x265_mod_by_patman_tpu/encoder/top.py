@@ -72,8 +72,8 @@ class Encoder:
             else np.uint16
         self.sps = build_sps_info(self.p)
         self.pps = build_pps_info(self.p)
-        # v1 restrictions: no WPP substreams, no SAO, no SBH, no TMVP
-        self.pps.entropy_coding_sync = False
+        # v1 restrictions: no SBH, no TMVP
+        self.pps.entropy_coding_sync = bool(self.p.wpp)
         self.pps.sign_hide = False
         self.pps.cu_qp_delta_enabled = False
         self.pps.deblocking_disabled = not self.p.deblock
@@ -125,6 +125,79 @@ class Encoder:
 
     def flush(self) -> List[EncodedFrame]:
         return self._emit_minigop() if self._queue else []
+
+    # -- batched all-intra path (config-1 / multi-frame throughput) -----------
+    def encode_batch(self, frames) -> List[EncodedFrame]:
+        """Encode a list of (y, u, v) frames as IDRs in ONE fused
+        multi-frame analysis + wavefront program (keyframe_max must be 1).
+        Host entropy still runs per frame."""
+        from ..analysis.intra_mode import decide_modes_batch
+        assert self.p.keyframe_max == 1, "batched path is all-intra"
+        p = self.p
+        padded = [(self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+                  for (y, u, v) in frames]
+        ys = np.stack([f[0] for f in padded])
+        us = np.stack([f[1] for f in padded])
+        vs = np.stack([f[2] for f in padded])
+        cplx = [frame_complexity(f[0]) for f in padded]
+        qp = self.rc.frame_qp("I", cplx[0])
+        modes = decide_modes_batch(ys, self.sps, block=16)
+        results = self.recon.run_batch(ys, us, vs, modes, qp=qp)
+
+        if p.deblock:
+            # all frames in one fused deblock dispatch
+            from ..ops.deblock import deblock_frame_multi
+            w, h = self.sps.width, self.sps.height
+            bs_v, bs_h = intra_bs_maps(w, h, 16)
+            on_v, on_h = chroma_on_maps(bs_v, bs_h, h // 2, w // 2)
+            dy, du, dv = deblock_frame_multi(
+                jnp.asarray(np.stack([r["recon_y"] for r in results])
+                            .astype(np.int32)),
+                jnp.asarray(np.stack([r["recon_u"] for r in results])
+                            .astype(np.int32)),
+                jnp.asarray(np.stack([r["recon_v"] for r in results])
+                            .astype(np.int32)),
+                jnp.asarray(bs_v), jnp.asarray(bs_h),
+                jnp.asarray(on_v), jnp.asarray(on_h),
+                qp, chroma_qp(qp, p.cb_qp_offset),
+                chroma_qp(qp, p.cr_qp_offset),
+                p.deblock_beta_offset, p.deblock_tc_offset,
+                self.sps.bit_depth)
+            dy = np.asarray(dy)
+            du = np.asarray(du)
+            dv = np.asarray(dv)
+            for i, r in enumerate(results):
+                r["recon_y"] = dy[i].astype(self.pix_dtype)
+                r["recon_u"] = du[i].astype(self.pix_dtype)
+                r["recon_v"] = dv[i].astype(self.pix_dtype)
+
+        out: List[EncodedFrame] = []
+        for i, r in enumerate(results):
+            inter_mask = np.zeros(modes[i].shape, bool)
+            mvs = np.zeros(modes[i].shape + (2,), np.int32)
+            sao_maps = self._sao(r, ys[i], us[i], vs[i], qp) \
+                if p.sao else None
+            slice_rbsp = self._encode_slice(modes[i], inter_mask, mvs,
+                                            None, None, r, "I", 0, qp,
+                                            ((), ()), sao_maps)
+            md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
+                            bit_depth=self.sps.bit_depth)
+            nal_bytes = b""
+            if not self._headers_sent:
+                nal_bytes += self.headers()
+                self._headers_sent = True
+            nal_bytes += annexb(NAL_IDR_W_RADL, slice_rbsp)
+            if p.decoded_picture_hash:
+                nal_bytes += annexb(NAL_SUFFIX_SEI,
+                                    write_decoded_picture_hash(md5))
+            fr = EncodedFrame(0, nal_bytes,
+                              (r["recon_y"], r["recon_u"], r["recon_v"]),
+                              bits=len(nal_bytes) * 8, md5=md5,
+                              slice_type="I")
+            self.rc.update("I", qp, fr.bits, cplx[i])
+            self.frame_count += 1
+            out.append(fr)
+        return out
 
     def _emit_minigop(self) -> List[EncodedFrame]:
         frames = self._queue
@@ -317,17 +390,21 @@ class Encoder:
             sh.num_ref_idx = (1, 1)
             sh.st_rps_neg = ((ref_pocs[0][0] - poc, True),)
             sh.st_rps_pos = ((ref_pocs[1][0] - poc, True),)
-        bw = write_slice_header(sh, sps, pps)
-
         syn = SliceSyntaxEncoder(sps, pps, qp, slice_type, MAX_MERGE,
                                  num_refs=num_refs, ref_pocs=ref_pocs,
                                  cur_poc=poc)
-        ir = BinIR(1 << 18)
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
+        use_wpp = pps.entropy_coding_sync and n_ctu_y > 1
         rec = self.recon
         bpc = rec.bpc
         nbx, nby = rec.nbx, rec.nby
+        row_irs: List = []
+        sync_offs: List[int] = []    # IR bin offset after the row's 2nd CTU
+        ir = BinIR(1 << 18)
         for cy in range(n_ctu_y):
+            if use_wpp and cy > 0:
+                row_irs.append(ir)
+                ir = BinIR(1 << 18)
             for cx in range(n_ctu_x):
                 cus: List[CodedCU] = []
                 for zy in range(bpc):
@@ -369,11 +446,48 @@ class Encoder:
                                   tuple(int(o) for o in m[3][cy, cx]))
                         for m in sao_maps)
                 syn.encode_ctu(ir, cus, cx, cy, last, sao)
+                if use_wpp and cx == min(1, n_ctu_x - 1):
+                    # WPP context-sync point: after the 2nd CTU of the row
+                    # (reference CTURow::bufferedEntropy handoff,
+                    # frameencoder.cpp:1666-1685)
+                    sync_offs.append(ir.n)
+                if use_wpp and cx == n_ctu_x - 1 and not last:
+                    ir.term(1)             # end_of_subset_one_bit
+        row_irs.append(ir)
 
-        states = init_states(slice_type, qp)
-        bins, ctx = ir.arrays()
-        encode_ir_to_writer(bw, bins, ctx, states)
-        bw.rbsp_trailing_bits()
+        if not use_wpp:
+            bw = write_slice_header(sh, sps, pps)
+            states = init_states(slice_type, qp)
+            bins, ctx = ir.arrays()
+            encode_ir_to_writer(bw, bins, ctx, states)
+            bw.rbsp_trailing_bits()
+            return bw.get_bytes()
+
+        # WPP: compute each row's initial contexts by advancing the state
+        # machine over the previous row's IR prefix, then arithmetic-code
+        # every substream independently (the parallel-CABAC-lanes design,
+        # SURVEY.md §7)
+        from ..entropy.cabac import advance_states_over_ir
+        substreams: List[bytes] = []
+        row_states = init_states(slice_type, qp)
+        for k, rir in enumerate(row_irs):
+            states = row_states.copy()     # this row's initial contexts
+            if k + 1 < len(row_irs):
+                nxt = row_states.copy()
+                b, c = rir.arrays()
+                advance_states_over_ir(b[:sync_offs[k]], c[:sync_offs[k]],
+                                       nxt)
+                row_states = nxt
+            sub_bw = BitWriter()
+            b, c = rir.arrays()
+            encode_ir_to_writer(sub_bw, b, c, states)
+            sub_bw.rbsp_trailing_bits()    # byte_alignment: 1 + zero bits
+            substreams.append(sub_bw.get_bytes())
+
+        sh.entry_points = tuple(len(s) for s in substreams[:-1])
+        bw = write_slice_header(sh, sps, pps)
+        for s in substreams:
+            bw.write_bytes(s)
         return bw.get_bytes()
 
 

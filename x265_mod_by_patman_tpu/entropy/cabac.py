@@ -172,6 +172,20 @@ def encode_ir_to_writer(bw, bins: np.ndarray, ctx: np.ndarray,
     enc.finish()
 
 
+def advance_states_over_ir(bins: np.ndarray, ctx: np.ndarray,
+                           states: np.ndarray) -> None:
+    """Advance context states over a bin-IR without arithmetic coding
+    (WPP context-sync derivation).  Mutates `states`."""
+    from ..native import native_entropy
+    nat = native_entropy()
+    if nat.available:
+        nat.advance_states(bins, ctx, states)
+        return
+    for b, c in zip(bins.tolist(), ctx.tolist()):
+        if c >= 0:
+            states[c] = _NEXT[states[c]][b]
+
+
 def stream_frac_bits(bins: np.ndarray, ctx_idx: np.ndarray,
                      states: np.ndarray) -> int:
     """Estimate the cost of a bin-stream IR in 1/32768-bit units without

@@ -93,15 +93,10 @@ _component_substep = jax.jit(
 )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("bit_depth",),
-    donate_argnums=(0, 1, 2, 3, 4, 5),
-)
-def _wavefront_run(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
-                   sb_bx, sb_by, sb_avy, sb_avc,
-                   mc_y, mc_u, mc_v, inter_mask,
-                   qp, qp_cb, qp_cr, bit_depth: int = 8):
+def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
+                    sb_bx, sb_by, sb_avy, sb_avc,
+                    mc_y, mc_u, mc_v, inter_mask,
+                    qp, qp_cb, qp_cr, bit_depth: int = 8):
     """Run the full wavefront schedule in one compiled loop.
 
     sb_bx/sb_by: (S, B) int32 block coords per substep
@@ -129,6 +124,32 @@ def _wavefront_run(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
     carry = (yp, up, vp, lev_y, lev_u, lev_v)
     carry = jax.lax.fori_loop(0, sb_bx.shape[0], step, carry)
     return carry
+
+
+_wavefront_run = jax.jit(
+    _wavefront_body,
+    static_argnames=("bit_depth",),
+    donate_argnums=(0, 1, 2, 3, 4, 5),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("bit_depth",),
+                   donate_argnums=(0, 1, 2, 3, 4, 5))
+def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
+                         modes, sb_bx, sb_by, sb_avy, sb_avc,
+                         mc_y, mc_u, mc_v, inter_mask,
+                         qp, qp_cb, qp_cr, bit_depth: int = 8):
+    """Multi-frame wavefront: every per-frame arg carries a leading F
+    axis; the schedule and QPs are shared.  All frames' wavefronts advance
+    in lockstep — the multi-frame batching lever from SURVEY.md §7
+    ('need big CTU batches to fill the MXU at small resolutions')."""
+    def fn(*args):
+        return _wavefront_body(*args, bit_depth=bit_depth)
+    return jax.vmap(fn, in_axes=(0,) * 10 + (None,) * 4 + (0,) * 4 +
+                    (None,) * 3)(
+        yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
+        sb_bx, sb_by, sb_avy, sb_avc, mc_y, mc_u, mc_v, inter_mask,
+        qp, qp_cb, qp_cr)
 
 
 class IntraReconstructor:
@@ -244,3 +265,51 @@ class IntraReconstructor:
             "lev_u": np.asarray(lev_u[:self.nby]),
             "lev_v": np.asarray(lev_v[:self.nby]),
         }
+
+    def run_batch(self, ys, us, vs, modes, qp: int = 32):
+        """Intra-reconstruct F frames in one fused multi-frame program.
+
+        ys/us/vs: (F, h, w) source stacks; modes: (F, nby, nbx) int32.
+        Returns a list of per-frame result dicts (same keys as run())."""
+        qp_cb = chroma_qp(qp, self.cb_qp_offset)
+        qp_cr = chroma_qp(qp, self.cr_qp_offset)
+        nl, nc = self.nl, self.nc
+        w, h = self.sps.width, self.sps.height
+        wc, hc = w // 2, h // 2
+        f = ys.shape[0]
+        yp = jnp.zeros((f, h + nl, w), jnp.int32)
+        up = jnp.zeros((f, hc + nc, wc), jnp.int32)
+        vp = jnp.zeros((f, hc + nc, wc), jnp.int32)
+        lev_y = jnp.zeros((f, self.nby + 1, self.nbx, nl, nl), jnp.int32)
+        lev_u = jnp.zeros((f, self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        lev_v = jnp.zeros((f, self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        mc_y = jnp.zeros((f, self.nby + 1, self.nbx, nl, nl), jnp.int32)
+        mc_u = jnp.zeros((f, self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        mc_v = jnp.zeros((f, self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        imask = jnp.zeros((f, self.nby + 1, self.nbx), bool)
+
+        yp, up, vp, lev_y, lev_u, lev_v = _wavefront_run_multi(
+            yp, up, vp, lev_y, lev_u, lev_v,
+            jnp.asarray(np.asarray(ys, np.int32)),
+            jnp.asarray(np.asarray(us, np.int32)),
+            jnp.asarray(np.asarray(vs, np.int32)),
+            jnp.asarray(np.asarray(modes, np.int32)),
+            self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
+            mc_y, mc_u, mc_v, imask,
+            jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd)
+
+        dt = np.uint8 if self.bd == 8 else np.uint16
+        yp = np.asarray(yp)
+        up = np.asarray(up)
+        vp = np.asarray(vp)
+        lev_y = np.asarray(lev_y)
+        lev_u = np.asarray(lev_u)
+        lev_v = np.asarray(lev_v)
+        return [{
+            "recon_y": yp[i, :h].astype(dt),
+            "recon_u": up[i, :hc].astype(dt),
+            "recon_v": vp[i, :hc].astype(dt),
+            "lev_y": lev_y[i, :self.nby],
+            "lev_u": lev_u[i, :self.nby],
+            "lev_v": lev_v[i, :self.nby],
+        } for i in range(f)]

@@ -59,6 +59,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p]
+    lib.advance_states.restype = None
+    lib.advance_states.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -92,6 +96,14 @@ class NativeEntropy:
             _ptr(bins), _ptr(ctx), ctypes.c_long(n), _ptr(states),
             _ptr(self.lps), _ptr(self.next_state), _ptr(out), _ptr(tail))
         return out[:out_len].tobytes(), int(tail[0]), int(tail[1])
+
+    def advance_states(self, bins: np.ndarray, ctx: np.ndarray,
+                       states: np.ndarray) -> None:
+        bins = np.ascontiguousarray(bins, dtype=np.uint8)
+        ctx = np.ascontiguousarray(ctx, dtype=np.int32)
+        self.lib.advance_states(_ptr(bins), _ptr(ctx),
+                                ctypes.c_long(len(bins)), _ptr(states),
+                                _ptr(self.next_state))
 
     def enc_residual(self, level: np.ndarray, log2_tb: int, c_idx: int,
                      scan_idx: int, sign_hide: bool, scan_xy: np.ndarray,

@@ -146,6 +146,19 @@ long cabac_encode(const uint8_t *bins, const int32_t *ctx, long n,
     return c.out_len;
 }
 
+/* Advance context states over a bin-IR without arithmetic coding (WPP
+ * context-sync computation: the state after CTU 1 of a row seeds the row
+ * below, reference entropy ctx save/restore frameencoder.cpp:1666). */
+void advance_states(const uint8_t *bins, const int32_t *ctx, long n,
+                    uint8_t *states, const uint8_t *next_state)
+{
+    for (long i = 0; i < n; i++) {
+        int32_t c = ctx[i];
+        if (c >= 0)
+            states[c] = next_state[2 * states[c] + bins[i]];
+    }
+}
+
 /* ------------------------------------------------- residual bin-stream */
 
 typedef struct {

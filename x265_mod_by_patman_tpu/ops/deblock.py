@@ -416,7 +416,28 @@ def _chroma_edges_pass(plane, on, edge_x, qpc, tc_off: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "beta_off", "tc_off", "bit_depth"))
+def deblock_frame_multi(ys, us, vs, bs_v, bs_h, on_vc, on_hc, qp,
+                        qpc_cb, qpc_cr, beta_off: int = 0,
+                        tc_off: int = 0, bit_depth: int = 8):
+    """Deblock F frames in one dispatch (shared BS maps — the all-intra
+    uniform-grid case)."""
+    def fn(y, u, v):
+        return _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
+                                   qpc_cb, qpc_cr, beta_off, tc_off,
+                                   bit_depth)
+    return jax.vmap(fn)(ys, us, vs)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "beta_off", "tc_off", "bit_depth"))
 def deblock_frame_batch(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
+                        qpc_cb, qpc_cr, beta_off: int = 0,
+                        tc_off: int = 0, bit_depth: int = 8):
+    return _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
+                               qpc_cb, qpc_cr, beta_off, tc_off, bit_depth)
+
+
+def _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                         qpc_cb, qpc_cr, beta_off: int = 0,
                         tc_off: int = 0, bit_depth: int = 8):
     """Deblock a full 4:2:0 frame: luma + chroma, V edges then H edges.
