@@ -94,6 +94,7 @@ class Encoder:
                               self.sps.width, self.sps.height,
                               self.p.qp_min, self.p.qp_max)
         self._prev_src_y = None
+        self._cplx_avg = 0.0              # running inter-complexity average
 
 
     # -- headers -------------------------------------------------------------
@@ -111,6 +112,17 @@ class Encoder:
         self._prev_src_y = planes[0]
         out: List[EncodedFrame] = []
         force_idr = (self.frame_count % max(1, p.keyframe_max) == 0)
+        # scene-cut detection (reference slicetype.cpp scenecut bias
+        # analog): a large jump in temporal complexity vs the running
+        # average promotes the frame to IDR
+        if not force_idr and p.keyframe_max > 1 and self._cplx_avg > 0 \
+                and self._disp_since_idr >= max(1, p.keyframe_min):
+            if cplx > 4.0 * self._cplx_avg and \
+                    cplx > 0.1 * self.sps.width * self.sps.height:
+                force_idr = True
+        if not force_idr:
+            self._cplx_avg = 0.9 * self._cplx_avg + 0.1 * cplx \
+                if self._cplx_avg else cplx
         if force_idr:
             out.extend(self.flush())
             self._disp_since_idr = 0

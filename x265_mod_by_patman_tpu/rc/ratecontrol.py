@@ -112,15 +112,36 @@ class RateControl:
             self.last_qscale = qs
 
 
-def frame_complexity(y: "np.ndarray", prev_y=None) -> float:
-    """Cheap pre-analysis complexity (lookahead stand-in): temporal SAD to
-    the previous source frame, or spatial gradient energy for the first /
-    intra case (reference lowres costEst analog)."""
+def _lowres8(y: "np.ndarray") -> "np.ndarray":
     import numpy as np
-    y = y.astype(np.int32)
+    h, w = y.shape
+    h8, w8 = h // 8, w // 8
+    return y[:h8 * 8, :w8 * 8].astype(np.int32) \
+        .reshape(h8, 8, w8, 8).mean(axis=(1, 3))
+
+
+def frame_complexity(y: "np.ndarray", prev_y=None) -> float:
+    """Cheap pre-analysis complexity (lookahead stand-in): 1/8-res
+    motion-searched SAD vs the previous source (global ±2 lowres search —
+    the coarse tier of the reference's lowres costEst, slicetype.cpp), or
+    spatial gradient energy for the first/intra case."""
+    import numpy as np
     if prev_y is not None:
-        return float(np.abs(y - prev_y.astype(np.int32)).mean()) * y.size \
-            / 16.0
-    gx = np.abs(np.diff(y, axis=1)).mean()
-    gy = np.abs(np.diff(y, axis=0)).mean()
+        a = _lowres8(y)
+        b = _lowres8(prev_y)
+        h8, w8 = a.shape
+        best = None
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                aa = a[max(dy, 0):h8 + min(dy, 0),
+                       max(dx, 0):w8 + min(dx, 0)]
+                bb = b[max(-dy, 0):h8 + min(-dy, 0),
+                       max(-dx, 0):w8 + min(-dx, 0)]
+                sad = float(np.abs(aa - bb).mean())
+                if best is None or sad < best:
+                    best = sad
+        return best * y.size / 16.0
+    yv = y.astype(np.int32)
+    gx = np.abs(np.diff(yv, axis=1)).mean()
+    gy = np.abs(np.diff(yv, axis=0)).mean()
     return float(gx + gy) * y.size / 32.0
