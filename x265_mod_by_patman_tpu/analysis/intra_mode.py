@@ -59,7 +59,7 @@ def decide_modes_batch(ys, sps, block: int = 16) -> np.ndarray:
     avail = frame_avail_masks(w, h, block, sps.log2_ctu_size, 0)
     bys, bxs = np.mgrid[0:nby, 0:nbx]
     costs = _mode_costs_multi(
-        jnp.asarray(np.asarray(ys, np.int32)),
+        jnp.asarray(ys).astype(jnp.int32),
         jnp.asarray(avail.reshape(-1, avail.shape[-1])),
         jnp.asarray(bxs.ravel().astype(np.int32)),
         jnp.asarray(bys.ravel().astype(np.int32)),

@@ -290,9 +290,9 @@ class IntraReconstructor:
 
         yp, up, vp, lev_y, lev_u, lev_v = _wavefront_run_multi(
             yp, up, vp, lev_y, lev_u, lev_v,
-            jnp.asarray(np.asarray(ys, np.int32)),
-            jnp.asarray(np.asarray(us, np.int32)),
-            jnp.asarray(np.asarray(vs, np.int32)),
+            jnp.asarray(ys).astype(jnp.int32),
+            jnp.asarray(us).astype(jnp.int32),
+            jnp.asarray(vs).astype(jnp.int32),
             jnp.asarray(np.asarray(modes, np.int32)),
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
