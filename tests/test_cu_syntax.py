@@ -77,7 +77,7 @@ def make_cus(rng, width, height, ctu_size, depth_choices=(16, 16, 8, 32)):
 @pytest.mark.parametrize("size", [(64, 64), (80, 48)])
 def test_ctu_syntax_roundtrip(size):
     w, h = size
-    p = default_params(w, h, ctu_size=32, qp=30).validate()
+    p = default_params(w, h, ctu_size=32, qp=30, sign_hide=False).validate()
     sps = build_sps_info(p)
     pps = build_pps_info(p)
     rng = np.random.default_rng(w + h)

@@ -67,7 +67,7 @@ def make_p_cus(rng, width, height):
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_p_slice_roundtrip(seed):
     w, h = 96, 64
-    p = default_params(w, h, ctu_size=32, qp=30).validate()
+    p = default_params(w, h, ctu_size=32, qp=30, sign_hide=False).validate()
     sps = build_sps_info(p)
     pps = build_pps_info(p)
     rng = np.random.default_rng(seed)

@@ -74,13 +74,14 @@ class Encoder:
         self.pps = build_pps_info(self.p)
         # v1 restrictions: no SBH, no TMVP
         self.pps.entropy_coding_sync = bool(self.p.wpp)
-        self.pps.sign_hide = False
+        self.pps.sign_hide = bool(self.p.sign_hide)
         self.pps.cu_qp_delta_enabled = False
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = bool(self.p.sao)
         self.sps.temporal_mvp = False
         self.recon = IntraReconstructor(self.sps, self.p.cb_qp_offset,
-                                        self.p.cr_qp_offset)
+                                        self.p.cr_qp_offset,
+                                        self.p.sign_hide)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)

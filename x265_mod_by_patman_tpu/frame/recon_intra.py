@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..constants.hevc_tables import CHROMA_QP_TABLE
 from ..ops.intra import intra_pred_select_batch, substitute_filter_batch
 from ..ops.transform import (
-    dct_batch, quant_dyn, dequant_dyn, idct_batch)
+    dct_batch, quant_dyn, dequant_dyn, idct_batch, sbh_adjust)
 from .zscan import frame_avail_masks, ctu_wavefront_order
 
 
@@ -34,7 +34,7 @@ def chroma_qp(qp: int, offset: int = 0) -> int:
 
 def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   log2n: int, qp, c_idx: int, bit_depth: int = 8,
-                  mc_pred=None, inter_mask=None):
+                  mc_pred=None, inter_mask=None, sign_hide: bool = False):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -76,6 +76,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     resi = org - pred
     coef = dct_batch(resi, log2n, bit_depth)
     lev = quant_dyn(coef, intra_mask, qp, log2n, bit_depth)
+    if sign_hide:
+        lev = sbh_adjust(lev, coef, intra_mask, qp, log2n, bit_depth)
     deq = dequant_dyn(lev, qp, log2n, bit_depth)
     rres = idct_batch(deq, log2n, bit_depth)
     recon = jnp.clip(pred + rres, 0, maxval)
@@ -96,7 +98,8 @@ _component_substep = jax.jit(
 def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     sb_bx, sb_by, sb_avy, sb_avc,
                     mc_y, mc_u, mc_v, inter_mask,
-                    qp, qp_cb, qp_cr, bit_depth: int = 8):
+                    qp, qp_cb, qp_cr, bit_depth: int = 8,
+                    sign_hide: bool = False):
     """Run the full wavefront schedule in one compiled loop.
 
     sb_bx/sb_by: (S, B) int32 block coords per substep
@@ -114,11 +117,14 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
         by = sb_by[s]
         md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
         yp, lev_y = _substep_body(yp, lev_y, oy, bx, by, md, sb_avy[s],
-                                  4, qp, 0, bit_depth, mc_y, inter_mask)
+                                  4, qp, 0, bit_depth, mc_y, inter_mask,
+                                  sign_hide)
         up, lev_u = _substep_body(up, lev_u, ou, bx, by, md, sb_avc[s],
-                                  3, qp_cb, 1, bit_depth, mc_u, inter_mask)
+                                  3, qp_cb, 1, bit_depth, mc_u, inter_mask,
+                                  sign_hide)
         vp, lev_v = _substep_body(vp, lev_v, ov, bx, by, md, sb_avc[s],
-                                  3, qp_cr, 2, bit_depth, mc_v, inter_mask)
+                                  3, qp_cr, 2, bit_depth, mc_v, inter_mask,
+                                  sign_hide)
         return yp, up, vp, lev_y, lev_u, lev_v
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v)
@@ -128,23 +134,25 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
 
 _wavefront_run = jax.jit(
     _wavefront_body,
-    static_argnames=("bit_depth",),
+    static_argnames=("bit_depth", "sign_hide"),
     donate_argnums=(0, 1, 2, 3, 4, 5),
 )
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",),
+@functools.partial(jax.jit, static_argnames=("bit_depth", "sign_hide"),
                    donate_argnums=(0, 1, 2, 3, 4, 5))
 def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          modes, sb_bx, sb_by, sb_avy, sb_avc,
                          mc_y, mc_u, mc_v, inter_mask,
-                         qp, qp_cb, qp_cr, bit_depth: int = 8):
+                         qp, qp_cb, qp_cr, bit_depth: int = 8,
+                         sign_hide: bool = False):
     """Multi-frame wavefront: every per-frame arg carries a leading F
     axis; the schedule and QPs are shared.  All frames' wavefronts advance
     in lockstep — the multi-frame batching lever from SURVEY.md §7
     ('need big CTU batches to fill the MXU at small resolutions')."""
     def fn(*args):
-        return _wavefront_body(*args, bit_depth=bit_depth)
+        return _wavefront_body(*args, bit_depth=bit_depth,
+                               sign_hide=sign_hide)
     return jax.vmap(fn, in_axes=(0,) * 10 + (None,) * 4 + (0,) * 4 +
                     (None,) * 3)(
         yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
@@ -158,10 +166,11 @@ class IntraReconstructor:
     QP (rate-control requirement)."""
 
     def __init__(self, sps, cb_qp_offset: int = 0,
-                 cr_qp_offset: int = 0) -> None:
+                 cr_qp_offset: int = 0, sign_hide: bool = False) -> None:
         self.sps = sps
         self.cb_qp_offset = cb_qp_offset
         self.cr_qp_offset = cr_qp_offset
+        self.sign_hide = bool(sign_hide)
         self.bd = sps.bit_depth
         self.log2_ctu = sps.log2_ctu_size
         self.nl = 16                       # luma block size (v1 uniform)
@@ -254,7 +263,8 @@ class IntraReconstructor:
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
-            jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd)
+            jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd,
+            self.sign_hide)
 
         dt = np.uint8 if self.bd == 8 else np.uint16
         return {
@@ -296,7 +306,8 @@ class IntraReconstructor:
             jnp.asarray(np.asarray(modes, np.int32)),
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
-            jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd)
+            jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd,
+            self.sign_hide)
 
         dt = np.uint8 if self.bd == 8 else np.uint16
         yp = np.asarray(yp)

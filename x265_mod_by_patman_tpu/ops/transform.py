@@ -202,6 +202,81 @@ def quant_dyn(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     return (jnp.sign(c) * level).astype(jnp.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _diag_scan_idx(log2_size: int):
+    from ..constants.hevc_tables import scan_raster_index, SCAN_DIAG
+    return np.ascontiguousarray(scan_raster_index(log2_size, SCAN_DIAG))
+
+
+def sbh_adjust(lev: jnp.ndarray, coef: jnp.ndarray, intra_mask, qp,
+               log2_size: int, bit_depth: int = 8) -> jnp.ndarray:
+    """Sign-bit-hiding quantizer adjustment (x265 signBitHidingHDQ,
+    quant.cpp:247): for every diagonal-scan 4x4 coefficient group where
+    hiding triggers (last-first sig span > 3), force the parity of the
+    absolute-level sum to encode the first coefficient's sign, adjusting
+    the single coefficient whose quantization error changes least.
+
+    Applies to DIAG-scan TUs only (the only scan the current uniform
+    16x16-luma / 8x8-chroma layout produces).
+    """
+    qp = jnp.asarray(qp, jnp.int32)
+    per, rem = qp // 6, qp % 6
+    tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = QUANT_SHIFT + per + tshift
+    scale = jnp.asarray(QUANT_SCALES)[rem]
+
+    n = 1 << log2_size
+    scan = jnp.asarray(_diag_scan_idx(log2_size))      # (n*n,) raster idx
+    b = lev.shape[0]
+    lev_f = lev.reshape(b, n * n)
+    coef_f = coef.reshape(b, n * n)
+    lev_s = jnp.take(lev_f, scan, axis=1)              # scan order
+    coef_s = jnp.take(coef_f, scan, axis=1)
+    ncg = (n * n) // 16
+    lev_cg = lev_s.reshape(b, ncg, 16)
+    coef_cg = coef_s.reshape(b, ncg, 16)
+
+    sig = lev_cg != 0
+    pos = jnp.arange(16)
+    first = jnp.min(jnp.where(sig, pos, 99), axis=-1)          # (b, ncg)
+    last = jnp.max(jnp.where(sig, pos, -1), axis=-1)
+    hide = (last - first) >= 4
+    absl = jnp.abs(lev_cg)
+    parity = jnp.sum(absl, axis=-1) & 1
+    first_lev = jnp.take_along_axis(
+        lev_cg, jnp.minimum(first, 15)[..., None], axis=-1)[..., 0]
+    want = (first_lev < 0).astype(jnp.int32)
+    mismatch = hide & (parity != want)
+
+    # per-coefficient adjustment cost from the quant rounding residue;
+    # down-adjustments get a rate credit (one less level bin), mirroring
+    # the reference's rate-aware pick (quant.cpp signBitHidingHDQ)
+    delta_u = jnp.abs(coef_cg) * scale - (absl << qbits)
+    half = jnp.int32(1) << (qbits - 1)
+    up_bias = half >> 1                        # ~ rate cost of +1
+    prefer_up = delta_u >= half + up_bias
+    can_down = absl >= 2                       # never zero a coefficient
+    go_up = prefer_up | ~can_down
+    cost = jnp.where(go_up,
+                     (jnp.int32(1) << qbits) - delta_u + up_bias,
+                     delta_u)
+    in_win = (pos[None, None] >= first[..., None]) & \
+        (pos[None, None] <= last[..., None]) & sig
+    cost = jnp.where(in_win, cost, jnp.int32(1) << 30)
+    pick = jnp.argmin(cost, axis=-1)                           # (b, ncg)
+    onehot = (pos[None, None] == pick[..., None]) & \
+        mismatch[..., None] & in_win
+    step = jnp.where(go_up, 1, -1)
+    new_abs = absl + jnp.where(onehot, step, 0)
+    out_cg = jnp.where(lev_cg < 0, -new_abs, new_abs)
+
+    out_s = out_cg.reshape(b, n * n)
+    inv = jnp.zeros(n * n, jnp.int32).at[scan].set(
+        jnp.arange(n * n, dtype=jnp.int32))
+    out_f = jnp.take(out_s, inv, axis=1)
+    return out_f.reshape(b, n, n)
+
+
 def dequant_dyn(level: jnp.ndarray, qp, log2_size: int,
                 bit_depth: int = 8) -> jnp.ndarray:
     qp = jnp.asarray(qp, jnp.int32)

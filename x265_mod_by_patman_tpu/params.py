@@ -79,7 +79,7 @@ class EncoderParams:
     sao: bool = True
 
     # bitstream features
-    sign_hide: bool = False
+    sign_hide: bool = False   # net RD win needs RDOQ-grade costs (round 2)
     strong_intra_smoothing: bool = True
     constrained_intra: bool = False
     temporal_mvp: bool = True
