@@ -103,3 +103,19 @@ def test_e2e_b_frames_bit_exact():
     b_bits = np.mean([f.bits for f in encoded if f.slice_type == "B"])
     p_bits = np.mean([f.bits for f in encoded if f.slice_type == "P"])
     assert b_bits < p_bits
+
+
+def test_multi_ref_p():
+    """2+ reference P frames: ref_idx syntax, per-block ref choice."""
+    w, h = 96, 64
+    p = default_params(w, h, qp=30, keyframe_max=250, bframes=0,
+                       max_num_references=3)
+    frames = moving_scene(w, h, 6, seed=11)
+    # make frame 5 resemble frame 3 (ref 1 wins over ref 0 for many blocks)
+    frames[5] = frames[3]
+    stream, encoded = encode_sequence(p, frames)
+    assert [f.slice_type for f in encoded] == ["I"] + ["P"] * 5
+    pics = Decoder().decode(stream)
+    for f, pic in zip(encoded, pics):
+        assert np.array_equal(pic.y, f.recon[0]), f.poc
+        assert pic.md5 == f.md5 == pic.sei_md5

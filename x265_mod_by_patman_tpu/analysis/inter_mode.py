@@ -30,10 +30,15 @@ def lambda_qp(qp: int) -> Tuple[float, float]:
     return math.sqrt(lam2), lam2
 
 
-def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
+def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16):
-    """Returns (intra_modes (nby,nbx), inter_mask (nby,nbx) bool,
-    mvs (nby,nbx,2) qpel, (mc_y, mc_u, mc_v) per-block predictions)."""
+    """Multi-reference P analysis (reference predInterSearch's per-ref
+    loop, search.cpp:2554, batched).
+
+    refs: list of (ref_y, ref_u, ref_v) tuples, L0 order (closest first).
+    Returns (intra_modes (nby,nbx), inter_mask (nby,nbx) bool,
+    mvs (nby,nbx,2) qpel, ref_sel (nby,nbx) int32,
+    (mc_y, mc_u, mc_v) per-block predictions)."""
     h, w = sps.height, sps.width
     n = block
     nbx, nby = w // n, h // n
@@ -46,32 +51,40 @@ def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
     by = jnp.asarray((bys.ravel() * n).astype(np.int32))
     oy = jnp.asarray(np.asarray(y, np.int32))
-    ry = jnp.asarray(np.asarray(ref_y, np.int32))
+    ry_all = [jnp.asarray(np.asarray(r[0], np.int32)) for r in refs]
 
-    # 1. integer full search + subpel (predictor (0,0) for bit costing)
-    pz = jnp.zeros(nb, jnp.int32)
-    imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256, n,
-                                    search_range)
-    mvx, mvy, cost_me = subpel_refine_batch(ry, oy, bx, by, imx, imy,
-                                            pz, pz, lam256, n, bd)
-
-    # 2. neighbor-coherence pass: try the left/top neighbor's MV with a
-    # small bit charge; adopt when cheaper (merge-style coherence)
     gy = by[:, None, None] + jnp.arange(n)[None, :, None]
     gx = bx[:, None, None] + jnp.arange(n)[None, None, :]
     org = oy[jnp.clip(gy, 0, h - 1), jnp.clip(gx, 0, w - 1)].astype(jnp.int32)
-    mvx2d = mvx.reshape(nby, nbx)
-    mvy2d = mvy.reshape(nby, nbx)
-    cost = cost_me
-    for (sy, sx) in ((0, 1), (1, 0)):          # left neighbor, top neighbor
-        cx_ = jnp.roll(mvx2d, (sy, sx), (0, 1)).ravel()
-        cy_ = jnp.roll(mvy2d, (sy, sx), (0, 1)).ravel()
-        pred = mc_batch(ry, bx, by, cx_, cy_, n, 0, bd)
-        c = satd_batch(org, pred) + ((lam256 * 2) >> 8)
-        upd = c < cost
-        mvx = jnp.where(upd, cx_, mvx)
-        mvy = jnp.where(upd, cy_, mvy)
-        cost = jnp.where(upd, c, cost)
+
+    # 1. per-ref full search + subpel; ref_idx bit charge for non-zero refs
+    cands = []
+    pz = jnp.zeros(nb, jnp.int32)
+    for ridx, ry in enumerate(ry_all):
+        imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256, n,
+                                        search_range)
+        mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
+                                             pz, pz, lam256, n, bd)
+        cost = cost + ((lam256 * (2 if ridx else 1)) >> 8)
+        # 2. neighbor-coherence pass per ref
+        mvx2d = mvx.reshape(nby, nbx)
+        mvy2d = mvy.reshape(nby, nbx)
+        for (sy, sx) in ((0, 1), (1, 0)):
+            cx_ = jnp.roll(mvx2d, (sy, sx), (0, 1)).ravel()
+            cy_ = jnp.roll(mvy2d, (sy, sx), (0, 1)).ravel()
+            pred = mc_batch(ry, bx, by, cx_, cy_, n, 0, bd)
+            c = satd_batch(org, pred) + ((lam256 * 2) >> 8)
+            upd = c < cost
+            mvx = jnp.where(upd, cx_, mvx)
+            mvy = jnp.where(upd, cy_, mvy)
+            cost = jnp.where(upd, c, cost)
+        cands.append((mvx, mvy, cost))
+
+    costs_r = jnp.stack([c[2] for c in cands])        # (R, nb)
+    ref_sel = jnp.argmin(costs_r, axis=0).astype(jnp.int32)
+    cost = jnp.min(costs_r, axis=0)
+    mvx = jnp.choose(ref_sel, [c[0] for c in cands], mode="clip")
+    mvy = jnp.choose(ref_sel, [c[1] for c in cands], mode="clip")
 
     # 3. intra costs (orig-neighbor batched sweep)
     avail = frame_avail_masks(w, h, n, sps.log2_ctu_size, 0)
@@ -87,22 +100,30 @@ def analyse_p_frame(y, u, v, ref_y, ref_u, ref_v, sps, qp: int,
     # mode signalling in P slices)
     use_inter = cost <= (intra_best + ((lam256 * 5) >> 8))
 
-    # 5. MC predictions for every block (unused lanes harmless)
-    mc_y = mc_batch(ry, bx, by, mvx, mvy, n, 0, bd)
-    ru = jnp.asarray(np.asarray(ref_u, np.int32))
-    rv = jnp.asarray(np.asarray(ref_v, np.int32))
+    # 5. MC predictions of the chosen (ref, mv) per block
     nc = n // 2
-    mc_u = mc_batch(ru, bx // 2, by // 2, mvx, mvy, nc, 1, bd)
-    mc_v = mc_batch(rv, bx // 2, by // 2, mvx, mvy, nc, 1, bd)
+    mc = []
+    for pi in range(3):
+        c_idx = 0 if pi == 0 else pi
+        sz = n if pi == 0 else nc
+        bx_ = bx if pi == 0 else bx // 2
+        by_ = by if pi == 0 else by // 2
+        preds = [mc_batch(jnp.asarray(np.asarray(r[pi], np.int32)),
+                          bx_, by_, mvx, mvy, sz, c_idx, bd)
+                 for r in refs]
+        sel = preds[0]
+        for ridx in range(1, len(refs)):
+            sel = jnp.where((ref_sel == ridx)[:, None, None],
+                            preds[ridx], sel)
+        mc.append(np.asarray(sel).reshape(nby, nbx, sz, sz))
 
     mvs = np.stack([np.asarray(mvx), np.asarray(mvy)],
                    axis=-1).reshape(nby, nbx, 2)
     return (np.asarray(intra_modes).reshape(nby, nbx),
             np.asarray(use_inter).reshape(nby, nbx),
             mvs.astype(np.int32),
-            (np.asarray(mc_y).reshape(nby, nbx, n, n),
-             np.asarray(mc_u).reshape(nby, nbx, nc, nc),
-             np.asarray(mc_v).reshape(nby, nbx, nc, nc)))
+            np.asarray(ref_sel).reshape(nby, nbx),
+            tuple(mc))
 
 
 def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8):

@@ -85,7 +85,9 @@ class Encoder:
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)
-        self._anchor: Optional[tuple] = None   # (recon planes, poc)
+        # DPB: anchor reference pictures, newest first: [(planes, poc)..]
+        self._anchors: List[tuple] = []
+        self.max_refs = max(1, min(self.p.max_num_references, 4))
         self._headers_sent = False
         self.bframes = max(0, self.p.bframes) if self.p.keyframe_max > 1 \
             else 0
@@ -221,8 +223,9 @@ class Encoder:
         for (planes, poc, cplx) in frames[:-1]:
             out.append(self._encode_picture(planes, poc, "B", cplx,
                                             next_anchor=anchor1))
-        # decode order emitted; DPB anchor advances to the new P
-        self._anchor = (anchor1.recon, anchor1.poc)
+        # decode order emitted; DPB advances to the new P anchor
+        self._anchors.insert(0, (anchor1.recon, anchor1.poc))
+        del self._anchors[self.max_refs:]
         return out
 
     # -- one picture -----------------------------------------------------------
@@ -236,6 +239,7 @@ class Encoder:
         recon = self.recon
         dirs = None
         mvs1 = None
+        ref_sel = None
         if ftype == "I":
             modes = decide_modes(y, self.sps, block=16)
             r = recon.run(y, u, v, modes, qp=qp)
@@ -243,24 +247,26 @@ class Encoder:
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
         elif ftype == "P":
-            assert self._anchor is not None
-            modes, inter_mask, mvs, mc = analyse_p_frame(
-                y, u, v, *self._anchor[0], self.sps, qp,
+            assert self._anchors
+            refs = [a[0] for a in self._anchors]
+            modes, inter_mask, mvs, ref_sel, mc = analyse_p_frame(
+                y, u, v, refs, self.sps, qp,
                 search_range=min(p.search_range, 24))
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
-            ref_pocs = ((self._anchor[1],), ())
+            ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
-                y, u, v, self._anchor[0], next_anchor.recon, self.sps, qp,
-                search_range=min(p.search_range, 24))
+                y, u, v, self._anchors[0][0], next_anchor.recon,
+                self.sps, qp, search_range=min(p.search_range, 24))
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
-            ref_pocs = ((self._anchor[1],), (next_anchor.poc,))
+            ref_pocs = ((self._anchors[0][1],), (next_anchor.poc,))
 
-        self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, qp, recon)
+        self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, qp, recon,
+                      ref_sel)
         sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
         slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
                                         r, ftype, poc, qp, ref_pocs,
-                                        sao_maps)
+                                        sao_maps, ref_sel)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -278,11 +284,11 @@ class Encoder:
                              bits=len(out) * 8, md5=md5, slice_type=ftype)
         self.rc.update(ftype, qp, frame.bits, complexity)
         if ftype == "I":
-            self._anchor = (frame.recon, poc)
+            self._anchors = [(frame.recon, poc)]
         return frame
 
     def _deblock(self, r: dict, inter_mask, mvs, mvs1, dirs, ref_pocs,
-                 qp: int, recon) -> None:
+                 qp: int, recon, ref_sel=None) -> None:
         if not self.p.deblock:
             return
         p = self.p
@@ -297,8 +303,12 @@ class Encoder:
             else:
                 dirs_m = np.where(inter_mask, dirs, 0).astype(np.int32)
                 mvs1_m = mvs1
-            p0 = np.full((nby, nbx),
-                         ref_pocs[0][0] if ref_pocs[0] else 0, np.int64)
+            if ref_sel is not None and ref_pocs[0]:
+                poc_tab = np.asarray(ref_pocs[0], np.int64)
+                p0 = poc_tab[np.clip(ref_sel, 0, len(ref_pocs[0]) - 1)]
+            else:
+                p0 = np.full((nby, nbx),
+                             ref_pocs[0][0] if ref_pocs[0] else 0, np.int64)
             p1 = np.full((nby, nbx),
                          ref_pocs[1][0] if ref_pocs[1] else 0, np.int64)
             bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16,
@@ -382,7 +392,7 @@ class Encoder:
 
     def _encode_slice(self, modes, inter_mask, mvs, mvs1, dirs, r: dict,
                       ftype: str, poc: int, qp: int, ref_pocs,
-                      sao_maps=None) -> bytes:
+                      sao_maps=None, ref_sel=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -395,9 +405,10 @@ class Encoder:
                          sao_chroma=sao_maps is not None)
         num_refs = (0, 0)
         if ftype == "P":
-            num_refs = (1, 0)
-            sh.num_ref_idx = (1, 0)
-            sh.st_rps_neg = ((ref_pocs[0][0] - poc, True),)
+            n_l0 = len(ref_pocs[0])
+            num_refs = (n_l0, 0)
+            sh.num_ref_idx = (n_l0, 0)
+            sh.st_rps_neg = tuple((rp - poc, True) for rp in ref_pocs[0])
         elif ftype == "B":
             num_refs = (1, 1)
             sh.num_ref_idx = (1, 1)
@@ -432,7 +443,9 @@ class Encoder:
                                 x0, y0, 4, (1,), 4, {}, is_inter=True,
                                 mv=(int(mvs[by, bx, 0]),
                                     int(mvs[by, bx, 1])),
-                                ref_idx=0, inter_dir=d,
+                                ref_idx=int(ref_sel[by, bx])
+                                if ref_sel is not None else 0,
+                                inter_dir=d,
                                 mv1=(int(mvs1[by, bx, 0]),
                                      int(mvs1[by, bx, 1]))
                                 if mvs1 is not None else (0, 0),
