@@ -289,18 +289,20 @@ class Decoder:
                 p1 = np.zeros((nby, nbx), np.int64)
                 cbf = np.zeros((nby, nbx), bool)
                 for cu in all_cus:
-                    bx, by = cu.x0 // 16, cu.y0 // 16
-                    intra_mask[by, bx] = not cu.is_inter
+                    n16 = max(1, (1 << cu.log2_size) // 16)
+                    bx0, by0 = cu.x0 // 16, cu.y0 // 16
+                    sl = (slice(by0, by0 + n16), slice(bx0, bx0 + n16))
+                    intra_mask[sl] = not cu.is_inter
                     if cu.is_inter:
-                        dirs[by, bx] = cu.inter_dir
-                        mvs[by, bx] = cu.mv
-                        mvs1[by, bx] = cu.mv1
+                        dirs[sl] = cu.inter_dir
+                        mvs[sl] = cu.mv
+                        mvs1[sl] = cu.mv1
                         if cu.inter_dir & 1:
-                            p0[by, bx] = ref_pocs[0][cu.ref_idx]
+                            p0[sl] = ref_pocs[0][cu.ref_idx]
                         if cu.inter_dir & 2:
-                            p1[by, bx] = ref_pocs[1][cu.ref_idx1]
-                    lv = cu.coeffs.get((0, cu.x0, cu.y0, 4))
-                    cbf[by, bx] = lv is not None and bool(np.any(lv))
+                            p1[sl] = ref_pocs[1][cu.ref_idx1]
+                    lv = cu.coeffs.get((0, cu.x0, cu.y0, cu.log2_size))
+                    cbf[sl] = lv is not None and bool(np.any(lv))
                 bs_v, bs_h = inter_bs_maps(intra_mask, mvs, cbf, w, h, 16,
                                            dirs, mvs1, p0, p1)
             else:

@@ -34,7 +34,8 @@ def chroma_qp(qp: int, offset: int = 0) -> int:
 
 def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   log2n: int, qp, c_idx: int, bit_depth: int = 8,
-                  mc_pred=None, inter_mask=None, sign_hide: bool = False):
+                  mc_pred=None, inter_mask=None, sign_hide: bool = False,
+                  skip_in=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -78,13 +79,34 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     lev = quant_dyn(coef, intra_mask, qp, log2n, bit_depth)
     if sign_hide:
         lev = sbh_adjust(lev, coef, intra_mask, qp, log2n, bit_depth)
+
+    # inter zero-residual (skip) RD test: drop the residual when the
+    # distortion increase is cheaper than its rate (x265 rd0-4 sa8d-based
+    # merge/skip preference, analysis.cpp:3485).  For luma (c_idx 0) the
+    # decision is made here; chroma substeps inherit it via skip_in.
+    skip = None
+    if mc_pred is not None and c_idx == 0:
+        deq0 = dequant_dyn(lev, qp, log2n, bit_depth)
+        rres0 = idct_batch(deq0, log2n, bit_depth)
+        rec0 = jnp.clip(pred + rres0, 0, maxval)
+        sse_coded = jnp.sum((org - rec0) ** 2, axis=(1, 2))
+        sse_skip = jnp.sum((org - pred) ** 2, axis=(1, 2))
+        nz = jnp.sum((lev != 0).astype(jnp.int32), axis=(1, 2))
+        lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)             * (1 << (2 * (bit_depth - 8)))
+        bits = 6.0 + 3.0 * nz.astype(jnp.float32)
+        skip = (~intra_mask) &             (sse_skip.astype(jnp.float32) <=
+             sse_coded.astype(jnp.float32) + lam2 * bits)
+    elif skip_in is not None:
+        skip = skip_in[by, bx] & (~intra_mask)
+    if skip is not None:
+        lev = jnp.where(skip[:, None, None], 0, lev)
     deq = dequant_dyn(lev, qp, log2n, bit_depth)
     rres = idct_batch(deq, log2n, bit_depth)
     recon = jnp.clip(pred + rres, 0, maxval)
 
     plane = plane.at[jnp.clip(gy, 0, hp - 1), gx].set(recon)
     levels = levels.at[by, bx].set(lev)
-    return plane, levels
+    return plane, levels, skip
 
 
 # standalone-jitted variant for unit tests / kernel benches
@@ -110,26 +132,31 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
     """
     nby = lev_y.shape[0] - 1
     nbx = lev_y.shape[1]
+    skip_map = jnp.zeros((nby + 1, nbx), bool)
 
     def step(s, carry):
-        yp, up, vp, lev_y, lev_u, lev_v = carry
+        yp, up, vp, lev_y, lev_u, lev_v, skip_map = carry
         bx = sb_bx[s]
         by = sb_by[s]
         md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
-        yp, lev_y = _substep_body(yp, lev_y, oy, bx, by, md, sb_avy[s],
-                                  4, qp, 0, bit_depth, mc_y, inter_mask,
-                                  sign_hide)
-        up, lev_u = _substep_body(up, lev_u, ou, bx, by, md, sb_avc[s],
-                                  3, qp_cb, 1, bit_depth, mc_u, inter_mask,
-                                  sign_hide)
-        vp, lev_v = _substep_body(vp, lev_v, ov, bx, by, md, sb_avc[s],
-                                  3, qp_cr, 2, bit_depth, mc_v, inter_mask,
-                                  sign_hide)
-        return yp, up, vp, lev_y, lev_u, lev_v
+        yp, lev_y, skip = _substep_body(
+            yp, lev_y, oy, bx, by, md, sb_avy[s],
+            4, qp, 0, bit_depth, mc_y, inter_mask, sign_hide)
+        if skip is not None:
+            skip_map = skip_map.at[by, bx].set(skip)
+        up, lev_u, _ = _substep_body(
+            up, lev_u, ou, bx, by, md, sb_avc[s],
+            3, qp_cb, 1, bit_depth, mc_u, inter_mask, sign_hide,
+            skip_map)
+        vp, lev_v, _ = _substep_body(
+            vp, lev_v, ov, bx, by, md, sb_avc[s],
+            3, qp_cr, 2, bit_depth, mc_v, inter_mask, sign_hide,
+            skip_map)
+        return yp, up, vp, lev_y, lev_u, lev_v, skip_map
 
-    carry = (yp, up, vp, lev_y, lev_u, lev_v)
+    carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map)
     carry = jax.lax.fori_loop(0, sb_bx.shape[0], step, carry)
-    return carry
+    return carry[:6]
 
 
 _wavefront_run = jax.jit(
