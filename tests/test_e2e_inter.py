@@ -119,3 +119,25 @@ def test_multi_ref_p():
     for f, pic in zip(encoded, pics):
         assert np.array_equal(pic.y, f.recon[0]), f.poc
         assert pic.md5 == f.md5 == pic.sei_md5
+
+
+def test_b_pyramid():
+    """bframes>=3 with b_pyramid: referenced middle B, all bit-exact."""
+    w, h = 96, 64
+    p = default_params(w, h, qp=30, keyframe_max=250, bframes=3,
+                       b_pyramid=True)
+    frames = moving_scene(w, h, 9, seed=13)
+    stream, encoded = encode_sequence(p, frames)
+    # decode order per minigop: P, Bref(mid), B, B
+    types = [f.slice_type for f in encoded]
+    assert types[0] == "I" and types.count("B") >= 4
+    pics = Decoder().decode(stream)
+    assert len(pics) == len(encoded)
+    for f, pic in zip(encoded, pics):
+        assert np.array_equal(pic.y, f.recon[0]), f.poc
+        assert pic.md5 == f.md5 == pic.sei_md5
+    # pyramid should not be larger than flat-B coding
+    p_flat = default_params(w, h, qp=30, keyframe_max=250, bframes=3,
+                            b_pyramid=False)
+    s_flat, _ = encode_sequence(p_flat, frames)
+    assert len(stream) < 1.05 * len(s_flat)

@@ -219,20 +219,45 @@ class Encoder:
         self._queue = []
         out = [self._encode_picture(frames[-1][0], frames[-1][1], "P",
                                     frames[-1][2])]
-        anchor1 = out[0]
-        for (planes, poc, cplx) in frames[:-1]:
-            out.append(self._encode_picture(planes, poc, "B", cplx,
-                                            next_anchor=anchor1))
+        anchor0 = self._anchors[0]
+        anchor1 = (out[0].recon, out[0].poc)
+        bs = frames[:-1]
+        if self.p.b_pyramid and len(bs) >= 3:
+            # referenced middle B (reference placeBref, slicetype.cpp:1849)
+            mid = len(bs) // 2
+            bref_fr = self._encode_picture(
+                bs[mid][0], bs[mid][1], "B", bs[mid][2],
+                b_refs=(anchor0, anchor1, (), True))
+            out.append(bref_fr)
+            bref = (bref_fr.recon, bref_fr.poc)
+            for k, (planes, poc, cplx) in enumerate(bs):
+                if k == mid:
+                    continue
+                if k < mid:
+                    # future anchor must stay in the DPB for trailing Bs
+                    out.append(self._encode_picture(
+                        planes, poc, "B", cplx,
+                        b_refs=(anchor0, bref, (anchor1[1],), False)))
+                else:
+                    out.append(self._encode_picture(
+                        planes, poc, "B", cplx,
+                        b_refs=(bref, anchor1, (), False)))
+        else:
+            for (planes, poc, cplx) in bs:
+                out.append(self._encode_picture(
+                    planes, poc, "B", cplx,
+                    b_refs=(anchor0, anchor1, (), False)))
         # decode order emitted; DPB advances to the new P anchor
-        self._anchors.insert(0, (anchor1.recon, anchor1.poc))
+        self._anchors.insert(0, anchor1)
         del self._anchors[self.max_refs:]
         return out
 
     # -- one picture -----------------------------------------------------------
     def _encode_picture(self, planes, poc: int, ftype: str,
                         complexity: float = 0.0,
-                        next_anchor: Optional[EncodedFrame] = None
-                        ) -> EncodedFrame:
+                        b_refs=None) -> EncodedFrame:
+        """b_refs: for B pictures, ((planes, poc) L0 ref, (planes, poc)
+        L1 ref, extra POCs to retain in the RPS, is_referenced)."""
         p = self.p
         y, u, v = planes
         qp = self.rc.frame_qp(ftype, complexity)
@@ -240,6 +265,8 @@ class Encoder:
         dirs = None
         mvs1 = None
         ref_sel = None
+        keep_pocs: tuple = ()
+        b_is_ref = False
         if ftype == "I":
             modes = decide_modes(y, self.sps, block=16)
             r = recon.run(y, u, v, modes, qp=qp)
@@ -255,18 +282,19 @@ class Encoder:
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
+            (ref0, ref1, keep_pocs, b_is_ref) = b_refs
             modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
-                y, u, v, self._anchors[0][0], next_anchor.recon,
+                y, u, v, ref0[0], ref1[0],
                 self.sps, qp, search_range=min(p.search_range, 24))
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
-            ref_pocs = ((self._anchors[0][1],), (next_anchor.poc,))
+            ref_pocs = ((ref0[1],), (ref1[1],))
 
         self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, qp, recon,
                       ref_sel)
         sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
         slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
                                         r, ftype, poc, qp, ref_pocs,
-                                        sao_maps, ref_sel)
+                                        sao_maps, ref_sel, keep_pocs)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -275,7 +303,7 @@ class Encoder:
             out += self.headers()
             self._headers_sent = True
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
-               "B": NAL_TRAIL_N}[ftype]
+               "B": NAL_TRAIL_R if b_is_ref else NAL_TRAIL_N}[ftype]
         out += annexb(nal, slice_rbsp)
         if p.decoded_picture_hash:
             out += annexb(NAL_SUFFIX_SEI, write_decoded_picture_hash(md5))
@@ -392,7 +420,8 @@ class Encoder:
 
     def _encode_slice(self, modes, inter_mask, mvs, mvs1, dirs, r: dict,
                       ftype: str, poc: int, qp: int, ref_pocs,
-                      sao_maps=None, ref_sel=None) -> bytes:
+                      sao_maps=None, ref_sel=None,
+                      keep_pocs: tuple = ()) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -412,8 +441,14 @@ class Encoder:
         elif ftype == "B":
             num_refs = (1, 1)
             sh.num_ref_idx = (1, 1)
-            sh.st_rps_neg = ((ref_pocs[0][0] - poc, True),)
-            sh.st_rps_pos = ((ref_pocs[1][0] - poc, True),)
+            # RPS: the two used refs plus pictures kept for later frames
+            # of the mini-GOP (used_by_curr = 0), sorted per spec order
+            neg = [(ref_pocs[0][0] - poc, True)] + \
+                [(kp - poc, False) for kp in keep_pocs if kp < poc]
+            pos = [(ref_pocs[1][0] - poc, True)] + \
+                [(kp - poc, False) for kp in keep_pocs if kp > poc]
+            sh.st_rps_neg = tuple(sorted(neg, reverse=True))
+            sh.st_rps_pos = tuple(sorted(pos))
         syn = SliceSyntaxEncoder(sps, pps, qp, slice_type, MAX_MERGE,
                                  num_refs=num_refs, ref_pocs=ref_pocs,
                                  cur_poc=poc)
