@@ -51,21 +51,93 @@ def _mode_costs_multi(origs, avail, bx, by, log2n: int, bit_depth: int = 8):
     return jax.vmap(fn)(origs)
 
 
-def decide_modes_batch(ys, sps, block: int = 16) -> np.ndarray:
-    """Batched mode decision for (F, h, w) frame stacks -> (F, nby, nbx)."""
+def decide_modes_batch(ys, sps, block: int = 16,
+                       qp: int = None) -> np.ndarray:
+    """Batched mode decision for (F, h, w) frame stacks -> (F, nby, nbx);
+    with qp given, applies the MPM-aware second pass per frame."""
     h, w = sps.height, sps.width
     nbx, nby = w // block, h // block
     log2n = block.bit_length() - 1
     avail = frame_avail_masks(w, h, block, sps.log2_ctu_size, 0)
     bys, bxs = np.mgrid[0:nby, 0:nbx]
-    costs = _mode_costs_multi(
+    costs = np.asarray(_mode_costs_multi(
         jnp.asarray(ys).astype(jnp.int32),
         jnp.asarray(avail.reshape(-1, avail.shape[-1])),
         jnp.asarray(bxs.ravel().astype(np.int32)),
         jnp.asarray(bys.ravel().astype(np.int32)),
-        log2n, sps.bit_depth)
-    modes = np.asarray(jnp.argmin(costs, axis=-1), dtype=np.int32)
-    return modes.reshape(-1, nby, nbx)
+        log2n, sps.bit_depth)).reshape(-1, nby, nbx, 35)
+    pass1 = np.argmin(costs, axis=-1).astype(np.int32)
+    if qp is None:
+        return pass1
+    from .inter_mode import lambda_qp
+    lam = lambda_qp(qp)[0] * (1 << (sps.bit_depth - 8))
+    modes_axis = np.arange(35)[None, None, :]
+    out = np.empty_like(pass1)
+    for f in range(pass1.shape[0]):
+        mpm = _mpm_grid(pass1[f], sps.log2_ctu_size, block)
+        bits = np.full((nby, nbx, 35), 6.0)
+        bits = np.where(modes_axis == mpm[..., 2:3], 3.0, bits)
+        bits = np.where(modes_axis == mpm[..., 1:2], 3.0, bits)
+        bits = np.where(modes_axis == mpm[..., 0:1], 2.0, bits)
+        out[f] = np.argmin(costs[f] + lam * bits, axis=-1)
+    return out
+
+
+def _mpm_grid(modes: np.ndarray, log2_ctu: int, block: int) -> np.ndarray:
+    """Vectorized MPM derivation (spec 8.4.2) over a (nby, nbx) mode grid.
+    Returns (nby, nbx, 3)."""
+    nby, nbx = modes.shape
+    left = np.empty_like(modes)
+    left[:, 1:] = modes[:, :-1]
+    left[:, 0] = 1                                  # DC when unavailable
+    top = np.empty_like(modes)
+    top[1:, :] = modes[:-1, :]
+    top[0, :] = 1
+    # above PU in a different CTU row -> DC
+    ys = (np.arange(nby) * block) % (1 << log2_ctu) == 0
+    top[ys, :] = 1
+    a, b = left, top
+    eq = a == b
+    lt2 = a < 2
+    m0 = np.where(eq & lt2, 0, np.where(eq, a, a))
+    m1 = np.where(eq & lt2, 1,
+                  np.where(eq, 2 + ((a + 29) % 32), b))
+    # a != b third candidate
+    c = np.where((a != 0) & (b != 0), 0,
+                 np.where((a != 1) & (b != 1), 1, 26))
+    m2 = np.where(eq & lt2, 26,
+                  np.where(eq, 2 + ((a - 1) % 32), c))
+    return np.stack([m0, m1, m2], axis=-1)
+
+
+def decide_modes_rd(y: np.ndarray, sps, qp: int,
+                    block: int = 16) -> np.ndarray:
+    """Two-pass mode decision: SATD sweep, then re-argmin with MPM-aware
+    mode-bit costs derived from pass-1 neighbor modes (the batched
+    stand-in for the reference's sequential MPM-bit costing,
+    search.cpp:1855)."""
+    from .inter_mode import lambda_qp
+    h, w = sps.height, sps.width
+    nbx, nby = w // block, h // block
+    log2n = block.bit_length() - 1
+    avail = frame_avail_masks(w, h, block, sps.log2_ctu_size, 0)
+    bys, bxs = np.mgrid[0:nby, 0:nbx]
+    orig = jnp.asarray(np.asarray(y, dtype=np.int32))
+    costs = np.asarray(_mode_costs(
+        orig, jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+        jnp.asarray(bxs.ravel().astype(np.int32)),
+        jnp.asarray(bys.ravel().astype(np.int32)),
+        log2n, sps.bit_depth)).reshape(nby, nbx, 35)
+    pass1 = np.argmin(costs, axis=-1).astype(np.int32)
+    mpm = _mpm_grid(pass1, sps.log2_ctu_size, block)
+    lam = lambda_qp(qp)[0] * (1 << (sps.bit_depth - 8))
+    modes_axis = np.arange(35)[None, None, :]
+    bits = np.full((nby, nbx, 35), 6.0)             # non-MPM: flag + 5 FL
+    bits = np.where(modes_axis == mpm[..., 2:3], 3.0, bits)
+    bits = np.where(modes_axis == mpm[..., 1:2], 3.0, bits)
+    bits = np.where(modes_axis == mpm[..., 0:1], 2.0, bits)
+    total = costs + lam * bits
+    return np.argmin(total, axis=-1).astype(np.int32)
 
 
 def decide_modes(y: np.ndarray, sps, block: int = 16) -> np.ndarray:

@@ -36,7 +36,7 @@ from ..entropy.binir import BinIR
 from ..entropy.cabac import encode_ir_to_writer
 from ..entropy.contexts import init_states
 from ..entropy.cu_syntax import CodedCU, SliceSyntaxEncoder
-from ..analysis.intra_mode import decide_modes
+from ..analysis.intra_mode import decide_modes, decide_modes_rd
 from ..rc.ratecontrol import RateControl, frame_complexity
 from ..analysis.inter_mode import analyse_b_frame, analyse_p_frame
 from ..frame.recon_intra import IntraReconstructor, chroma_qp
@@ -156,7 +156,7 @@ class Encoder:
         vs = np.stack([f[2] for f in padded])
         cplx = [frame_complexity(f[0]) for f in padded]
         qp = self.rc.frame_qp("I", cplx[0])
-        modes = decide_modes_batch(ys, self.sps, block=16)
+        modes = decide_modes_batch(ys, self.sps, block=16, qp=qp)
         results = self.recon.run_batch(ys, us, vs, modes, qp=qp)
 
         if p.deblock:
@@ -268,7 +268,7 @@ class Encoder:
         keep_pocs: tuple = ()
         b_is_ref = False
         if ftype == "I":
-            modes = decide_modes(y, self.sps, block=16)
+            modes = decide_modes_rd(y, self.sps, qp, block=16)
             r = recon.run(y, u, v, modes, qp=qp)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)

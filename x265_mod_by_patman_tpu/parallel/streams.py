@@ -61,7 +61,7 @@ class MultiStreamIntraEncoder:
 
         # device phase: stream-sharded batched mode decision + wavefront
         ys_d = jax.device_put(ys.astype(np.int32), self.sharding)
-        modes = decide_modes_batch(ys_d, enc0.sps, block=16)
+        modes = decide_modes_batch(ys_d, enc0.sps, block=16, qp=qp)
         results = enc0.recon.run_batch(ys_d, us, vs, modes, qp=qp)
 
         # host phase: per-stream filters + entropy via each Encoder
