@@ -255,6 +255,7 @@ class Decoder:
         end = 0
         all_cus = []
         sao_grid = [[None] * n_ctu_x for _ in range(n_ctu_y)]
+        qp_grid = np.full((n_ctu_y, n_ctu_x), qp, np.int32)
         sync_states = None
         for cy in range(n_ctu_y):
             if use_wpp and cy > 0:
@@ -266,9 +267,13 @@ class Decoder:
                 cus, end, sao = syn.decode_ctu(
                     cx, cy, (sao_luma, sao_chroma))
                 sao_grid[cy][cx] = sao
+                qp_grid[cy, cx] = syn.last_ctu_qp
                 all_cus.extend(cus)
                 for cu in cus:
-                    self._recon_cu(cu, y, u, v, qp, qp_cb, qp_cr)
+                    cqp = cu.qp if cu.qp >= 0 else qp
+                    self._recon_cu(cu, y, u, v, cqp,
+                                   chroma_qp(cqp, pps.cb_qp_offset),
+                                   chroma_qp(cqp, pps.cr_qp_offset))
                 if use_wpp and cx == min(1, n_ctu_x - 1):
                     sync_states = syn.states.copy()
                 if use_wpp and cx == n_ctu_x - 1 and not end:
@@ -308,16 +313,20 @@ class Decoder:
             else:
                 bs_v, bs_h = intra_bs_maps(w, h, 16)
             on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> 1, w >> 1)
-            y = deblock_luma_ref(y, bs_v, bs_h, qp,
+            qarg = qp_grid if pps.cu_qp_delta_enabled else qp
+            y = deblock_luma_ref(y, bs_v, bs_h, qarg,
                                  pps.deblock_beta_offset_div2,
                                  pps.deblock_tc_offset_div2,
-                                 sps.bit_depth)
+                                 sps.bit_depth, sps.log2_ctu_size)
+            qmap = qp_grid if pps.cu_qp_delta_enabled else None
             u = deblock_chroma_ref(u, on_v, on_h, qp_cb,
                                    pps.deblock_tc_offset_div2,
-                                   sps.bit_depth)
+                                   sps.bit_depth, qmap,
+                                   pps.cb_qp_offset, sps.log2_ctu_size)
             v = deblock_chroma_ref(v, on_v, on_h, qp_cr,
                                    pps.deblock_tc_offset_div2,
-                                   sps.bit_depth)
+                                   sps.bit_depth, qmap,
+                                   pps.cr_qp_offset, sps.log2_ctu_size)
         if sao_luma or sao_chroma:
             from ..ops.sao import sao_apply_ref
             ctu = 1 << sps.log2_ctu_size

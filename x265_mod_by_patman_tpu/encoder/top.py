@@ -75,7 +75,7 @@ class Encoder:
         # v1 restrictions: no SBH, no TMVP
         self.pps.entropy_coding_sync = bool(self.p.wpp)
         self.pps.sign_hide = bool(self.p.sign_hide)
-        self.pps.cu_qp_delta_enabled = False
+        self.pps.cu_qp_delta_enabled = self.p.aq_mode > 0
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = bool(self.p.sao)
         self.sps.temporal_mvp = False
@@ -99,6 +99,60 @@ class Encoder:
         self._prev_src_y = None
         self._cplx_avg = 0.0              # running inter-complexity average
 
+
+    def _aq_map(self, y: np.ndarray, qp: int):
+        """Variance-based per-CTU QP offsets (reference aq-mode 1,
+        slicetype.cpp calcAdaptiveQuantFrame:490).  Returns an
+        (nCtuY, nCtuX) int map, or the scalar qp when AQ is off."""
+        if self.p.aq_mode <= 0:
+            return qp
+        ctu = 1 << self.sps.log2_ctu_size
+        h, w = y.shape
+        ncy = -(-h // ctu)
+        ncx = -(-w // ctu)
+        var = np.zeros((ncy, ncx))
+        yv = y.astype(np.int64)
+        for cy in range(ncy):
+            for cx in range(ncx):
+                t = yv[cy * ctu:(cy + 1) * ctu, cx * ctu:(cx + 1) * ctu]
+                var[cy, cx] = t.var()
+        lv = np.log2(var + 1.0)
+        off = np.rint(self.p.aq_strength * (lv - lv.mean()))
+        return np.clip(qp + np.clip(off, -6, 6), self.p.qp_min,
+                       min(51, self.p.qp_max)).astype(np.int32)
+
+    def _derived_qp_map(self, qp_map, r: dict) -> np.ndarray:
+        """The decoder-visible per-CTU QP chain: signaled when the CTU has
+        coded coefficients, inherited (qPY_PREV) otherwise; WPP resets the
+        chain per CTU row (spec 8.6.1)."""
+        if np.isscalar(qp_map):
+            return qp_map
+        ncy, ncx = qp_map.shape
+        bpc = self.recon.bpc
+        nby, nbx = self.recon.nby, self.recon.nbx
+        derived = np.zeros_like(qp_map)
+        slice_qp = int(self._slice_qp_for_derivation)
+        qp_prev = slice_qp
+        for cy in range(ncy):
+            if self.pps.entropy_coding_sync:
+                qp_prev = slice_qp
+            for cx in range(ncx):
+                has = False
+                for zy in range(bpc):
+                    for zx in range(bpc):
+                        bx, by = cx * bpc + zx, cy * bpc + zy
+                        if bx >= nbx or by >= nby:
+                            continue
+                        if (np.any(r["lev_y"][by, bx]) or
+                                np.any(r["lev_u"][by, bx]) or
+                                np.any(r["lev_v"][by, bx])):
+                            has = True
+                if has:
+                    derived[cy, cx] = qp_map[cy, cx]
+                    qp_prev = int(qp_map[cy, cx])
+                else:
+                    derived[cy, cx] = qp_prev
+        return derived
 
     # -- headers -------------------------------------------------------------
     def headers(self) -> bytes:
@@ -261,6 +315,8 @@ class Encoder:
         p = self.p
         y, u, v = planes
         qp = self.rc.frame_qp(ftype, complexity)
+        self._slice_qp_for_derivation = qp
+        qp_map = self._aq_map(y, qp)          # scalar when AQ off
         recon = self.recon
         dirs = None
         mvs1 = None
@@ -269,7 +325,7 @@ class Encoder:
         b_is_ref = False
         if ftype == "I":
             modes = decide_modes_rd(y, self.sps, qp, block=16)
-            r = recon.run(y, u, v, modes, qp=qp)
+            r = recon.run(y, u, v, modes, qp=qp_map)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -279,22 +335,24 @@ class Encoder:
             modes, inter_mask, mvs, ref_sel, mc = analyse_p_frame(
                 y, u, v, refs, self.sps, qp,
                 search_range=min(p.search_range, 24))
-            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
+            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (ref0, ref1, keep_pocs, b_is_ref) = b_refs
             modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
                 y, u, v, ref0[0], ref1[0],
                 self.sps, qp, search_range=min(p.search_range, 24))
-            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp)
+            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
             ref_pocs = ((ref0[1],), (ref1[1],))
 
-        self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, qp, recon,
-                      ref_sel)
+        dqp_map = self._derived_qp_map(qp_map, r)
+        self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, dqp_map,
+                      recon, ref_sel)
         sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
         slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
                                         r, ftype, poc, qp, ref_pocs,
-                                        sao_maps, ref_sel, keep_pocs)
+                                        sao_maps, ref_sel, keep_pocs,
+                                        qp_map)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -350,8 +408,11 @@ class Encoder:
             jnp.asarray(r["recon_v"].astype(np.int32)),
             jnp.asarray(bs_v), jnp.asarray(bs_h),
             jnp.asarray(on_v), jnp.asarray(on_h),
-            qp, chroma_qp(qp, p.cb_qp_offset),
-            chroma_qp(qp, p.cr_qp_offset),
+            jnp.asarray(qp, jnp.int32),
+            p.cb_qp_offset if not np.isscalar(qp)
+            else chroma_qp(qp, p.cb_qp_offset),
+            p.cr_qp_offset if not np.isscalar(qp)
+            else chroma_qp(qp, p.cr_qp_offset),
             p.deblock_beta_offset, p.deblock_tc_offset,
             self.sps.bit_depth)
         r["recon_y"] = np.asarray(dy).astype(self.pix_dtype)
@@ -421,7 +482,7 @@ class Encoder:
     def _encode_slice(self, modes, inter_mask, mvs, mvs1, dirs, r: dict,
                       ftype: str, poc: int, qp: int, ref_pocs,
                       sao_maps=None, ref_sel=None,
-                      keep_pocs: tuple = ()) -> bytes:
+                      keep_pocs: tuple = (), qp_map=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -519,7 +580,9 @@ class Encoder:
                                   int(m[2][cy, cx]),
                                   tuple(int(o) for o in m[3][cy, cx]))
                         for m in sao_maps)
-                syn.encode_ctu(ir, cus, cx, cy, last, sao)
+                ctu_qp = None if (qp_map is None or np.isscalar(qp_map)) \
+                    else int(qp_map[cy, cx])
+                syn.encode_ctu(ir, cus, cx, cy, last, sao, ctu_qp)
                 if use_wpp and cx == min(1, n_ctu_x - 1):
                     # WPP context-sync point: after the 2nd CTU of the row
                     # (reference CTURow::bufferedEntropy handoff,

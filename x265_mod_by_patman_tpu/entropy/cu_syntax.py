@@ -53,6 +53,7 @@ class CodedCU:
     ref_idx1: int = 0
     # decoder-filled coding metadata (for stats / BS derivation)
     was_skip: bool = False
+    qp: int = -1                         # derived CU QP (-1 = slice QP)
 
     def motion(self) -> "Motion":
         d = self.inter_dir
@@ -167,15 +168,28 @@ class SliceSyntaxEncoder:
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
         self.log2_ctu = sps.log2_ctu_size
+        # cu_qp_delta state (QG == CTB with diff_cu_qp_delta_depth 0)
+        self._qp_prev = slice_qp
+        self._qg_pred = slice_qp
+        self._dqp_coded = False
+        self._cur_ctu_qp = slice_qp
 
     def _z0(self, x0: int, y0: int) -> int:
         return zscan_scalar(x0, y0, self.log2_ctu,
                             self.sps.pic_width_in_ctus)
 
     def encode_ctu(self, ir: BinIR, cu_list, ctu_x: int, ctu_y: int,
-                   last_ctu: bool, sao=None) -> None:
+                   last_ctu: bool, sao=None, ctu_qp: int = None) -> None:
         """cu_list: CodedCU objects of this CTU in z-scan order; sao:
-        optional (SaoParams_y, SaoParams_cb, SaoParams_cr)."""
+        optional (SaoParams_y, SaoParams_cb, SaoParams_cr); ctu_qp: the
+        AQ target QP of this CTU (cu_qp_delta coded when it has coded
+        coefficients)."""
+        if self.pps.cu_qp_delta_enabled:
+            if self.pps.entropy_coding_sync and ctu_x == 0:
+                self._qp_prev = self.qp    # WPP: reset per CTU row
+            self._qg_pred = self._qp_prev
+            self._dqp_coded = False
+            self._cur_ctu_qp = self.qp if ctu_qp is None else int(ctu_qp)
         if sao is not None:
             self._sao_params(ir, sao, ctu_x, ctu_y)
         cu_by_pos = {(cu.x0, cu.y0): cu for cu in cu_list}
@@ -183,6 +197,9 @@ class SliceSyntaxEncoder:
         y0 = ctu_y << self.log2_ctu
         self._quadtree(ir, cu_by_pos, x0, y0, self.log2_ctu, 0)
         ir.term(1 if last_ctu else 0)
+        if self.pps.cu_qp_delta_enabled:
+            self._qp_prev = self._cur_ctu_qp if self._dqp_coded \
+                else self._qg_pred
 
     # -- sao (7.3.8.3); explicit params, merge flags coded 0 -----------------
     def _sao_params(self, ir: BinIR, sao, ctu_x: int, ctu_y: int) -> None:
@@ -470,10 +487,37 @@ class SliceSyntaxEncoder:
         self._transform_unit(ir, cu, x0, y0, log2, trafo_depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
 
+    def _dqp(self, ir: BinIR) -> None:
+        """cu_qp_delta_abs/sign (spec 7.3.8.10, 9.3.3.9)."""
+        delta = self._cur_ctu_qp - self._qg_pred
+        a = abs(delta)
+        prefix = min(a, 5)
+        ir.cbin(1 if prefix > 0 else 0, OFF["DELTA_QP"])
+        for k in range(1, prefix):
+            ir.cbin(1, OFF["DELTA_QP"] + 1)
+        if 0 < prefix < 5:
+            ir.cbin(0, OFF["DELTA_QP"] + 1)
+        if a >= 5:
+            self._eg0(ir, a - 5)
+        if a:
+            ir.bypass(1 if delta < 0 else 0)
+        self._dqp_coded = True
+
+    def _eg0(self, ir: BinIR, v: int) -> None:
+        k = 0
+        while v >= (1 << k):
+            ir.bypass(1)
+            v -= 1 << k
+            k += 1
+        ir.bypass(0)
+        ir.bypass_bits(v, k)
+
     def _transform_unit(self, ir: BinIR, cu: CodedCU, x0, y0, log2,
                         trafo_depth, blk_idx, cbf_luma, cbf_cb, cbf_cr):
         if not (cbf_luma or cbf_cb or cbf_cr):
             return
+        if self.pps.cu_qp_delta_enabled and not self._dqp_coded:
+            self._dqp(ir)
         pu_idx = 0
         if cu.part_nxn:
             half = 1 << (cu.log2_size - 1)
@@ -530,6 +574,12 @@ class SliceSyntaxDecoder:
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
         self.log2_ctu = sps.log2_ctu_size
+        # cu_qp_delta state (mirrors SliceSyntaxEncoder)
+        self._qp_prev = slice_qp
+        self._qg_pred = slice_qp
+        self._dqp_coded = False
+        self._cur_qp = slice_qp
+        self.last_ctu_qp = slice_qp
 
     def _z0(self, x0: int, y0: int) -> int:
         return zscan_scalar(x0, y0, self.log2_ctu,
@@ -545,6 +595,12 @@ class SliceSyntaxDecoder:
 
     def decode_ctu(self, ctu_x: int, ctu_y: int, sao_flags=(False, False)):
         """Returns (cu_list, end_of_slice_flag, sao_params_or_None)."""
+        if self.pps.cu_qp_delta_enabled:
+            if self.pps.entropy_coding_sync and ctu_x == 0:
+                self._qp_prev = self.qp    # WPP: reset per CTU row
+            self._qg_pred = self._qp_prev
+            self._dqp_coded = False
+            self._cur_qp = self._qp_prev
         sao = None
         if sao_flags[0] or sao_flags[1]:
             sao = self._sao_params(ctu_x, ctu_y, sao_flags)
@@ -553,6 +609,14 @@ class SliceSyntaxDecoder:
         y0 = ctu_y << self.log2_ctu
         self._quadtree(cus, x0, y0, self.log2_ctu, 0)
         end = self.dec.decode_bin_trm()
+        if self.pps.cu_qp_delta_enabled:
+            ctu_qp = self._cur_qp if self._dqp_coded else self._qg_pred
+            self._qp_prev = ctu_qp
+            self.last_ctu_qp = ctu_qp
+            for cu in cus:
+                cu.qp = ctu_qp
+        else:
+            self.last_ctu_qp = self.qp
         return cus, end, sao
 
     def _sao_params(self, ctu_x: int, ctu_y: int, sao_flags):
@@ -834,10 +898,37 @@ class SliceSyntaxDecoder:
         self._transform_unit(cu, x0, y0, log2, trafo_depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
 
+    def _dqp_dec(self) -> None:
+        dec, states = self.dec, self.states
+        prefix = 0
+        if dec.decode_bin(states, OFF["DELTA_QP"]):
+            prefix = 1
+            while prefix < 5 and dec.decode_bin(states,
+                                                OFF["DELTA_QP"] + 1):
+                prefix += 1
+        a = prefix
+        if prefix == 5:
+            a = 5 + self._eg0_dec()
+        delta = 0
+        if a:
+            delta = -a if dec.decode_bin_ep() else a
+        self._cur_qp = self._qg_pred + delta
+        self._dqp_coded = True
+
+    def _eg0_dec(self) -> int:
+        k = 0
+        base = 0
+        while self.dec.decode_bin_ep():
+            base += 1 << k
+            k += 1
+        return base + (self.dec.decode_bins_ep(k) if k else 0)
+
     def _transform_unit(self, cu, x0, y0, log2, trafo_depth, blk_idx,
                         cbf_luma, cbf_cb, cbf_cr):
         if not (cbf_luma or cbf_cb or cbf_cr):
             return
+        if self.pps.cu_qp_delta_enabled and not self._dqp_coded:
+            self._dqp_dec()
         pu_idx = 0
         if cu.part_nxn:
             half = 1 << (cu.log2_size - 1)

@@ -129,28 +129,38 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
     sb_avc:      (S, B, 33) bool chroma availability
     mc_*:        (nby+1, nbx, N, N) inter predictions (zeros for I frames)
     inter_mask:  (nby+1, nbx) bool
+    qp/qp_cb/qp_cr: (nCtuY, nCtuX) int32 per-CTU QP maps (AQ); uniform
+    maps reproduce the flat-QP behavior exactly.
     """
     nby = lev_y.shape[0] - 1
     nbx = lev_y.shape[1]
     skip_map = jnp.zeros((nby + 1, nbx), bool)
 
+    # per-block QP from the CTU-granular maps (uniform when AQ is off)
+    bpc = (nbx + qp.shape[1] - 1) // qp.shape[1]   # blocks per CTU axis
+
     def step(s, carry):
         yp, up, vp, lev_y, lev_u, lev_v, skip_map = carry
         bx = sb_bx[s]
         by = sb_by[s]
+        cy = jnp.clip(by // bpc, 0, qp.shape[0] - 1)
+        cx = jnp.clip(bx // bpc, 0, qp.shape[1] - 1)
+        qp_b = qp[cy, cx]
+        qpcb_b = qp_cb[cy, cx]
+        qpcr_b = qp_cr[cy, cx]
         md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
         yp, lev_y, skip = _substep_body(
             yp, lev_y, oy, bx, by, md, sb_avy[s],
-            4, qp, 0, bit_depth, mc_y, inter_mask, sign_hide)
+            4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         up, lev_u, _ = _substep_body(
             up, lev_u, ou, bx, by, md, sb_avc[s],
-            3, qp_cb, 1, bit_depth, mc_u, inter_mask, sign_hide,
+            3, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
             skip_map)
         vp, lev_v, _ = _substep_body(
             vp, lev_v, ov, bx, by, md, sb_avc[s],
-            3, qp_cr, 2, bit_depth, mc_v, inter_mask, sign_hide,
+            3, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
             skip_map)
         return yp, up, vp, lev_y, lev_u, lev_v, skip_map
 
@@ -250,15 +260,27 @@ class IntraReconstructor:
         self.sb_avy = jnp.asarray(np.stack(avys))
         self.sb_avc = jnp.asarray(np.stack(avcs))
 
+    def _qp_maps(self, qp):
+        """(luma, cb, cr) per-CTU QP maps from a scalar or a
+        (nCtuY, nCtuX) array."""
+        if np.isscalar(qp):
+            qy = np.full((self.n_ctu_y, self.n_ctu_x), qp, np.int32)
+        else:
+            qy = np.asarray(qp, np.int32)
+        tab = CHROMA_QP_TABLE
+        qcb = tab[np.clip(qy + self.cb_qp_offset, 0, 69)]
+        qcr = tab[np.clip(qy + self.cr_qp_offset, 0, 69)]
+        return (jnp.asarray(qy), jnp.asarray(qcb.astype(np.int32)),
+                jnp.asarray(qcr.astype(np.int32)))
+
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
             modes: np.ndarray, mc_pred=None, inter_mask=None,
-            qp: int = 32):
+            qp=32):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
         Returns dict of recon planes and level arrays."""
-        qp_cb = chroma_qp(qp, self.cb_qp_offset)
-        qp_cr = chroma_qp(qp, self.cr_qp_offset)
+        qp_map = self._qp_maps(qp)
         nl, nc = self.nl, self.nc
         w, h = self.sps.width, self.sps.height
         wc, hc = w // 2, h // 2
@@ -290,7 +312,7 @@ class IntraReconstructor:
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
-            jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd,
+            qp_map[0], qp_map[1], qp_map[2], self.bd,
             self.sign_hide)
 
         dt = np.uint8 if self.bd == 8 else np.uint16
@@ -303,13 +325,12 @@ class IntraReconstructor:
             "lev_v": np.asarray(lev_v[:self.nby]),
         }
 
-    def run_batch(self, ys, us, vs, modes, qp: int = 32):
+    def run_batch(self, ys, us, vs, modes, qp=32):
         """Intra-reconstruct F frames in one fused multi-frame program.
 
         ys/us/vs: (F, h, w) source stacks; modes: (F, nby, nbx) int32.
         Returns a list of per-frame result dicts (same keys as run())."""
-        qp_cb = chroma_qp(qp, self.cb_qp_offset)
-        qp_cr = chroma_qp(qp, self.cr_qp_offset)
+        qp_map = self._qp_maps(qp)
         nl, nc = self.nl, self.nc
         w, h = self.sps.width, self.sps.height
         wc, hc = w // 2, h // 2
@@ -333,7 +354,7 @@ class IntraReconstructor:
             jnp.asarray(np.asarray(modes, np.int32)),
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
-            jnp.int32(qp), jnp.int32(qp_cb), jnp.int32(qp_cr), self.bd,
+            qp_map[0], qp_map[1], qp_map[2], self.bd,
             self.sign_hide)
 
         dt = np.uint8 if self.bd == 8 else np.uint16

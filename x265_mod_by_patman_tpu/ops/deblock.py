@@ -226,23 +226,39 @@ def _filter_luma_edge_ref(seg: np.ndarray, bs: int, qp: int,
 
 
 def deblock_luma_ref(plane: np.ndarray, bs_v: np.ndarray, bs_h: np.ndarray,
-                     qp: int, beta_off: int = 0, tc_off: int = 0,
-                     bit_depth: int = 8) -> np.ndarray:
-    """Golden frame deblock: all vertical edges, then all horizontal."""
+                     qp, beta_off: int = 0, tc_off: int = 0,
+                     bit_depth: int = 8, log2_ctu: int = 5) -> np.ndarray:
+    """Golden frame deblock: all vertical edges, then all horizontal.
+    qp: scalar or (nCtuY, nCtuX) per-CTU map (per-segment averaging per
+    spec 8.7.2.5.3)."""
     out = plane.astype(np.int32).copy()
     h, w = out.shape
+    qmap = None if np.isscalar(qp) else np.asarray(qp)
+    ctu = 1 << log2_ctu
+
+    def seg_qp(py, px, qy, qx):
+        if qmap is None:
+            return qp
+        a = int(qmap[min(py // ctu, qmap.shape[0] - 1),
+                     min(px // ctu, qmap.shape[1] - 1)])
+        b = int(qmap[min(qy // ctu, qmap.shape[0] - 1),
+                     min(qx // ctu, qmap.shape[1] - 1)])
+        return (a + b + 1) >> 1
+
     for e in range(bs_v.shape[1]):
         x = (e + 1) * 8
         for g in range(h // 4):
             seg = out[g * 4:g * 4 + 4, x - 4:x + 4]
-            _filter_luma_edge_ref(seg, int(bs_v[g, e]), qp, beta_off,
-                                  tc_off, bit_depth)
+            _filter_luma_edge_ref(seg, int(bs_v[g, e]),
+                                  seg_qp(g * 4, x - 1, g * 4, x),
+                                  beta_off, tc_off, bit_depth)
     for e in range(bs_h.shape[0]):
         y = (e + 1) * 8
         for g in range(w // 4):
             seg = out[y - 4:y + 4, g * 4:g * 4 + 4].T.copy()
-            _filter_luma_edge_ref(seg, int(bs_h[e, g]), qp, beta_off,
-                                  tc_off, bit_depth)
+            _filter_luma_edge_ref(seg, int(bs_h[e, g]),
+                                  seg_qp(y - 1, g * 4, y, g * 4),
+                                  beta_off, tc_off, bit_depth)
             out[y - 4:y + 4, g * 4:g * 4 + 4] = seg.T
     return out
 
@@ -269,19 +285,49 @@ def chroma_on_maps(bs_v: np.ndarray, bs_h: np.ndarray, hc: int, wc: int):
 
 def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
                        on_h: np.ndarray, qpc: int, tc_off: int = 0,
-                       bit_depth: int = 8) -> np.ndarray:
-    """Golden chroma deblock: per-sample on masks from chroma_on_maps."""
+                       bit_depth: int = 8, qp_map=None, c_off: int = 0,
+                       log2_ctu: int = 5) -> np.ndarray:
+    """Golden chroma deblock: per-sample on masks from chroma_on_maps.
+    With qp_map given (per-CTU luma QPs), QpC is derived per edge sample
+    from the averaged luma QPs + c_off via the chroma table."""
     out = plane.astype(np.int32).copy()
     h, w = out.shape
     maxv = (1 << bit_depth) - 1
-    idx = min(max(qpc + 2 + (tc_off << 1), 0), 53)
-    tc = int(DEBLOCK_TC[idx]) << (bit_depth - 8)
-    if tc == 0:
-        return out
+    ctu = 1 << log2_ctu
+
+    def tc_of(ly, lxp, lxq):
+        if qp_map is None:
+            q = qpc
+        else:
+            a = int(qp_map[min(ly // ctu, qp_map.shape[0] - 1),
+                           min(lxp // ctu, qp_map.shape[1] - 1)])
+            b = int(qp_map[min(ly // ctu, qp_map.shape[0] - 1),
+                           min(lxq // ctu, qp_map.shape[1] - 1)])
+            q = int(CHROMA_QP_TABLE[min(max(((a + b + 1) >> 1) + c_off,
+                                            0), 69)])
+        idx = min(max(q + 2 + (tc_off << 1), 0), 53)
+        return int(DEBLOCK_TC[idx]) << (bit_depth - 8)
+
+    def tc_of_h(lyp, lyq, lx):
+        if qp_map is None:
+            q = qpc
+        else:
+            a = int(qp_map[min(lyp // ctu, qp_map.shape[0] - 1),
+                           min(lx // ctu, qp_map.shape[1] - 1)])
+            b = int(qp_map[min(lyq // ctu, qp_map.shape[0] - 1),
+                           min(lx // ctu, qp_map.shape[1] - 1)])
+            q = int(CHROMA_QP_TABLE[min(max(((a + b + 1) >> 1) + c_off,
+                                            0), 69)])
+        idx = min(max(q + 2 + (tc_off << 1), 0), 53)
+        return int(DEBLOCK_TC[idx]) << (bit_depth - 8)
+
     for e in range(on_v.shape[1]):
         x = (e + 1) * 8
         for y in range(h):
             if not on_v[y, e]:
+                continue
+            tc = tc_of(2 * y, 2 * x - 1, 2 * x)
+            if tc == 0:
                 continue
             p1, p0, q0, q1 = (int(out[y, x - 2]), int(out[y, x - 1]),
                               int(out[y, x]), int(out[y, x + 1]))
@@ -292,6 +338,9 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
         y = (e + 1) * 8
         for x in range(w):
             if not on_h[e, x]:
+                continue
+            tc = tc_of_h(2 * y - 1, 2 * y, 2 * x)
+            if tc == 0:
                 continue
             p1, p0, q0, q1 = (int(out[y - 2, x]), int(out[y - 1, x]),
                               int(out[y, x]), int(out[y + 1, x]))
@@ -305,24 +354,29 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
 # Batched JAX implementation
 # ---------------------------------------------------------------------------
 
-def _luma_edges_pass(plane, bs, edge_x, qp, beta_off: int, tc_off: int,
-                     bit_depth: int):
+def _luma_edges_pass(plane, bs, edge_x, qp_seg, beta_off: int,
+                     tc_off: int, bit_depth: int):
     """Filter all vertical luma edges of a plane in one shot.
 
     plane: (H, W) int32;  bs: (H/4, E) int32;  edge_x: (E,) int32;
-    qp: traced int32 scalar (one compiled program for all QPs).
+    qp_seg: traced per-segment QP, (H/4, E) int32 (the (qpP+qpQ+1)>>1
+    average of the two sides, spec 8.7.2.5.3) — or a scalar.
     Horizontal pass = call on transposed plane with transposed maps.
     """
     h, w = plane.shape
     e_cnt = edge_x.shape[0]
     if e_cnt == 0:
         return plane
-    qp = jnp.asarray(qp, jnp.int32)
-    idx_b = jnp.clip(qp + (beta_off << 1), 0, 51)
-    beta = jnp.asarray(DEBLOCK_BETA)[idx_b] << (bit_depth - 8)
-    idx_t = jnp.clip(qp + 2 * (jnp.arange(3) - 1) + (tc_off << 1), 0, 53)
-    tc_arr = jnp.where(jnp.arange(3) > 0,
-                       jnp.asarray(DEBLOCK_TC)[idx_t] << (bit_depth - 8), 0)
+    qp_seg = jnp.asarray(qp_seg, jnp.int32)
+    if qp_seg.ndim == 0:
+        qp_seg = jnp.broadcast_to(qp_seg, bs.shape)
+    idx_b = jnp.clip(qp_seg + (beta_off << 1), 0, 51)
+    beta = jnp.asarray(DEBLOCK_BETA)[idx_b] << (bit_depth - 8)   # (G, E)
+    idx_t = jnp.clip(qp_seg[None] + 2 * (jnp.arange(3)[:, None, None] - 1)
+                     + (tc_off << 1), 0, 53)
+    tc_all = jnp.where((jnp.arange(3) > 0)[:, None, None],
+                       jnp.asarray(DEBLOCK_TC)[idx_t] << (bit_depth - 8),
+                       0)                                          # (3, G, E)
     maxv = (1 << bit_depth) - 1
 
     cols = edge_x[:, None] + jnp.arange(-4, 4)[None, :]      # (E, 8)
@@ -331,7 +385,8 @@ def _luma_edges_pass(plane, bs, edge_x, qp, beta_off: int, tc_off: int,
     p3, p2, p1, p0 = seg[..., 0], seg[..., 1], seg[..., 2], seg[..., 3]
     q0, q1, q2, q3 = seg[..., 4], seg[..., 5], seg[..., 6], seg[..., 7]
 
-    tc = tc_arr[jnp.clip(bs, 0, 2)]                           # (G, E)
+    tc = jnp.take_along_axis(tc_all, jnp.clip(bs, 0, 2)[None],
+                             axis=0)[0]                            # (G, E)
     on = (bs > 0) & (beta > 0)
 
     dp_l = jnp.abs(p2 - 2 * p1 + p0)                          # (G,4,E)
@@ -394,14 +449,16 @@ def _luma_edges_pass(plane, bs, edge_x, qp, beta_off: int, tc_off: int,
 def _chroma_edges_pass(plane, on, edge_x, qpc, tc_off: int,
                        bit_depth: int):
     """All vertical chroma edges; on: (H, E) bool per-sample edge mask;
-    qpc traced."""
+    qpc: traced scalar or per-sample (H, E) map."""
     h, w = plane.shape
     e_cnt = edge_x.shape[0]
     if e_cnt == 0:
         return plane
     qpc = jnp.asarray(qpc, jnp.int32)
+    if qpc.ndim == 0:
+        qpc = jnp.broadcast_to(qpc, on.shape)
     idx_t = jnp.clip(qpc + 2 + (tc_off << 1), 0, 53)
-    tc = jnp.asarray(DEBLOCK_TC)[idx_t] << (bit_depth - 8)
+    tc = jnp.asarray(DEBLOCK_TC)[idx_t] << (bit_depth - 8)    # (H, E)
     maxv = (1 << bit_depth) - 1
     cols = edge_x[:, None] + jnp.arange(-2, 2)[None, :]      # (E, 4)
     seg = plane[:, cols].astype(jnp.int32)                   # (H, E, 4)
@@ -437,6 +494,57 @@ def deblock_frame_batch(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                                qpc_cb, qpc_cr, beta_off, tc_off, bit_depth)
 
 
+def _qp_edge_maps(qp, h, w, log2_ctu=5):
+    """Per-segment luma QP averages from a (nCtuY, nCtuX) map (or a
+    scalar).  Returns (qp_v (H/4, Ev), qp_h (Eh, W/4))."""
+    qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        return qp, qp
+    ctu = 1 << log2_ctu
+    gv = (jnp.arange(h // 4) * 4) // ctu
+    ex = (jnp.arange(1, w // 8)) * 8
+    cxp = jnp.clip((ex - 1) // ctu, 0, qp.shape[1] - 1)
+    cxq = jnp.clip(ex // ctu, 0, qp.shape[1] - 1)
+    qp_v = (qp[gv[:, None], cxp[None, :]] +
+            qp[gv[:, None], cxq[None, :]] + 1) >> 1
+    gh = (jnp.arange(w // 4) * 4) // ctu
+    ey = (jnp.arange(1, h // 8)) * 8
+    cyp = jnp.clip((ey - 1) // ctu, 0, qp.shape[0] - 1)
+    cyq = jnp.clip(ey // ctu, 0, qp.shape[0] - 1)
+    qp_h = (qp[cyp[:, None], gh[None, :]] +
+            qp[cyq[:, None], gh[None, :]] + 1) >> 1
+    return qp_v, qp_h
+
+
+def _chroma_qp_edge_maps(qp, hc, wc, off_cb, off_cr, log2_ctu=5):
+    """Per-sample chroma-edge QpC maps from the luma QP map/scalar:
+    QpC = table[clip(avg_luma_qp + offset)] (spec 8.7.2.5.5)."""
+    qp = jnp.asarray(qp, jnp.int32)
+    tab = jnp.asarray(CHROMA_QP_TABLE)
+    if qp.ndim == 0:
+        return (tab[jnp.clip(qp + off_cb, 0, 69)],
+                tab[jnp.clip(qp + off_cr, 0, 69)],
+                tab[jnp.clip(qp + off_cb, 0, 69)],
+                tab[jnp.clip(qp + off_cr, 0, 69)])
+    ctu = 1 << log2_ctu
+    rows = (jnp.arange(hc) * 2) // ctu
+    exc = (jnp.arange(1, wc // 8)) * 16          # luma x of chroma edges
+    cxp = jnp.clip((exc - 1) // ctu, 0, qp.shape[1] - 1)
+    cxq = jnp.clip(exc // ctu, 0, qp.shape[1] - 1)
+    avg_v = (qp[rows[:, None], cxp[None, :]] +
+             qp[rows[:, None], cxq[None, :]] + 1) >> 1    # (Hc, Ec)
+    cols = (jnp.arange(wc) * 2) // ctu
+    eyc = (jnp.arange(1, hc // 8)) * 16
+    cyp = jnp.clip((eyc - 1) // ctu, 0, qp.shape[0] - 1)
+    cyq = jnp.clip(eyc // ctu, 0, qp.shape[0] - 1)
+    avg_h = (qp[cyp[:, None], cols[None, :]] +
+             qp[cyq[:, None], cols[None, :]] + 1) >> 1    # (Eh, Wc)
+    return (tab[jnp.clip(avg_v + off_cb, 0, 69)],
+            tab[jnp.clip(avg_v + off_cr, 0, 69)],
+            tab[jnp.clip(avg_h + off_cb, 0, 69)],
+            tab[jnp.clip(avg_h + off_cr, 0, 69)])
+
+
 def _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                         qpc_cb, qpc_cr, beta_off: int = 0,
                         tc_off: int = 0, bit_depth: int = 8):
@@ -444,23 +552,36 @@ def _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
 
     y: (H, W) int32; u/v: (H/2, W/2) int32
     bs_v: (H/4, W/8-1); bs_h: (H/8-1, W/4) luma BS maps;
-    on_vc/on_hc: chroma edge masks from chroma_on_maps.
+    on_vc/on_hc: chroma edge masks from chroma_on_maps;
+    qp: scalar OR per-CTU (nCtuY, nCtuX) map (AQ); qpc_cb/qpc_cr are the
+    chroma QP OFFSETS when qp is a map, or absolute chroma QPs when qp is
+    a scalar (legacy call).
     """
     h, w = y.shape
     ev = jnp.arange(1, w // 8) * 8
     eh = jnp.arange(1, h // 8) * 8
-    y = _luma_edges_pass(y, bs_v, ev, qp, beta_off, tc_off, bit_depth)
-    y = _luma_edges_pass(y.T, bs_h.T, eh, qp, beta_off, tc_off,
-                         bit_depth).T
+    qp_j = jnp.asarray(qp, jnp.int32)
+    qp_v, qp_h = _qp_edge_maps(qp, h, w)
+    y = _luma_edges_pass(y, bs_v, ev, qp_v, beta_off, tc_off, bit_depth)
+    y = _luma_edges_pass(y.T, bs_h.T, eh,
+                         qp_h.T if qp_j.ndim else qp_h,
+                         beta_off, tc_off, bit_depth).T
 
     hc, wc = u.shape
     evc = jnp.arange(1, wc // 8) * 8
     ehc = jnp.arange(1, hc // 8) * 8
-    for pl_idx, qpc in ((0, qpc_cb), (1, qpc_cr)):
+    if qp_j.ndim:
+        cbv, crv, cbh, crh = _chroma_qp_edge_maps(qp, hc, wc,
+                                                  qpc_cb, qpc_cr)
+        chroma_qps = ((cbv, cbh), (crv, crh))
+    else:
+        chroma_qps = ((qpc_cb, qpc_cb), (qpc_cr, qpc_cr))
+    for pl_idx, (qcv, qch) in enumerate(chroma_qps):
         pl = u if pl_idx == 0 else v
-        pl = _chroma_edges_pass(pl, on_vc, evc, qpc, tc_off, bit_depth)
-        pl = _chroma_edges_pass(pl.T, on_hc.T, ehc, qpc, tc_off,
-                                bit_depth).T
+        pl = _chroma_edges_pass(pl, on_vc, evc, qcv, tc_off, bit_depth)
+        pl = _chroma_edges_pass(pl.T, on_hc.T, ehc,
+                                qch.T if qp_j.ndim else qch,
+                                tc_off, bit_depth).T
         if pl_idx == 0:
             u = pl
         else:

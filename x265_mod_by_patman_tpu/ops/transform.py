@@ -189,16 +189,19 @@ def dequant_batch(level: jnp.ndarray, qp: int, log2_size: int,
 
 def quant_dyn(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
               log2_size: int, bit_depth: int = 8) -> jnp.ndarray:
-    """quant with traced qp scalar + per-block intra/inter rounding."""
+    """quant with traced qp (scalar or per-block (B,) array) + per-block
+    intra/inter rounding."""
     qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        qp = jnp.broadcast_to(qp, coef.shape[:1])
     per, rem = qp // 6, qp % 6
     transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
-    qbits = QUANT_SHIFT + per + transform_shift
-    add = jnp.where(intra_mask, 171, 85).astype(jnp.int32) << (qbits - 9)
-    scale = jnp.asarray(QUANT_SCALES)[rem]
+    qbits = (QUANT_SHIFT + per + transform_shift)[:, None, None]
+    add = (jnp.where(intra_mask, 171, 85).astype(jnp.int32)[:, None, None]
+           << (qbits - 9))
+    scale = jnp.asarray(QUANT_SCALES)[rem][:, None, None]
     c = coef.astype(jnp.int32)
-    level = jnp.clip((jnp.abs(c) * scale + add[:, None, None]) >> qbits,
-                     0, 32767)
+    level = jnp.clip((jnp.abs(c) * scale + add) >> qbits, 0, 32767)
     return (jnp.sign(c) * level).astype(jnp.int32)
 
 
@@ -220,10 +223,12 @@ def sbh_adjust(lev: jnp.ndarray, coef: jnp.ndarray, intra_mask, qp,
     16x16-luma / 8x8-chroma layout produces).
     """
     qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        qp = jnp.broadcast_to(qp, lev.shape[:1])
     per, rem = qp // 6, qp % 6
     tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
-    qbits = QUANT_SHIFT + per + tshift
-    scale = jnp.asarray(QUANT_SCALES)[rem]
+    qbits = (QUANT_SHIFT + per + tshift)[:, None, None]
+    scale = jnp.asarray(QUANT_SCALES)[rem][:, None, None]
 
     n = 1 << log2_size
     scan = jnp.asarray(_diag_scan_idx(log2_size))      # (n*n,) raster idx
@@ -280,10 +285,12 @@ def sbh_adjust(lev: jnp.ndarray, coef: jnp.ndarray, intra_mask, qp,
 def dequant_dyn(level: jnp.ndarray, qp, log2_size: int,
                 bit_depth: int = 8) -> jnp.ndarray:
     qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        qp = jnp.broadcast_to(qp, level.shape[:1])
     per, rem = qp // 6, qp % 6
     transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     shift = IQUANT_SHIFT - QUANT_SHIFT - transform_shift
-    scale = jnp.asarray(INV_QUANT_SCALES)[rem] << per
+    scale = (jnp.asarray(INV_QUANT_SCALES)[rem] << per)[:, None, None]
     lv = level.astype(jnp.int32)
     coef = (lv * scale + (1 << (shift - 1))) >> shift
     return jnp.clip(coef, -32768, 32767).astype(jnp.int32)
