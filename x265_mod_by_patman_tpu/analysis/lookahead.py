@@ -1,0 +1,188 @@
+"""cuTree lookahead: lowres cost estimation + temporal propagation.
+
+TPU-native analog of the reference lookahead's cuTree (slicetype.cpp
+cuTree:3649, estimateCUPropagate:3752, cuTreeFinish:4000) and its lowres
+cost model (lowresIntraEstimate:753, CostEstimateGroup).  Design changes
+for the TPU:
+
+ - lowres costs are ONE batched device dispatch per frame (all blocks'
+   35-mode intra SATD sweep + dense full-search ME vs the previous
+   lowres), instead of the reference's per-block worker jobs (P6);
+ - propagation runs on the host over tiny (nby, nbx) arrays with
+   vectorized bilinear scatter (the reference's propagateCost primitive);
+ - the propagation chain is the display-order predecessor chain (the
+   reference propagates along decided slice types; at scene cuts
+   inter_cost ~ intra_cost so propagation dies out naturally either way).
+
+Output: per-CTU QP offset maps consumed by the encoder's cu_qp_delta
+machinery (negative where the future references a region heavily).
+"""
+from __future__ import annotations
+
+from collections import deque
+from functools import partial
+from typing import Deque, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..frame.zscan import s_vector_coords
+from ..ops.cost import satd_batch
+from ..ops.me import full_search_batch
+from .intra_mode import _mode_costs
+
+LOG2N = 3                      # 8x8 lowres blocks == 16x16 source pixels
+N = 1 << LOG2N
+LOOKAHEAD_LAMBDA_X256 = 218    # lambda at the reference X265_LOOKAHEAD_QP
+SEARCH_RANGE = 16
+
+
+def lowres_plane(y: np.ndarray) -> np.ndarray:
+    """Half-res luma by 2x2 mean (reference frameInitLowres analog).
+    Input is the CTU-padded plane, so the result is a multiple of N."""
+    a = np.asarray(y, dtype=np.int32)
+    h, w = a.shape
+    a = a[: h & ~1, : w & ~1]
+    return (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2]
+            + a[1::2, 1::2] + 2) >> 2
+
+
+def _raster_avail(h: int, w: int) -> np.ndarray:
+    """S-vector availability for raster-scan 8x8 blocks (lookahead
+    estimate: everything above, and left within the row, is available)."""
+    nby, nbx = h // N, w // N
+    masks = np.zeros((nby * nbx, 4 * N + 1), dtype=bool)
+    i = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            x0, y0 = bx * N, by * N
+            xs, ys = s_vector_coords(x0, y0, N)
+            inside = (xs >= 0) & (ys >= 0) & (xs < w) & (ys < h)
+            masks[i] = inside & ((ys < y0) | ((xs < x0) & (ys < y0 + N)))
+            i += 1
+    return masks
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _intra_costs(low, avail, nby: int, nbx: int):
+    bys, bxs = jnp.mgrid[0:nby, 0:nbx]
+    costs = _mode_costs(low, avail, bxs.ravel().astype(jnp.int32),
+                        bys.ravel().astype(jnp.int32), LOG2N, 8)
+    return jnp.min(costs, axis=1).reshape(nby, nbx)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _inter_costs(low, prev, nby: int, nbx: int):
+    """Integer full search vs the previous lowres + SATD at the best MV.
+    Returns (satd_cost, mv_x, mv_y) with MVs in lowres fullpel units."""
+    bys, bxs = jnp.mgrid[0:nby, 0:nbx]
+    x0 = (bxs.ravel() * N).astype(jnp.int32)
+    y0 = (bys.ravel() * N).astype(jnp.int32)
+    zero = jnp.zeros_like(x0)
+    mvx, mvy, _ = full_search_batch(prev, low, x0, y0, zero, zero,
+                                    LOOKAHEAD_LAMBDA_X256, N,
+                                    SEARCH_RANGE)
+    fx, fy = mvx >> 2, mvy >> 2
+    h, w = low.shape
+    gy = jnp.clip(y0[:, None, None] + fy[:, None, None]
+                  + jnp.arange(N)[None, :, None], 0, h - 1)
+    gx = jnp.clip(x0[:, None, None] + fx[:, None, None]
+                  + jnp.arange(N)[None, None, :], 0, w - 1)
+    pred = prev[gy, gx]
+    oy = y0[:, None, None] + jnp.arange(N)[None, :, None]
+    ox = x0[:, None, None] + jnp.arange(N)[None, None, :]
+    org = low[oy, ox]
+    cost = satd_batch(org, pred)
+    return (cost.reshape(nby, nbx), fx.reshape(nby, nbx),
+            fy.reshape(nby, nbx))
+
+
+class _Entry:
+    __slots__ = ("intra", "inter", "mvx", "mvy", "prop")
+
+    def __init__(self, intra, inter, mvx, mvy):
+        self.intra = intra
+        self.inter = inter
+        self.mvx = mvx
+        self.mvy = mvy
+        self.prop = np.zeros_like(intra)
+
+
+class CuTreeLookahead:
+    """Sliding-window cuTree.  push() lowres-analyses a new display-order
+    frame; pop() runs propagation over the buffered window and returns the
+    per-CTU QP offset map of the oldest frame."""
+
+    def __init__(self, pad_w: int, pad_h: int, ctu_size: int,
+                 qcomp: float = 0.6) -> None:
+        self.w, self.h = pad_w // 2, pad_h // 2
+        self.nbx, self.nby = self.w // N, self.h // N
+        self.bpc = max(1, ctu_size // (2 * N))   # lowres blocks per CTU
+        self.strength = 5.0 * (1.0 - qcomp)      # reference cuTreeStrength
+        self._avail = jnp.asarray(_raster_avail(self.h, self.w))
+        self._prev: Optional[jnp.ndarray] = None
+        self.entries: Deque[_Entry] = deque()
+
+    def push(self, y_padded: np.ndarray) -> None:
+        low = jnp.asarray(lowres_plane(y_padded))
+        intra = np.asarray(_intra_costs(low, self._avail, self.nby,
+                                        self.nbx), dtype=np.float64)
+        if self._prev is None:
+            inter = intra.copy()
+            mvx = np.zeros_like(intra, dtype=np.int32)
+            mvy = np.zeros_like(intra, dtype=np.int32)
+        else:
+            c, fx, fy = _inter_costs(low, self._prev, self.nby, self.nbx)
+            inter = np.asarray(c, dtype=np.float64)
+            mvx = np.asarray(fx, dtype=np.int32)
+            mvy = np.asarray(fy, dtype=np.int32)
+        self._prev = low
+        self.entries.append(_Entry(intra, inter, mvx, mvy))
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _propagate(self) -> None:
+        """Backward pass over the window (reference estimateCUPropagate):
+        each frame hands (intra + propagate_in) * (1 - inter/intra) to the
+        blocks of its predecessor that its MVs point at."""
+        for e in self.entries:
+            e.prop[:] = 0.0
+        es = list(self.entries)
+        for b in range(len(es) - 1, 0, -1):
+            e, ref = es[b], es[b - 1]
+            intra = np.maximum(e.intra, 1.0)
+            inter = np.minimum(e.inter, e.intra)
+            amount = (e.intra + e.prop) * (intra - inter) / intra
+            # bilinear scatter into the reference's block grid
+            bys, bxs = np.mgrid[0:self.nby, 0:self.nbx]
+            px = bxs * N + e.mvx                   # lowres pixel coords
+            py = bys * N + e.mvy
+            bx0, fx = px >> LOG2N, px & (N - 1)
+            by0, fy = py >> LOG2N, py & (N - 1)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    wgt = ((fx if dx else N - fx)
+                           * (fy if dy else N - fy)) / float(N * N)
+                    tx = np.clip(bx0 + dx, 0, self.nbx - 1)
+                    ty = np.clip(by0 + dy, 0, self.nby - 1)
+                    np.add.at(ref.prop, (ty.ravel(), tx.ravel()),
+                              (amount * wgt).ravel())
+
+    def pop(self) -> np.ndarray:
+        """Per-CTU QP offsets of the oldest frame (ints <= 0), computed
+        against the full forward window (reference cuTreeFinish)."""
+        self._propagate()
+        e = self.entries.popleft()
+        intra = np.maximum(e.intra, 1.0)
+        off16 = -self.strength * np.log2((intra + e.prop) / intra)
+        bpc = self.bpc
+        ncy = -(-self.nby // bpc)
+        ncx = -(-self.nbx // bpc)
+        out = np.zeros((ncy, ncx))
+        for cy in range(ncy):
+            for cx in range(ncx):
+                t = off16[cy * bpc:(cy + 1) * bpc, cx * bpc:(cx + 1) * bpc]
+                out[cy, cx] = t.mean()
+        return np.clip(np.rint(out), -7, 0).astype(np.int32)

@@ -17,6 +17,7 @@ SAO/WPP/SBH off, 1 reference per list.
 """
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -39,6 +40,7 @@ from ..entropy.cu_syntax import CodedCU, SliceSyntaxEncoder
 from ..analysis.intra_mode import decide_modes, decide_modes_rd
 from ..rc.ratecontrol import RateControl, frame_complexity
 from ..analysis.inter_mode import analyse_b_frame, analyse_p_frame
+from ..analysis.lookahead import CuTreeLookahead
 from ..frame.recon_intra import IntraReconstructor, chroma_qp
 from ..ops.deblock import (
     chroma_on_maps, deblock_frame_batch, inter_bs_maps, intra_bs_maps)
@@ -75,7 +77,18 @@ class Encoder:
         # v1 restrictions: no SBH, no TMVP
         self.pps.entropy_coding_sync = bool(self.p.wpp)
         self.pps.sign_hide = bool(self.p.sign_hide)
-        self.pps.cu_qp_delta_enabled = self.p.aq_mode > 0
+        # cuTree needs per-CTU deltas; the reference disables AQ/cuTree
+        # under CQP (param.cpp x265_check_params analog)
+        self._cutree = None
+        self._la_buf: deque = deque()
+        if (self.p.cu_tree and self.p.rc_mode != "cqp"
+                and self.p.keyframe_max > 1 and self.p.rc_lookahead > 0):
+            self._cutree = CuTreeLookahead(
+                self.p.pic_width_in_ctus * self.p.ctu_size,
+                self.p.pic_height_in_ctus * self.p.ctu_size,
+                self.p.ctu_size, self.p.qcomp)
+        self.pps.cu_qp_delta_enabled = (self.p.aq_mode > 0
+                                        or self._cutree is not None)
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = bool(self.p.sao)
         self.sps.temporal_mvp = False
@@ -163,6 +176,21 @@ class Encoder:
     # -- streaming API ---------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray) -> List[EncodedFrame]:
+        """Display-order input; returns decode-order encoded frames.
+        With cuTree active, frames pass through a rc_lookahead-deep
+        window first (reference Lookahead thread analog)."""
+        if self._cutree is None:
+            return self._ingest(y, u, v)
+        self._la_buf.append((y, u, v))
+        self._cutree.push(self._pad(y, 0))
+        out: List[EncodedFrame] = []
+        while len(self._la_buf) > self.p.rc_lookahead:
+            fy, fu, fv = self._la_buf.popleft()
+            out.extend(self._ingest(fy, fu, fv, self._cutree.pop()))
+        return out
+
+    def _ingest(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                qp_off=None) -> List[EncodedFrame]:
         p = self.p
         planes = (self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
         cplx = frame_complexity(planes[0], self._prev_src_y)
@@ -181,11 +209,14 @@ class Encoder:
             self._cplx_avg = 0.9 * self._cplx_avg + 0.1 * cplx \
                 if self._cplx_avg else cplx
         if force_idr:
-            out.extend(self.flush())
+            if self._queue:
+                out.extend(self._emit_minigop())
             self._disp_since_idr = 0
-            out.append(self._encode_picture(planes, 0, "I", cplx))
+            out.append(self._encode_picture(planes, 0, "I", cplx,
+                                            qp_off=qp_off))
         else:
-            self._queue.append((planes, self._disp_since_idr, cplx))
+            self._queue.append((planes, self._disp_since_idr, cplx,
+                                qp_off))
             if len(self._queue) >= self.bframes + 1:
                 out.extend(self._emit_minigop())
         self.frame_count += 1
@@ -193,7 +224,14 @@ class Encoder:
         return out
 
     def flush(self) -> List[EncodedFrame]:
-        return self._emit_minigop() if self._queue else []
+        out: List[EncodedFrame] = []
+        if self._cutree is not None:
+            while self._la_buf:
+                fy, fu, fv = self._la_buf.popleft()
+                out.extend(self._ingest(fy, fu, fv, self._cutree.pop()))
+        if self._queue:
+            out.extend(self._emit_minigop())
+        return out
 
     # -- batched all-intra path (config-1 / multi-frame throughput) -----------
     def encode_batch(self, frames) -> List[EncodedFrame]:
@@ -272,7 +310,7 @@ class Encoder:
         frames = self._queue
         self._queue = []
         out = [self._encode_picture(frames[-1][0], frames[-1][1], "P",
-                                    frames[-1][2])]
+                                    frames[-1][2], qp_off=frames[-1][3])]
         anchor0 = self._anchors[0]
         anchor1 = (out[0].recon, out[0].poc)
         bs = frames[:-1]
@@ -281,26 +319,27 @@ class Encoder:
             mid = len(bs) // 2
             bref_fr = self._encode_picture(
                 bs[mid][0], bs[mid][1], "B", bs[mid][2],
-                b_refs=(anchor0, anchor1, (), True))
+                b_refs=(anchor0, anchor1, (), True), qp_off=bs[mid][3])
             out.append(bref_fr)
             bref = (bref_fr.recon, bref_fr.poc)
-            for k, (planes, poc, cplx) in enumerate(bs):
+            for k, (planes, poc, cplx, qoff) in enumerate(bs):
                 if k == mid:
                     continue
                 if k < mid:
                     # future anchor must stay in the DPB for trailing Bs
                     out.append(self._encode_picture(
                         planes, poc, "B", cplx,
-                        b_refs=(anchor0, bref, (anchor1[1],), False)))
+                        b_refs=(anchor0, bref, (anchor1[1],), False),
+                        qp_off=qoff))
                 else:
                     out.append(self._encode_picture(
                         planes, poc, "B", cplx,
-                        b_refs=(bref, anchor1, (), False)))
+                        b_refs=(bref, anchor1, (), False), qp_off=qoff))
         else:
-            for (planes, poc, cplx) in bs:
+            for (planes, poc, cplx, qoff) in bs:
                 out.append(self._encode_picture(
                     planes, poc, "B", cplx,
-                    b_refs=(anchor0, anchor1, (), False)))
+                    b_refs=(anchor0, anchor1, (), False), qp_off=qoff))
         # decode order emitted; DPB advances to the new P anchor
         self._anchors.insert(0, anchor1)
         del self._anchors[self.max_refs:]
@@ -309,14 +348,20 @@ class Encoder:
     # -- one picture -----------------------------------------------------------
     def _encode_picture(self, planes, poc: int, ftype: str,
                         complexity: float = 0.0,
-                        b_refs=None) -> EncodedFrame:
+                        b_refs=None, qp_off=None) -> EncodedFrame:
         """b_refs: for B pictures, ((planes, poc) L0 ref, (planes, poc)
-        L1 ref, extra POCs to retain in the RPS, is_referenced)."""
+        L1 ref, extra POCs to retain in the RPS, is_referenced);
+        qp_off: per-CTU cuTree QP offsets (<= 0) or None."""
         p = self.p
         y, u, v = planes
         qp = self.rc.frame_qp(ftype, complexity)
         self._slice_qp_for_derivation = qp
         qp_map = self._aq_map(y, qp)          # scalar when AQ off
+        if qp_off is not None and np.any(qp_off != 0):
+            base = qp_map if not np.isscalar(qp_map) else \
+                np.full(qp_off.shape, qp_map, np.int32)
+            qp_map = np.clip(base + qp_off, self.p.qp_min,
+                             min(51, self.p.qp_max)).astype(np.int32)
         recon = self.recon
         dirs = None
         mvs1 = None

@@ -59,7 +59,8 @@ class EncoderParams:
     cr_qp_offset: int = 0
     aq_mode: int = 0
     aq_strength: float = 1.0
-    cu_tree: bool = False
+    cu_tree: bool = True
+    qcomp: float = 0.6
 
     # analysis / RDO
     rd_level: int = 2
