@@ -94,7 +94,8 @@ class Encoder:
         self.sps.temporal_mvp = False
         self.recon = IntraReconstructor(self.sps, self.p.cb_qp_offset,
                                         self.p.cr_qp_offset,
-                                        self.p.sign_hide)
+                                        self.p.sign_hide,
+                                        self.p.rdoq_level > 0)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)

@@ -25,6 +25,7 @@ from ..constants.hevc_tables import CHROMA_QP_TABLE
 from ..ops.intra import intra_pred_select_batch, substitute_filter_batch
 from ..ops.transform import (
     dct_batch, quant_dyn, dequant_dyn, idct_batch, sbh_adjust)
+from ..ops.rdoq import rdoq_levels
 from .zscan import frame_avail_masks, ctu_wavefront_order
 
 
@@ -35,7 +36,7 @@ def chroma_qp(qp: int, offset: int = 0) -> int:
 def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   log2n: int, qp, c_idx: int, bit_depth: int = 8,
                   mc_pred=None, inter_mask=None, sign_hide: bool = False,
-                  skip_in=None):
+                  skip_in=None, rdoq: bool = False):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -76,29 +77,33 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     org = orig[gyc, gxc].astype(jnp.int32)
     resi = org - pred
     coef = dct_batch(resi, log2n, bit_depth)
-    lev = quant_dyn(coef, intra_mask, qp, log2n, bit_depth)
+    lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth) if rdoq \
+        else quant_dyn(coef, intra_mask, qp, log2n, bit_depth)
     if sign_hide:
         lev = sbh_adjust(lev, coef, intra_mask, qp, log2n, bit_depth)
 
-    # inter zero-residual (skip) RD test: drop the residual when the
-    # distortion increase is cheaper than its rate (x265 rd0-4 sa8d-based
-    # merge/skip preference, analysis.cpp:3485).  For luma (c_idx 0) the
-    # decision is made here; chroma substeps inherit it via skip_in.
+    # inter zero-residual RD test: drop the residual when the distortion
+    # increase is cheaper than its rate (x265 rd0-4 sa8d-based merge/skip
+    # preference, analysis.cpp:3485).  EVERY component decides for itself
+    # with its own qp/lambda — a CU becomes SKIP only when all three
+    # planes independently chose zero (x265 folds chroma distortion into
+    # one CU decision; per-plane is the batched equivalent and avoids
+    # chroma drift on chroma-busy content).
     skip = None
-    if mc_pred is not None and c_idx == 0:
+    if mc_pred is not None:
         deq0 = dequant_dyn(lev, qp, log2n, bit_depth)
         rres0 = idct_batch(deq0, log2n, bit_depth)
         rec0 = jnp.clip(pred + rres0, 0, maxval)
         sse_coded = jnp.sum((org - rec0) ** 2, axis=(1, 2))
         sse_skip = jnp.sum((org - pred) ** 2, axis=(1, 2))
         nz = jnp.sum((lev != 0).astype(jnp.int32), axis=(1, 2))
-        lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)             * (1 << (2 * (bit_depth - 8)))
-        bits = 6.0 + 3.0 * nz.astype(jnp.float32)
-        skip = (~intra_mask) &             (sse_skip.astype(jnp.float32) <=
+        lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0) \
+            * (1 << (2 * (bit_depth - 8)))
+        base_bits = 6.0 if c_idx == 0 else 2.0
+        bits = base_bits + 3.0 * nz.astype(jnp.float32)
+        skip = (~intra_mask) & \
+            (sse_skip.astype(jnp.float32) <=
              sse_coded.astype(jnp.float32) + lam2 * bits)
-    elif skip_in is not None:
-        skip = skip_in[by, bx] & (~intra_mask)
-    if skip is not None:
         lev = jnp.where(skip[:, None, None], 0, lev)
     deq = dequant_dyn(lev, qp, log2n, bit_depth)
     rres = idct_batch(deq, log2n, bit_depth)
@@ -121,7 +126,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     sb_bx, sb_by, sb_avy, sb_avc,
                     mc_y, mc_u, mc_v, inter_mask,
                     qp, qp_cb, qp_cr, bit_depth: int = 8,
-                    sign_hide: bool = False):
+                    sign_hide: bool = False, rdoq: bool = False):
     """Run the full wavefront schedule in one compiled loop.
 
     sb_bx/sb_by: (S, B) int32 block coords per substep
@@ -151,17 +156,18 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
         md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
         yp, lev_y, skip = _substep_body(
             yp, lev_y, oy, bx, by, md, sb_avy[s],
-            4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide)
+            4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide,
+            None, rdoq)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         up, lev_u, _ = _substep_body(
             up, lev_u, ou, bx, by, md, sb_avc[s],
             3, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
-            skip_map)
+            skip_map, rdoq)
         vp, lev_v, _ = _substep_body(
             vp, lev_v, ov, bx, by, md, sb_avc[s],
             3, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
-            skip_map)
+            skip_map, rdoq)
         return yp, up, vp, lev_y, lev_u, lev_v, skip_map
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map)
@@ -171,25 +177,26 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
 
 _wavefront_run = jax.jit(
     _wavefront_body,
-    static_argnames=("bit_depth", "sign_hide"),
+    static_argnames=("bit_depth", "sign_hide", "rdoq"),
     donate_argnums=(0, 1, 2, 3, 4, 5),
 )
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth", "sign_hide"),
+@functools.partial(jax.jit,
+                   static_argnames=("bit_depth", "sign_hide", "rdoq"),
                    donate_argnums=(0, 1, 2, 3, 4, 5))
 def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          modes, sb_bx, sb_by, sb_avy, sb_avc,
                          mc_y, mc_u, mc_v, inter_mask,
                          qp, qp_cb, qp_cr, bit_depth: int = 8,
-                         sign_hide: bool = False):
+                         sign_hide: bool = False, rdoq: bool = False):
     """Multi-frame wavefront: every per-frame arg carries a leading F
     axis; the schedule and QPs are shared.  All frames' wavefronts advance
     in lockstep — the multi-frame batching lever from SURVEY.md §7
     ('need big CTU batches to fill the MXU at small resolutions')."""
     def fn(*args):
         return _wavefront_body(*args, bit_depth=bit_depth,
-                               sign_hide=sign_hide)
+                               sign_hide=sign_hide, rdoq=rdoq)
     return jax.vmap(fn, in_axes=(0,) * 10 + (None,) * 4 + (0,) * 4 +
                     (None,) * 3)(
         yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
@@ -203,11 +210,13 @@ class IntraReconstructor:
     QP (rate-control requirement)."""
 
     def __init__(self, sps, cb_qp_offset: int = 0,
-                 cr_qp_offset: int = 0, sign_hide: bool = False) -> None:
+                 cr_qp_offset: int = 0, sign_hide: bool = False,
+                 rdoq: bool = False) -> None:
         self.sps = sps
         self.cb_qp_offset = cb_qp_offset
         self.cr_qp_offset = cr_qp_offset
         self.sign_hide = bool(sign_hide)
+        self.rdoq = bool(rdoq)
         self.bd = sps.bit_depth
         self.log2_ctu = sps.log2_ctu_size
         self.nl = 16                       # luma block size (v1 uniform)
@@ -313,7 +322,7 @@ class IntraReconstructor:
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
             qp_map[0], qp_map[1], qp_map[2], self.bd,
-            self.sign_hide)
+            self.sign_hide, self.rdoq)
 
         dt = np.uint8 if self.bd == 8 else np.uint16
         return {
@@ -355,7 +364,7 @@ class IntraReconstructor:
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
             qp_map[0], qp_map[1], qp_map[2], self.bd,
-            self.sign_hide)
+            self.sign_hide, self.rdoq)
 
         dt = np.uint8 if self.bd == 8 else np.uint16
         yp = np.asarray(yp)

@@ -160,7 +160,9 @@ class EncoderParams:
             "min_keyint": "keyframe_min", "bitrate": "bitrate_kbps",
             "rd": "rd_level", "me": "search_method", "merange": "search_range",
             "subme": "subpel_refine", "qpmin": "qp_min", "qpmax": "qp_max",
-            "hash": "decoded_picture_hash",
+            "hash": "decoded_picture_hash", "rdoq": "rdoq_level",
+            "signhide": "sign_hide", "cutree": "cu_tree",
+            "lookahead_depth": "rc_lookahead",
         }
         if key == "input_res":
             w, h = value.lower().split("x")
@@ -175,6 +177,13 @@ class EncoderParams:
             return self
         if key == "preset":
             return self.apply_preset(value)
+        if key.startswith("no_"):          # x265 --no-X negations
+            base = key[3:]
+            base = alias.get(base, base)
+            if base and hasattr(self, base) and \
+                    isinstance(getattr(self, base), bool):
+                setattr(self, base, False)
+                return self
         key = alias.get(key, key)
         if key is None or not hasattr(self, key):
             raise KeyError(f"unknown param {key!r}")
