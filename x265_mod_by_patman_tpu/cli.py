@@ -137,6 +137,7 @@ def main(argv=None) -> int:
         if args.frames and fed >= args.frames:
             break
     emit(enc.flush())
+    enc.write_stats()
     if not args.no_progress:
         sys.stderr.write("\n")
     elapsed = time.time() - t0

@@ -110,6 +110,12 @@ class Encoder:
                               self.p.fps_num / max(1, self.p.fps_denom),
                               self.sps.width, self.sps.height,
                               self.p.qp_min, self.p.qp_max)
+        if self.p.vbv_bufsize > 0 and self.p.vbv_maxrate > 0:
+            self.rc.set_vbv(self.p.vbv_bufsize, self.p.vbv_maxrate,
+                            self.p.vbv_init)
+        if self.p.pass_num == 2:
+            from ..rc.ratecontrol import read_stats_file
+            self.rc.load_pass1(read_stats_file(self.p.stats_file))
         self._prev_src_y = None
         self._cplx_avg = 0.0              # running inter-complexity average
 
@@ -223,6 +229,12 @@ class Encoder:
         self.frame_count += 1
         self._disp_since_idr += 1
         return out
+
+    def write_stats(self) -> None:
+        """Pass-1 stats emission (call after the final flush)."""
+        if self.p.pass_num == 1:
+            from ..rc.ratecontrol import write_stats_file
+            write_stats_file(self.p.stats_file, self.rc.history)
 
     def flush(self) -> List[EncodedFrame]:
         out: List[EncodedFrame] = []

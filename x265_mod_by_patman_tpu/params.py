@@ -61,6 +61,11 @@ class EncoderParams:
     aq_strength: float = 1.0
     cu_tree: bool = True
     qcomp: float = 0.6
+    vbv_bufsize: int = 0            # kbit
+    vbv_maxrate: int = 0            # kbps
+    vbv_init: float = 0.9
+    pass_num: int = 0               # 0 off | 1 write stats | 2 consume
+    stats_file: str = "x265_tpu_2pass.log"
 
     # analysis / RDO
     rd_level: int = 2
@@ -161,6 +166,8 @@ class EncoderParams:
             "rd": "rd_level", "me": "search_method", "merange": "search_range",
             "subme": "subpel_refine", "qpmin": "qp_min", "qpmax": "qp_max",
             "hash": "decoded_picture_hash", "rdoq": "rdoq_level",
+            "pass": "pass_num", "stats": "stats_file",
+            "vbv_init_fullness": "vbv_init",
             "signhide": "sign_hide", "cutree": "cu_tree",
             "lookahead_depth": "rc_lookahead",
         }

@@ -1,10 +1,14 @@
-"""Rate control: CQP / CRF / single-pass ABR.
+"""Rate control: CQP / CRF / single-pass ABR / 2-pass, with VBV.
 
 Analog of the reference's RateControl (x265 source/encoder/ratecontrol.cpp
-rateEstimateQscale:2101 + ABR feedback tuneAbrQScaleFromFeedback:2036),
-reduced to the lookahead-free core: a complexity-power law maps frame
-complexity to qscale, with an online bits-model estimate and an
-ABR overflow feedback loop.  VBV and 2-pass land in later rounds.
+rateEstimateQscale:2101 + ABR feedback tuneAbrQScaleFromFeedback:2036 +
+clipQscale/updateVbv:2786,3233 + 2-pass analyseABR2Pass:971): a
+complexity-power law maps frame complexity to qscale, with an online
+bits-model estimate, an ABR overflow feedback loop, frame-level VBV
+buffer clipping, and a closed-form 2-pass allocation from a pass-1
+stats file.  (The reference's row-level mid-frame VBV re-quantization,
+rowVbvRateControl:3034, is subsumed by per-CTU AQ/cuTree deltas here —
+frame-level VBV only.)
 
 qscale convention matches x265: qscale = 0.85 * 2^((qp-12)/6).
 """
@@ -12,6 +16,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from typing import List, Optional
 
 
 def qp_to_qscale(qp: float) -> float:
@@ -33,6 +38,27 @@ class FrameStats:
     qp: float
     bits: int
     complexity: float
+
+
+def write_stats_file(path: str, stats: List[FrameStats]) -> None:
+    """Pass-1 stats file (x265 --pass 1 --stats analog; own format)."""
+    with open(path, "w") as f:
+        f.write("#x265-tpu-stats-v1\n")
+        for i, st in enumerate(stats):
+            f.write(f"{i} {st.ftype} {st.qp:.2f} {st.bits} "
+                    f"{st.complexity:.2f}\n")
+
+
+def read_stats_file(path: str) -> List[FrameStats]:
+    out: List[FrameStats] = []
+    with open(path) as f:
+        hdr = f.readline()
+        assert hdr.startswith("#x265-tpu-stats"), "bad stats file"
+        for line in f:
+            _, ftype, qp, bits, cplx = line.split()
+            out.append(FrameStats(ftype, float(qp), int(bits),
+                                  float(cplx)))
+    return out
 
 
 class RateControl:
@@ -64,6 +90,62 @@ class RateControl:
         self.last_qscale = qp_to_qscale(self.base_qp)
         # CRF anchoring: complexity that maps to exactly `crf`
         self.crf_cplx0 = 0.04 * self.npix    # nominal per-pixel complexity
+        # VBV (disabled until set_vbv)
+        self.vbv_buffer = 0.0
+        self.vbv_rate = 0.0                  # bits entering per frame
+        self.vbv_fullness = 0.0
+        self.vbv_underflows = 0
+        self.history: List[FrameStats] = []  # pass-1 recording
+        self._plan: Optional[List[FrameStats]] = None   # pass-2 playback
+        self._plan_scale = 1.0
+        self._plan_spent = 0.0
+        self._plan_actual = 0.0
+
+    # -- VBV ---------------------------------------------------------------------
+    def set_vbv(self, bufsize_kbit: int, maxrate_kbps: int,
+                init: float = 0.9) -> None:
+        """Frame-level VBV (reference clipQscale/updateVbv)."""
+        if bufsize_kbit <= 0 or maxrate_kbps <= 0:
+            return
+        self.vbv_buffer = bufsize_kbit * 1000.0
+        self.vbv_rate = maxrate_kbps * 1000.0 / self.fps
+        self.vbv_fullness = init * self.vbv_buffer
+
+    def _predict_bits(self, qs: float, cplx_pow: float) -> float:
+        coef = self.coef / self.coef_weight
+        return coef * cplx_pow / max(qs, 1e-6)
+
+    def _clip_qscale_vbv(self, qs: float, cplx_pow: float) -> float:
+        """Raise qscale until the predicted frame fits the decoder buffer
+        (keep >= 0.5 frame-slots of headroom), lower it when the buffer
+        is about to overflow past 80%% fullness."""
+        if self.vbv_buffer <= 0:
+            return qs
+        space = self.vbv_fullness - 0.5 * self.vbv_rate
+        for _ in range(8):
+            if self._predict_bits(qs, cplx_pow) <= max(space, 1.0):
+                break
+            qs *= 1.3
+        # anti-overflow: encode at least what leaks past the brim
+        over = self.vbv_fullness + self.vbv_rate - self.vbv_buffer
+        if over > 0 and self._predict_bits(qs, cplx_pow) < over:
+            qs = max(self.coef / self.coef_weight * cplx_pow / over, 1e-6)
+        return qs
+
+    # -- 2-pass ------------------------------------------------------------------
+    def load_pass1(self, stats: List[FrameStats]) -> None:
+        """Closed-form 2-pass allocation: desired qscale_i ~
+        K * cplx_i^(1-qcomp) with K chosen so the inverse-proportional
+        bits model hits the target exactly (reference analyseABR2Pass)."""
+        assert self.target_bpf > 0, "2-pass needs --bitrate"
+        self._plan = stats
+        num = 0.0
+        for st in stats:
+            qs_rec = qp_to_qscale(st.qp - TYPE_OFFSET.get(st.ftype, 0.0))
+            cpow = max(st.complexity, 1.0) ** (1.0 - QCOMPRESS)
+            num += st.bits * qs_rec / cpow
+        target_total = self.target_bpf * len(stats)
+        self._plan_scale = num / max(target_total, 1.0)
 
     # -- per-frame decision ----------------------------------------------------
     def frame_qp(self, ftype: str, complexity: float) -> int:
@@ -71,6 +153,19 @@ class RateControl:
             q = self.base_qp + TYPE_OFFSET[ftype]
             return int(min(max(round(q), self.qp_min), self.qp_max))
         cplx = max(complexity, 1.0) ** (1.0 - QCOMPRESS)
+        if self._plan is not None:
+            i = min(self.frames, len(self._plan) - 1)
+            st = self._plan[i]
+            cpow = max(st.complexity, 1.0) ** (1.0 - QCOMPRESS)
+            qs = self._plan_scale * cpow
+            # feedback: steer by the accumulated prediction error
+            if self._plan_spent > 0:
+                err = self._plan_actual / self._plan_spent
+                qs *= min(max(err, 0.7), 1.4)
+            qs = self._clip_qscale_vbv(qs, cpow)
+            qp = qscale_to_qp(qs) + TYPE_OFFSET.get(st.ftype, 0.0)
+            qp = min(max(qp, self.qp_min), self.qp_max)
+            return int(round(qp))
         if self.mode == "crf":
             base = qp_to_qscale(self.crf)
             ref = max(self.crf_cplx0, 1.0) ** (1.0 - QCOMPRESS)
@@ -86,6 +181,7 @@ class RateControl:
                 overflow = 1.0 + (self.total_bits - self.wanted_bits) \
                     / buffer_bits
                 qs *= min(max(overflow, 0.5), 2.0)
+        qs = self._clip_qscale_vbv(qs, cplx)
         # frame-type modulation + swing clamp (free swing while the bits
         # model is still cold)
         qp = qscale_to_qp(qs) + TYPE_OFFSET[ftype]
@@ -107,6 +203,20 @@ class RateControl:
         self.coef_weight += 1.0
         self.total_bits += bits
         self.wanted_bits += self.target_bpf
+        self.history.append(FrameStats(ftype, qp, bits, complexity))
+        if self._plan is not None and self.frames < len(self._plan):
+            st = self._plan[self.frames]
+            qs_rec = qp_to_qscale(st.qp - TYPE_OFFSET.get(st.ftype, 0.0))
+            cpow = max(st.complexity, 1.0) ** (1.0 - QCOMPRESS)
+            self._plan_spent += st.bits * qs_rec / \
+                (self._plan_scale * cpow)
+            self._plan_actual += bits
+        if self.vbv_buffer > 0:
+            self.vbv_fullness += self.vbv_rate - bits
+            if self.vbv_fullness < 0:
+                self.vbv_underflows += 1
+                self.vbv_fullness = 0.0
+            self.vbv_fullness = min(self.vbv_fullness, self.vbv_buffer)
         self.frames += 1
         if ftype != "B":                              # anchors steer qscale
             self.last_qscale = qs
