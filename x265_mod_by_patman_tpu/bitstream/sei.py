@@ -1,9 +1,11 @@
 """SEI message writers/parsers (spec Annex D).
 
-Analog of x265's SEI class zoo (source/encoder/sei.h); v1 carries the
+Analog of x265's SEI class zoo (source/encoder/sei.h): the
 decoded-picture-hash (MD5) message — the bit-exactness mechanism the
 whole validation strategy hangs on (reference sei.h:729,
-frameencoder.cpp:1343).
+frameencoder.cpp:1343) — plus HDR signalling (mastering display
+sei.h:676, content light level sei.h:712), user-data-unregistered
+encoder info (sei.h:392) and recovery point (sei.h:867).
 """
 from __future__ import annotations
 
@@ -12,8 +14,86 @@ import hashlib
 from .bitwriter import BitWriter
 from .bitreader import BitReader
 
+SEI_RECOVERY_POINT = 6
+SEI_USER_DATA_UNREGISTERED = 5
 SEI_DECODED_PICTURE_HASH = 132
+SEI_MASTERING_DISPLAY = 137
+SEI_CONTENT_LIGHT_LEVEL = 144
 HASH_MD5 = 0
+
+# x265's user-data UUID (public constant in the bitstream of every x265
+# encode; sei.h SEIuserDataUnregistered)
+X265_USER_DATA_UUID = bytes((
+    0x2C, 0xA2, 0xDE, 0x09, 0xB5, 0x17, 0x47, 0xDB,
+    0xBB, 0x55, 0xA4, 0xFE, 0x7F, 0xC2, 0xFC, 0x4E))
+
+
+def _sei_rbsp(ptype: int, payload: bytes) -> bytes:
+    """Wrap one SEI payload into an RBSP (payload type/size coding)."""
+    bw = BitWriter()
+    t = ptype
+    while t >= 255:
+        bw.u(255, 8)
+        t -= 255
+    bw.u(t, 8)
+    size = len(payload)
+    while size >= 255:
+        bw.u(255, 8)
+        size -= 255
+    bw.u(size, 8)
+    for b in payload:
+        bw.u(b, 8)
+    bw.rbsp_trailing_bits()
+    return bw.get_bytes()
+
+
+def parse_master_display(s: str):
+    """x265 --master-display string:
+    G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min) with 0.00002-unit primaries and
+    0.0001-nit luminance (reference param.cpp parsing)."""
+    import re
+    m = re.match(r"G\((\d+),(\d+)\)B\((\d+),(\d+)\)R\((\d+),(\d+)\)"
+                 r"WP\((\d+),(\d+)\)L\((\d+),(\d+)\)", s)
+    if not m:
+        raise ValueError(f"bad master-display string {s!r}")
+    return tuple(int(g) for g in m.groups())
+
+
+def write_mastering_display(vals) -> bytes:
+    """vals: (gx, gy, bx, by, rx, ry, wx, wy, lmax, lmin).  Spec order is
+    display_primaries[0..2] = G, B, R (matches the CLI string)."""
+    bw = BitWriter()
+    for v in vals[:8]:
+        bw.u(v, 16)
+    bw.u(vals[8], 32)
+    bw.u(vals[9], 32)
+    return _sei_rbsp(SEI_MASTERING_DISPLAY, bw.get_bytes())
+
+
+def write_content_light_level(max_cll: int, max_fall: int) -> bytes:
+    bw = BitWriter()
+    bw.u(max_cll, 16)
+    bw.u(max_fall, 16)
+    return _sei_rbsp(SEI_CONTENT_LIGHT_LEVEL, bw.get_bytes())
+
+
+def write_user_data_info(text: str) -> bytes:
+    """Encoder-info user data (x265 writes its param2string here)."""
+    return _sei_rbsp(SEI_USER_DATA_UNREGISTERED,
+                     X265_USER_DATA_UUID + text.encode())
+
+
+def write_recovery_point(recovery_poc_cnt: int = 0,
+                         exact_match: bool = True) -> bytes:
+    bw = BitWriter()
+    bw.se(recovery_poc_cnt)
+    bw.u(1 if exact_match else 0, 1)     # exact_match_flag
+    bw.u(0, 1)                           # broken_link_flag
+    # payload must be byte-aligned: bit_equal_to_one + zeros
+    bw.u(1, 1)
+    while not bw.byte_aligned:
+        bw.u(0, 1)
+    return _sei_rbsp(SEI_RECOVERY_POINT, bw.get_bytes())
 
 
 def plane_md5(*planes, bit_depth: int = 8) -> bytes:

@@ -78,6 +78,10 @@ def main(argv=None) -> int:
     ap.add_argument("--preset", "-p", default=None)
     ap.add_argument("--recon", "-r", default=None, help="recon .y4m out")
     ap.add_argument("--no-progress", action="store_true")
+    ap.add_argument("--psnr", action="store_true",
+                    help="compute/report PSNR")
+    ap.add_argument("--ssim", action="store_true",
+                    help="compute/report SSIM")
     ap.add_argument("--csv", default=None, help="per-frame CSV log")
     ap.add_argument("params", nargs="*", help="extra key=value options")
     args = ap.parse_args(argv)
@@ -106,22 +110,48 @@ def main(argv=None) -> int:
     recon_w = Y4MWriter(args.recon, info) if args.recon else None
     csv = open(args.csv, "w") if args.csv else None
     if csv:
-        csv.write("poc,type,bits,md5\n")
+        csv.write("poc,type,qp,bits,psnr_y,psnr_u,psnr_v,ssim,md5\n")
 
     total = args.frames or info.total_frames
     t0 = time.time()
     done = 0
     out_bytes = 0
+    want_metrics = args.psnr or args.ssim or csv
+    srcs = {}                      # disp idx -> (y, u, v) until encoded
+    mses = [0.0, 0.0, 0.0]
+    npix = [0, 0, 0]
+    ssim_sum = 0.0
+    qp_sum = 0.0
+    if want_metrics:
+        from .utils.metrics import frame_mse, psnr as psnr_fn, ssim as \
+            ssim_fn, global_psnr
 
     def emit(frames):
-        nonlocal done, out_bytes
+        nonlocal done, out_bytes, ssim_sum, qp_sum
         for f in frames:
             out.write(f.bitstream)
             out_bytes += len(f.bitstream)
             if recon_w:
                 recon_w.write(*f.recon)
+            qp_sum += f.qp
+            py = pu = pv = sv = 0.0
+            if want_metrics and f.disp in srcs:
+                sy, su, sv_ = srcs.pop(f.disp)
+                ry = f.recon[0][:sy.shape[0], :sy.shape[1]]
+                ru = f.recon[1][:su.shape[0], :su.shape[1]]
+                rv = f.recon[2][:sv_.shape[0], :sv_.shape[1]]
+                bd = p.internal_bit_depth
+                for i, (a, b) in enumerate(((sy, ry), (su, ru),
+                                            (sv_, rv))):
+                    mses[i] += frame_mse(a, b)
+                    npix[i] += a.size
+                py, pu, pv = (psnr_fn(sy, ry, bd), psnr_fn(su, ru, bd),
+                              psnr_fn(sv_, rv, bd))
+                sv = ssim_fn(sy, ry, bd)
+                ssim_sum += sv
             if csv:
-                csv.write(f"{f.poc},{f.slice_type},{f.bits},"
+                csv.write(f"{f.poc},{f.slice_type},{f.qp},{f.bits},"
+                          f"{py:.4f},{pu:.4f},{pv:.4f},{sv:.6f},"
                           f"{f.md5.hex()}\n")
             done += 1
             if not args.no_progress:
@@ -132,6 +162,8 @@ def main(argv=None) -> int:
 
     fed = 0
     for (y, u, v) in src:
+        if want_metrics:
+            srcs[fed] = (y, u, v)
         emit(enc.encode_frame(y, u, v))
         fed += 1
         if args.frames and fed >= args.frames:
@@ -141,9 +173,23 @@ def main(argv=None) -> int:
     if not args.no_progress:
         sys.stderr.write("\n")
     elapsed = time.time() - t0
-    sys.stderr.write(
-        f"encoded {done} frames in {elapsed:.2f}s ({done / max(elapsed, 1e-6):.2f} fps), "
-        f"{out_bytes * 8 * info.fps_num / max(1, info.fps_denom) / max(done, 1) / 1000:.2f} kb/s\n")
+    # x265-style summary line (reference encoder.cpp printSummary)
+    line = (f"encoded {done} frames in {elapsed:.2f}s "
+            f"({done / max(elapsed, 1e-6):.2f} fps), "
+            f"{out_bytes * 8 * info.fps_num / max(1, info.fps_denom) / max(done, 1) / 1000:.2f} kb/s, "
+            f"Avg QP:{qp_sum / max(done, 1):.2f}")
+    if args.psnr and sum(npix):
+        bd = p.internal_bit_depth
+        gp = [global_psnr([m], n, bd) for m, n in zip(mses, npix)]
+        gall = global_psnr(mses, sum(npix), bd)
+        line += (f", Global PSNR: {gall:.3f} "
+                 f"(Y:{gp[0]:.3f} U:{gp[1]:.3f} V:{gp[2]:.3f})")
+    if args.ssim and done:
+        import math
+        ms = ssim_sum / done
+        db = -10.0 * math.log10(max(1.0 - ms, 1e-10))
+        line += f", SSIM Mean Y: {ms:.7f} ({db:.3f} dB)"
+    sys.stderr.write(line + "\n")
     out.close()
     src.close()
     if recon_w:

@@ -17,8 +17,8 @@ import numpy as np
 
 from ..bitstream.bitreader import BitReader
 from ..bitstream.nal import (
-    NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_SPS, NAL_SUFFIX_SEI,
-    NAL_TRAIL_N, NAL_TRAIL_R, NAL_VPS,
+    NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_PREFIX_SEI, NAL_SPS,
+    NAL_SUFFIX_SEI, NAL_TRAIL_N, NAL_TRAIL_R, NAL_VPS,
     is_idr, remove_emulation, split_annexb)
 from ..ops.interp import mc_block_ref
 from ..bitstream.sei import SEI_DECODED_PICTURE_HASH, parse_sei, plane_md5
@@ -151,6 +151,7 @@ class Decoder:
         self._dpb: Dict[int, tuple] = {}      # poc -> (y, u, v) planes
         self._ref_l0: List[tuple] = []
         self._ref_l1: List[tuple] = []
+        self.prefix_seis: List[tuple] = []    # (payload_type, bytes)
 
     def decode(self, stream: bytes) -> List[DecodedPicture]:
         for nal in split_annexb(stream):
@@ -165,6 +166,8 @@ class Decoder:
             elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP,
                               NAL_TRAIL_R, NAL_TRAIL_N):
                 self.pictures.append(self._decode_slice(nal_type, rbsp))
+            elif nal_type == NAL_PREFIX_SEI:
+                self.prefix_seis.extend(parse_sei(rbsp))
             elif nal_type == NAL_SUFFIX_SEI:
                 for ptype, payload in parse_sei(rbsp):
                     if ptype == SEI_DECODED_PICTURE_HASH and \

@@ -57,6 +57,8 @@ class EncodedFrame:
     bits: int = 0
     md5: bytes = b""
     slice_type: str = "I"
+    qp: int = 0
+    disp: int = 0                 # global display index
 
 
 class Encoder:
@@ -118,6 +120,7 @@ class Encoder:
             self.rc.load_pass1(read_stats_file(self.p.stats_file))
         self._prev_src_y = None
         self._cplx_avg = 0.0              # running inter-complexity average
+        self._idr_base = 0                # display index of the last IDR
 
 
     def _aq_map(self, y: np.ndarray, qp: int):
@@ -176,9 +179,23 @@ class Encoder:
 
     # -- headers -------------------------------------------------------------
     def headers(self) -> bytes:
-        return (annexb(NAL_VPS, write_vps(self.sps)) +
-                annexb(NAL_SPS, write_sps(self.sps)) +
-                annexb(NAL_PPS, write_pps(self.pps)))
+        out = (annexb(NAL_VPS, write_vps(self.sps)) +
+               annexb(NAL_SPS, write_sps(self.sps)) +
+               annexb(NAL_PPS, write_pps(self.pps)))
+        from ..bitstream.nal import NAL_PREFIX_SEI
+        from ..bitstream.sei import (
+            parse_master_display, write_content_light_level,
+            write_mastering_display, write_user_data_info)
+        if self.p.info_sei:
+            out += annexb(NAL_PREFIX_SEI, write_user_data_info(
+                "x265-tpu - HEVC encoder - " + self.p.to_string()))
+        if self.p.master_display:
+            out += annexb(NAL_PREFIX_SEI, write_mastering_display(
+                parse_master_display(self.p.master_display)))
+        if self.p.max_cll or self.p.max_fall:
+            out += annexb(NAL_PREFIX_SEI, write_content_light_level(
+                self.p.max_cll, self.p.max_fall))
+        return out
 
     # -- streaming API ---------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
@@ -219,6 +236,7 @@ class Encoder:
             if self._queue:
                 out.extend(self._emit_minigop())
             self._disp_since_idr = 0
+            self._idr_base = self.frame_count
             out.append(self._encode_picture(planes, 0, "I", cplx,
                                             qp_off=qp_off))
         else:
@@ -313,7 +331,8 @@ class Encoder:
             fr = EncodedFrame(0, nal_bytes,
                               (r["recon_y"], r["recon_u"], r["recon_v"]),
                               bits=len(nal_bytes) * 8, md5=md5,
-                              slice_type="I")
+                              slice_type="I", qp=qp,
+                              disp=self.frame_count)
             self.rc.update("I", qp, fr.bits, cplx[i])
             self.frame_count += 1
             out.append(fr)
@@ -425,7 +444,8 @@ class Encoder:
             out += annexb(NAL_SUFFIX_SEI, write_decoded_picture_hash(md5))
         frame = EncodedFrame(poc, out,
                              (r["recon_y"], r["recon_u"], r["recon_v"]),
-                             bits=len(out) * 8, md5=md5, slice_type=ftype)
+                             bits=len(out) * 8, md5=md5, slice_type=ftype,
+                             qp=qp, disp=self._idr_base + poc)
         self.rc.update(ftype, qp, frame.bits, complexity)
         if ftype == "I":
             self._anchors = [(frame.recon, poc)]

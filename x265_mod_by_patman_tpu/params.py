@@ -67,6 +67,12 @@ class EncoderParams:
     pass_num: int = 0               # 0 off | 1 write stats | 2 consume
     stats_file: str = "x265_tpu_2pass.log"
 
+    # SEI / HDR signalling
+    master_display: str = ""        # G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)
+    max_cll: int = 0
+    max_fall: int = 0
+    info_sei: bool = True           # x265 user-data encoder-info SEI
+
     # analysis / RDO
     rd_level: int = 2
     rdoq_level: int = 0
@@ -167,6 +173,7 @@ class EncoderParams:
             "subme": "subpel_refine", "qpmin": "qp_min", "qpmax": "qp_max",
             "hash": "decoded_picture_hash", "rdoq": "rdoq_level",
             "pass": "pass_num", "stats": "stats_file",
+            "info": "info_sei",
             "vbv_init_fullness": "vbv_init",
             "signhide": "sign_hide", "cutree": "cu_tree",
             "lookahead_depth": "rc_lookahead",
@@ -184,6 +191,11 @@ class EncoderParams:
             return self
         if key == "preset":
             return self.apply_preset(value)
+        if key == "max_cll":
+            cll, _, fall = value.partition(",")
+            self.max_cll = int(cll)
+            self.max_fall = int(fall or 0)
+            return self
         if key.startswith("no_"):          # x265 --no-X negations
             base = key[3:]
             base = alias.get(base, base)
