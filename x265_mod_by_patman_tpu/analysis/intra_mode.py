@@ -137,7 +137,30 @@ def decide_modes_rd(y: np.ndarray, sps, qp: int,
     bits = np.where(modes_axis == mpm[..., 1:2], 3.0, bits)
     bits = np.where(modes_axis == mpm[..., 0:1], 2.0, bits)
     total = costs + lam * bits
-    return np.argmin(total, axis=-1).astype(np.int32)
+    modes = np.argmin(total, axis=-1).astype(np.int32)
+    # CTU-homogenization: when one common mode costs less than four
+    # individual ones plus the syntax saved by a 32x32 CU merge (three
+    # fewer mode signalings + CU flags, ~20 bins), unify the CTU — the
+    # batched analog of the reference preferring a depth-0 CU when its
+    # RD cost beats the sum of depth-1 children (analysis.cpp
+    # compressIntraCU).
+    bpc = (1 << sps.log2_ctu_size) // block
+    if bpc == 2 and nby >= 2 and nbx >= 2:
+        cy, cx = nby // 2, nbx // 2
+        t = total[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2, 35)
+        group = t.sum(axis=(1, 3))                    # (cy, cx, 35)
+        best_common = group.min(axis=-1)
+        common_mode = group.argmin(axis=-1)
+        indiv = np.take_along_axis(
+            t.reshape(cy, 4, cx, 35),
+            modes[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
+            .transpose(0, 1, 3, 2).reshape(cy, 4, cx)[..., None],
+            axis=-1)[..., 0].sum(axis=1)
+        unify = best_common <= indiv + lam * 20.0
+        mm = modes[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
+        cm = common_mode[:, None, :, None]
+        mm[...] = np.where(unify[:, None, :, None], cm, mm)
+    return modes
 
 
 def decide_modes(y: np.ndarray, sps, block: int = 16) -> np.ndarray:

@@ -309,8 +309,15 @@ class Decoder:
                             p0[sl] = ref_pocs[0][cu.ref_idx]
                         if cu.inter_dir & 2:
                             p1[sl] = ref_pocs[1][cu.ref_idx1]
-                    lv = cu.coeffs.get((0, cu.x0, cu.y0, cu.log2_size))
-                    cbf[sl] = lv is not None and bool(np.any(lv))
+                    tu = min(cu.log2_size, sps.log2_max_tu_size)
+                    tstep = max(1, (1 << tu) // 16)
+                    for j in range(n16):
+                        for i in range(n16):
+                            lv = cu.coeffs.get(
+                                (0, cu.x0 + (i // tstep) * (1 << tu),
+                                 cu.y0 + (j // tstep) * (1 << tu), tu))
+                            cbf[by0 + j, bx0 + i] = \
+                                lv is not None and bool(np.any(lv))
                 bs_v, bs_h = inter_bs_maps(intra_mask, mvs, cbf, w, h, 16,
                                            dirs, mvs1, p0, p1)
             else:
@@ -386,16 +393,27 @@ class Decoder:
                                cu.coeffs.get((0, cu.x0 + dx, cu.y0 + dy,
                                               cu.log2_size - 1)))
         else:
-            self._recon_tb(y, cu.x0, cu.y0, cu.log2_size, cu.luma_modes[0],
-                           0, qp, cu.coeffs.get((0, cu.x0, cu.y0,
-                                                 cu.log2_size)))
+            # the TU quadtree is forced down to log2_max_tu_size; intra
+            # prediction + recon run per TU in z-order with the CU mode
+            # (spec 8.4.4.2: prediction per transform block when split)
+            tu = min(cu.log2_size, sps.log2_max_tu_size)
+            step = 1 << tu
+            size = 1 << cu.log2_size
+            for ty in range(cu.y0, cu.y0 + size, step):
+                for tx in range(cu.x0, cu.x0 + size, step):
+                    self._recon_tb(y, tx, ty, tu, cu.luma_modes[0], 0, qp,
+                                   cu.coeffs.get((0, tx, ty, tu)))
         cmode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
-        clog2 = max(2, cu.log2_size - 1)
+        ctu = max(2, min(cu.log2_size, sps.log2_max_tu_size) - 1)
         cx, cy = cu.x0 >> 1, cu.y0 >> 1
-        self._recon_tb(u, cx, cy, clog2, cmode, 1, qp_cb,
-                       cu.coeffs.get((1, cx, cy, clog2)))
-        self._recon_tb(v, cx, cy, clog2, cmode, 2, qp_cr,
-                       cu.coeffs.get((2, cx, cy, clog2)))
+        csize = 1 << max(2, cu.log2_size - 1)
+        cstep = 1 << ctu
+        for ty in range(cy, cy + csize, cstep):
+            for tx in range(cx, cx + csize, cstep):
+                self._recon_tb(u, tx, ty, ctu, cmode, 1, qp_cb,
+                               cu.coeffs.get((1, tx, ty, ctu)))
+                self._recon_tb(v, tx, ty, ctu, cmode, 2, qp_cr,
+                               cu.coeffs.get((2, tx, ty, ctu)))
 
     def _recon_inter_cu(self, cu, y, u, v, qp, qp_cb, qp_cr) -> None:
         """Golden inter recon: uni MC (mc_block_ref) or bi-prediction
@@ -423,14 +441,20 @@ class Decoder:
             else:
                 pred = mc_block_ref(refs1[pi].astype(np.int32), cx, cy,
                                     cu.mv1[0], cu.mv1[1], cn, cn, c_idx, bd)
-            levels = cu.coeffs.get((c_idx, cx, cy, clog2))
-            if levels is not None and np.any(levels):
-                coef = dequant_ref(levels.astype(np.int16), qpc, clog2, bd)
-                resi = idct_ref(coef, bd, dst=False)
-                rec = np.clip(pred + resi, 0, maxv)
-            else:
-                rec = pred
-            plane[cy:cy + cn, cx:cx + cn] = rec
+            # residual applies per TU of the (forced) quadtree
+            tl = min(clog2, self.sps.log2_max_tu_size - (1 if c_idx
+                                                         else 0))
+            tn = 1 << tl
+            rec = pred.astype(np.int32)
+            for ty in range(0, cn, tn):
+                for tx in range(0, cn, tn):
+                    levels = cu.coeffs.get((c_idx, cx + tx, cy + ty, tl))
+                    if levels is not None and np.any(levels):
+                        coef = dequant_ref(levels.astype(np.int16), qpc,
+                                           tl, bd)
+                        resi = idct_ref(coef, bd, dst=False)
+                        rec[ty:ty + tn, tx:tx + tn] += resi
+            plane[cy:cy + cn, cx:cx + cn] = np.clip(rec, 0, maxv)
 
     def _recon_tb(self, plane, x0, y0, log2, mode, c_idx, qp, levels) -> None:
         sps = self.sps

@@ -636,19 +636,38 @@ class Encoder:
                                 cy0 = y0 >> (1 if c_idx else 0)
                                 cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
                         cus.append(cu)
-                # merge 4 identical-motion zero-residual inter CUs into
-                # one 32x32 CU (the large-CU SKIP the reference gets from
-                # its depth-0 RDO, analysis.cpp compressInterCU)
+                # merge 4 identical-motion inter CUs into one 32x32 CU
+                # (zero residual -> SKIP; residual -> 2Nx2N with forced
+                # TU16 split: the large-CU decisions the reference gets
+                # from its depth-0 RDO, analysis.cpp compressInterCU)
                 if (bpc == 2 and len(cus) == 4 and
-                        all(c.is_inter and not c.coeffs for c in cus) and
+                        all(c.is_inter for c in cus) and
                         len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
                               c.ref_idx1) for c in cus}) == 1):
                     c0 = cus[0]
-                    cus = [CodedCU(cx * 32, cy * 32, 5, (1,), 4, {},
+                    merged = {}
+                    for c in cus:
+                        merged.update(c.coeffs)
+                    cus = [CodedCU(cx * 32, cy * 32, 5, (1,), 4, merged,
                                    is_inter=True, mv=c0.mv,
                                    ref_idx=c0.ref_idx,
                                    inter_dir=c0.inter_dir, mv1=c0.mv1,
                                    ref_idx1=c0.ref_idx1)]
+                # merge 4 same-mode intra CUs into one 32x32 intra CU
+                # with the (forced) TU16 split: per-TU z-order recon is
+                # spec-identical to 4 separate 16x16 CUs, so this is a
+                # pure syntax saving (one mode + fewer flags)
+                elif (bpc == 2 and len(cus) == 4 and
+                      all((not c.is_inter) and not c.part_nxn
+                          for c in cus) and
+                      len({(c.luma_modes[0], c.chroma_idx)
+                           for c in cus}) == 1):
+                    merged = {}
+                    for c in cus:
+                        merged.update(c.coeffs)
+                    cus = [CodedCU(cx * 32, cy * 32, 5,
+                                   (cus[0].luma_modes[0],),
+                                   cus[0].chroma_idx, merged)]
                 last = (cy == n_ctu_y - 1) and (cx == n_ctu_x - 1)
                 sao = None
                 if sao_maps is not None:

@@ -34,7 +34,8 @@ class EncoderParams:
     # coding tools / structure (x265: maxCUSize, minCUSize, tuQTMax*Depth)
     ctu_size: int = 32
     min_cu_size: int = 8
-    max_tu_size: int = 32
+    max_tu_size: int = 16        # TU16 = wavefront granularity; 32x32
+                                 # CUs use the forced TU-quadtree split
     tu_intra_depth: int = 1
     tu_inter_depth: int = 1
 
