@@ -31,11 +31,15 @@ def lambda_qp(qp: int) -> Tuple[float, float]:
 
 
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
-                    search_range: int = 16, block: int = 16):
+                    search_range: int = 16, block: int = 16,
+                    weights=None):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
     refs: list of (ref_y, ref_u, ref_v) tuples, L0 order (closest first).
+    weights: optional per-ref luma (w, o) explicit-weight pairs (denom 6)
+    or None entries — ME searches a pre-weighted plane, final luma MC
+    applies the exact 14-bit weighting (spec 8.5.4.3.2).
     Returns (intra_modes (nby,nbx), inter_mask (nby,nbx) bool,
     mvs (nby,nbx,2) qpel, ref_sel (nby,nbx) int32,
     (mc_y, mc_u, mc_v) per-block predictions)."""
@@ -51,7 +55,15 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
     by = jnp.asarray((bys.ravel() * n).astype(np.int32))
     oy = jnp.asarray(np.asarray(y, np.int32))
-    ry_all = [jnp.asarray(np.asarray(r[0], np.int32)) for r in refs]
+    if weights is None:
+        weights = [None] * len(refs)
+    from .weightp import weighted_plane
+    ry_all = []
+    for r, wp in zip(refs, weights):
+        ry = np.asarray(r[0], np.int32)
+        if wp is not None:
+            ry = weighted_plane(ry, wp[0], wp[1], bit_depth=bd)
+        ry_all.append(jnp.asarray(ry))
 
     gy = by[:, None, None] + jnp.arange(n)[None, :, None]
     gx = bx[:, None, None] + jnp.arange(n)[None, None, :]
@@ -100,7 +112,9 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     # mode signalling in P slices)
     use_inter = cost <= (intra_best + ((lam256 * 5) >> 8))
 
-    # 5. MC predictions of the chosen (ref, mv) per block
+    # 5. MC predictions of the chosen (ref, mv) per block; weighted refs
+    # take the exact 14-bit path for luma (chroma stays unweighted)
+    from ..ops.interp import mc_batch_14, wp_apply_batch
     nc = n // 2
     mc = []
     for pi in range(3):
@@ -108,9 +122,15 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
         sz = n if pi == 0 else nc
         bx_ = bx if pi == 0 else bx // 2
         by_ = by if pi == 0 else by // 2
-        preds = [mc_batch(jnp.asarray(np.asarray(r[pi], np.int32)),
-                          bx_, by_, mvx, mvy, sz, c_idx, bd)
-                 for r in refs]
+        preds = []
+        for r, wp in zip(refs, weights):
+            rp = jnp.asarray(np.asarray(r[pi], np.int32))
+            if pi == 0 and wp is not None:
+                p14 = mc_batch_14(rp, bx_, by_, mvx, mvy, sz, c_idx, bd)
+                preds.append(wp_apply_batch(p14, wp[0], wp[1], 6, bd))
+            else:
+                preds.append(mc_batch(rp, bx_, by_, mvx, mvy, sz,
+                                      c_idx, bd))
         sel = preds[0]
         for ridx in range(1, len(refs)):
             sel = jnp.where((ref_sel == ridx)[:, None, None],

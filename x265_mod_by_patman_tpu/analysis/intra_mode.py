@@ -79,7 +79,9 @@ def decide_modes_batch(ys, sps, block: int = 16,
         bits = np.where(modes_axis == mpm[..., 2:3], 3.0, bits)
         bits = np.where(modes_axis == mpm[..., 1:2], 3.0, bits)
         bits = np.where(modes_axis == mpm[..., 0:1], 2.0, bits)
-        out[f] = np.argmin(costs[f] + lam * bits, axis=-1)
+        total = costs[f] + lam * bits
+        out[f] = np.argmin(total, axis=-1)
+        _homogenize_ctus(out[f], total, lam, sps, block)
     return out
 
 
@@ -138,29 +140,35 @@ def decide_modes_rd(y: np.ndarray, sps, qp: int,
     bits = np.where(modes_axis == mpm[..., 0:1], 2.0, bits)
     total = costs + lam * bits
     modes = np.argmin(total, axis=-1).astype(np.int32)
-    # CTU-homogenization: when one common mode costs less than four
-    # individual ones plus the syntax saved by a 32x32 CU merge (three
-    # fewer mode signalings + CU flags, ~20 bins), unify the CTU — the
-    # batched analog of the reference preferring a depth-0 CU when its
-    # RD cost beats the sum of depth-1 children (analysis.cpp
-    # compressIntraCU).
-    bpc = (1 << sps.log2_ctu_size) // block
-    if bpc == 2 and nby >= 2 and nbx >= 2:
-        cy, cx = nby // 2, nbx // 2
-        t = total[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2, 35)
-        group = t.sum(axis=(1, 3))                    # (cy, cx, 35)
-        best_common = group.min(axis=-1)
-        common_mode = group.argmin(axis=-1)
-        indiv = np.take_along_axis(
-            t.reshape(cy, 4, cx, 35),
-            modes[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
-            .transpose(0, 1, 3, 2).reshape(cy, 4, cx)[..., None],
-            axis=-1)[..., 0].sum(axis=1)
-        unify = best_common <= indiv + lam * 20.0
-        mm = modes[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
-        cm = common_mode[:, None, :, None]
-        mm[...] = np.where(unify[:, None, :, None], cm, mm)
+    _homogenize_ctus(modes, total, lam, sps, block)
     return modes
+
+
+def _homogenize_ctus(modes, total, lam, sps, block) -> None:
+    """CTU-homogenization (in place): when one common mode costs less
+    than four individual ones plus the syntax saved by a 32x32 CU merge
+    (three fewer mode signalings + CU flags, ~20 bins), unify the CTU —
+    the batched analog of the reference preferring a depth-0 CU when its
+    RD cost beats the sum of depth-1 children (analysis.cpp
+    compressIntraCU)."""
+    nby, nbx = modes.shape
+    bpc = (1 << sps.log2_ctu_size) // block
+    if bpc != 2 or nby < 2 or nbx < 2:
+        return
+    cy, cx = nby // 2, nbx // 2
+    t = total[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2, 35)
+    group = t.sum(axis=(1, 3))                    # (cy, cx, 35)
+    best_common = group.min(axis=-1)
+    common_mode = group.argmin(axis=-1)
+    indiv = np.take_along_axis(
+        t.reshape(cy, 4, cx, 35),
+        modes[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
+        .transpose(0, 1, 3, 2).reshape(cy, 4, cx)[..., None],
+        axis=-1)[..., 0].sum(axis=1)
+    unify = best_common <= indiv + lam * 20.0
+    mm = modes[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
+    cm = common_mode[:, None, :, None]
+    mm[...] = np.where(unify[:, None, :, None], cm, mm)
 
 
 def decide_modes(y: np.ndarray, sps, block: int = 16) -> np.ndarray:

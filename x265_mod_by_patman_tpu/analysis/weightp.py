@@ -1,0 +1,55 @@
+"""Weighted-prediction analysis (reference weightPrediction.cpp
+weightAnalyse:222): frame-level luma (weight, offset) fit per reference,
+enabled only when it measurably lowers the lowres SAD.
+
+TPU note: the fit is two moments over 1/8-res planes (host numpy); the
+exact spec weighting (8.5.4.3.2) is applied on the 14-bit interpolated
+prediction in the MC path (ops.interp.wp_apply_*), while ME runs on a
+pixel-domain pre-weighted reference (analysis-only approximation,
+mirroring the reference's lowres weight trial).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..rc.ratecontrol import _lowres8
+
+LUMA_DENOM = 6                 # reference default log2 luma weight denom
+
+
+def analyse_weightp(cur_y: np.ndarray, ref_y: np.ndarray,
+                    denom: int = LUMA_DENOM
+                    ) -> Optional[Tuple[int, int]]:
+    """Returns (weight, offset) in 1<<denom scale, or None when weighting
+    does not help (reference requires a clear SAD win before enabling)."""
+    a = _lowres8(cur_y).astype(np.float64)
+    b = _lowres8(ref_y).astype(np.float64)
+    var = b.var()
+    if var < 1e-3:
+        return None
+    w = float(((a - a.mean()) * (b - b.mean())).mean() / var)
+    wq = int(np.clip(round(w * (1 << denom)), -128, 127))
+    o = int(np.clip(round(a.mean() - (wq / (1 << denom)) * b.mean()),
+                    -128, 127))
+    if wq == (1 << denom) and o == 0:
+        return None
+    sad_plain = np.abs(a - b).mean()
+    bw = np.clip((b * wq / (1 << denom)) + o, 0, 255)
+    sad_w = np.abs(a - bw).mean()
+    if sad_w >= sad_plain * 0.95:       # demand a >=5% improvement
+        return None
+    return (wq, o)
+
+
+def weighted_plane(ref: np.ndarray, w: int, o: int,
+                   denom: int = LUMA_DENOM,
+                   bit_depth: int = 8) -> np.ndarray:
+    """Pixel-domain weighted reference for motion SEARCH only (the exact
+    recon path weights at 14 bits; reference MotionReference::applyWeight,
+    encoder/reference.cpp:119)."""
+    maxv = (1 << bit_depth) - 1
+    r = ref.astype(np.int64)
+    return np.clip(((r * w + (1 << (denom - 1))) >> denom) + o,
+                   0, maxv).astype(np.int32)

@@ -122,6 +122,7 @@ def build_pps_info(p: EncoderParams) -> PPSInfo:
     q.deblock_tc_offset_div2 = p.deblock_tc_offset
     q.deblock_beta_offset_div2 = p.deblock_beta_offset
     q.num_ref_idx_l0_default = max(1, p.max_num_references)
+    q.weighted_pred = p.weightp and p.keyframe_max != 1
     return q
 
 
@@ -288,6 +289,10 @@ class SliceHeader:
     collocated_from_l0: bool = True
     five_minus_max_num_merge_cand: int = 2
     entry_points: tuple = ()         # WPP substream byte sizes (all but last)
+    # explicit weighted prediction (P slices): per-L0-ref (w, o) or None,
+    # luma only, denom fixed at 6 (reference weightPrediction.cpp)
+    wp_l0: tuple = ()
+    luma_log2_weight_denom: int = 6
 
 
 def write_slice_header(sh: SliceHeader, sps: SPSInfo, pps: PPSInfo) -> BitWriter:
@@ -332,6 +337,8 @@ def write_slice_header(sh: SliceHeader, sps: SPSInfo, pps: PPSInfo) -> BitWriter
             col_refs = sh.num_ref_idx[0 if sh.collocated_from_l0 else 1]
             if col_refs > 1:
                 bw.ue(0)                     # collocated_ref_idx
+        if pps.weighted_pred and sh.slice_type == SLICE_P:
+            _write_pred_weight_table(bw, sh)
         bw.ue(sh.five_minus_max_num_merge_cand)
     bw.se(sh.qp - pps.init_qp)
     # deblocking_filter_override is disabled in our PPS, so the slice
@@ -351,6 +358,22 @@ def write_slice_header(sh: SliceHeader, sps: SPSInfo, pps: PPSInfo) -> BitWriter
     bw.u(1, 1)
     bw.byte_align_zero()
     return bw
+
+
+def _write_pred_weight_table(bw: BitWriter, sh: SliceHeader) -> None:
+    """pred_weight_table (spec 7.3.6.3), luma-only explicit weights."""
+    denom = sh.luma_log2_weight_denom
+    bw.ue(denom)
+    bw.se(0)                                 # delta_chroma_log2_weight_denom
+    wps = sh.wp_l0 or (None,) * sh.num_ref_idx[0]
+    for wp in wps:
+        bw.flag(wp is not None)              # luma_weight_l0_flag
+    for _ in wps:
+        bw.flag(0)                           # chroma_weight_l0_flag
+    for wp in wps:
+        if wp is not None:
+            bw.se(wp[0] - (1 << denom))      # delta_luma_weight_l0
+            bw.se(wp[1])                     # luma_offset_l0
 
 
 def _write_st_rps(bw: BitWriter, sh: SliceHeader) -> None:

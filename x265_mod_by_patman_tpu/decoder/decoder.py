@@ -152,6 +152,7 @@ class Decoder:
         self._ref_l0: List[tuple] = []
         self._ref_l1: List[tuple] = []
         self.prefix_seis: List[tuple] = []    # (payload_type, bytes)
+        self._cur_wp = None                   # (denom, per-L0-ref (w,o))
 
     def decode(self, stream: bytes) -> List[DecodedPicture]:
         for nal in split_annexb(stream):
@@ -177,6 +178,23 @@ class Decoder:
                 raise NotImplementedError(f"nal type {nal_type}")
         return self.pictures
 
+    def _parse_pred_weight_table(self, br: BitReader, n_l0: int):
+        """pred_weight_table (7.3.6.3), luma-only explicit weights."""
+        denom = br.ue()
+        br.se()                               # delta_chroma_log2_weight_denom
+        lflags = [br.flag() for _ in range(n_l0)]
+        cflags = [br.flag() for _ in range(n_l0)]
+        assert not any(cflags), "chroma weights unsupported"
+        wps = []
+        for lf in lflags:
+            if lf:
+                w = br.se() + (1 << denom)
+                o = br.se()
+                wps.append((w, o))
+            else:
+                wps.append(None)
+        return (denom, wps)
+
     # -- slice ----------------------------------------------------------------
     def _decode_slice(self, nal_type: int, rbsp: bytes) -> DecodedPicture:
         sps, pps = self.sps, self.pps
@@ -200,6 +218,7 @@ class Decoder:
             sao_chroma = br.flag()
         num_refs = (1, 0)
         max_merge = 3
+        self._cur_wp = None
         if slice_type != 2:
             n_l1 = pps.num_ref_idx_l1_default
             if br.flag():                  # num_ref_idx_active_override
@@ -211,6 +230,9 @@ class Decoder:
             num_refs = (n_l0, n_l1 if slice_type == 0 else 0)
             if slice_type == 0:
                 br.flag()                  # mvd_l1_zero
+            self._cur_wp = None
+            if pps.weighted_pred and slice_type == 1:
+                self._cur_wp = self._parse_pred_weight_table(br, n_l0)
             max_merge = 5 - br.ue()
         qp = br.se() + pps.init_qp
         if pps.loop_filter_across_slices and \
@@ -436,8 +458,20 @@ class Decoder:
                                      cu.mv1[0], cu.mv1[1], cn, cn, c_idx, bd)
                 pred = bi_combine_ref(p0, p1, bd)
             elif d == 1:
-                pred = mc_block_ref(refs0[pi].astype(np.int32), cx, cy,
-                                    cu.mv[0], cu.mv[1], cn, cn, c_idx, bd)
+                wp = None
+                if c_idx == 0 and self._cur_wp is not None:
+                    wp = self._cur_wp[1][cu.ref_idx]
+                if wp is not None:
+                    from ..ops.interp import wp_apply_ref
+                    p14 = mc_block_ref_14(refs0[pi].astype(np.int32),
+                                          cx, cy, cu.mv[0], cu.mv[1],
+                                          cn, cn, c_idx, bd)
+                    pred = wp_apply_ref(p14, wp[0], wp[1],
+                                        self._cur_wp[0], bd)
+                else:
+                    pred = mc_block_ref(refs0[pi].astype(np.int32), cx,
+                                        cy, cu.mv[0], cu.mv[1], cn, cn,
+                                        c_idx, bd)
             else:
                 pred = mc_block_ref(refs1[pi].astype(np.int32), cx, cy,
                                     cu.mv1[0], cu.mv1[1], cn, cn, c_idx, bd)

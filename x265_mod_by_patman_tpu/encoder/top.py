@@ -398,6 +398,7 @@ class Encoder:
         dirs = None
         mvs1 = None
         ref_sel = None
+        wp_l0 = None
         keep_pocs: tuple = ()
         b_is_ref = False
         if ftype == "I":
@@ -409,9 +410,13 @@ class Encoder:
         elif ftype == "P":
             assert self._anchors
             refs = [a[0] for a in self._anchors]
+            if p.weightp:
+                from ..analysis.weightp import analyse_weightp
+                cand = [analyse_weightp(y, rf[0]) for rf in refs]
+                wp_l0 = cand if any(c is not None for c in cand) else None
             modes, inter_mask, mvs, ref_sel, mc = analyse_p_frame(
                 y, u, v, refs, self.sps, qp,
-                search_range=min(p.search_range, 24))
+                search_range=min(p.search_range, 24), weights=wp_l0)
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
@@ -429,7 +434,7 @@ class Encoder:
         slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
                                         r, ftype, poc, qp, ref_pocs,
                                         sao_maps, ref_sel, keep_pocs,
-                                        qp_map)
+                                        qp_map, wp_l0)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -560,7 +565,8 @@ class Encoder:
     def _encode_slice(self, modes, inter_mask, mvs, mvs1, dirs, r: dict,
                       ftype: str, poc: int, qp: int, ref_pocs,
                       sao_maps=None, ref_sel=None,
-                      keep_pocs: tuple = (), qp_map=None) -> bytes:
+                      keep_pocs: tuple = (), qp_map=None,
+                      wp_l0=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -577,6 +583,8 @@ class Encoder:
             num_refs = (n_l0, 0)
             sh.num_ref_idx = (n_l0, 0)
             sh.st_rps_neg = tuple((rp - poc, True) for rp in ref_pocs[0])
+            if wp_l0 is not None:
+                sh.wp_l0 = tuple(wp_l0)
         elif ftype == "B":
             num_refs = (1, 1)
             sh.num_ref_idx = (1, 1)

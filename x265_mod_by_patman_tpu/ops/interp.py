@@ -277,3 +277,27 @@ def bi_combine_ref(p0_14: np.ndarray, p1_14: np.ndarray,
     off = 1 << (sh - 1)
     return np.clip((p0_14.astype(np.int64) + p1_14 + off) >> sh, 0,
                    (1 << bit_depth) - 1).astype(np.int32)
+
+
+# -- weighted prediction (spec 8.5.4.3.2 explicit uni; reference
+# weight_pp/weight_sp primitives, pixel.cpp) --------------------------------
+
+def wp_apply_ref(pred14, w: int, o: int, denom: int, bit_depth: int = 8):
+    """Golden: weight a 14-bit uni prediction down to pixels."""
+    import numpy as np
+    shift1 = 14 - bit_depth
+    log2wd = denom + shift1
+    rnd = 1 << (log2wd - 1)
+    maxv = (1 << bit_depth) - 1
+    return np.clip(((pred14.astype(np.int64) * w + rnd) >> log2wd) + o,
+                   0, maxv).astype(np.int32)
+
+
+def wp_apply_batch(pred14, w, o, denom: int, bit_depth: int = 8):
+    """Batched weighted downshift of mc_batch_14 output."""
+    shift1 = 14 - bit_depth
+    log2wd = denom + shift1
+    rnd = 1 << (log2wd - 1)
+    maxv = (1 << bit_depth) - 1
+    v = (pred14.astype(jnp.int32) * w + rnd) >> log2wd
+    return jnp.clip(v + o, 0, maxv).astype(jnp.int32)

@@ -74,6 +74,8 @@ class EncoderParams:
     max_fall: int = 0
     info_sei: bool = True           # x265 user-data encoder-info SEI
 
+    weightp: bool = True            # x265 --weightp (default on)
+
     # analysis / RDO
     rd_level: int = 2
     rdoq_level: int = 0
@@ -174,6 +176,7 @@ class EncoderParams:
             "subme": "subpel_refine", "qpmin": "qp_min", "qpmax": "qp_max",
             "hash": "decoded_picture_hash", "rdoq": "rdoq_level",
             "pass": "pass_num", "stats": "stats_file",
+            "w": "weightp",
             "info": "info_sei",
             "vbv_init_fullness": "vbv_init",
             "signhide": "sign_hide", "cutree": "cu_tree",
