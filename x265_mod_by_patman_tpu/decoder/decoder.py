@@ -17,8 +17,8 @@ import numpy as np
 
 from ..bitstream.bitreader import BitReader
 from ..bitstream.nal import (
-    NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_PREFIX_SEI, NAL_SPS,
-    NAL_SUFFIX_SEI, NAL_TRAIL_N, NAL_TRAIL_R, NAL_VPS,
+    NAL_AUD, NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_PREFIX_SEI,
+    NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_N, NAL_TRAIL_R, NAL_VPS,
     is_idr, remove_emulation, split_annexb)
 from ..ops.interp import mc_block_ref
 from ..bitstream.sei import SEI_DECODED_PICTURE_HASH, parse_sei, plane_md5
@@ -158,7 +158,7 @@ class Decoder:
         for nal in split_annexb(stream):
             nal_type = (nal[0] >> 1) & 0x3F
             rbsp = remove_emulation(nal[2:])
-            if nal_type == NAL_VPS:
+            if nal_type in (NAL_VPS, NAL_AUD):
                 continue
             if nal_type == NAL_SPS:
                 self.sps = parse_sps(rbsp)

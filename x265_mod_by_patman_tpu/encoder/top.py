@@ -121,7 +121,53 @@ class Encoder:
         self._prev_src_y = None
         self._cplx_avg = 0.0              # running inter-complexity average
         self._idr_base = 0                # display index of the last IDR
+        self._prev_hist = None
+        # zones: list of (start, end, qp_override, bitrate_factor)
+        self._zones = []
+        for z in filter(None, self.p.zones.split("/")):
+            parts = z.split(",")
+            s0, e0 = int(parts[0]), int(parts[1])
+            qov, bf = None, None
+            for kv in parts[2:]:
+                k, _, vv = kv.partition("=")
+                if k == "q":
+                    qov = int(vv)
+                elif k == "b":
+                    bf = float(vv)
+            self._zones.append((s0, e0, qov, bf))
+        # qpfile: display idx -> (ftype, qp)
+        self._qpfile: Dict[int, tuple] = {}
+        if self.p.qpfile:
+            with open(self.p.qpfile) as f:
+                for line in f:
+                    t = line.split()
+                    if len(t) >= 3:
+                        self._qpfile[int(t[0])] = (t[1].upper(),
+                                                   int(t[2]))
 
+
+    @staticmethod
+    def _luma_hist(y: np.ndarray) -> np.ndarray:
+        """Normalized 64-bin luma histogram (reference
+        computeIntensityHistogramBinsLuma, slicetype.cpp:1715)."""
+        h = np.bincount((np.asarray(y).ravel() >> 2).astype(np.int64),
+                        minlength=64)[:64]
+        return h / max(h.sum(), 1)
+
+    def _zone_qp(self, disp: int, qp: int) -> int:
+        """Zone / qpfile frame-QP overrides (reference zones,
+        encoder.cpp:3806 + CLI --qpfile)."""
+        if disp in self._qpfile and self._qpfile[disp][1] >= 0:
+            return self._qpfile[disp][1]
+        for (s0, e0, qov, bf) in self._zones:
+            if s0 <= disp <= e0:
+                if qov is not None:
+                    return qov
+                if bf:
+                    import math
+                    return int(np.clip(round(qp - 6.0 * math.log2(bf)),
+                                       self.p.qp_min, self.p.qp_max))
+        return qp
 
     def _aq_map(self, y: np.ndarray, qp: int):
         """Variance-based per-CTU QP offsets (reference aq-mode 1,
@@ -221,6 +267,16 @@ class Encoder:
         self._prev_src_y = planes[0]
         out: List[EncodedFrame] = []
         force_idr = (self.frame_count % max(1, p.keyframe_max) == 0)
+        if self._qpfile.get(self.frame_count, ("", 0))[0] == "I":
+            force_idr = True
+        if not force_idr and p.hist_scenecut and \
+                self._prev_hist is not None:
+            hist = self._luma_hist(planes[0])
+            if np.abs(hist - self._prev_hist).sum() > 0.4:
+                force_idr = self._disp_since_idr >= max(1, p.keyframe_min)
+            self._prev_hist = hist
+        elif p.hist_scenecut:
+            self._prev_hist = self._luma_hist(planes[0])
         # scene-cut detection (reference slicetype.cpp scenecut bias
         # analog): a large jump in temporal complexity vs the running
         # average promotes the frame to IDR
@@ -242,7 +298,13 @@ class Encoder:
         else:
             self._queue.append((planes, self._disp_since_idr, cplx,
                                 qp_off))
-            if len(self._queue) >= self.bframes + 1:
+            # b-adapt: close the mini-GOP early at a complexity spike so
+            # the hard frame becomes a P anchor instead of a B
+            # (slicetype.cpp slicetypeDecide's cost-based B/P choice)
+            spike = (p.b_adapt > 0 and len(self._queue) > 1 and
+                     self._cplx_avg > 0 and
+                     cplx > 2.5 * self._cplx_avg)
+            if len(self._queue) >= self.bframes + 1 or spike:
                 out.extend(self._emit_minigop())
         self.frame_count += 1
         self._disp_since_idr += 1
@@ -387,6 +449,7 @@ class Encoder:
         p = self.p
         y, u, v = planes
         qp = self.rc.frame_qp(ftype, complexity)
+        qp = self._zone_qp(self._idr_base + poc, qp)
         self._slice_qp_for_derivation = qp
         qp_map = self._aq_map(y, qp)          # scalar when AQ off
         if qp_off is not None and np.any(qp_off != 0):
@@ -439,6 +502,12 @@ class Encoder:
                         bit_depth=self.sps.bit_depth)
 
         out = b""
+        if p.aud:
+            from ..bitstream.nal import NAL_AUD
+            bw_aud = BitWriter()
+            bw_aud.u({"I": 0, "P": 1, "B": 2}[ftype], 3)   # pic_type
+            bw_aud.rbsp_trailing_bits()
+            out += annexb(NAL_AUD, bw_aud.get_bytes())
         if not self._headers_sent or (p.repeat_headers and ftype == "I"):
             out += self.headers()
             self._headers_sent = True

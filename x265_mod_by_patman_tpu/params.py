@@ -68,6 +68,12 @@ class EncoderParams:
     pass_num: int = 0               # 0 off | 1 write stats | 2 consume
     stats_file: str = "x265_tpu_2pass.log"
 
+    # stream structure extras
+    zones: str = ""                 # "s,e,q=N" / "s,e,b=F" zones, "/"-sep
+    qpfile: str = ""                # x265 --qpfile path
+    aud: bool = False               # access-unit delimiters
+    hist_scenecut: bool = False     # histogram-based scenecut
+
     # SEI / HDR signalling
     master_display: str = ""        # G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)
     max_cll: int = 0
