@@ -41,6 +41,7 @@ class SPSInfo:
     log2_min_cu_size: int = 3
     log2_min_tu_size: int = 2
     log2_max_tu_size: int = 5
+    scaling_list_enabled: bool = False
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     sao_enabled: bool = False
@@ -97,6 +98,7 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
     s.log2_min_cu_size = p.min_cu_size.bit_length() - 1
     s.log2_max_tu_size = min(p.max_tu_size, p.ctu_size).bit_length() - 1
     s.max_transform_hierarchy_depth_intra = p.tu_intra_depth - 1
+    s.scaling_list_enabled = p.scaling_list == "default"
     s.max_transform_hierarchy_depth_inter = p.tu_inter_depth - 1
     s.sao_enabled = p.sao
     s.amp_enabled = p.amp
@@ -215,7 +217,10 @@ def write_sps(sps: SPSInfo) -> bytes:
     bw.ue(sps.log2_max_tu_size - sps.log2_min_tu_size)
     bw.ue(sps.max_transform_hierarchy_depth_inter)
     bw.ue(sps.max_transform_hierarchy_depth_intra)
-    bw.flag(0)                               # scaling_list_enabled_flag
+    bw.flag(sps.scaling_list_enabled)        # scaling_list_enabled_flag
+    if sps.scaling_list_enabled:
+        bw.flag(0)                           # sps_scaling_list_data_present
+                                             # (-> spec DEFAULT matrices)
     bw.flag(sps.amp_enabled)
     bw.flag(sps.sao_enabled)
     bw.flag(0)                               # pcm_enabled_flag

@@ -81,7 +81,10 @@ def parse_sps(rbsp: bytes) -> SPSInfo:
     s.log2_max_tu_size = br.ue() + s.log2_min_tu_size
     s.max_transform_hierarchy_depth_inter = br.ue()
     s.max_transform_hierarchy_depth_intra = br.ue()
-    assert br.flag() == 0, "scaling lists unsupported"
+    s.scaling_list_enabled = br.flag()
+    if s.scaling_list_enabled:
+        assert br.flag() == 0, \
+            "explicit scaling list data unsupported (defaults only)"
     s.amp_enabled = br.flag()
     s.sao_enabled = br.flag()
     assert br.flag() == 0, "pcm unsupported"
@@ -485,12 +488,20 @@ class Decoder:
                     levels = cu.coeffs.get((c_idx, cx + tx, cy + ty, tl))
                     if levels is not None and np.any(levels):
                         coef = dequant_ref(levels.astype(np.int16), qpc,
-                                           tl, bd)
+                                           tl, bd,
+                                           self._scal_mat(tl, False))
                         resi = idct_ref(coef, bd, dst=False)
                         rec[ty:ty + tn, tx:tx + tn] += resi
             plane[cy:cy + cn, cx:cx + cn] = np.clip(rec, 0, maxv)
 
-    def _recon_tb(self, plane, x0, y0, log2, mode, c_idx, qp, levels) -> None:
+    def _scal_mat(self, log2: int, intra: bool):
+        if not getattr(self.sps, "scaling_list_enabled", False):
+            return None
+        from ..constants.scaling import default_matrix
+        return default_matrix(log2, intra)
+
+    def _recon_tb(self, plane, x0, y0, log2, mode, c_idx, qp,
+                  levels) -> None:
         sps = self.sps
         bd = sps.bit_depth
         n = 1 << log2
@@ -512,7 +523,8 @@ class Decoder:
             mode, s, log2, c_idx, bd,
             strong_smoothing=sps.strong_intra_smoothing)
         if levels is not None and np.any(levels):
-            coef = dequant_ref(levels.astype(np.int16), qp, log2, bd)
+            coef = dequant_ref(levels.astype(np.int16), qp, log2, bd,
+                               self._scal_mat(log2, True))
             resi = idct_ref(coef, bd, dst=(log2 == 2 and c_idx == 0))
             rec = np.clip(pred + resi, 0, (1 << bd) - 1)
         else:

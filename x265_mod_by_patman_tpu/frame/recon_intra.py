@@ -36,7 +36,8 @@ def chroma_qp(qp: int, offset: int = 0) -> int:
 def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   log2n: int, qp, c_idx: int, bit_depth: int = 8,
                   mc_pred=None, inter_mask=None, sign_hide: bool = False,
-                  skip_in=None, rdoq: bool = False):
+                  skip_in=None, rdoq: bool = False, qmats=None,
+                  dmats=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -78,7 +79,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     resi = org - pred
     coef = dct_batch(resi, log2n, bit_depth)
     lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth) if rdoq \
-        else quant_dyn(coef, intra_mask, qp, log2n, bit_depth)
+        else quant_dyn(coef, intra_mask, qp, log2n, bit_depth, qmats)
     if sign_hide:
         lev = sbh_adjust(lev, coef, intra_mask, qp, log2n, bit_depth)
 
@@ -91,7 +92,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     # chroma drift on chroma-busy content).
     skip = None
     if mc_pred is not None:
-        deq0 = dequant_dyn(lev, qp, log2n, bit_depth)
+        deq0 = dequant_dyn(lev, qp, log2n, bit_depth, dmats, intra_mask)
         rres0 = idct_batch(deq0, log2n, bit_depth)
         rec0 = jnp.clip(pred + rres0, 0, maxval)
         sse_coded = jnp.sum((org - rec0) ** 2, axis=(1, 2))
@@ -105,7 +106,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             (sse_skip.astype(jnp.float32) <=
              sse_coded.astype(jnp.float32) + lam2 * bits)
         lev = jnp.where(skip[:, None, None], 0, lev)
-    deq = dequant_dyn(lev, qp, log2n, bit_depth)
+    deq = dequant_dyn(lev, qp, log2n, bit_depth, dmats, intra_mask)
     rres = idct_batch(deq, log2n, bit_depth)
     recon = jnp.clip(pred + rres, 0, maxval)
 
@@ -126,8 +127,10 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     sb_bx, sb_by, sb_avy, sb_avc,
                     mc_y, mc_u, mc_v, inter_mask,
                     qp, qp_cb, qp_cr, bit_depth: int = 8,
-                    sign_hide: bool = False, rdoq: bool = False):
+                    sign_hide: bool = False, rdoq: bool = False,
+                    mats=None):
     """Run the full wavefront schedule in one compiled loop.
+    mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
 
     sb_bx/sb_by: (S, B) int32 block coords per substep
     sb_avy:      (S, B, 65) bool luma availability
@@ -157,17 +160,20 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
         yp, lev_y, skip = _substep_body(
             yp, lev_y, oy, bx, by, md, sb_avy[s],
             4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide,
-            None, rdoq)
+            None, rdoq, mats[0] if mats else None,
+            mats[1] if mats else None)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         up, lev_u, _ = _substep_body(
             up, lev_u, ou, bx, by, md, sb_avc[s],
             3, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
-            skip_map, rdoq)
+            skip_map, rdoq, mats[2] if mats else None,
+            mats[3] if mats else None)
         vp, lev_v, _ = _substep_body(
             vp, lev_v, ov, bx, by, md, sb_avc[s],
             3, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
-            skip_map, rdoq)
+            skip_map, rdoq, mats[2] if mats else None,
+            mats[3] if mats else None)
         return yp, up, vp, lev_y, lev_u, lev_v, skip_map
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map)
@@ -189,14 +195,15 @@ def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          modes, sb_bx, sb_by, sb_avy, sb_avc,
                          mc_y, mc_u, mc_v, inter_mask,
                          qp, qp_cb, qp_cr, bit_depth: int = 8,
-                         sign_hide: bool = False, rdoq: bool = False):
+                         sign_hide: bool = False, rdoq: bool = False,
+                         mats=None):
     """Multi-frame wavefront: every per-frame arg carries a leading F
     axis; the schedule and QPs are shared.  All frames' wavefronts advance
     in lockstep — the multi-frame batching lever from SURVEY.md §7
     ('need big CTU batches to fill the MXU at small resolutions')."""
     def fn(*args):
         return _wavefront_body(*args, bit_depth=bit_depth,
-                               sign_hide=sign_hide, rdoq=rdoq)
+                               sign_hide=sign_hide, rdoq=rdoq, mats=mats)
     return jax.vmap(fn, in_axes=(0,) * 10 + (None,) * 4 + (0,) * 4 +
                     (None,) * 3)(
         yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
@@ -217,6 +224,17 @@ class IntraReconstructor:
         self.cr_qp_offset = cr_qp_offset
         self.sign_hide = bool(sign_hide)
         self.rdoq = bool(rdoq)
+        self.mats = None
+        if getattr(sps, "scaling_list_enabled", False):
+            from ..ops.transform import quant_mats
+            from ..constants.scaling import default_matrix
+            self.mats = tuple(jnp.asarray(a) for a in (
+                quant_mats(4),
+                np.stack([default_matrix(4, True),
+                          default_matrix(4, False)]),
+                quant_mats(3),
+                np.stack([default_matrix(3, True),
+                          default_matrix(3, False)])))
         self.bd = sps.bit_depth
         self.log2_ctu = sps.log2_ctu_size
         self.nl = 16                       # luma block size (v1 uniform)
@@ -322,7 +340,7 @@ class IntraReconstructor:
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
             qp_map[0], qp_map[1], qp_map[2], self.bd,
-            self.sign_hide, self.rdoq)
+            self.sign_hide, self.rdoq, self.mats)
 
         dt = np.uint8 if self.bd == 8 else np.uint16
         return {
@@ -364,7 +382,7 @@ class IntraReconstructor:
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
             qp_map[0], qp_map[1], qp_map[2], self.bd,
-            self.sign_hide, self.rdoq)
+            self.sign_hide, self.rdoq, self.mats)
 
         dt = np.uint8 if self.bd == 8 else np.uint16
         yp = np.asarray(yp)

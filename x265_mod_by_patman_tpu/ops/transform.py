@@ -88,14 +88,19 @@ def quant_ref(coef: np.ndarray, qp: int, log2_size: int, bit_depth: int = 8,
 
 
 def dequant_ref(level: np.ndarray, qp: int, log2_size: int,
-                bit_depth: int = 8) -> np.ndarray:
-    """Flat-list dequant (x265 dequant_normal_c)."""
+                bit_depth: int = 8, mat=None) -> np.ndarray:
+    """Flat-list dequant (x265 dequant_normal_c); with mat: spec 8.6.3
+    scaling-list dequant (x265 dequant_scaling_c)."""
     per, rem = qp // 6, qp % 6
     transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     shift = IQUANT_SHIFT - QUANT_SHIFT - transform_shift
-    scale = int(INV_QUANT_SCALES[rem]) << per
     lv = level.astype(np.int64)
-    coef = (lv * scale + (1 << (shift - 1))) >> shift
+    if mat is None:
+        scale = int(INV_QUANT_SCALES[rem]) << per
+        coef = (lv * scale + (1 << (shift - 1))) >> shift
+    else:
+        scale = (mat.astype(np.int64) * int(INV_QUANT_SCALES[rem])) << per
+        coef = (lv * scale + (1 << (shift + 3))) >> (shift + 4)
     return np.clip(coef, -32768, 32767).astype(np.int16)
 
 
@@ -187,10 +192,25 @@ def dequant_batch(level: jnp.ndarray, qp: int, log2_size: int,
 # --- dynamic-QP variants (qp as a traced scalar: ONE compiled program for
 # all QPs — the requirement for rate control / AQ without recompiles) ------
 
+def quant_mats(log2_size: int):
+    """(2, 6, n, n) int32 forward-quant coefficient tables for the spec
+    DEFAULT scaling lists, [intra/inter][qp%6] (reference
+    ScalingList::setupQuantMatrices, scalinglist.cpp)."""
+    from ..constants.scaling import default_matrix
+    out = np.zeros((2, 6, 1 << log2_size, 1 << log2_size), np.int32)
+    for ii, intra in enumerate((True, False)):
+        m = default_matrix(log2_size, intra).astype(np.float64)
+        for r in range(6):
+            out[ii, r] = np.round(QUANT_SCALES[r] * 16.0 / m)
+    return out
+
+
 def quant_dyn(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
-              log2_size: int, bit_depth: int = 8) -> jnp.ndarray:
+              log2_size: int, bit_depth: int = 8,
+              mats=None) -> jnp.ndarray:
     """quant with traced qp (scalar or per-block (B,) array) + per-block
-    intra/inter rounding."""
+    intra/inter rounding; mats: optional (2, 6, n, n) scaling-list quant
+    tables from quant_mats()."""
     qp = jnp.asarray(qp, jnp.int32)
     if qp.ndim == 0:
         qp = jnp.broadcast_to(qp, coef.shape[:1])
@@ -199,7 +219,12 @@ def quant_dyn(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     qbits = (QUANT_SHIFT + per + transform_shift)[:, None, None]
     add = (jnp.where(intra_mask, 171, 85).astype(jnp.int32)[:, None, None]
            << (qbits - 9))
-    scale = jnp.asarray(QUANT_SCALES)[rem][:, None, None]
+    if mats is None:
+        scale = jnp.asarray(QUANT_SCALES)[rem][:, None, None]
+    else:
+        mj = jnp.asarray(mats)
+        sel = jnp.where(intra_mask, 0, 1)
+        scale = mj[sel, rem]
     c = coef.astype(jnp.int32)
     level = jnp.clip((jnp.abs(c) * scale + add) >> qbits, 0, 32767)
     return (jnp.sign(c) * level).astype(jnp.int32)
@@ -283,14 +308,27 @@ def sbh_adjust(lev: jnp.ndarray, coef: jnp.ndarray, intra_mask, qp,
 
 
 def dequant_dyn(level: jnp.ndarray, qp, log2_size: int,
-                bit_depth: int = 8) -> jnp.ndarray:
+                bit_depth: int = 8, dmats=None,
+                intra_mask=None) -> jnp.ndarray:
+    """dmats: optional (2, n, n) [intra, inter] raw scaling matrices —
+    spec 8.6.3 per-coefficient dequant (m == 16 is flat/disabled; the
+    flat path folds the 16 into a 4-bit smaller shift)."""
     qp = jnp.asarray(qp, jnp.int32)
     if qp.ndim == 0:
         qp = jnp.broadcast_to(qp, level.shape[:1])
     per, rem = qp // 6, qp % 6
     transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     shift = IQUANT_SHIFT - QUANT_SHIFT - transform_shift
-    scale = (jnp.asarray(INV_QUANT_SCALES)[rem] << per)[:, None, None]
     lv = level.astype(jnp.int32)
-    coef = (lv * scale + (1 << (shift - 1))) >> shift
+    if dmats is None:
+        scale = (jnp.asarray(INV_QUANT_SCALES)[rem] << per)[:, None, None]
+        coef = (lv * scale + (1 << (shift - 1))) >> shift
+    else:
+        mj = jnp.asarray(dmats)
+        sel = jnp.where(jnp.ones(lv.shape[:1], bool) if intra_mask is None
+                        else intra_mask, 0, 1)
+        m = mj[sel]
+        base = jnp.asarray(INV_QUANT_SCALES)[rem][:, None, None]
+        scale = (m * base) << per[:, None, None]
+        coef = (lv * scale + (1 << (shift + 3))) >> (shift + 4)
     return jnp.clip(coef, -32768, 32767).astype(jnp.int32)

@@ -82,6 +82,8 @@ class EncoderParams:
 
     weightp: bool = True            # x265 --weightp (default on)
 
+    scaling_list: str = "off"       # off | default
+
     # analysis / RDO
     rd_level: int = 2
     rdoq_level: int = 0
