@@ -169,7 +169,9 @@ class Decoder:
                 self.pps = parse_pps(rbsp)
             elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP,
                               NAL_TRAIL_R, NAL_TRAIL_N):
-                self.pictures.append(self._decode_slice(nal_type, rbsp))
+                pic = self._decode_slice(nal_type, rbsp)
+                if pic is not None:
+                    self.pictures.append(pic)
             elif nal_type == NAL_PREFIX_SEI:
                 self.prefix_seis.extend(parse_sei(rbsp))
             elif nal_type == NAL_SUFFIX_SEI:
@@ -202,10 +204,15 @@ class Decoder:
     def _decode_slice(self, nal_type: int, rbsp: bytes) -> DecodedPicture:
         sps, pps = self.sps, self.pps
         br = BitReader(rbsp)
-        assert br.flag() == 1, "only single-slice streams"
+        first_slice = bool(br.flag())
         if 16 <= nal_type <= 23:
             br.flag()                     # no_output_of_prior_pics
         br.ue()                           # pps id
+        seg_addr = 0
+        if not first_slice:
+            total = self.sps.pic_width_in_ctus * \
+                self.sps.pic_height_in_ctus
+            seg_addr = br.u(max(1, (total - 1).bit_length()))
         slice_type = br.ue()
         poc = 0
         rps_neg, rps_pos = [], []
@@ -268,30 +275,43 @@ class Decoder:
                                  ref_pocs, poc)
 
         h, w = sps.height, sps.width
-        y = np.zeros((h, w), np.int32)
-        u = np.zeros((h >> 1, w >> 1), np.int32)
-        v = np.zeros((h >> 1, w >> 1), np.int32)
-        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
-        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
-
         n_ctu_x = sps.pic_width_in_ctus
         n_ctu_y = sps.pic_height_in_ctus
+        if first_slice:
+            self._pic = {
+                "y": np.zeros((h, w), np.int32),
+                "u": np.zeros((h >> 1, w >> 1), np.int32),
+                "v": np.zeros((h >> 1, w >> 1), np.int32),
+                "all_cus": [],
+                "sao_grid": [[None] * n_ctu_x for _ in range(n_ctu_y)],
+                "qp_grid": np.full((n_ctu_y, n_ctu_x), qp, np.int32),
+            }
+        st_pic = self._pic
+        y, u, v = st_pic["y"], st_pic["u"], st_pic["v"]
+        all_cus = st_pic["all_cus"]
+        sao_grid = st_pic["sao_grid"]
+        qp_grid = st_pic["qp_grid"]
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
+        # intra prediction must not cross the slice's top boundary
+        self._slice_top = (seg_addr // n_ctu_x) << sps.log2_ctu_size
+
         use_wpp = pps.entropy_coding_sync and n_ctu_y > 1
         sub_offsets = [0]
         for ep in entry_points:
             sub_offsets.append(sub_offsets[-1] + ep)
         end = 0
-        all_cus = []
-        sao_grid = [[None] * n_ctu_x for _ in range(n_ctu_y)]
-        qp_grid = np.full((n_ctu_y, n_ctu_x), qp, np.int32)
         sync_states = None
-        for cy in range(n_ctu_y):
-            if use_wpp and cy > 0:
+        total_ctus = n_ctu_x * n_ctu_y
+        addr = seg_addr
+        while addr < total_ctus and not end:
+            cy, cx = addr // n_ctu_x, addr % n_ctu_x
+            if use_wpp and cx == 0 and cy > 0:
                 # new substream: fresh arithmetic engine, synced contexts
                 syn.dec = CabacDecoder(data[sub_offsets[cy]:])
                 syn.states = sync_states.copy()
                 states = syn.states
-            for cx in range(n_ctu_x):
+            if True:
                 cus, end, sao = syn.decode_ctu(
                     cx, cy, (sao_luma, sao_chroma))
                 sao_grid[cy][cx] = sao
@@ -307,7 +327,10 @@ class Decoder:
                 if use_wpp and cx == n_ctu_x - 1 and not end:
                     assert syn.dec.decode_bin_trm() == 1, \
                         "missing end_of_subset bit"
+            addr += 1
         assert end == 1, "missing end_of_slice flag"
+        if addr < total_ctus:
+            return None                   # more slices of this picture
         if not pps.deblocking_disabled:
             from ..ops.deblock import (
                 deblock_luma_ref, deblock_chroma_ref, inter_bs_maps,
@@ -517,6 +540,8 @@ class Decoder:
                          np.array(y0 << comp_shift),
                          sps.log2_ctu_size, w_ctus)
         avail = inside & (z < z0)
+        if getattr(self, "_slice_top", 0):
+            avail &= (ys << comp_shift) >= self._slice_top
         s_raw = plane[np.clip(ys, 0, ph - 1), np.clip(xs, 0, pw - 1)]
         s = substitute_refs(s_raw, avail, bd)
         pred = predict_block_ref(

@@ -94,10 +94,23 @@ class Encoder:
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = bool(self.p.sao)
         self.sps.temporal_mvp = False
+        # slice bands (reference --slices, frameencoder.cpp
+        # m_sliceBaseRow): contiguous CTU-row bands, even split
+        ncy = self.p.pic_height_in_ctus
+        ns = max(1, min(self.p.slices, ncy))
+        if ns > 1:
+            assert not self.p.wpp, "slices+WPP unsupported (v1)"
+        bounds = [round(i * ncy / ns) for i in range(ns + 1)]
+        self._slice_bands = [(bounds[i], bounds[i + 1])
+                             for i in range(ns) if bounds[i] < bounds[i + 1]]
+        slice_tops = tuple(r0 << self.p.log2_ctu_size
+                           for (r0, _) in self._slice_bands) \
+            if len(self._slice_bands) > 1 else ()
         self.recon = IntraReconstructor(self.sps, self.p.cb_qp_offset,
                                         self.p.cr_qp_offset,
                                         self.p.sign_hide,
-                                        self.p.rdoq_level > 0)
+                                        self.p.rdoq_level > 0,
+                                        slice_tops)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)
@@ -513,7 +526,11 @@ class Encoder:
             self._headers_sent = True
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
                "B": NAL_TRAIL_R if b_is_ref else NAL_TRAIL_N}[ftype]
-        out += annexb(nal, slice_rbsp)
+        if isinstance(slice_rbsp, list):
+            for rb in slice_rbsp:
+                out += annexb(nal, rb)
+        else:
+            out += annexb(nal, slice_rbsp)
         if p.decoded_picture_hash:
             out += annexb(NAL_SUFFIX_SEI, write_decoded_picture_hash(md5))
         frame = EncodedFrame(poc, out,
@@ -673,6 +690,105 @@ class Encoder:
         rec = self.recon
         bpc = rec.bpc
         nbx, nby = rec.nbx, rec.nby
+        def build_cus(cx, cy):
+            cus: List[CodedCU] = []
+            for zy in range(bpc):
+                for zx in range(bpc):
+                    bx, by = cx * bpc + zx, cy * bpc + zy
+                    if bx >= nbx or by >= nby:
+                        continue
+                    x0, y0 = bx * 16, by * 16
+                    if inter_mask is not None and inter_mask[by, bx]:
+                        d = 1 if dirs is None else int(dirs[by, bx])
+                        cu = CodedCU(
+                            x0, y0, 4, (1,), 4, {}, is_inter=True,
+                            mv=(int(mvs[by, bx, 0]),
+                                int(mvs[by, bx, 1])),
+                            ref_idx=int(ref_sel[by, bx])
+                            if ref_sel is not None else 0,
+                            inter_dir=d,
+                            mv1=(int(mvs1[by, bx, 0]),
+                                 int(mvs1[by, bx, 1]))
+                            if mvs1 is not None else (0, 0),
+                            ref_idx1=0)
+                    else:
+                        cu = CodedCU(x0, y0, 4,
+                                     (int(modes[by, bx]),), 4)
+                    for c_idx, key, clog2 in ((0, "lev_y", 4),
+                                              (1, "lev_u", 3),
+                                              (2, "lev_v", 3)):
+                        lv = r[key][by, bx]
+                        if np.any(lv):
+                            cx0 = x0 >> (1 if c_idx else 0)
+                            cy0 = y0 >> (1 if c_idx else 0)
+                            cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
+                    cus.append(cu)
+            # merge 4 identical-motion inter CUs into one 32x32 CU
+            if (bpc == 2 and len(cus) == 4 and
+                    all(c.is_inter for c in cus) and
+                    len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
+                          c.ref_idx1) for c in cus}) == 1):
+                c0 = cus[0]
+                merged = {}
+                for c in cus:
+                    merged.update(c.coeffs)
+                cus = [CodedCU(cx * 32, cy * 32, 5, (1,), 4, merged,
+                               is_inter=True, mv=c0.mv,
+                               ref_idx=c0.ref_idx,
+                               inter_dir=c0.inter_dir, mv1=c0.mv1,
+                               ref_idx1=c0.ref_idx1)]
+            # merge 4 same-mode intra CUs into one 32x32 intra CU
+            elif (bpc == 2 and len(cus) == 4 and
+                  all((not c.is_inter) and not c.part_nxn
+                      for c in cus) and
+                  len({(c.luma_modes[0], c.chroma_idx)
+                       for c in cus}) == 1):
+                merged = {}
+                for c in cus:
+                    merged.update(c.coeffs)
+                cus = [CodedCU(cx * 32, cy * 32, 5,
+                               (cus[0].luma_modes[0],),
+                               cus[0].chroma_idx, merged)]
+            return cus
+
+        def encode_ctu_at(syn_, ir_, cx, cy, last):
+            cus = build_cus(cx, cy)
+            sao = None
+            if sao_maps is not None:
+                from ..ops.sao import SaoParams
+                sao = tuple(
+                    SaoParams(int(m[0][cy, cx]), int(m[1][cy, cx]),
+                              int(m[2][cy, cx]),
+                              tuple(int(o) for o in m[3][cy, cx]))
+                    for m in sao_maps)
+            ctu_qp = None if (qp_map is None or np.isscalar(qp_map)) \
+                else int(qp_map[cy, cx])
+            syn_.encode_ctu(ir_, cus, cx, cy, last, sao, ctu_qp)
+
+        n_slices = len(self._slice_bands) if not use_wpp else 1
+        if n_slices > 1:
+            import dataclasses
+            out_rbsps: List[bytes] = []
+            for bi, (r0, r1) in enumerate(self._slice_bands):
+                syn_b = SliceSyntaxEncoder(sps, pps, qp, slice_type,
+                                           MAX_MERGE, num_refs=num_refs,
+                                           ref_pocs=ref_pocs, cur_poc=poc)
+                ir_b = BinIR(1 << 18)
+                for cy in range(r0, r1):
+                    for cx in range(n_ctu_x):
+                        encode_ctu_at(syn_b, ir_b, cx, cy,
+                                      cy == r1 - 1 and cx == n_ctu_x - 1)
+                sh_b = dataclasses.replace(
+                    sh, first_slice=(bi == 0),
+                    segment_address=r0 * n_ctu_x)
+                bw = write_slice_header(sh_b, sps, pps)
+                states = init_states(slice_type, qp)
+                bins, ctx = ir_b.arrays()
+                encode_ir_to_writer(bw, bins, ctx, states)
+                bw.rbsp_trailing_bits()
+                out_rbsps.append(bw.get_bytes())
+            return out_rbsps
+
         row_irs: List = []
         sync_offs: List[int] = []    # IR bin offset after the row's 2nd CTU
         ir = BinIR(1 << 18)
@@ -681,82 +797,8 @@ class Encoder:
                 row_irs.append(ir)
                 ir = BinIR(1 << 18)
             for cx in range(n_ctu_x):
-                cus: List[CodedCU] = []
-                for zy in range(bpc):
-                    for zx in range(bpc):
-                        bx, by = cx * bpc + zx, cy * bpc + zy
-                        if bx >= nbx or by >= nby:
-                            continue
-                        x0, y0 = bx * 16, by * 16
-                        if inter_mask is not None and inter_mask[by, bx]:
-                            d = 1 if dirs is None else int(dirs[by, bx])
-                            cu = CodedCU(
-                                x0, y0, 4, (1,), 4, {}, is_inter=True,
-                                mv=(int(mvs[by, bx, 0]),
-                                    int(mvs[by, bx, 1])),
-                                ref_idx=int(ref_sel[by, bx])
-                                if ref_sel is not None else 0,
-                                inter_dir=d,
-                                mv1=(int(mvs1[by, bx, 0]),
-                                     int(mvs1[by, bx, 1]))
-                                if mvs1 is not None else (0, 0),
-                                ref_idx1=0)
-                        else:
-                            cu = CodedCU(x0, y0, 4,
-                                         (int(modes[by, bx]),), 4)
-                        for c_idx, key, clog2 in ((0, "lev_y", 4),
-                                                  (1, "lev_u", 3),
-                                                  (2, "lev_v", 3)):
-                            lv = r[key][by, bx]
-                            if np.any(lv):
-                                cx0 = x0 >> (1 if c_idx else 0)
-                                cy0 = y0 >> (1 if c_idx else 0)
-                                cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
-                        cus.append(cu)
-                # merge 4 identical-motion inter CUs into one 32x32 CU
-                # (zero residual -> SKIP; residual -> 2Nx2N with forced
-                # TU16 split: the large-CU decisions the reference gets
-                # from its depth-0 RDO, analysis.cpp compressInterCU)
-                if (bpc == 2 and len(cus) == 4 and
-                        all(c.is_inter for c in cus) and
-                        len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
-                              c.ref_idx1) for c in cus}) == 1):
-                    c0 = cus[0]
-                    merged = {}
-                    for c in cus:
-                        merged.update(c.coeffs)
-                    cus = [CodedCU(cx * 32, cy * 32, 5, (1,), 4, merged,
-                                   is_inter=True, mv=c0.mv,
-                                   ref_idx=c0.ref_idx,
-                                   inter_dir=c0.inter_dir, mv1=c0.mv1,
-                                   ref_idx1=c0.ref_idx1)]
-                # merge 4 same-mode intra CUs into one 32x32 intra CU
-                # with the (forced) TU16 split: per-TU z-order recon is
-                # spec-identical to 4 separate 16x16 CUs, so this is a
-                # pure syntax saving (one mode + fewer flags)
-                elif (bpc == 2 and len(cus) == 4 and
-                      all((not c.is_inter) and not c.part_nxn
-                          for c in cus) and
-                      len({(c.luma_modes[0], c.chroma_idx)
-                           for c in cus}) == 1):
-                    merged = {}
-                    for c in cus:
-                        merged.update(c.coeffs)
-                    cus = [CodedCU(cx * 32, cy * 32, 5,
-                                   (cus[0].luma_modes[0],),
-                                   cus[0].chroma_idx, merged)]
                 last = (cy == n_ctu_y - 1) and (cx == n_ctu_x - 1)
-                sao = None
-                if sao_maps is not None:
-                    from ..ops.sao import SaoParams
-                    sao = tuple(
-                        SaoParams(int(m[0][cy, cx]), int(m[1][cy, cx]),
-                                  int(m[2][cy, cx]),
-                                  tuple(int(o) for o in m[3][cy, cx]))
-                        for m in sao_maps)
-                ctu_qp = None if (qp_map is None or np.isscalar(qp_map)) \
-                    else int(qp_map[cy, cx])
-                syn.encode_ctu(ir, cus, cx, cy, last, sao, ctu_qp)
+                encode_ctu_at(syn, ir, cx, cy, last)
                 if use_wpp and cx == min(1, n_ctu_x - 1):
                     # WPP context-sync point: after the 2nd CTU of the row
                     # (reference CTURow::bufferedEntropy handoff,

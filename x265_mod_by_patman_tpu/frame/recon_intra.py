@@ -218,7 +218,7 @@ class IntraReconstructor:
 
     def __init__(self, sps, cb_qp_offset: int = 0,
                  cr_qp_offset: int = 0, sign_hide: bool = False,
-                 rdoq: bool = False) -> None:
+                 rdoq: bool = False, slice_tops: tuple = ()) -> None:
         self.sps = sps
         self.cb_qp_offset = cb_qp_offset
         self.cr_qp_offset = cr_qp_offset
@@ -247,13 +247,16 @@ class IntraReconstructor:
         self.n_ctu_x = sps.pic_width_in_ctus
         self.n_ctu_y = sps.pic_height_in_ctus
         self.bpc = (1 << self.log2_ctu) // self.nl
+        self.slice_tops = tuple(slice_tops)
         self._build_schedule()
 
     def _build_schedule(self) -> None:
         """Static (per frame geometry) stacked wavefront schedule."""
         w, h = self.sps.width, self.sps.height
-        avail_y = frame_avail_masks(w, h, self.nl, self.log2_ctu, 0)
-        avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, 1)
+        avail_y = frame_avail_masks(w, h, self.nl, self.log2_ctu, 0,
+                                    self.slice_tops)
+        avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, 1,
+                                    self.slice_tops)
         waves = ctu_wavefront_order(self.n_ctu_x, self.n_ctu_y)
         B = max(len(wv[0]) for wv in waves)
         bxs, bys, avys, avcs = [], [], [], []

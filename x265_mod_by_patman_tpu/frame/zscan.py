@@ -62,12 +62,14 @@ def s_vector_coords(x0: int, y0: int, n: int):
 
 @functools.lru_cache(maxsize=None)
 def frame_avail_masks(width: int, height: int, block: int, log2_ctu: int,
-                      comp_shift: int = 0):
+                      comp_shift: int = 0, slice_tops: tuple = ()):
     """Availability masks of the S vector for every block of a frame.
 
     width/height: LUMA picture dimensions; block: block size in THIS
     component's samples; comp_shift: 1 for 4:2:0 chroma (coords scale x2 to
-    luma for the z-scan test).
+    luma for the z-scan test); slice_tops: LUMA rows where slices start —
+    samples in an earlier slice are unavailable for prediction
+    (spec 6.4.1 same-slice condition).
 
     Returns (blocks_y, blocks_x, 4*block+1) bool array.
     """
@@ -90,7 +92,13 @@ def frame_avail_masks(width: int, height: int, block: int, log2_ctu: int,
             z = zscan_index(lx, ly, log2_ctu, w_ctus)
             z0 = zscan_index(np.array(x0 << comp_shift),
                              np.array(y0 << comp_shift), log2_ctu, w_ctus)
-            masks[j, i] = inside & (z < z0)
+            avail = inside & (z < z0)
+            if slice_tops:
+                tops = np.asarray(slice_tops)
+                top = tops[np.searchsorted(tops, y0 << comp_shift,
+                                           "right") - 1]
+                avail &= ly >= top
+            masks[j, i] = avail
     del ks
     return masks
 

@@ -68,6 +68,8 @@ class EncoderParams:
     pass_num: int = 0               # 0 off | 1 write stats | 2 consume
     stats_file: str = "x265_tpu_2pass.log"
 
+    slices: int = 1
+
     # stream structure extras
     zones: str = ""                 # "s,e,q=N" / "s,e,b=F" zones, "/"-sep
     qpfile: str = ""                # x265 --qpfile path
