@@ -135,6 +135,9 @@ class Encoder:
         self._cplx_avg = 0.0              # running inter-complexity average
         self._idr_base = 0                # display index of the last IDR
         self._prev_hist = None
+        self._mc_buf: deque = deque()     # MCSTF source window
+        self._mc_hist: deque = deque(maxlen=2)
+        self._mc_disp = 0
         # zones: list of (start, end, qp_override, bitrate_factor)
         self._zones = []
         for z in filter(None, self.p.zones.split("/")):
@@ -260,8 +263,32 @@ class Encoder:
     def encode_frame(self, y: np.ndarray, u: np.ndarray,
                      v: np.ndarray) -> List[EncodedFrame]:
         """Display-order input; returns decode-order encoded frames.
-        With cuTree active, frames pass through a rc_lookahead-deep
-        window first (reference Lookahead thread analog)."""
+        With MCSTF on, sources pass a +-2-frame temporal filter window;
+        with cuTree active they then pass a rc_lookahead-deep window
+        (reference Lookahead thread analog)."""
+        if not self.p.mcstf:
+            return self._post_filter_frame(y, u, v)
+        self._mc_buf.append((y, u, v))
+        out: List[EncodedFrame] = []
+        while len(self._mc_buf) > 2:
+            out.extend(self._mcstf_pop())
+        return out
+
+    def _mcstf_pop(self) -> List[EncodedFrame]:
+        from ..analysis.mcstf import filter_strength, mcstf_filter
+        center = self._mc_buf.popleft()
+        future = list(self._mc_buf)[:2]
+        past = list(self._mc_hist)
+        strength = filter_strength(self._mc_disp)
+        self._mc_disp += 1
+        self._mc_hist.append(center)
+        if strength > 0:
+            window = past + [center] + future
+            center = mcstf_filter(window, len(past), strength, self.p.qp,
+                                  self.p.internal_bit_depth)
+        return self._post_filter_frame(*center)
+
+    def _post_filter_frame(self, y, u, v) -> List[EncodedFrame]:
         if self._cutree is None:
             return self._ingest(y, u, v)
         self._la_buf.append((y, u, v))
@@ -331,6 +358,8 @@ class Encoder:
 
     def flush(self) -> List[EncodedFrame]:
         out: List[EncodedFrame] = []
+        while self._mc_buf:
+            out.extend(self._mcstf_pop())
         if self._cutree is not None:
             while self._la_buf:
                 fy, fu, fv = self._la_buf.popleft()

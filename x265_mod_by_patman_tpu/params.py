@@ -69,6 +69,7 @@ class EncoderParams:
     stats_file: str = "x265_tpu_2pass.log"
 
     slices: int = 1
+    mcstf: bool = False            # MC spatio-temporal pre-filter
 
     # stream structure extras
     zones: str = ""                 # "s,e,q=N" / "s,e,b=F" zones, "/"-sep
