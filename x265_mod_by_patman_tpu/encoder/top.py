@@ -138,6 +138,13 @@ class Encoder:
         self._mc_buf: deque = deque()     # MCSTF source window
         self._mc_hist: deque = deque(maxlen=2)
         self._mc_disp = 0
+        self._ana_store = self._ana_load = None
+        if self.p.analysis_save:
+            from ..analysis.reuse import AnalysisStore
+            self._ana_store = AnalysisStore(self.p.analysis_save)
+        if self.p.analysis_load:
+            from ..analysis.reuse import AnalysisLoad
+            self._ana_load = AnalysisLoad(self.p.analysis_load)
         # zones: list of (start, end, qp_override, bitrate_factor)
         self._zones = []
         for z in filter(None, self.p.zones.split("/")):
@@ -351,10 +358,13 @@ class Encoder:
         return out
 
     def write_stats(self) -> None:
-        """Pass-1 stats emission (call after the final flush)."""
+        """Pass-1 stats / analysis emission (call after final flush)."""
         if self.p.pass_num == 1:
             from ..rc.ratecontrol import write_stats_file
             write_stats_file(self.p.stats_file, self.rc.history)
+        if self._ana_store is not None:
+            self._ana_store.close()
+            self._ana_store = None
 
     def flush(self) -> List[EncodedFrame]:
         out: List[EncodedFrame] = []
@@ -506,8 +516,13 @@ class Encoder:
         wp_l0 = None
         keep_pocs: tuple = ()
         b_is_ref = False
+        disp = self._idr_base + poc
+        rec_a = self._ana_load.get(disp, ftype) if self._ana_load else None
         if ftype == "I":
-            modes = decide_modes_rd(y, self.sps, qp, block=16)
+            if rec_a is not None:
+                modes = rec_a["modes"]
+            else:
+                modes = decide_modes_rd(y, self.sps, qp, block=16)
             r = recon.run(y, u, v, modes, qp=qp_map)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
@@ -519,18 +534,40 @@ class Encoder:
                 from ..analysis.weightp import analyse_weightp
                 cand = [analyse_weightp(y, rf[0]) for rf in refs]
                 wp_l0 = cand if any(c is not None for c in cand) else None
-            modes, inter_mask, mvs, ref_sel, mc = analyse_p_frame(
-                y, u, v, refs, self.sps, qp,
-                search_range=min(p.search_range, 24), weights=wp_l0)
+            if rec_a is not None:
+                from ..analysis.reuse import mc_for_p
+                modes = rec_a["modes"]
+                inter_mask = rec_a["inter_mask"]
+                mvs = rec_a["mvs"]
+                ref_sel = rec_a["ref_sel"]
+                mc = mc_for_p(refs, mvs, ref_sel, self.sps, wp_l0)
+            else:
+                modes, inter_mask, mvs, ref_sel, mc = analyse_p_frame(
+                    y, u, v, refs, self.sps, qp,
+                    search_range=min(p.search_range, 24), weights=wp_l0)
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (ref0, ref1, keep_pocs, b_is_ref) = b_refs
-            modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
-                y, u, v, ref0[0], ref1[0],
-                self.sps, qp, search_range=min(p.search_range, 24))
+            if rec_a is not None:
+                from ..analysis.reuse import mc_for_b
+                modes = rec_a["modes"]
+                inter_mask = rec_a["inter_mask"]
+                dirs = rec_a["dirs"]
+                mvs = rec_a["mvs"]
+                mvs1 = rec_a["mvs1"]
+                mc = mc_for_b(ref0[0], ref1[0], dirs, mvs, mvs1,
+                              self.sps)
+            else:
+                modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
+                    y, u, v, ref0[0], ref1[0],
+                    self.sps, qp, search_range=min(p.search_range, 24))
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
             ref_pocs = ((ref0[1],), (ref1[1],))
+        if self._ana_store is not None:
+            self._ana_store.save(
+                disp, ftype, modes=modes, inter_mask=inter_mask,
+                mvs=mvs, ref_sel=ref_sel, dirs=dirs, mvs1=mvs1)
 
         dqp_map = self._derived_qp_map(qp_map, r)
         self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, dqp_map,

@@ -77,6 +77,9 @@ class EncoderParams:
     aud: bool = False               # access-unit delimiters
     hist_scenecut: bool = False     # histogram-based scenecut
 
+    analysis_save: str = ""
+    analysis_load: str = ""
+
     # SEI / HDR signalling
     master_display: str = ""        # G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)
     max_cll: int = 0
