@@ -57,13 +57,14 @@ def main():
     # (compiles are not cross-process cacheable there; see BENCH_NOTES).
     p = default_params(W, H, qp=QP, keyframe_max=1, sao=False)
     enc = Encoder(p)
-    enc.encode_frame(*frames[0])          # warmup: jit compiles
+    enc.encode_intra_pipelined(frames[:1])   # warmup: jit compiles
 
+    # pipelined path: frame k+1's device wavefront is dispatched before
+    # frame k's host entropy runs (JAX async dispatch overlap)
     t0 = time.time()
     nbytes = 0
-    for f in frames[1:]:
-        for out in enc.encode_frame(*f):
-            nbytes += len(out.bitstream)
+    for out in enc.encode_intra_pipelined(frames[1:]):
+        nbytes += len(out.bitstream)
     dt = time.time() - t0
     fps = FRAMES / dt
 

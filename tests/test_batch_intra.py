@@ -29,3 +29,26 @@ def test_batch_matches_streaming():
     pics = Decoder().decode(b"".join(f.bitstream for f in batched))
     for f, pic in zip(batched, pics):
         assert pic.md5 == f.md5 == pic.sei_md5
+
+
+def test_pipelined_matches_streaming():
+    """encode_intra_pipelined must produce the same slices as the
+    serial path (device/host overlap is a pure scheduling change)."""
+    import numpy as np
+    from x265_mod_by_patman_tpu.params import default_params
+    from x265_mod_by_patman_tpu.encoder.top import Encoder
+    from x265_mod_by_patman_tpu.decoder.decoder import Decoder
+    rng = np.random.default_rng(3)
+    frames = [(rng.integers(0, 256, (64, 96)).astype(np.uint8),
+               rng.integers(0, 256, (32, 48)).astype(np.uint8),
+               rng.integers(0, 256, (32, 48)).astype(np.uint8))
+              for _ in range(3)]
+    p = default_params(96, 64, qp=32, keyframe_max=1)
+    e1 = Encoder(p)
+    serial = [e1.encode_frame(*f)[0] for f in frames]
+    e2 = Encoder(p)
+    piped = e2.encode_intra_pipelined(frames)
+    for a, b in zip(serial, piped):
+        assert a.bitstream == b.bitstream
+    pics = Decoder().decode(b"".join(f.bitstream for f in piped))
+    assert all(p_.md5 == p_.sei_md5 for p_ in pics)

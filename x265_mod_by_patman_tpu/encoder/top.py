@@ -452,6 +452,80 @@ class Encoder:
             out.append(fr)
         return out
 
+    def encode_intra_pipelined(self, frames) -> List[EncodedFrame]:
+        """All-intra pipelined encode: the device wavefront+deblock of
+        frame k+1 is dispatched BEFORE frame k's results are pulled to
+        the host, so host entropy overlaps device compute (the
+        frame-parallel pipeline the reference gets from FrameEncoder
+        threads, threading.rst:124-215, via JAX async dispatch)."""
+        from ..ops.deblock import deblock_frame_batch
+        assert self.p.keyframe_max == 1
+        p = self.p
+        qp = self.rc.frame_qp("I", 0.0)
+        padded = [(self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+                  for (y, u, v) in frames]
+        w, h = self.sps.width, self.sps.height
+        bs = intra_bs_maps(w, h, 16)
+        on = chroma_on_maps(bs[0], bs[1], h // 2, w // 2)
+        bs = (jnp.asarray(bs[0]), jnp.asarray(bs[1]))
+        on = (jnp.asarray(on[0]), jnp.asarray(on[1]))
+
+        def dispatch(planes):
+            y, u, v = planes
+            modes = decide_modes_rd(y, self.sps, qp, block=16)
+            rd = self.recon.run(y, u, v, modes, qp=qp,
+                                materialize=False)
+            if p.deblock:
+                dy, du, dv = deblock_frame_batch(
+                    rd["recon_y"], rd["recon_u"], rd["recon_v"],
+                    bs[0], bs[1], on[0], on[1],
+                    qp, chroma_qp(qp, p.cb_qp_offset),
+                    chroma_qp(qp, p.cr_qp_offset),
+                    p.deblock_beta_offset, p.deblock_tc_offset,
+                    self.sps.bit_depth)
+                rd["recon_y"], rd["recon_u"], rd["recon_v"] = dy, du, dv
+            return modes, rd
+
+        out: List[EncodedFrame] = []
+        prev = None
+        for k in range(len(padded) + 1):
+            cur = dispatch(padded[k]) if k < len(padded) else None
+            if prev is not None:
+                modes, rd = prev
+                r = self.recon.materialize(rd)
+                yk, uk, vk = padded[k - 1]
+                inter_mask = np.zeros(modes.shape, bool)
+                mvs = np.zeros(modes.shape + (2,), np.int32)
+                sao_maps = self._sao(r, yk, uk, vk, qp) if p.sao else None
+                rbsp = self._encode_slice(modes, inter_mask, mvs, None,
+                                          None, r, "I", 0, qp, ((), ()),
+                                          sao_maps)
+                md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
+                                bit_depth=self.sps.bit_depth)
+                nal = b""
+                if not self._headers_sent:
+                    nal += self.headers()
+                    self._headers_sent = True
+                if isinstance(rbsp, list):
+                    for rb in rbsp:
+                        nal += annexb(NAL_IDR_W_RADL, rb)
+                else:
+                    nal += annexb(NAL_IDR_W_RADL, rbsp)
+                if p.decoded_picture_hash:
+                    nal += annexb(NAL_SUFFIX_SEI,
+                                  write_decoded_picture_hash(md5))
+                fr = EncodedFrame(0, nal,
+                                  (r["recon_y"], r["recon_u"],
+                                   r["recon_v"]),
+                                  bits=len(nal) * 8, md5=md5,
+                                  slice_type="I", qp=qp,
+                                  disp=self.frame_count)
+                self.rc.update("I", qp, fr.bits, 0.0)
+                self.frame_count += 1
+                out.append(fr)
+            prev = cur
+        return out
+
     def _emit_minigop(self) -> List[EncodedFrame]:
         frames = self._queue
         self._queue = []

@@ -305,7 +305,7 @@ class IntraReconstructor:
 
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
             modes: np.ndarray, mc_pred=None, inter_mask=None,
-            qp=32):
+            qp=32, materialize: bool = True):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
@@ -345,6 +345,13 @@ class IntraReconstructor:
             qp_map[0], qp_map[1], qp_map[2], self.bd,
             self.sign_hide, self.rdoq, self.mats)
 
+        if not materialize:
+            # device handles only — JAX async dispatch means the caller
+            # can enqueue the NEXT frame's work before forcing these
+            # (the device/host pipeline lever, SURVEY.md §7)
+            return {"recon_y": yp[:h], "recon_u": up[:hc],
+                    "recon_v": vp[:hc], "lev_y": lev_y[:self.nby],
+                    "lev_u": lev_u[:self.nby], "lev_v": lev_v[:self.nby]}
         dt = np.uint8 if self.bd == 8 else np.uint16
         return {
             "recon_y": np.asarray(yp[:h]).astype(dt),
@@ -353,6 +360,17 @@ class IntraReconstructor:
             "lev_y": np.asarray(lev_y[:self.nby]),
             "lev_u": np.asarray(lev_u[:self.nby]),
             "lev_v": np.asarray(lev_v[:self.nby]),
+        }
+
+    def materialize(self, rd: dict) -> dict:
+        dt = np.uint8 if self.bd == 8 else np.uint16
+        return {
+            "recon_y": np.asarray(rd["recon_y"]).astype(dt),
+            "recon_u": np.asarray(rd["recon_u"]).astype(dt),
+            "recon_v": np.asarray(rd["recon_v"]).astype(dt),
+            "lev_y": np.asarray(rd["lev_y"]),
+            "lev_u": np.asarray(rd["lev_u"]),
+            "lev_v": np.asarray(rd["lev_v"]),
         }
 
     def run_batch(self, ys, us, vs, modes, qp=32):
