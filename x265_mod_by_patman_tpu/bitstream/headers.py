@@ -42,6 +42,14 @@ class SPSInfo:
     log2_min_tu_size: int = 2
     log2_max_tu_size: int = 5
     scaling_list_enabled: bool = False
+    # VUI (Annex E; reference Encoder::initVPS/initSPS vui wiring)
+    vui_present: bool = False
+    sar: tuple = (0, 0)                  # (num, den); (0,0) = unspecified
+    video_full_range: bool = False
+    colour_primaries: int = 2            # unspecified
+    transfer_characteristics: int = 2
+    matrix_coeffs: int = 2
+    fps: tuple = (0, 1)                  # timing info when num > 0
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     sao_enabled: bool = False
@@ -99,6 +107,19 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
     s.log2_max_tu_size = min(p.max_tu_size, p.ctu_size).bit_length() - 1
     s.max_transform_hierarchy_depth_intra = p.tu_intra_depth - 1
     s.scaling_list_enabled = p.scaling_list == "default"
+    if p.sar:
+        t = p.sar.replace("/", ":").split(":")
+        s.sar = (int(t[0]), int(t[1])) if len(t) == 2 else (0, 0)
+    s.video_full_range = p.video_full_range
+    s.colour_primaries = p.colorprim
+    s.transfer_characteristics = p.transfer
+    s.matrix_coeffs = p.colormatrix
+    if p.vui_timing_info:
+        s.fps = (p.fps_num, p.fps_denom)
+    s.vui_present = bool(s.sar[0] or s.video_full_range or
+                         s.colour_primaries != 2 or
+                         s.transfer_characteristics != 2 or
+                         s.matrix_coeffs != 2 or s.fps[0] > 0)
     s.max_transform_hierarchy_depth_inter = p.tu_inter_depth - 1
     s.sao_enabled = p.sao
     s.amp_enabled = p.amp
@@ -228,10 +249,49 @@ def write_sps(sps: SPSInfo) -> bytes:
     bw.flag(0)                               # long_term_ref_pics_present_flag
     bw.flag(sps.temporal_mvp)
     bw.flag(sps.strong_intra_smoothing)
-    bw.flag(0)                               # vui_parameters_present_flag
+    bw.flag(sps.vui_present)                 # vui_parameters_present_flag
+    if sps.vui_present:
+        _write_vui(bw, sps)
     bw.flag(0)                               # sps_extension_present_flag
     bw.rbsp_trailing_bits()
     return bw.get_bytes()
+
+
+def _write_vui(bw: BitWriter, sps: SPSInfo) -> None:
+    """vui_parameters (Annex E.2.1): SAR, signal range/colour
+    description, timing info."""
+    has_sar = sps.sar[0] > 0 and sps.sar[1] > 0
+    bw.flag(has_sar)                     # aspect_ratio_info_present
+    if has_sar:
+        bw.u(255, 8)                     # EXTENDED_SAR
+        bw.u(sps.sar[0], 16)
+        bw.u(sps.sar[1], 16)
+    bw.flag(0)                           # overscan_info_present
+    desc = (sps.colour_primaries != 2 or
+            sps.transfer_characteristics != 2 or sps.matrix_coeffs != 2)
+    signal = desc or sps.video_full_range
+    bw.flag(signal)                      # video_signal_type_present
+    if signal:
+        bw.u(5, 3)                       # video_format: unspecified
+        bw.flag(sps.video_full_range)
+        bw.flag(desc)                    # colour_description_present
+        if desc:
+            bw.u(sps.colour_primaries, 8)
+            bw.u(sps.transfer_characteristics, 8)
+            bw.u(sps.matrix_coeffs, 8)
+    bw.flag(0)                           # chroma_loc_info_present
+    bw.flag(0)                           # neutral_chroma_indication
+    bw.flag(0)                           # field_seq_flag
+    bw.flag(0)                           # frame_field_info_present
+    bw.flag(0)                           # default_display_window
+    has_timing = sps.fps[0] > 0
+    bw.flag(has_timing)                  # vui_timing_info_present
+    if has_timing:
+        bw.u(sps.fps[1], 32)             # num_units_in_tick
+        bw.u(sps.fps[0], 32)             # time_scale
+        bw.flag(0)                       # poc_proportional_to_timing
+        bw.flag(0)                       # hrd_parameters_present
+    bw.flag(0)                           # bitstream_restriction
 
 
 def write_pps(pps: PPSInfo) -> bytes:

@@ -93,9 +93,41 @@ def parse_sps(rbsp: bytes) -> SPSInfo:
     assert br.flag() == 0, "long-term refs unsupported"
     s.temporal_mvp = br.flag()
     s.strong_intra_smoothing = br.flag()
-    br.flag()                             # vui
+    if br.flag():                         # vui_parameters_present
+        _parse_vui(br, s)
     br.flag()                             # extensions
     return s
+
+
+def _parse_vui(br: BitReader, s: SPSInfo) -> None:
+    if br.flag():                         # aspect_ratio_info
+        idc = br.u(8)
+        if idc == 255:
+            s.sar = (br.u(16), br.u(16))
+    if br.flag():                         # overscan
+        br.flag()
+    if br.flag():                         # video_signal_type
+        br.u(3)
+        s.video_full_range = bool(br.flag())
+        if br.flag():                     # colour_description
+            s.colour_primaries = br.u(8)
+            s.transfer_characteristics = br.u(8)
+            s.matrix_coeffs = br.u(8)
+    if br.flag():                         # chroma_loc
+        br.ue()
+        br.ue()
+    br.flag()                             # neutral_chroma
+    br.flag()                             # field_seq
+    br.flag()                             # frame_field_info
+    if br.flag():                         # default_display_window
+        br.ue(); br.ue(); br.ue(); br.ue()
+    if br.flag():                         # timing info
+        d = br.u(32)
+        n = br.u(32)
+        s.fps = (n, d)
+        br.flag()                         # poc_proportional
+        assert br.flag() == 0             # hrd
+    br.flag()                             # bitstream_restriction
 
 
 def parse_pps(rbsp: bytes) -> PPSInfo:

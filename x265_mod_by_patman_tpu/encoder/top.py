@@ -138,6 +138,10 @@ class Encoder:
         self._mc_buf: deque = deque()     # MCSTF source window
         self._mc_hist: deque = deque(maxlen=2)
         self._mc_disp = 0
+        self._dhdr10 = None
+        if self.p.dhdr10_info:
+            from ..bitstream.hdr10plus import load_dhdr10_json
+            self._dhdr10 = load_dhdr10_json(self.p.dhdr10_info)
         self._ana_store = self._ana_load = None
         if self.p.analysis_save:
             from ..analysis.reuse import AnalysisStore
@@ -655,6 +659,13 @@ class Encoder:
                         bit_depth=self.sps.bit_depth)
 
         out = b""
+        if self._dhdr10:
+            from ..bitstream.hdr10plus import write_dhdr10_sei
+            from ..bitstream.nal import NAL_PREFIX_SEI
+            disp_i = self._idr_base + poc
+            if disp_i < len(self._dhdr10):
+                out += annexb(NAL_PREFIX_SEI,
+                              write_dhdr10_sei(self._dhdr10[disp_i]))
         if p.aud:
             from ..bitstream.nal import NAL_AUD
             bw_aud = BitWriter()

@@ -80,8 +80,17 @@ class EncoderParams:
     analysis_save: str = ""
     analysis_load: str = ""
 
+    # VUI
+    sar: str = ""                   # "num:den" or "num/den"
+    video_full_range: bool = False
+    colorprim: int = 2
+    transfer: int = 2
+    colormatrix: int = 2
+    vui_timing_info: bool = True
+
     # SEI / HDR signalling
     master_display: str = ""        # G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)
+    dhdr10_info: str = ""           # HDR10+ JSON metadata file
     max_cll: int = 0
     max_fall: int = 0
     info_sei: bool = True           # x265 user-data encoder-info SEI
@@ -209,6 +218,15 @@ class EncoderParams:
             return self
         if key == "preset":
             return self.apply_preset(value)
+        if key == "colorprim":
+            self.colorprim = _COLOR_NAMES.get(value, None) or int(value)
+            return self
+        if key == "transfer":
+            self.transfer = _TRANSFER_NAMES.get(value, None) or int(value)
+            return self
+        if key == "colormatrix":
+            self.colormatrix = _MATRIX_NAMES.get(value, None) or int(value)
+            return self
         if key == "max_cll":
             cll, _, fall = value.partition(",")
             self.max_cll = int(cll)
@@ -247,3 +265,19 @@ def default_params(width: int = 0, height: int = 0, **kw) -> EncoderParams:
     for k, v in kw.items():
         setattr(p, k, v)
     return p
+
+
+# x265 CLI colour name tables (subset; reference x265cli.h strings)
+_COLOR_NAMES = {"bt709": 1, "bt470m": 4, "bt470bg": 5, "smpte170m": 6,
+                "smpte240m": 7, "film": 8, "bt2020": 9, "smpte428": 10,
+                "smpte431": 11, "smpte432": 12}
+_TRANSFER_NAMES = {"bt709": 1, "bt470m": 4, "bt470bg": 5, "smpte170m": 6,
+                   "smpte240m": 7, "linear": 8, "log100": 9, "log316": 10,
+                   "iec61966-2-4": 11, "bt1361e": 12, "iec61966-2-1": 13,
+                   "bt2020-10": 14, "bt2020-12": 15, "smpte2084": 16,
+                   "smpte428": 17, "arib-std-b67": 18}
+_MATRIX_NAMES = {"gbr": 0, "bt709": 1, "fcc": 4, "bt470bg": 5,
+                 "smpte170m": 6, "smpte240m": 7, "ycgco": 8,
+                 "bt2020nc": 9, "bt2020c": 10, "smpte2085": 11,
+                 "chroma-derived-nc": 12, "chroma-derived-c": 13,
+                 "ictcp": 14}
