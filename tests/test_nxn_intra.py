@@ -1,0 +1,71 @@
+"""NxN intra (8x8 PUs/TUs at min CU 16): decision, recon, bit-exact."""
+import numpy as np
+import pytest
+
+from x265_mod_by_patman_tpu.params import default_params
+from x265_mod_by_patman_tpu.encoder.top import Encoder
+from x265_mod_by_patman_tpu.decoder.decoder import Decoder
+
+
+def micro_pattern(w, h):
+    """Distinct directional 8x8 tiles: NxN should fire widely."""
+    y = np.zeros((h, w), np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            k = (by * 13 + bx * 7) % 4
+            yy, xx = np.mgrid[0:8, 0:8]
+            pat = [xx * 30, yy * 30, (xx + yy) * 15,
+                   (xx - yy) * 15 + 120][k]
+            y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                np.clip(pat, 0, 255)
+    return y
+
+
+@pytest.mark.parametrize("wpp,sao", [(False, False), (True, True)])
+def test_nxn_intra_bit_exact(wpp, sao):
+    w, h = 96, 64
+    y = micro_pattern(w, h)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+    p = default_params(w, h, qp=28, keyframe_max=1, nxn_intra=True,
+                       wpp=wpp, sao=sao)
+    enc = Encoder(p)
+    [f] = enc.encode_frame(y, u, v)
+    pics = Decoder().decode(f.bitstream)
+    assert np.array_equal(pics[0].y, f.recon[0])
+    assert np.array_equal(pics[0].u, f.recon[1])
+    assert np.array_equal(pics[0].v, f.recon[2])
+    assert pics[0].md5 == f.md5 == pics[0].sei_md5
+
+
+def test_nxn_improves_rd_on_detail():
+    w, h = 96, 64
+    y = micro_pattern(w, h)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+
+    def run(nxn):
+        p = default_params(w, h, qp=28, keyframe_max=1, nxn_intra=nxn)
+        [f] = Encoder(p).encode_frame(y, u, v)
+        mse = np.mean((y.astype(float)
+                       - f.recon[0][:h, :w].astype(float)) ** 2)
+        return f.bits, mse
+
+    b1, m1 = run(False)
+    b2, m2 = run(True)
+    assert b2 < b1 and m2 < m1          # strictly better both axes here
+
+
+def test_nxn_decision_prefers_uniform_16():
+    """A pure ramp has one dominant direction: NxN should mostly NOT
+    fire (sum of 4 modes costs more syntax for no gain)."""
+    from x265_mod_by_patman_tpu.analysis.intra_mode import (
+        decide_modes_split)
+    from x265_mod_by_patman_tpu.bitstream.headers import build_sps_info
+    w, h = 96, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.clip(40 + xx * 2, 0, 255).astype(np.uint8)
+    p = default_params(w, h, nxn_intra=True)
+    sps = build_sps_info(p)
+    _, split, _ = decide_modes_split(y, sps, 32)
+    assert split.mean() < 0.35

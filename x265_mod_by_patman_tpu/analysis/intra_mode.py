@@ -186,3 +186,51 @@ def decide_modes(y: np.ndarray, sps, block: int = 16) -> np.ndarray:
                         log2n, sps.bit_depth)
     modes = np.asarray(jnp.argmin(costs, axis=1), dtype=np.int32)
     return modes.reshape(nby, nbx)
+
+
+def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16):
+    """Mode decision with the NxN (4x 8x8 PU) candidate per block: the
+    batched analog of the reference comparing the 2Nx2N intra cost with
+    the NxN sum at min CU size (compressIntraCU, analysis.cpp:878).
+
+    Returns (modes (nby,nbx) int32 — PU0's mode for split blocks,
+    split_map (nby,nbx) bool, modes8 (nby,nbx,4) int32)."""
+    from .inter_mode import lambda_qp
+    h, w = sps.height, sps.width
+    nbx, nby = w // block, h // block
+    lam = lambda_qp(qp)[0] * (1 << (sps.bit_depth - 8))
+    modes = decide_modes_rd(y, sps, qp, block)
+    # 8x8 sweep on the doubled grid (orig-neighbor estimate)
+    avail8 = frame_avail_masks(w, h, 8, sps.log2_ctu_size, 0)
+    bys, bxs = np.mgrid[0:2 * nby, 0:2 * nbx]
+    orig = jnp.asarray(np.asarray(y, dtype=np.int32))
+    c8 = np.asarray(_mode_costs(
+        orig, jnp.asarray(avail8.reshape(-1, avail8.shape[-1])),
+        jnp.asarray(bxs.ravel().astype(np.int32)),
+        jnp.asarray(bys.ravel().astype(np.int32)),
+        3, sps.bit_depth)).reshape(2 * nby, 2 * nbx, 35)
+    best8 = (c8 + lam * 5.5).min(axis=-1)
+    m8 = c8.argmin(axis=-1).astype(np.int32)
+    # z-order gather of the 4 sub-blocks per 16x16 block
+    sum8 = (best8[0::2, 0::2] + best8[0::2, 1::2] +
+            best8[1::2, 0::2] + best8[1::2, 1::2])
+    modes8 = np.stack([m8[0::2, 0::2], m8[0::2, 1::2],
+                       m8[1::2, 0::2], m8[1::2, 1::2]], axis=-1)
+    # 16x16 side: SATD of the chosen mode + its bits (~4)
+    c16 = np.asarray(_mode_costs(
+        orig, jnp.asarray(frame_avail_masks(
+            w, h, block, sps.log2_ctu_size, 0)
+            .reshape(-1, 4 * block + 1)),
+        jnp.asarray((np.mgrid[0:nby, 0:nbx][1]).ravel()
+                    .astype(np.int32)),
+        jnp.asarray((np.mgrid[0:nby, 0:nbx][0]).ravel()
+                    .astype(np.int32)),
+        block.bit_length() - 1, sps.bit_depth)) \
+        .reshape(nby, nbx, 35)
+    cost16 = np.take_along_axis(c16, modes[..., None],
+                                axis=-1)[..., 0] + lam * 4.0
+    # NxN extra syntax: part bin + deeper-TU cbf flags ~ 6 bins
+    split = sum8 + lam * 6.0 < cost16
+    out = modes.copy()
+    out[split] = modes8[split][:, 0]
+    return out, split, modes8

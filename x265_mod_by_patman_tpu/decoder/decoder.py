@@ -367,6 +367,13 @@ class Decoder:
             from ..ops.deblock import (
                 deblock_luma_ref, deblock_chroma_ref, inter_bs_maps,
                 intra_bs_maps, chroma_on_maps)
+            # NxN CUs add interior TU8 transform edges
+            split_grid = np.zeros((h // 16, w // 16), bool)
+            for cu in all_cus:
+                if not cu.is_inter and cu.part_nxn:
+                    split_grid[cu.y0 // 16, cu.x0 // 16] = True
+            if not split_grid.any():
+                split_grid = None
             if slice_type != 2:
                 nbx, nby = w // 16, h // 16
                 intra_mask = np.ones((nby, nbx), bool)
@@ -399,9 +406,9 @@ class Decoder:
                             cbf[by0 + j, bx0 + i] = \
                                 lv is not None and bool(np.any(lv))
                 bs_v, bs_h = inter_bs_maps(intra_mask, mvs, cbf, w, h, 16,
-                                           dirs, mvs1, p0, p1)
+                                           dirs, mvs1, p0, p1, split_grid)
             else:
-                bs_v, bs_h = intra_bs_maps(w, h, 16)
+                bs_v, bs_h = intra_bs_maps(w, h, 16, split_grid)
             on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> 1, w >> 1)
             qarg = qp_grid if pps.cu_qp_delta_enabled else qp
             y = deblock_luma_ref(y, bs_v, bs_h, qarg,
@@ -472,6 +479,22 @@ class Decoder:
                                cu.luma_modes[k], 0, qp,
                                cu.coeffs.get((0, cu.x0 + dx, cu.y0 + dy,
                                               cu.log2_size - 1)))
+            # chroma follows the forced TU split: 4 z-order TBs at
+            # half the luma TB size, all with the CU's chroma mode
+            cmode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
+            ch = half >> 1
+            ccx, ccy = cu.x0 >> 1, cu.y0 >> 1
+            cl = cu.log2_size - 2
+            for (dx, dy) in ((0, 0), (ch, 0), (0, ch), (ch, ch)):
+                self._recon_tb(u, ccx + dx, ccy + dy, cl, cmode, 1,
+                               qp_cb,
+                               cu.coeffs.get((1, ccx + dx, ccy + dy,
+                                              cl)))
+                self._recon_tb(v, ccx + dx, ccy + dy, cl, cmode, 2,
+                               qp_cr,
+                               cu.coeffs.get((2, ccx + dx, ccy + dy,
+                                              cl)))
+            return
         else:
             # the TU quadtree is forced down to log2_max_tu_size; intra
             # prediction + recon run per TU in z-order with the CU mode

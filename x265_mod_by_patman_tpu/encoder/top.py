@@ -110,7 +110,7 @@ class Encoder:
                                         self.p.cr_qp_offset,
                                         self.p.sign_hide,
                                         self.p.rdoq_level > 0,
-                                        slice_tops)
+                                        slice_tops, self.p.nxn_intra)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)
@@ -596,12 +596,20 @@ class Encoder:
         b_is_ref = False
         disp = self._idr_base + poc
         rec_a = self._ana_load.get(disp, ftype) if self._ana_load else None
+        split_map = modes8 = None
         if ftype == "I":
             if rec_a is not None:
                 modes = rec_a["modes"]
+                split_map = rec_a.get("split_map")
+                modes8 = rec_a.get("modes8")
+            elif p.nxn_intra:
+                from ..analysis.intra_mode import decide_modes_split
+                modes, split_map, modes8 = decide_modes_split(
+                    y, self.sps, qp, block=16)
             else:
                 modes = decide_modes_rd(y, self.sps, qp, block=16)
-            r = recon.run(y, u, v, modes, qp=qp_map)
+            r = recon.run(y, u, v, modes, qp=qp_map,
+                          split_map=split_map, modes8=modes8)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -645,16 +653,17 @@ class Encoder:
         if self._ana_store is not None:
             self._ana_store.save(
                 disp, ftype, modes=modes, inter_mask=inter_mask,
-                mvs=mvs, ref_sel=ref_sel, dirs=dirs, mvs1=mvs1)
+                mvs=mvs, ref_sel=ref_sel, dirs=dirs, mvs1=mvs1,
+                split_map=split_map, modes8=modes8)
 
         dqp_map = self._derived_qp_map(qp_map, r)
         self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, dqp_map,
-                      recon, ref_sel)
+                      recon, ref_sel, split_map)
         sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
         slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
                                         r, ftype, poc, qp, ref_pocs,
                                         sao_maps, ref_sel, keep_pocs,
-                                        qp_map, wp_l0)
+                                        qp_map, wp_l0, split_map, modes8)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -694,7 +703,7 @@ class Encoder:
         return frame
 
     def _deblock(self, r: dict, inter_mask, mvs, mvs1, dirs, ref_pocs,
-                 qp: int, recon, ref_sel=None) -> None:
+                 qp: int, recon, ref_sel=None, split_map=None) -> None:
         if not self.p.deblock:
             return
         p = self.p
@@ -718,9 +727,9 @@ class Encoder:
             p1 = np.full((nby, nbx),
                          ref_pocs[1][0] if ref_pocs[1] else 0, np.int64)
             bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16,
-                                       dirs_m, mvs1_m, p0, p1)
+                                       dirs_m, mvs1_m, p0, p1, split_map)
         else:
-            bs_v, bs_h = intra_bs_maps(w, h, 16)
+            bs_v, bs_h = intra_bs_maps(w, h, 16, split_map)
         on_v, on_h = chroma_on_maps(bs_v, bs_h, h // 2, w // 2)
         dy, du, dv = deblock_frame_batch(
             jnp.asarray(r["recon_y"].astype(np.int32)),
@@ -803,7 +812,7 @@ class Encoder:
                       ftype: str, poc: int, qp: int, ref_pocs,
                       sao_maps=None, ref_sel=None,
                       keep_pocs: tuple = (), qp_map=None,
-                      wp_l0=None) -> bytes:
+                      wp_l0=None, split_map=None, modes8=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -862,6 +871,30 @@ class Encoder:
                                  int(mvs1[by, bx, 1]))
                             if mvs1 is not None else (0, 0),
                             ref_idx1=0)
+                    elif split_map is not None and split_map[by, bx]:
+                        # NxN intra: 4 PUs + forced TU8 split; the luma
+                        # level store holds the 4 TU8s as quadrants
+                        cu = CodedCU(x0, y0, 4,
+                                     tuple(int(m)
+                                           for m in modes8[by, bx]), 4)
+                        lvq = r["lev_y"][by, bx]
+                        for k, (dx8, dy8) in enumerate(
+                                ((0, 0), (8, 0), (0, 8), (8, 8))):
+                            sub = lvq[dy8:dy8 + 8, dx8:dx8 + 8]
+                            if np.any(sub):
+                                cu.coeffs[(0, x0 + dx8, y0 + dy8, 3)] = \
+                                    sub
+                        for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
+                            lvc = r[key][by, bx]
+                            cx0, cy0 = x0 >> 1, y0 >> 1
+                            for (dx4, dy4) in ((0, 0), (4, 0), (0, 4),
+                                               (4, 4)):
+                                sub = lvc[dy4:dy4 + 4, dx4:dx4 + 4]
+                                if np.any(sub):
+                                    cu.coeffs[(c_idx, cx0 + dx4,
+                                               cy0 + dy4, 2)] = sub
+                        cus.append(cu)
+                        continue
                     else:
                         cu = CodedCU(x0, y0, 4,
                                      (int(modes[by, bx]),), 4)

@@ -37,7 +37,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   log2n: int, qp, c_idx: int, bit_depth: int = 8,
                   mc_pred=None, inter_mask=None, sign_hide: bool = False,
                   skip_in=None, rdoq: bool = False, qmats=None,
-                  dmats=None):
+                  dmats=None, split_map=None, modes8=None, av8=None,
+                  m8=(None, None)):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -110,9 +111,69 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     rres = idct_batch(deq, log2n, bit_depth)
     recon = jnp.clip(pred + rres, 0, maxval)
 
+    if split_map is not None:
+        # NxN path: the block is 4 z-order sub-TUs (luma 8x8, chroma
+        # 4x4), each predicted from recon neighbors INCLUDING earlier
+        # sub-blocks (spec 8.4.4.2 per-TB intra).  Both paths are
+        # computed for all lanes; the split flag selects (batched
+        # branchless form of the reference's compressIntraCU NxN
+        # candidate, analysis.cpp:878).
+        ns = n // 2
+        l2s = log2n - 1
+        split = split_map[by, bx] & intra_mask            # (B,)
+        plane8 = plane
+        lev8 = jnp.zeros_like(lev)
+        ks8 = np.arange(4 * ns + 1)
+        k8x = np.where(ks8 <= 2 * ns, -1, ks8 - (2 * ns + 1))
+        k8y = np.where(ks8 < 2 * ns, 2 * ns - 1 - ks8, -1)
+        ones = jnp.ones(bx.shape, bool)
+        for k, (dxs, dys) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+            x8 = x0 + dxs * ns
+            y8 = y0 + dys * ns
+            xs8 = jnp.clip(x8[:, None] + jnp.asarray(k8x)[None, :],
+                           0, wp - 1)
+            ys8 = jnp.clip(y8[:, None] + jnp.asarray(k8y)[None, :],
+                           0, hp - 1)
+            s_raw8 = plane8[ys8, xs8]
+            ss8, sf8 = substitute_filter_batch(s_raw8, av8[:, k], l2s,
+                                               bit_depth)
+            if c_idx == 0:
+                md8 = modes8[jnp.clip(by, 0, levels.shape[0] - 2),
+                             jnp.clip(bx, 0, levels.shape[1] - 1), k]
+            else:
+                md8 = modes                 # chroma DM mode per block
+            pred8 = intra_pred_select_batch(ss8, sf8, md8, l2s, c_idx,
+                                            bit_depth)
+            gy8 = y8[:, None, None] + jnp.arange(ns)[None, :, None]
+            gx8 = x8[:, None, None] + jnp.arange(ns)[None, None, :]
+            org8 = orig[jnp.clip(gy8, 0, orig.shape[0] - 1),
+                        jnp.clip(gx8, 0, orig.shape[1] - 1)] \
+                .astype(jnp.int32)
+            coef8 = dct_batch(org8 - pred8, l2s, bit_depth)
+            # sub-TU scaling tables (per size, not per component) are
+            # threaded via m8 (flat/None when lists are off)
+            lv8 = rdoq_levels(coef8, ones, qp, l2s, bit_depth) if rdoq \
+                else quant_dyn(coef8, ones, qp, l2s, bit_depth, m8[0])
+            if sign_hide:
+                lv8 = sbh_adjust(lv8, coef8, ones, qp, l2s, bit_depth)
+            deq8 = dequant_dyn(lv8, qp, l2s, bit_depth, m8[1], ones)
+            rec8 = jnp.clip(pred8 + idct_batch(deq8, l2s, bit_depth),
+                            0, maxval)
+            keep = plane8[jnp.clip(gy8, 0, hp - 1), gx8]
+            plane8 = plane8.at[jnp.clip(gy8, 0, hp - 1), gx8].set(
+                jnp.where(split[:, None, None], rec8, keep))
+            lev8 = lev8.at[:, dys * ns:dys * ns + ns,
+                           dxs * ns:dxs * ns + ns].set(lv8)
+        rec_split = plane8[jnp.clip(gy, 0, hp - 1), gx]
+        recon = jnp.where(split[:, None, None], rec_split, recon)
+        lev = jnp.where(split[:, None, None], lev8, lev)
+
     plane = plane.at[jnp.clip(gy, 0, hp - 1), gx].set(recon)
     levels = levels.at[by, bx].set(lev)
     return plane, levels, skip
+
+
+
 
 
 # standalone-jitted variant for unit tests / kernel benches
@@ -128,9 +189,12 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     mc_y, mc_u, mc_v, inter_mask,
                     qp, qp_cb, qp_cr, bit_depth: int = 8,
                     sign_hide: bool = False, rdoq: bool = False,
-                    mats=None):
+                    mats=None, split_map=None, modes8=None, sb_av8=None,
+                    sb_av4c=None):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
+    split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
+    (nby, nbx, 4) int32, (S, B, 4, 33) bool sub-block availability.
 
     sb_bx/sb_by: (S, B) int32 block coords per substep
     sb_avy:      (S, B, 65) bool luma availability
@@ -161,19 +225,27 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             yp, lev_y, oy, bx, by, md, sb_avy[s],
             4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide,
             None, rdoq, mats[0] if mats else None,
-            mats[1] if mats else None)
+            mats[1] if mats else None,
+            split_map, modes8,
+            sb_av8[s] if sb_av8 is not None else None,
+            (mats[2] if mats else None, mats[3] if mats else None))
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
+        m4 = (None, None)                    # 4x4 lists are flat
         up, lev_u, _ = _substep_body(
             up, lev_u, ou, bx, by, md, sb_avc[s],
             3, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
             skip_map, rdoq, mats[2] if mats else None,
-            mats[3] if mats else None)
+            mats[3] if mats else None,
+            split_map, modes8,
+            sb_av4c[s] if sb_av4c is not None else None, m4)
         vp, lev_v, _ = _substep_body(
             vp, lev_v, ov, bx, by, md, sb_avc[s],
             3, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
             skip_map, rdoq, mats[2] if mats else None,
-            mats[3] if mats else None)
+            mats[3] if mats else None,
+            split_map, modes8,
+            sb_av4c[s] if sb_av4c is not None else None, m4)
         return yp, up, vp, lev_y, lev_u, lev_v, skip_map
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map)
@@ -218,7 +290,8 @@ class IntraReconstructor:
 
     def __init__(self, sps, cb_qp_offset: int = 0,
                  cr_qp_offset: int = 0, sign_hide: bool = False,
-                 rdoq: bool = False, slice_tops: tuple = ()) -> None:
+                 rdoq: bool = False, slice_tops: tuple = (),
+                 nxn: bool = False) -> None:
         self.sps = sps
         self.cb_qp_offset = cb_qp_offset
         self.cr_qp_offset = cr_qp_offset
@@ -248,6 +321,7 @@ class IntraReconstructor:
         self.n_ctu_y = sps.pic_height_in_ctus
         self.bpc = (1 << self.log2_ctu) // self.nl
         self.slice_tops = tuple(slice_tops)
+        self.nxn = bool(nxn)
         self._build_schedule()
 
     def _build_schedule(self) -> None:
@@ -257,9 +331,15 @@ class IntraReconstructor:
                                     self.slice_tops)
         avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, 1,
                                     self.slice_tops)
+        av8_full = av4c_full = None
+        if self.nxn:
+            av8_full = frame_avail_masks(w, h, 8, self.log2_ctu, 0,
+                                         self.slice_tops)
+            av4c_full = frame_avail_masks(w, h, 4, self.log2_ctu, 1,
+                                          self.slice_tops)
         waves = ctu_wavefront_order(self.n_ctu_x, self.n_ctu_y)
         B = max(len(wv[0]) for wv in waves)
-        bxs, bys, avys, avcs = [], [], [], []
+        bxs, bys, avys, avcs, av8s, av4cs = [], [], [], [], [], []
         for (cxs, cys) in waves:
             nb = len(cxs)
             for zy in range(self.bpc):
@@ -285,10 +365,29 @@ class IntraReconstructor:
                     bys.append(byp)
                     avys.append(avy)
                     avcs.append(avc)
+                    if av8_full is not None:
+                        a8 = np.zeros((len(bxp), 4, 33), bool)
+                        a4 = np.zeros((len(bxp), 4, 17), bool)
+                        for k, (dx8, dy8) in enumerate(
+                                ((0, 0), (1, 0), (0, 1), (1, 1))):
+                            a8[:, k] = av8_full[
+                                np.where(valid, 2 * byp + dy8, 0),
+                                np.where(valid, 2 * bxp + dx8, 0)] \
+                                & valid[:, None]
+                            a4[:, k] = av4c_full[
+                                np.where(valid, 2 * byp + dy8, 0),
+                                np.where(valid, 2 * bxp + dx8, 0)] \
+                                & valid[:, None]
+                        av8s.append(a8)
+                        av4cs.append(a4)
         self.sb_bx = jnp.asarray(np.stack(bxs))
         self.sb_by = jnp.asarray(np.stack(bys))
         self.sb_avy = jnp.asarray(np.stack(avys))
         self.sb_avc = jnp.asarray(np.stack(avcs))
+        self.sb_av8 = jnp.asarray(np.stack(av8s)) if av8_full is not None \
+            else None
+        self.sb_av4c = jnp.asarray(np.stack(av4cs)) \
+            if av8_full is not None else None
 
     def _qp_maps(self, qp):
         """(luma, cb, cr) per-CTU QP maps from a scalar or a
@@ -305,7 +404,8 @@ class IntraReconstructor:
 
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
             modes: np.ndarray, mc_pred=None, inter_mask=None,
-            qp=32, materialize: bool = True):
+            qp=32, materialize: bool = True, split_map=None,
+            modes8=None):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
@@ -338,12 +438,18 @@ class IntraReconstructor:
             mc_y, mc_u, mc_v = (padb(jnp.asarray(a)) for a in mc_pred)
             imask = padb(jnp.asarray(inter_mask))
 
+        sm = m8j = None
+        if split_map is not None:
+            sm = padb(jnp.asarray(np.asarray(split_map, bool)))
+            m8j = jnp.asarray(np.asarray(modes8, np.int32))
         yp, up, vp, lev_y, lev_u, lev_v = _wavefront_run(
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
             qp_map[0], qp_map[1], qp_map[2], self.bd,
-            self.sign_hide, self.rdoq, self.mats)
+            self.sign_hide, self.rdoq, self.mats, sm, m8j,
+            self.sb_av8 if split_map is not None else None,
+            self.sb_av4c if split_map is not None else None)
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller

@@ -31,10 +31,13 @@ def _clip3(lo, hi, x):
 # Boundary-strength maps
 # ---------------------------------------------------------------------------
 
-def intra_bs_maps(width: int, height: int, tu_size: int = 16):
+def intra_bs_maps(width: int, height: int, tu_size: int = 16,
+                  split_map=None):
     """BS maps for an all-intra frame with a uniform TU grid: every TU
     boundary on the 8-px deblock grid has BS=2 (spec 8.7.2.4: either side
     intra -> bS 2); interior 8-px lines are not transform edges -> 0.
+    split_map: optional (nby, nbx) bool — NxN blocks whose interior TU8
+    edges are also transform boundaries.
 
     Returns (bs_v, bs_h):
       bs_v: (H/4, W/8 - 1) BS of vertical edge at x=8*(e+1), rows 4y..4y+3
@@ -50,14 +53,31 @@ def intra_bs_maps(width: int, height: int, tu_size: int = 16):
     for e in range(eh):
         if ((e + 1) * 8) % tu_size == 0:
             bs_h[e, :] = 2
+    if split_map is not None:
+        mark_split_edges(bs_v, bs_h, split_map)
     return bs_v, bs_h
+
+
+def mark_split_edges(bs_v, bs_h, split_map) -> None:
+    """Mark the interior TU8 edges of split (NxN) 16x16 blocks BS=2."""
+    nby, nbx = split_map.shape
+    for by in range(nby):
+        for bx in range(nbx):
+            if not split_map[by, bx]:
+                continue
+            e = 2 * bx                      # vertical edge at x=bx*16+8
+            if e < bs_v.shape[1]:
+                bs_v[by * 4:(by + 1) * 4, e] = 2
+            e = 2 * by
+            if e < bs_h.shape[0]:
+                bs_h[e, bx * 4:(bx + 1) * 4] = 2
 
 
 def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
                   cbf_luma: np.ndarray, width: int, height: int,
                   block: int = 16, dirs: np.ndarray = None,
                   mvs1: np.ndarray = None, poc0: np.ndarray = None,
-                  poc1: np.ndarray = None):
+                  poc1: np.ndarray = None, split_map=None):
     """BS maps for a P/B frame with a uniform CU/TU grid (spec 8.7.2.4):
     block-boundary edges on the 8-px grid get BS 2 if either side is
     intra, else 1 if either side has luma coefficients or the motion
@@ -146,6 +166,8 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
         p = (np.full_like(bxs, byq - 1), bxs)
         q = (np.full_like(bxs, byq), bxs)
         bs_h[e, :] = seg_bs(p, q)
+    if split_map is not None:
+        mark_split_edges(bs_v, bs_h, split_map)
     return bs_v, bs_h
 
 

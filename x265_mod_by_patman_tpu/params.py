@@ -98,6 +98,7 @@ class EncoderParams:
     weightp: bool = True            # x265 --weightp (default on)
 
     scaling_list: str = "off"       # off | default
+    nxn_intra: bool = False         # 8x8 intra PUs (NxN at min CU 16)
 
     # analysis / RDO
     rd_level: int = 2
@@ -162,6 +163,10 @@ class EncoderParams:
         if p.keyframe_max <= 1:
             p.keyframe_max = 1
             p.bframes = 0
+        if p.nxn_intra:
+            # NxN PUs exist only at min CU size (spec 7.4.9.4); our NxN
+            # CU is 16x16 with 8x8 PUs/TUs
+            p.min_cu_size = 16
         return p
 
     def apply_preset(self, preset: str) -> "EncoderParams":
