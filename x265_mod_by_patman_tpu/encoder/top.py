@@ -578,7 +578,10 @@ class Encoder:
         qp_off: per-CTU cuTree QP offsets (<= 0) or None."""
         p = self.p
         y, u, v = planes
-        qp = self.rc.frame_qp(ftype, complexity)
+        rc_type = ftype
+        if ftype == "B" and b_refs is not None and not b_refs[3]:
+            rc_type = "b"                 # non-referenced B
+        qp = self.rc.frame_qp(rc_type, complexity)
         qp = self._zone_qp(self._idr_base + poc, qp)
         self._slice_qp_for_derivation = qp
         qp_map = self._aq_map(y, qp)          # scalar when AQ off
@@ -697,7 +700,7 @@ class Encoder:
                              (r["recon_y"], r["recon_u"], r["recon_v"]),
                              bits=len(out) * 8, md5=md5, slice_type=ftype,
                              qp=qp, disp=self._idr_base + poc)
-        self.rc.update(ftype, qp, frame.bits, complexity)
+        self.rc.update(rc_type, qp, frame.bits, complexity)
         if ftype == "I":
             self._anchors = [(frame.recon, poc)]
         return frame

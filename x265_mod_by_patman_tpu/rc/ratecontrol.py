@@ -29,7 +29,10 @@ def qscale_to_qp(qs: float) -> float:
 
 QCOMPRESS = 0.6
 QP_STEP = 4.0                    # max per-frame QP swing
-TYPE_OFFSET = {"I": -3.0, "P": 0.0, "B": 2.0}
+# I/P/referenced-B/non-ref-b offsets (reference ipratio/pbratio analog;
+# non-ref bs sit one step above referenced Bs like the reference's
+# qpOffset[1])
+TYPE_OFFSET = {"I": -3.0, "P": 0.0, "B": 2.0, "b": 3.5}
 
 
 @dataclass
@@ -254,4 +257,8 @@ def frame_complexity(y: "np.ndarray", prev_y=None) -> float:
     yv = y.astype(np.int32)
     gx = np.abs(np.diff(yv, axis=1)).mean()
     gy = np.abs(np.diff(yv, axis=0)).mean()
-    return float(gx + gy) * y.size / 32.0
+    # gradient energy runs ~4x hotter than the temporal lowres-SAD scale
+    # used for P/B frames; normalize so the CRF/ABR complexity power law
+    # sees consistent units (the reference keeps both in lowres-satd
+    # units via its lookahead — this is the calibration stand-in)
+    return float(gx + gy) * y.size / 128.0
