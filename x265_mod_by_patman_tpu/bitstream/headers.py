@@ -146,6 +146,7 @@ def build_pps_info(p: EncoderParams) -> PPSInfo:
     q.deblock_beta_offset_div2 = p.deblock_beta_offset
     q.num_ref_idx_l0_default = max(1, p.max_num_references)
     q.weighted_pred = p.weightp and p.keyframe_max != 1
+    q.transquant_bypass = p.lossless
     return q
 
 

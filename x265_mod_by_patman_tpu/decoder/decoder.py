@@ -186,6 +186,7 @@ class Decoder:
         self._dpb: Dict[int, tuple] = {}      # poc -> (y, u, v) planes
         self._ref_l0: List[tuple] = []
         self._ref_l1: List[tuple] = []
+        self._tq_bypass = False
         self.prefix_seis: List[tuple] = []    # (payload_type, bytes)
         self._cur_wp = None                   # (denom, per-L0-ref (w,o))
 
@@ -468,6 +469,7 @@ class Decoder:
     def _recon_cu(self, cu, y, u, v, qp, qp_cb, qp_cr) -> None:
         sps = self.sps
         bd = sps.bit_depth
+        self._tq_bypass = bool(getattr(cu, "tq_bypass", False))
         if cu.is_inter:
             self._recon_inter_cu(cu, y, u, v, qp, qp_cb, qp_cr)
             return
@@ -565,10 +567,13 @@ class Decoder:
                 for tx in range(0, cn, tn):
                     levels = cu.coeffs.get((c_idx, cx + tx, cy + ty, tl))
                     if levels is not None and np.any(levels):
-                        coef = dequant_ref(levels.astype(np.int16), qpc,
-                                           tl, bd,
-                                           self._scal_mat(tl, False))
-                        resi = idct_ref(coef, bd, dst=False)
+                        if getattr(cu, "tq_bypass", False):
+                            resi = levels.astype(np.int32)
+                        else:
+                            coef = dequant_ref(levels.astype(np.int16),
+                                               qpc, tl, bd,
+                                               self._scal_mat(tl, False))
+                            resi = idct_ref(coef, bd, dst=False)
                         rec[ty:ty + tn, tx:tx + tn] += resi
             plane[cy:cy + cn, cx:cx + cn] = np.clip(rec, 0, maxv)
 
@@ -603,9 +608,12 @@ class Decoder:
             mode, s, log2, c_idx, bd,
             strong_smoothing=sps.strong_intra_smoothing)
         if levels is not None and np.any(levels):
-            coef = dequant_ref(levels.astype(np.int16), qp, log2, bd,
-                               self._scal_mat(log2, True))
-            resi = idct_ref(coef, bd, dst=(log2 == 2 and c_idx == 0))
+            if self._tq_bypass:
+                resi = levels.astype(np.int32)
+            else:
+                coef = dequant_ref(levels.astype(np.int16), qp, log2, bd,
+                                   self._scal_mat(log2, True))
+                resi = idct_ref(coef, bd, dst=(log2 == 2 and c_idx == 0))
             rec = np.clip(pred + resi, 0, (1 << bd) - 1)
         else:
             rec = pred

@@ -110,7 +110,8 @@ class Encoder:
                                         self.p.cr_qp_offset,
                                         self.p.sign_hide,
                                         self.p.rdoq_level > 0,
-                                        slice_tops, self.p.nxn_intra)
+                                        slice_tops, self.p.nxn_intra,
+                                        self.p.lossless)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)
@@ -855,6 +856,7 @@ class Encoder:
         nbx, nby = rec.nbx, rec.nby
         def build_cus(cx, cy):
             cus: List[CodedCU] = []
+            tqb = self.p.lossless
             for zy in range(bpc):
                 for zx in range(bpc):
                     bx, by = cx * bpc + zx, cy * bpc + zy
@@ -896,6 +898,7 @@ class Encoder:
                                 if np.any(sub):
                                     cu.coeffs[(c_idx, cx0 + dx4,
                                                cy0 + dy4, 2)] = sub
+                        cu.tq_bypass = tqb
                         cus.append(cu)
                         continue
                     else:
@@ -909,6 +912,7 @@ class Encoder:
                             cx0 = x0 >> (1 if c_idx else 0)
                             cy0 = y0 >> (1 if c_idx else 0)
                             cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
+                    cu.tq_bypass = tqb
                     cus.append(cu)
             # merge 4 identical-motion inter CUs into one 32x32 CU
             if (bpc == 2 and len(cus) == 4 and
@@ -923,7 +927,8 @@ class Encoder:
                                is_inter=True, mv=c0.mv,
                                ref_idx=c0.ref_idx,
                                inter_dir=c0.inter_dir, mv1=c0.mv1,
-                               ref_idx1=c0.ref_idx1)]
+                               ref_idx1=c0.ref_idx1,
+                               tq_bypass=tqb)]
             # merge 4 same-mode intra CUs into one 32x32 intra CU
             elif (bpc == 2 and len(cus) == 4 and
                   all((not c.is_inter) and not c.part_nxn
@@ -935,7 +940,8 @@ class Encoder:
                     merged.update(c.coeffs)
                 cus = [CodedCU(cx * 32, cy * 32, 5,
                                (cus[0].luma_modes[0],),
-                               cus[0].chroma_idx, merged)]
+                               cus[0].chroma_idx, merged,
+                               tq_bypass=tqb)]
             return cus
 
         def encode_ctu_at(syn_, ir_, cx, cy, last):

@@ -46,6 +46,7 @@ class CodedCU:
     chroma_idx: int = 4                  # intra_chroma_pred_mode index; 4=DM
     coeffs: Dict = field(default_factory=dict)
     is_inter: bool = False
+    tq_bypass: bool = False              # cu_transquant_bypass_flag
     mv: Tuple[int, int] = (0, 0)         # qpel, list 0
     ref_idx: int = 0
     inter_dir: int = 1                   # 1=L0, 2=L1, 3=BI
@@ -261,6 +262,8 @@ class SliceSyntaxEncoder:
 
     # -- coding_unit (7.3.8.5) --------------------------------------------------
     def _coding_unit(self, ir: BinIR, cu: CodedCU) -> None:
+        if self.pps.transquant_bypass:
+            ir.cbin(1 if cu.tq_bypass else 0, OFF["TQ_BYPASS"])
         if self.slice_type != 2:
             self._coding_unit_p(ir, cu)
         else:
@@ -696,8 +699,14 @@ class SliceSyntaxDecoder:
         cus.append(self._coding_unit(x0, y0, log2_size))
 
     def _coding_unit(self, x0, y0, log2) -> CodedCU:
+        self._tqb = False
+        if self.pps.transquant_bypass:
+            self._tqb = bool(self.dec.decode_bin(self.states,
+                                                 OFF["TQ_BYPASS"]))
         if self.slice_type != 2:
-            return self._coding_unit_p(x0, y0, log2)
+            cu = self._coding_unit_p(x0, y0, log2)
+            cu.tq_bypass = self._tqb
+            return cu
         cu = self._coding_unit_intra(x0, y0, log2)
         self.imaps.set_cu(x0, y0, log2, None)
         return cu
@@ -851,6 +860,7 @@ class SliceSyntaxDecoder:
         else:
             chroma_idx = 4
         cu = CodedCU(x0, y0, log2, tuple(modes), chroma_idx)
+        cu.tq_bypass = getattr(self, "_tqb", False)
         self._transform_tree(cu, x0, y0, log2, 0, 0, True, True)
         return cu
 

@@ -38,7 +38,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   mc_pred=None, inter_mask=None, sign_hide: bool = False,
                   skip_in=None, rdoq: bool = False, qmats=None,
                   dmats=None, split_map=None, modes8=None, av8=None,
-                  m8=(None, None)):
+                  m8=(None, None), lossless: bool = False):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -78,6 +78,19 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     gxc = jnp.clip(gx, 0, orig.shape[1] - 1)
     org = orig[gyc, gxc].astype(jnp.int32)
     resi = org - pred
+    if lossless:
+        # transquant bypass (spec 8.6.1): residual samples ARE the
+        # coded coefficients; reconstruction is exact
+        lev = resi
+        recon = org
+        skip = None
+        if mc_pred is not None:
+            skip = (~intra_mask) & \
+                (jnp.sum(jnp.abs(resi), axis=(1, 2)) == 0)
+            lev = jnp.where(skip[:, None, None], 0, lev)
+        plane = plane.at[jnp.clip(gy, 0, hp - 1), gx].set(recon)
+        levels = levels.at[by, bx].set(lev)
+        return plane, levels, skip
     coef = dct_batch(resi, log2n, bit_depth)
     lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth) if rdoq \
         else quant_dyn(coef, intra_mask, qp, log2n, bit_depth, qmats)
@@ -190,7 +203,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     qp, qp_cb, qp_cr, bit_depth: int = 8,
                     sign_hide: bool = False, rdoq: bool = False,
                     mats=None, split_map=None, modes8=None, sb_av8=None,
-                    sb_av4c=None):
+                    sb_av4c=None, lossless: bool = False):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -228,7 +241,8 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             mats[1] if mats else None,
             split_map, modes8,
             sb_av8[s] if sb_av8 is not None else None,
-            (mats[2] if mats else None, mats[3] if mats else None))
+            (mats[2] if mats else None, mats[3] if mats else None),
+            lossless)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         m4 = (None, None)                    # 4x4 lists are flat
@@ -238,14 +252,14 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             skip_map, rdoq, mats[2] if mats else None,
             mats[3] if mats else None,
             split_map, modes8,
-            sb_av4c[s] if sb_av4c is not None else None, m4)
+            sb_av4c[s] if sb_av4c is not None else None, m4, lossless)
         vp, lev_v, _ = _substep_body(
             vp, lev_v, ov, bx, by, md, sb_avc[s],
             3, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
             skip_map, rdoq, mats[2] if mats else None,
             mats[3] if mats else None,
             split_map, modes8,
-            sb_av4c[s] if sb_av4c is not None else None, m4)
+            sb_av4c[s] if sb_av4c is not None else None, m4, lossless)
         return yp, up, vp, lev_y, lev_u, lev_v, skip_map
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map)
@@ -255,7 +269,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
 
 _wavefront_run = jax.jit(
     _wavefront_body,
-    static_argnames=("bit_depth", "sign_hide", "rdoq"),
+    static_argnames=("bit_depth", "sign_hide", "rdoq", "lossless"),
     donate_argnums=(0, 1, 2, 3, 4, 5),
 )
 
@@ -291,7 +305,7 @@ class IntraReconstructor:
     def __init__(self, sps, cb_qp_offset: int = 0,
                  cr_qp_offset: int = 0, sign_hide: bool = False,
                  rdoq: bool = False, slice_tops: tuple = (),
-                 nxn: bool = False) -> None:
+                 nxn: bool = False, lossless: bool = False) -> None:
         self.sps = sps
         self.cb_qp_offset = cb_qp_offset
         self.cr_qp_offset = cr_qp_offset
@@ -322,6 +336,7 @@ class IntraReconstructor:
         self.bpc = (1 << self.log2_ctu) // self.nl
         self.slice_tops = tuple(slice_tops)
         self.nxn = bool(nxn)
+        self.lossless = bool(lossless)
         self._build_schedule()
 
     def _build_schedule(self) -> None:
@@ -449,7 +464,8 @@ class IntraReconstructor:
             qp_map[0], qp_map[1], qp_map[2], self.bd,
             self.sign_hide, self.rdoq, self.mats, sm, m8j,
             self.sb_av8 if split_map is not None else None,
-            self.sb_av4c if split_map is not None else None)
+            self.sb_av4c if split_map is not None else None,
+            self.lossless)
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller

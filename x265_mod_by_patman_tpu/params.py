@@ -99,6 +99,7 @@ class EncoderParams:
 
     scaling_list: str = "off"       # off | default
     nxn_intra: bool = False         # 8x8 intra PUs (NxN at min CU 16)
+    lossless: bool = False          # transquant bypass everywhere
 
     # analysis / RDO
     rd_level: int = 2
@@ -163,6 +164,16 @@ class EncoderParams:
         if p.keyframe_max <= 1:
             p.keyframe_max = 1
             p.bframes = 0
+        if p.lossless:
+            # x265 --lossless analog: bypass transform/quant and the
+            # loop filters; rate tools are meaningless
+            p.deblock = False
+            p.sao = False
+            p.sign_hide = False
+            p.rdoq_level = 0
+            p.aq_mode = 0
+            p.cu_tree = False
+            p.scaling_list = "off"
         if p.nxn_intra:
             # NxN PUs exist only at min CU size (spec 7.4.9.4); our NxN
             # CU is 16x16 with 8x8 PUs/TUs
