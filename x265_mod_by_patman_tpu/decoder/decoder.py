@@ -187,6 +187,7 @@ class Decoder:
         self._ref_l0: List[tuple] = []
         self._ref_l1: List[tuple] = []
         self._tq_bypass = False
+        self._col_store = {}                  # poc -> ColMotion
         self.prefix_seis: List[tuple] = []    # (payload_type, bytes)
         self._cur_wp = None                   # (denom, per-L0-ref (w,o))
 
@@ -253,8 +254,9 @@ class Decoder:
             poc = br.u(sps.log2_max_poc_lsb)
             assert br.flag() == 0          # short_term_ref_pic_set_sps_flag
             rps_neg, rps_pos = self._parse_st_rps(br)
+            sh_tmvp = False
             if sps.temporal_mvp:
-                br.flag()
+                sh_tmvp = bool(br.flag())
         sao_luma = sao_chroma = False
         if sps.sao_enabled:
             sao_luma = br.flag()
@@ -273,6 +275,13 @@ class Decoder:
             num_refs = (n_l0, n_l1 if slice_type == 0 else 0)
             if slice_type == 0:
                 br.flag()                  # mvd_l1_zero
+            if sh_tmvp:
+                col_l0 = True
+                if slice_type == 0:
+                    col_l0 = bool(br.flag())   # collocated_from_l0
+                ncol = n_l0 if col_l0 else n_l1
+                if ncol > 1:
+                    br.ue()                    # collocated_ref_idx
             self._cur_wp = None
             if pps.weighted_pred and slice_type == 1:
                 self._cur_wp = self._parse_pred_weight_table(br, n_l0)
@@ -303,9 +312,12 @@ class Decoder:
         ref_pocs = (tuple(l0_pocs), tuple(l1_pocs))
 
         states = init_states(slice_type, qp)
+        col = None
+        if not is_idr(nal_type) and sh_tmvp and l0_pocs:
+            col = self._col_store.get(l0_pocs[0])
         syn = SliceSyntaxDecoder(CabacDecoder(data), states, sps, pps, qp,
                                  slice_type, max_merge, num_refs,
-                                 ref_pocs, poc)
+                                 ref_pocs, poc, col_motion=col)
 
         h, w = sps.height, sps.width
         n_ctu_x = sps.pic_width_in_ctus
@@ -445,7 +457,28 @@ class Decoder:
         pic.md5 = plane_md5(pic.y, pic.u, pic.v, bit_depth=sps.bit_depth)
         if is_idr(nal_type):
             self._dpb.clear()
+            self._col_store.clear()
         self._dpb[poc] = (pic.y, pic.u, pic.v)
+        if sps.temporal_mvp:
+            from ..entropy.mv_pred import ColMotion
+            nby, nbx = h // 16, w // 16
+            d = np.zeros((nby, nbx), np.int8)
+            mv = np.zeros((nby, nbx, 2, 2), np.int32)
+            rp = np.zeros((nby, nbx, 2), np.int64)
+            for cu in all_cus:
+                if not cu.is_inter:
+                    continue
+                n16 = max(1, (1 << cu.log2_size) // 16)
+                sl = (slice(cu.y0 // 16, cu.y0 // 16 + n16),
+                      slice(cu.x0 // 16, cu.x0 // 16 + n16))
+                d[sl] = cu.inter_dir
+                mv[sl + (0,)] = cu.mv
+                mv[sl + (1,)] = cu.mv1
+                if cu.inter_dir & 1:
+                    rp[sl + (0,)] = ref_pocs[0][cu.ref_idx]
+                if cu.inter_dir & 2:
+                    rp[sl + (1,)] = ref_pocs[1][cu.ref_idx1]
+            self._col_store[poc] = ColMotion(poc, d, mv, rp)
         return pic
 
     def _parse_st_rps(self, br: BitReader):

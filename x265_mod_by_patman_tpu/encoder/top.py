@@ -93,7 +93,8 @@ class Encoder:
                                         or self._cutree is not None)
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = bool(self.p.sao)
-        self.sps.temporal_mvp = False
+        self.sps.temporal_mvp = bool(self.p.temporal_mvp) and \
+            self.p.keyframe_max > 1
         # slice bands (reference --slices, frameencoder.cpp
         # m_sliceBaseRow): contiguous CTU-row bands, even split
         ncy = self.p.pic_height_in_ctus
@@ -117,6 +118,7 @@ class Encoder:
         self._queue: List[tuple] = []  # (padded planes, poc)
         # DPB: anchor reference pictures, newest first: [(planes, poc)..]
         self._anchors: List[tuple] = []
+        self._col_store: Dict[int, object] = {}   # poc -> ColMotion
         self.max_refs = max(1, min(self.p.max_num_references, 4))
         self._headers_sent = False
         self.bframes = max(0, self.p.bframes) if self.p.keyframe_max > 1 \
@@ -702,9 +704,46 @@ class Encoder:
                              bits=len(out) * 8, md5=md5, slice_type=ftype,
                              qp=qp, disp=self._idr_base + poc)
         self.rc.update(rc_type, qp, frame.bits, complexity)
+        if self.sps.temporal_mvp and (ftype in ("I", "P") or b_is_ref):
+            self._col_store[poc] = self._build_col_motion(
+                poc, inter_mask, dirs, mvs, mvs1, ref_sel, ref_pocs)
+            # keep the store bounded like the DPB
+            if len(self._col_store) > self.max_refs + 3:
+                for k in sorted(self._col_store)[:-(self.max_refs + 3)]:
+                    del self._col_store[k]
         if ftype == "I":
             self._anchors = [(frame.recon, poc)]
+            self._col_store = {k: v for k, v in self._col_store.items()
+                               if k == poc}
         return frame
+
+    def _build_col_motion(self, poc, inter_mask, dirs, mvs, mvs1,
+                          ref_sel, ref_pocs):
+        """16x16-grid compressed motion field of this picture for TMVP
+        (the reference's motion compression of colMVs)."""
+        from ..entropy.mv_pred import ColMotion
+        nby, nbx = self.recon.nby, self.recon.nbx
+        d = np.zeros((nby, nbx), np.int8)
+        mv = np.zeros((nby, nbx, 2, 2), np.int32)
+        rp = np.zeros((nby, nbx, 2), np.int64)
+        if inter_mask is not None and inter_mask.any():
+            if dirs is None:
+                dd = np.where(inter_mask, 1, 0)
+            else:
+                dd = np.where(inter_mask, dirs, 0)
+            d[:] = dd.astype(np.int8)
+            mv[..., 0, :] = mvs
+            if mvs1 is not None:
+                mv[..., 1, :] = mvs1
+            if ref_pocs[0]:
+                tab = np.asarray(ref_pocs[0], np.int64)
+                if ref_sel is not None:
+                    rp[..., 0] = tab[np.clip(ref_sel, 0, len(tab) - 1)]
+                else:
+                    rp[..., 0] = tab[0]
+            if ref_pocs[1]:
+                rp[..., 1] = ref_pocs[1][0]
+        return ColMotion(poc, d, mv, rp)
 
     def _deblock(self, r: dict, inter_mask, mvs, mvs1, dirs, ref_pocs,
                  qp: int, recon, ref_sel=None, split_map=None) -> None:
@@ -846,9 +885,16 @@ class Encoder:
                 [(kp - poc, False) for kp in keep_pocs if kp > poc]
             sh.st_rps_neg = tuple(sorted(neg, reverse=True))
             sh.st_rps_pos = tuple(sorted(pos))
+        col = None
+        if sps.temporal_mvp and ftype != "I" and ref_pocs[0]:
+            col = self._col_store.get(ref_pocs[0][0])
+        sh.temporal_mvp = sps.temporal_mvp and ftype != "I" and \
+            col is not None
         syn = SliceSyntaxEncoder(sps, pps, qp, slice_type, MAX_MERGE,
                                  num_refs=num_refs, ref_pocs=ref_pocs,
-                                 cur_poc=poc)
+                                 cur_poc=poc,
+                                 col_motion=col if sh.temporal_mvp
+                                 else None)
         n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
         use_wpp = pps.entropy_coding_sync and n_ctu_y > 1
         rec = self.recon
@@ -965,7 +1011,8 @@ class Encoder:
             for bi, (r0, r1) in enumerate(self._slice_bands):
                 syn_b = SliceSyntaxEncoder(sps, pps, qp, slice_type,
                                            MAX_MERGE, num_refs=num_refs,
-                                           ref_pocs=ref_pocs, cur_poc=poc)
+                                           ref_pocs=ref_pocs, cur_poc=poc,
+                                           col_motion=syn.col)
                 ir_b = BinIR(1 << 18)
                 for cy in range(r0, r1):
                     for cx in range(n_ctu_x):

@@ -148,7 +148,7 @@ class SliceSyntaxEncoder:
 
     def __init__(self, sps, pps, slice_qp: int, slice_type: int = 2,
                  max_merge: int = 3, num_refs=(1, 0), ref_pocs=((), ()),
-                 cur_poc: int = 0) -> None:
+                 cur_poc: int = 0, col_motion=None) -> None:
         self.sps = sps
         self.pps = pps
         self.qp = slice_qp
@@ -165,6 +165,7 @@ class SliceSyntaxEncoder:
                               for i in range(self.num_refs[1])))
         self.ref_pocs = ref_pocs
         self.cur_poc = cur_poc
+        self.col = col_motion
         self.maps = FrameSyntaxMaps(sps.width, sps.height)
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
@@ -287,7 +288,8 @@ class SliceSyntaxEncoder:
             mot = cu.motion()
             mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
                                      self.max_merge, self.num_refs,
-                                     self.ref_pocs)
+                                     self.ref_pocs, self.col,
+                                     self.cur_poc)
             midx = mlist.index(mot) if mot in mlist else -1
             if midx >= 0 and not has_resi:
                 # SKIP
@@ -313,7 +315,8 @@ class SliceSyntaxEncoder:
                         self._ref_idx(ir, mot.ref(lst), lst)
                     alist = amvp_candidates(self.imaps, x0, y0, nbs, z0,
                                             lst, mot.ref(lst),
-                                            self.ref_pocs, self.cur_poc)
+                                            self.ref_pocs, self.cur_poc,
+                                            self.col)
                     mv = mot.mv(lst)
                     costs = [mvd_bits(mv[0] - c[0], mv[1] - c[1])
                              for c in alist]
@@ -554,7 +557,7 @@ class SliceSyntaxDecoder:
     def __init__(self, dec: CabacDecoder, states: np.ndarray, sps, pps,
                  slice_qp: int, slice_type: int = 2, max_merge: int = 3,
                  num_refs=(1, 0), ref_pocs=((), ()),
-                 cur_poc: int = 0) -> None:
+                 cur_poc: int = 0, col_motion=None) -> None:
         self.dec = dec
         self.states = states
         self.sps = sps
@@ -573,6 +576,7 @@ class SliceSyntaxDecoder:
                               for i in range(self.num_refs[1])))
         self.ref_pocs = ref_pocs
         self.cur_poc = cur_poc
+        self.col = col_motion
         self.maps = FrameSyntaxMaps(sps.width, sps.height)
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
@@ -726,7 +730,8 @@ class SliceSyntaxDecoder:
             midx = self._merge_idx()
             mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
                                      self.max_merge, self.num_refs,
-                                     self.ref_pocs)
+                                     self.ref_pocs, self.col,
+                                     self.cur_poc)
             mot = mlist[midx]
             cu = self._cu_from_motion(x0, y0, log2, mot, was_skip=True)
             self.imaps.set_cu(x0, y0, log2, mot, skip=True)
@@ -741,7 +746,8 @@ class SliceSyntaxDecoder:
             midx = self._merge_idx()
             mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
                                      self.max_merge, self.num_refs,
-                                     self.ref_pocs)
+                                     self.ref_pocs, self.col,
+                                     self.cur_poc)
             mot = mlist[midx]
             cu = self._cu_from_motion(x0, y0, log2, mot)
             self.imaps.set_cu(x0, y0, log2, mot)
@@ -762,7 +768,7 @@ class SliceSyntaxDecoder:
             mvp_idx = dec.decode_bin(states, OFF["MVP_IDX"])
             alist = amvp_candidates(self.imaps, x0, y0, nbs, z0, lst,
                                     refs[lst], self.ref_pocs,
-                                    self.cur_poc)
+                                    self.cur_poc, self.col)
             mvs[lst] = (alist[mvp_idx][0] + mvd[0],
                         alist[mvp_idx][1] + mvd[1])
         mot = Motion(d, mvs[0], refs[0], mvs[1], refs[1])

@@ -5,7 +5,9 @@ Analog of the reference's CUData::getInterMergeCandidates / getPMV
 stage and the validation decoder so both sides derive identical lists.
 
 Full two-list (B slice) motion with POC-distance MV scaling for spatial
-AMVP candidates; temporal MVP is not used (slice_temporal_mvp off).
+AMVP candidates, plus TMVP: the collocated picture's 16x16-compressed
+motion field (spec motion compression) provides the temporal merge and
+AMVP candidates (8.5.3.2.8/9) with POC scaling.
 """
 from __future__ import annotations
 
@@ -35,6 +37,53 @@ class Motion:
 
     def has(self, lst: int) -> bool:
         return bool(self.dir & (1 << lst))
+
+
+@dataclass
+class ColMotion:
+    """16x16-grid compressed motion field of a reference picture, with
+    the POCs needed for temporal MV scaling (the reference's colMV
+    storage after motion compression)."""
+    poc: int
+    dir: "np.ndarray"                  # (nby, nbx) int8 (0 = intra)
+    mv: "np.ndarray"                   # (nby, nbx, 2, 2) int32 qpel
+    ref_poc: "np.ndarray"              # (nby, nbx, 2) int64
+
+
+def temporal_candidate(col: ColMotion, x0: int, y0: int, nbs: int,
+                       lst: int, target_poc: int, cur_poc: int,
+                       pic_w: int, pic_h: int, log2_ctu: int,
+                       low_delay: bool) -> Optional[Tuple[int, int]]:
+    """Temporal MV for list `lst` targeting ref `target_poc` (spec
+    8.5.3.2.8): bottom-right col block C0 (same CTU row only), center
+    C1 fallback; col list choice per 8.5.3.2.9; POC-distance scaling."""
+    c0 = (x0 + nbs, y0 + nbs)
+    c1 = (x0 + (nbs >> 1), y0 + (nbs >> 1))
+    for i, (xc, yc) in enumerate((c0, c1)):
+        if xc >= pic_w or yc >= pic_h:
+            continue
+        if i == 0 and (yc >> log2_ctu) != (y0 >> log2_ctu):
+            continue                   # C0 must not cross the CTU row
+        bx, by = xc >> 4, yc >> 4
+        d = int(col.dir[by, bx])
+        if d == 0:
+            continue
+        if d == 1:
+            l = 0
+        elif d == 2:
+            l = 1
+        else:
+            # bi col block: low-delay streams take the target list,
+            # otherwise the backward list (collocated_from_l0 == 1)
+            l = lst if low_delay else 1
+        col_ref = int(col.ref_poc[by, bx, l])
+        td = col.poc - col_ref
+        tb = cur_poc - target_poc
+        if td == 0:
+            continue
+        mv = (int(col.mv[by, bx, l, 0]), int(col.mv[by, bx, l, 1]))
+        return _scale_mv(mv, tb, td)
+    return None
 
 
 def uni_motion(lst: int, mv: Tuple[int, int], ref: int) -> Motion:
@@ -107,10 +156,12 @@ class InterMaps:
 
 def merge_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
                      z0: int, max_cands: int = 3,
-                     num_refs=(1, 0), ref_pocs=None) -> List[Motion]:
-    """Spatial merge candidate list for a 2Nx2N PU (spec 8.5.3.2.3);
-    temporal candidate omitted.  Combined-bi stage (8.5.3.2.4 needs ref
-    POCs) then zero fill (bi zeros for B, L0 zeros for P)."""
+                     num_refs=(1, 0), ref_pocs=None,
+                     col: Optional[ColMotion] = None,
+                     cur_poc: int = 0) -> List[Motion]:
+    """Merge candidate list for a 2Nx2N PU (spec 8.5.3.2.3): spatial,
+    temporal (when a collocated field is given), combined-bi
+    (8.5.3.2.4), zero fill (bi zeros for B, L0 zeros for P)."""
     a1 = maps.motion_at(x0 - 1, y0 + nbs - 1, z0)
     b1 = maps.motion_at(x0 + nbs - 1, y0 - 1, z0)
     b0 = maps.motion_at(x0 + nbs, y0 - 1, z0)
@@ -128,6 +179,26 @@ def merge_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
         b2 = maps.motion_at(x0 - 1, y0 - 1, z0)
         if b2 is not None and b2 != a1 and b2 != b1:
             cands.append(b2)
+    is_b_ = num_refs[1] > 0
+    if col is not None and len(cands) < max_cands:
+        low_delay = all(rp <= cur_poc
+                        for lst_p in (ref_pocs or ((), ()))
+                        for rp in lst_p)
+        mv0 = temporal_candidate(col, x0, y0, nbs, 0, ref_pocs[0][0],
+                                 cur_poc, maps.w, maps.h, maps.log2_ctu,
+                                 low_delay)
+        mv1 = None
+        if is_b_ and ref_pocs[1]:
+            mv1 = temporal_candidate(col, x0, y0, nbs, 1,
+                                     ref_pocs[1][0], cur_poc, maps.w,
+                                     maps.h, maps.log2_ctu, low_delay)
+        if mv0 is not None or mv1 is not None:
+            d = (1 if mv0 is not None else 0) | \
+                (2 if mv1 is not None else 0)
+            cands.append(Motion(d, mv0 or (0, 0),
+                                0 if mv0 is not None else -1,
+                                mv1 or (0, 0),
+                                0 if mv1 is not None else -1))
     # combined bi-predictive candidates (spec 8.5.3.2.4) are only derived
     # from existing bi lists; with spatial-only cands and no TMVP the
     # combined stage contributes when two uni cands of opposite lists
@@ -179,7 +250,9 @@ def _scale_mv(mv: Tuple[int, int], tb: int, td: int) -> Tuple[int, int]:
 
 def amvp_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
                     z0: int, lst: int, ref_idx: int,
-                    ref_pocs, cur_poc: int) -> List[Tuple[int, int]]:
+                    ref_pocs, cur_poc: int,
+                    col: Optional[ColMotion] = None
+                    ) -> List[Tuple[int, int]]:
     """AMVP list (2 entries) for list `lst` (spec 8.5.3.2.6/7).
 
     ref_pocs: (pocs_l0, pocs_l1) tuples of reference POCs.
@@ -232,6 +305,13 @@ def amvp_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
         cands.append(mv_a)
     if mv_b is not None and mv_b != mv_a:
         cands.append(mv_b)
+    if col is not None and len(cands) < 2:
+        low_delay = all(rp <= cur_poc for lp in ref_pocs for rp in lp)
+        t = temporal_candidate(col, x0, y0, nbs, lst, target_poc,
+                               cur_poc, maps.w, maps.h, maps.log2_ctu,
+                               low_delay)
+        if t is not None and t not in cands:
+            cands.append(t)
     while len(cands) < 2:
         cands.append((0, 0))
     return cands[:2]

@@ -96,6 +96,7 @@ class EncoderParams:
     info_sei: bool = True           # x265 user-data encoder-info SEI
 
     weightp: bool = True            # x265 --weightp (default on)
+    temporal_mvp: bool = True       # x265 --tmvp analog (TMVP on)
 
     scaling_list: str = "off"       # off | default
     nxn_intra: bool = False         # 8x8 intra PUs (NxN at min CU 16)
