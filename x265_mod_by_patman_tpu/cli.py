@@ -68,6 +68,9 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="x265-tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--version", "-V", action="version",
+                    version="x265-tpu 0.1 (HEVC encoder, "
+                            "TPU-native jax/XLA build)")
     ap.add_argument("--input", required=True, help=".y4m or raw .yuv")
     ap.add_argument("--output", "-o", required=True, help="Annex-B .hevc")
     ap.add_argument("--input-res", default=None, help="WxH for raw yuv")

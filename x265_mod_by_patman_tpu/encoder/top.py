@@ -200,23 +200,48 @@ class Encoder:
         return qp
 
     def _aq_map(self, y: np.ndarray, qp: int):
-        """Variance-based per-CTU QP offsets (reference aq-mode 1,
-        slicetype.cpp calcAdaptiveQuantFrame:490).  Returns an
-        (nCtuY, nCtuX) int map, or the scalar qp when AQ is off."""
-        if self.p.aq_mode <= 0:
+        """Per-CTU QP offsets (reference aq modes 1-4,
+        slicetype.cpp calcAdaptiveQuantFrame:490 / edgeDensityCu:278):
+        1 variance, 2 auto-variance (z-score normalized), 3 +dark-scene
+        bias, 4 edge-density blended.  Returns an (nCtuY, nCtuX) int
+        map, or the scalar qp when AQ is off."""
+        mode = self.p.aq_mode
+        if mode <= 0:
             return qp
         ctu = 1 << self.sps.log2_ctu_size
         h, w = y.shape
         ncy = -(-h // ctu)
         ncx = -(-w // ctu)
         var = np.zeros((ncy, ncx))
+        mean = np.zeros((ncy, ncx))
+        edge = np.zeros((ncy, ncx))
         yv = y.astype(np.int64)
+        gx = np.abs(np.diff(yv, axis=1, prepend=yv[:, :1]))
+        gy = np.abs(np.diff(yv, axis=0, prepend=yv[:1]))
+        g = gx + gy
         for cy in range(ncy):
             for cx in range(ncx):
                 t = yv[cy * ctu:(cy + 1) * ctu, cx * ctu:(cx + 1) * ctu]
                 var[cy, cx] = t.var()
+                mean[cy, cx] = t.mean()
+                edge[cy, cx] = g[cy * ctu:(cy + 1) * ctu,
+                                 cx * ctu:(cx + 1) * ctu].mean()
         lv = np.log2(var + 1.0)
-        off = np.rint(self.p.aq_strength * (lv - lv.mean()))
+        if mode == 1:
+            off = self.p.aq_strength * (lv - lv.mean())
+        else:
+            sd = max(lv.std(), 1e-3)
+            off = self.p.aq_strength * 1.5 * (lv - lv.mean()) / sd
+            if mode == 3:
+                # darker blocks get lower QP (reference dark bias)
+                off = off - np.where(mean < 60, 1.5,
+                                     np.where(mean < 100, 0.5, 0.0))
+            if mode == 4:
+                le = np.log2(edge + 1.0)
+                se = max(le.std(), 1e-3)
+                off = 0.5 * off + self.p.aq_strength * 0.75 * \
+                    (le - le.mean()) / se
+        off = np.rint(off)
         return np.clip(qp + np.clip(off, -6, 6), self.p.qp_min,
                        min(51, self.p.qp_max)).astype(np.int32)
 
