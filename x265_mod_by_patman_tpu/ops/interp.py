@@ -137,7 +137,15 @@ def mc_batch(ref, x0, y0, mv_x, mv_y, n: int, c_idx: int = 0,
     ix = x0 + (mv_x >> fb)
     iy = y0 + (mv_y >> fb)
     win = _gather_windows(ref, ix, iy, n, nt)        # (B, n+nt-1, n+nt-1)
+    return _mc_core(win, fx, fy, n, nt, taps_np, bit_depth)
 
+
+def _mc_core(win, fx, fy, n: int, nt: int, taps_np, bit_depth: int):
+    """Exact pixel-output MC on pre-gathered windows (the filtering +
+    two-stage rounding core of mc_batch)."""
+    half = nt // 2 - 1
+    shift1 = bit_depth - 8
+    maxv = (1 << bit_depth) - 1
     taps = jnp.asarray(taps_np)                      # (F, nt)
     tx = taps[fx]                                    # (B, nt)
     ty = taps[fy]                                    # (B, nt)

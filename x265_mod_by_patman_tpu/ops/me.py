@@ -115,15 +115,51 @@ def subpel_refine_batch(ref, orig, x0, y0, mv_x, mv_y,
                         pred_mv_x, pred_mv_y, lambda_x256: int, n: int,
                         bit_depth: int = 8):
     """Half- then quarter-pel refinement with SATD (one iteration each,
-    reference subme-2 equivalent).  MVs in/out in QPEL units."""
+    reference subme-2 equivalent).  MVs in/out in QPEL units.
+
+    TPU shape: ONE superset window gather per block covers every
+    refinement candidate (their integer parts differ by at most +-1 px
+    from the half-stage center), so the 18 candidate evaluations are
+    pure VMEM-resident filtering — no per-candidate gathers (the XLA
+    gather lowering was the dominant cost of P analysis on TPU)."""
+    from .interp import _mc_core, LUMA_FILTER, LUMA_TAPS
     h, w = ref.shape
+    nt = LUMA_TAPS
+    half = nt // 2 - 1
     gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
     gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
     org = orig[jnp.clip(gy, 0, h - 1), jnp.clip(gx, 0, w - 1)] \
         .astype(jnp.int32)
 
+    # superset window around the integer-pel search result: candidates
+    # span int offsets {-1, 0, +1} relative to it (clamped coordinate
+    # reads commute with slicing, so edge replication stays exact)
+    sz = n + nt + 1
+    base_ix = x0 + (mv_x >> 2)
+    base_iy = y0 + (mv_y >> 2)
+    dy = jnp.arange(sz)[None, :, None]
+    dx = jnp.arange(sz)[None, None, :]
+    ys = jnp.clip(base_iy[:, None, None] - half - 1 + dy, 0, h - 1)
+    xs = jnp.clip(base_ix[:, None, None] - half - 1 + dx, 0, w - 1)
+    win9 = ref[ys, xs].astype(jnp.int32)
+    base_int_x = mv_x >> 2
+    base_int_y = mv_y >> 2
+
     def cost_at(mx, my):
-        pred = mc_batch(ref, x0, y0, mx, my, n, 0, bit_depth)
+        rx = (mx >> 2) - base_int_x + 1          # {0, 1, 2}
+        ry = (my >> 2) - base_int_y + 1
+        we = n + nt - 1
+        # select the candidate's (n+nt-1)^2 window among 9 static crops
+        rows = jnp.where((ry == 0)[:, None, None], win9[:, 0:we, :],
+                         jnp.where((ry == 1)[:, None, None],
+                                   win9[:, 1:we + 1, :],
+                                   win9[:, 2:we + 2, :]))
+        wc = jnp.where((rx == 0)[:, None, None], rows[:, :, 0:we],
+                       jnp.where((rx == 1)[:, None, None],
+                                 rows[:, :, 1:we + 1],
+                                 rows[:, :, 2:we + 2]))
+        pred = _mc_core(wc, mx & 3, my & 3, n, nt, LUMA_FILTER,
+                        bit_depth)
         satd = satd_batch(org, pred)
         bits = mv_bits(mx - pred_mv_x, my - pred_mv_y)
         return satd + ((lambda_x256 * bits) >> 8)
@@ -134,17 +170,23 @@ def subpel_refine_batch(ref, orig, x0, y0, mv_x, mv_y,
              (-1, -1), (1, -1), (-1, 1), (1, 1)]
 
     def refine(mx, my, offs):
-        best = None
-        bx, by = mx, my
-        for (ox, oy) in offs:
-            c = cost_at(mx + ox, my + oy)
-            if best is None:
-                best, bx, by = c, mx + ox, my + oy
-            else:
-                upd = c < best
-                best = jnp.where(upd, c, best)
-                bx = jnp.where(upd, mx + ox, bx)
-                by = jnp.where(upd, my + oy, by)
+        # one traced body scanned over the 9 candidates (compile-size
+        # control: the 18-candidate unrolled graph blew up XLA compile)
+        offs_a = jnp.asarray(offs, jnp.int32)
+
+        def body(carry, o):
+            best, bx, by = carry
+            cx = mx + o[0]
+            cy = my + o[1]
+            c = cost_at(cx, cy)
+            first = best < 0
+            upd = first | (c < best)
+            return (jnp.where(upd, c, best),
+                    jnp.where(upd, cx, bx),
+                    jnp.where(upd, cy, by)), None
+
+        init = (jnp.full(mx.shape, -1, jnp.int32), mx, my)
+        (best, bx, by), _ = jax.lax.scan(body, init, offs_a)
         return bx, by, best
 
     mx, my, cost = refine(mv_x, mv_y, offs8)
