@@ -44,6 +44,7 @@ from ..analysis.lookahead import CuTreeLookahead
 from ..frame.recon_intra import IntraReconstructor, chroma_qp
 from ..ops.deblock import (
     chroma_on_maps, deblock_frame_batch, inter_bs_maps, intra_bs_maps)
+from ..utils import trace
 
 MAX_MERGE = 3
 QP_OFFSET = {"I": -3, "P": 0, "B": 2}    # x265 CQP ip/pb factor analog
@@ -626,6 +627,7 @@ class Encoder:
         keep_pocs: tuple = ()
         b_is_ref = False
         disp = self._idr_base + poc
+        trace.instant("picture", poc=poc, type=ftype, qp=qp)
         rec_a = self._ana_load.get(disp, ftype) if self._ana_load else None
         split_map = modes8 = None
         if ftype == "I":
@@ -662,7 +664,8 @@ class Encoder:
                 modes, inter_mask, mvs, ref_sel, mc = analyse_p_frame(
                     y, u, v, refs, self.sps, qp,
                     search_range=min(p.search_range, 24), weights=wp_l0)
-            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
+            with trace.scope("wavefront", type="P"):
+                r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (ref0, ref1, keep_pocs, b_is_ref) = b_refs
@@ -688,13 +691,16 @@ class Encoder:
                 split_map=split_map, modes8=modes8)
 
         dqp_map = self._derived_qp_map(qp_map, r)
-        self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs, dqp_map,
-                      recon, ref_sel, split_map)
-        sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
-        slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1, dirs,
-                                        r, ftype, poc, qp, ref_pocs,
-                                        sao_maps, ref_sel, keep_pocs,
-                                        qp_map, wp_l0, split_map, modes8)
+        with trace.scope("loopfilter", type=ftype):
+            self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
+                          dqp_map, recon, ref_sel, split_map)
+            sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
+        with trace.scope("entropy", type=ftype):
+            slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1,
+                                            dirs, r, ftype, poc, qp,
+                                            ref_pocs, sao_maps, ref_sel,
+                                            keep_pocs, qp_map, wp_l0,
+                                            split_map, modes8)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
