@@ -105,8 +105,8 @@ def test_sps_header_fields_parse_back():
 def test_sps_conformance_window():
     p = default_params(1280, 724).validate()
     sps = build_sps_info(p)
-    assert sps.height == 728  # padded to min CU 8
-    assert sps.conf_win_bottom == 2  # chroma units
+    assert sps.height == 736  # padded to the 16-px analysis grid
+    assert sps.conf_win_bottom == 6  # chroma units
 
 
 def test_slice_header_writes():

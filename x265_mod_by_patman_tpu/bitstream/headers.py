@@ -93,8 +93,9 @@ class PPSInfo:
 
 def build_sps_info(p: EncoderParams) -> SPSInfo:
     s = SPSInfo()
-    cu = p.min_cu_size
-    # pad to min CU multiples; signal the crop via the conformance window
+    # pad to the 16-px analysis grid (a legal min-CU multiple); signal
+    # the crop via the conformance window
+    cu = max(16, p.min_cu_size)
     s.width = -(-p.source_width // cu) * cu
     s.height = -(-p.source_height // cu) * cu
     sub = 2 if p.internal_csp == CHROMA_420 else 1

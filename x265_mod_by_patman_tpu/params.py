@@ -160,8 +160,10 @@ class EncoderParams:
         assert 0 <= p.qp <= 51
         p.log2_ctu_size = p.ctu_size.bit_length() - 1
         p.max_cu_depth = p.log2_ctu_size - (p.min_cu_size.bit_length() - 1)
-        p.pic_width_in_ctus = -(-p.source_width // p.ctu_size)
-        p.pic_height_in_ctus = -(-p.source_height // p.ctu_size)
+        cw = -(-p.source_width // 16) * 16     # coded (16-grid padded)
+        ch = -(-p.source_height // 16) * 16
+        p.pic_width_in_ctus = -(-cw // p.ctu_size)
+        p.pic_height_in_ctus = -(-ch // p.ctu_size)
         if p.keyframe_max <= 1:
             p.keyframe_max = 1
             p.bframes = 0
