@@ -12,6 +12,8 @@ from __future__ import annotations
 import math
 from typing import Tuple
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -42,28 +44,63 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     applies the exact 14-bit weighting (spec 8.5.4.3.2).
     Returns (intra_modes (nby,nbx), inter_mask (nby,nbx) bool,
     mvs (nby,nbx,2) qpel, ref_sel (nby,nbx) int32,
-    (mc_y, mc_u, mc_v) per-block predictions)."""
-    h, w = sps.height, sps.width
+    (mc_y, mc_u, mc_v) per-block predictions).
+
+    The whole analysis is ONE jitted program (single device dispatch —
+    the tunnel-attached TPU pays real RPC latency per dispatch, and the
+    unfused form cost ~30 round trips per frame)."""
+    from ..ops.me import _on_tpu
+    bd = sps.bit_depth
+    if weights is None:
+        weights = [None] * len(refs)
+    wpat = tuple(wp is not None for wp in weights)
+    wq = jnp.asarray([wp[0] if wp else 64 for wp in weights], jnp.int32)
+    wo = jnp.asarray([wp[1] if wp else 0 for wp in weights], jnp.int32)
+    oy = jnp.asarray(np.asarray(y, np.int32))
+    rys = jnp.stack([jnp.asarray(np.asarray(r[0], np.int32))
+                     for r in refs])
+    rus = jnp.stack([jnp.asarray(np.asarray(r[1], np.int32))
+                     for r in refs])
+    rvs = jnp.stack([jnp.asarray(np.asarray(r[2], np.int32))
+                     for r in refs])
+    avail = frame_avail_masks(sps.width, sps.height, block,
+                              sps.log2_ctu_size, 0)
+    lam, _ = lambda_qp(qp)
+    lam256 = int(round(lam * 256)) << (bd - 8)
+    out = _p_core(oy, rys, rus, rvs, wq, wo,
+                  jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+                  jnp.int32(lam256), wpat, search_range, block, bd,
+                  sps.log2_ctu_size, _on_tpu(oy))
+    modes, inter, mvs, rsel, mcy, mcu, mcv = out
+    return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
+            np.asarray(rsel),
+            (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
+                              "log2_ctu", "use_pallas"))
+def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
+            search_range: int, block: int, bd: int, log2_ctu: int,
+            use_pallas: bool):
+    h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
     nb = nbx * nby
-    lam, _ = lambda_qp(qp)
-    bd = sps.bit_depth
-    lam256 = int(round(lam * 256)) << (bd - 8)
+    nref = rys.shape[0]
 
     bys, bxs = np.mgrid[0:nby, 0:nbx]
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
     by = jnp.asarray((bys.ravel() * n).astype(np.int32))
-    oy = jnp.asarray(np.asarray(y, np.int32))
-    if weights is None:
-        weights = [None] * len(refs)
-    from .weightp import weighted_plane
+    from .weightp import weighted_plane_jnp
+    weights = [(wq[i], wo[i]) if wpat[i] else None for i in range(nref)]
     ry_all = []
-    for r, wp in zip(refs, weights):
-        ry = np.asarray(r[0], np.int32)
-        if wp is not None:
-            ry = weighted_plane(ry, wp[0], wp[1], bit_depth=bd)
-        ry_all.append(jnp.asarray(ry))
+    for i in range(nref):
+        ry = rys[i]
+        if wpat[i]:
+            ry = weighted_plane_jnp(ry, wq[i], wo[i], bit_depth=bd)
+        ry_all.append(ry)
+    refs = [(rys[i], rus[i], rvs[i]) for i in range(nref)]
 
     gy = by[:, None, None] + jnp.arange(n)[None, :, None]
     gx = bx[:, None, None] + jnp.arange(n)[None, None, :]
@@ -74,7 +111,8 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     pz = jnp.zeros(nb, jnp.int32)
     for ridx, ry in enumerate(ry_all):
         imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256, n,
-                                        search_range)
+                                        search_range,
+                                        use_pallas=use_pallas)
         mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
                                              pz, pz, lam256, n, bd)
         cost = cost + ((lam256 * (2 if ridx else 1)) >> 8)
@@ -99,12 +137,10 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     mvy = jnp.choose(ref_sel, [c[1] for c in cands], mode="clip")
 
     # 3. intra costs (orig-neighbor batched sweep)
-    avail = frame_avail_masks(w, h, n, sps.log2_ctu_size, 0)
-    icosts = _mode_costs(oy,
-                         jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+    icosts = _mode_costs(oy, avail,
                          jnp.asarray(bxs.ravel().astype(np.int32)),
                          jnp.asarray(bys.ravel().astype(np.int32)),
-                         n.bit_length() - 1, sps.bit_depth)
+                         n.bit_length() - 1, bd)
     intra_best = jnp.min(icosts, axis=1)
     intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
 
@@ -123,8 +159,9 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
         bx_ = bx if pi == 0 else bx // 2
         by_ = by if pi == 0 else by // 2
         preds = []
-        for r, wp in zip(refs, weights):
-            rp = jnp.asarray(np.asarray(r[pi], np.int32))
+        for ridx in range(nref):
+            rp = refs[ridx][pi]
+            wp = weights[ridx]
             if pi == 0 and wp is not None:
                 p14 = mc_batch_14(rp, bx_, by_, mvx, mvy, sz, c_idx, bd)
                 preds.append(wp_apply_batch(p14, wp[0], wp[1], 6, bd))
@@ -132,27 +169,29 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                 preds.append(mc_batch(rp, bx_, by_, mvx, mvy, sz,
                                       c_idx, bd))
         sel = preds[0]
-        for ridx in range(1, len(refs)):
+        for ridx in range(1, nref):
             sel = jnp.where((ref_sel == ridx)[:, None, None],
                             preds[ridx], sel)
-        mc.append(np.asarray(sel).reshape(nby, nbx, sz, sz))
+        mc.append(sel.reshape(nby, nbx, sz, sz))
 
-    mvs = np.stack([np.asarray(mvx), np.asarray(mvy)],
-                   axis=-1).reshape(nby, nbx, 2)
-    return (np.asarray(intra_modes).reshape(nby, nbx),
-            np.asarray(use_inter).reshape(nby, nbx),
-            mvs.astype(np.int32),
-            np.asarray(ref_sel).reshape(nby, nbx),
-            tuple(mc))
+    mvs = jnp.stack([mvx, mvy], axis=-1).reshape(nby, nbx, 2) \
+        .astype(jnp.int32)
+    return (intra_modes.reshape(nby, nbx),
+            use_inter.reshape(nby, nbx),
+            mvs,
+            ref_sel.reshape(nby, nbx),
+            mc[0], mc[1], mc[2])
 
 
-def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8):
+def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
+                use_pallas=None):
     """Full search + subpel + neighbor coherence against one reference.
     Returns (mvx, mvy, cost) device arrays."""
     nb = bx.shape[0]
     pz = jnp.zeros(nb, jnp.int32)
     imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256,
-                                    n, search_range)
+                                    n, search_range,
+                                    use_pallas=use_pallas)
     mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
                                          pz, pz, lam256, n, bit_depth)
     h, w = oy.shape
@@ -167,30 +206,52 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                     search_range: int = 16, block: int = 16):
     """B-frame analysis: ME against both anchors + bi-prediction test +
     intra fallback (the batched analog of x265 checkBidir2Nx2N,
-    analysis.cpp:4007).
+    analysis.cpp:4007); ONE jitted program like analyse_p_frame.
 
     ref0/ref1: (y, u, v) plane tuples of the L0 (past) and L1 (future)
     anchors.  Returns (intra_modes, inter_mask, dirs, mv_l0, mv_l1,
     (mc_y, mc_u, mc_v))."""
-    h, w = sps.height, sps.width
+    from ..ops.me import _on_tpu
+    bd = sps.bit_depth
+    lam, _ = lambda_qp(qp)
+    lam256 = int(round(lam * 256)) << (bd - 8)
+    avail = frame_avail_masks(sps.width, sps.height, block,
+                              sps.log2_ctu_size, 0)
+    oy = jnp.asarray(np.asarray(y, np.int32))
+    out = _b_core(oy,
+                  jnp.asarray(np.asarray(ref0[0], np.int32)),
+                  jnp.asarray(np.asarray(ref0[1], np.int32)),
+                  jnp.asarray(np.asarray(ref0[2], np.int32)),
+                  jnp.asarray(np.asarray(ref1[0], np.int32)),
+                  jnp.asarray(np.asarray(ref1[1], np.int32)),
+                  jnp.asarray(np.asarray(ref1[2], np.int32)),
+                  jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+                  jnp.int32(lam256), search_range, block, bd,
+                  _on_tpu(oy))
+    modes, inter, dirs, mv0, mv1, mcy, mcu, mcv = out
+    return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
+            np.asarray(mv0), np.asarray(mv1),
+            (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("search_range", "block", "bd",
+                              "use_pallas"))
+def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
+            search_range: int, block: int, bd: int, use_pallas: bool):
+    h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
     nb = nbx * nby
-    lam, _ = lambda_qp(qp)
-    bd = sps.bit_depth
-    lam256 = int(round(lam * 256)) << (bd - 8)
 
     bys, bxs = np.mgrid[0:nby, 0:nbx]
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
     by = jnp.asarray((bys.ravel() * n).astype(np.int32))
-    oy = jnp.asarray(np.asarray(y, np.int32))
-    r0y = jnp.asarray(np.asarray(ref0[0], np.int32))
-    r1y = jnp.asarray(np.asarray(ref1[0], np.int32))
 
     mv0x, mv0y, cost0, org = _me_one_ref(oy, r0y, bx, by, n, lam256,
-                                         search_range, bd)
+                                         search_range, bd, use_pallas)
     mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y, bx, by, n, lam256,
-                                       search_range, bd)
+                                       search_range, bd, use_pallas)
 
     # bi-prediction of the two best uni MVs (x265 checkBidir2Nx2N)
     p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0, bd)
@@ -200,12 +261,10 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     cost_bi = satd_batch(org, bi_pred) + ((lam256 * bits_bi) >> 8)
 
     # intra fallback
-    avail = frame_avail_masks(w, h, n, sps.log2_ctu_size, 0)
-    icosts = _mode_costs(oy,
-                         jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+    icosts = _mode_costs(oy, avail,
                          jnp.asarray(bxs.ravel().astype(np.int32)),
                          jnp.asarray(bys.ravel().astype(np.int32)),
-                         n.bit_length() - 1, sps.bit_depth)
+                         n.bit_length() - 1, bd)
     intra_best = jnp.min(icosts, axis=1) + ((lam256 * 5) >> 8)
     intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
 
@@ -217,10 +276,6 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                                jnp.where(choice == 2, 3, 0)))
 
     # MC predictions of the chosen mode per block
-    ru0 = jnp.asarray(np.asarray(ref0[1], np.int32))
-    rv0 = jnp.asarray(np.asarray(ref0[2], np.int32))
-    ru1 = jnp.asarray(np.asarray(ref1[1], np.int32))
-    rv1 = jnp.asarray(np.asarray(ref1[2], np.int32))
     nc = n // 2
     is_bi = (dirs == 3)
     use_l0 = (dirs == 1) | is_bi
@@ -236,13 +291,13 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
         bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))
-        mc.append(np.asarray(sel).reshape(nby, nbx, sz, sz))
+        mc.append(sel.reshape(nby, nbx, sz, sz))
 
-    mv_l0 = np.stack([np.asarray(mv0x), np.asarray(mv0y)],
-                     -1).reshape(nby, nbx, 2).astype(np.int32)
-    mv_l1 = np.stack([np.asarray(mv1x), np.asarray(mv1y)],
-                     -1).reshape(nby, nbx, 2).astype(np.int32)
-    return (np.asarray(intra_modes).reshape(nby, nbx),
-            np.asarray(use_inter).reshape(nby, nbx),
-            np.asarray(dirs).reshape(nby, nbx).astype(np.int32),
-            mv_l0, mv_l1, tuple(mc))
+    mv_l0 = jnp.stack([mv0x, mv0y], -1).reshape(nby, nbx, 2) \
+        .astype(jnp.int32)
+    mv_l1 = jnp.stack([mv1x, mv1y], -1).reshape(nby, nbx, 2) \
+        .astype(jnp.int32)
+    return (intra_modes.reshape(nby, nbx),
+            use_inter.reshape(nby, nbx),
+            dirs.reshape(nby, nbx).astype(jnp.int32),
+            mv_l0, mv_l1, mc[0], mc[1], mc[2])

@@ -53,3 +53,13 @@ def weighted_plane(ref: np.ndarray, w: int, o: int,
     r = ref.astype(np.int64)
     return np.clip(((r * w + (1 << (denom - 1))) >> denom) + o,
                    0, maxv).astype(np.int32)
+
+
+def weighted_plane_jnp(ref, w, o, denom: int = LUMA_DENOM,
+                       bit_depth: int = 8):
+    """Traced (jit-safe) pixel-domain weighted reference for ME."""
+    import jax.numpy as jnp
+    maxv = (1 << bit_depth) - 1
+    r = ref.astype(jnp.int32)
+    return jnp.clip(((r * w + (1 << (denom - 1))) >> denom) + o,
+                    0, maxv).astype(jnp.int32)

@@ -91,10 +91,31 @@ def mc_block_ref(ref: np.ndarray, x: int, y: int, mv_x: int, mv_y: int,
 # Batched JAX
 # ---------------------------------------------------------------------------
 
-def _gather_windows(ref, x0, y0, n: int, nt: int):
-    """(B,) block origins -> (B, n+nt-1, n+nt-1) clamped windows."""
+def _on_tpu(a) -> bool:
+    try:
+        return next(iter(a.devices())).platform == "tpu"
+    except (AttributeError, TypeError):
+        return False
+
+
+def _gather_windows(ref, x0, y0, n: int, nt: int, use_pallas=None):
+    """(B,) block origins -> (B, n+nt-1, n+nt-1) clamped windows.
+
+    On TPU the read runs as a pallas DMA kernel over an edge-padded
+    plane (XLA's general-gather lowering of this access dominated P/B
+    analysis); elsewhere it is the clamped XLA gather.  Both produce
+    identical samples for every |MV| within the pad margin."""
+    import os
     ph, pw = ref.shape
     half = nt // 2 - 1
+    if use_pallas is None:
+        ov = os.environ.get("X265TPU_PALLAS")
+        use_pallas = ov != "0" and (ov == "1" or _on_tpu(ref))
+    if use_pallas:
+        from .pallas.gather import MARGIN, pad_plane, window_gather
+        refp = pad_plane(ref)
+        return window_gather(refp, y0 - half + MARGIN,
+                             x0 - half + MARGIN, n + nt - 1)
     dy = jnp.arange(n + nt - 1)[None, :, None]
     dx = jnp.arange(n + nt - 1)[None, None, :]
     ys = jnp.clip(y0[:, None, None] - half + dy, 0, ph - 1)
@@ -116,9 +137,10 @@ def _filt1d(win, taps, axis: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "c_idx", "bit_depth"))
+                   static_argnames=("n", "c_idx", "bit_depth",
+                                    "use_pallas"))
 def mc_batch(ref, x0, y0, mv_x, mv_y, n: int, c_idx: int = 0,
-             bit_depth: int = 8):
+             bit_depth: int = 8, use_pallas=None):
     """Batched MC: (B,) origins + (B,) MVs -> (B, n, n) predictions.
 
     MVs in quarter-pel (luma) / eighth-pel (chroma) units.  All 4
@@ -136,7 +158,7 @@ def mc_batch(ref, x0, y0, mv_x, mv_y, n: int, c_idx: int = 0,
     fy = mv_y & ((1 << fb) - 1)
     ix = x0 + (mv_x >> fb)
     iy = y0 + (mv_y >> fb)
-    win = _gather_windows(ref, ix, iy, n, nt)        # (B, n+nt-1, n+nt-1)
+    win = _gather_windows(ref, ix, iy, n, nt, use_pallas)
     return _mc_core(win, fx, fy, n, nt, taps_np, bit_depth)
 
 
@@ -192,9 +214,10 @@ def _mc_core(win, fx, fy, n: int, nt: int, taps_np, bit_depth: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "c_idx", "bit_depth"))
+                   static_argnames=("n", "c_idx", "bit_depth",
+                                    "use_pallas"))
 def mc_batch_14(ref, x0, y0, mv_x, mv_y, n: int, c_idx: int = 0,
-                bit_depth: int = 8):
+                bit_depth: int = 8, use_pallas=None):
     """Batched MC keeping the 14-bit intermediate (spec predSamplesLX),
     for bi-prediction combining (8.5.4.3: bi output = (L0 + L1 +
     offset2) >> (15 - B))."""
@@ -208,7 +231,7 @@ def mc_batch_14(ref, x0, y0, mv_x, mv_y, n: int, c_idx: int = 0,
     fy = mv_y & ((1 << fb) - 1)
     ix = x0 + (mv_x >> fb)
     iy = y0 + (mv_y >> fb)
-    win = _gather_windows(ref, ix, iy, n, nt)
+    win = _gather_windows(ref, ix, iy, n, nt, use_pallas)
     taps = jnp.asarray(taps_np)
     tx = taps[fx]
     ty = taps[fy]

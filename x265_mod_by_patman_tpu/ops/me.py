@@ -38,9 +38,11 @@ def mv_bits_np(dx, dy):
     return (bx + by).astype(np.int64)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "search_range"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "search_range", "use_pallas"))
 def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
-                      lambda_x256: int, n: int, search_range: int = 16):
+                      lambda_x256: int, n: int, search_range: int = 16,
+                      use_pallas=None):
     """Integer full search for a batch of blocks.
 
     ref/orig: (H, W) int32 planes; x0/y0: (B,) block origins;
@@ -57,8 +59,10 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
     device-keyed default.
     """
     import os
-    ov = os.environ.get("X265TPU_PALLAS")
-    if ov == "1" or (ov is None and _on_tpu(ref)):
+    if use_pallas is None:
+        ov = os.environ.get("X265TPU_PALLAS")
+        use_pallas = ov == "1" or (ov is None and _on_tpu(ref))
+    if use_pallas:
         return full_search_batch_pallas(ref, orig, x0, y0, pred_mv_x,
                                         pred_mv_y, lambda_x256, n,
                                         search_range)
