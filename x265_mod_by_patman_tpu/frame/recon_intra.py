@@ -357,8 +357,11 @@ class IntraReconstructor:
         bxs, bys, avys, avcs, av8s, av4cs = [], [], [], [], [], []
         for (cxs, cys) in waves:
             nb = len(cxs)
-            for zy in range(self.bpc):
-                for zx in range(self.bpc):
+            for z in range(self.bpc * self.bpc):
+                    # true z-scan order within the CTU (coincides with
+                    # raster only for bpc == 2): deinterleave the index
+                    zx = ((z >> 0) & 1) | (((z >> 2) & 1) << 1)
+                    zy = ((z >> 1) & 1) | (((z >> 3) & 1) << 1)
                     bx = cxs * self.bpc + zx
                     by = cys * self.bpc + zy
                     valid = (bx < self.nbx) & (by < self.nby)
