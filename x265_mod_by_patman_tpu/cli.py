@@ -79,6 +79,7 @@ def main(argv=None) -> int:
                     help="max frames to encode")
     ap.add_argument("--qp", "-q", type=int, default=32)
     ap.add_argument("--preset", "-p", default=None)
+    ap.add_argument("--tune", "-t", default=None)
     ap.add_argument("--recon", "-r", default=None, help="recon .y4m out")
     ap.add_argument("--no-progress", action="store_true")
     ap.add_argument("--psnr", action="store_true",
@@ -102,6 +103,8 @@ def main(argv=None) -> int:
     p.total_frames = info.total_frames
     if args.preset:
         p.apply_preset(args.preset)
+    if args.tune:
+        p.apply_tune(args.tune)
     p.qp = args.qp
     p.rc_mode = "cqp"
     for kv in args.params:

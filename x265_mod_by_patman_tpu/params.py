@@ -205,6 +205,42 @@ class EncoderParams:
         self.sign_hide = i >= 1
         return self
 
+    def apply_tune(self, tune: str) -> "EncoderParams":
+        """x265 tunes (param.cpp x265_param_default_preset tune branch)."""
+        t = tune.lower()
+        if t == "psnr":
+            self.aq_mode = 0
+            self.cu_tree = False
+            self.psy_rd = 0.0
+        elif t == "ssim":
+            self.aq_mode = 2
+            self.psy_rd = 0.0
+        elif t == "grain":
+            self.aq_mode = 0
+            self.cu_tree = False
+            self.rdoq_level = 2
+            self.deblock_tc_offset = -2
+            self.deblock_beta_offset = -2
+            self.rc_lookahead = min(self.rc_lookahead, 20)
+        elif t == "fastdecode":
+            self.deblock = False
+            self.sao = False
+            self.weightp = False
+        elif t in ("zerolatency", "zero-latency"):
+            self.bframes = 0
+            self.b_adapt = 0
+            self.rc_lookahead = 0
+            self.cu_tree = False
+            self.mcstf = False
+        elif t == "animation":
+            self.bframes = max(self.bframes, 5)
+            self.aq_strength = 0.4
+            self.deblock_tc_offset = 1
+            self.deblock_beta_offset = 1
+        else:
+            raise ValueError(f"unknown tune {tune!r}")
+        return self
+
     def parse(self, key: str, value: str) -> "EncoderParams":
         """String key=value parser with the x265 CLI namespace
         (x265_param_parse analog)."""
@@ -237,6 +273,8 @@ class EncoderParams:
             return self
         if key == "preset":
             return self.apply_preset(value)
+        if key == "tune":
+            return self.apply_tune(value)
         if key == "colorprim":
             self.colorprim = _COLOR_NAMES.get(value, None) or int(value)
             return self
