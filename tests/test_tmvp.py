@@ -51,3 +51,17 @@ def test_tmvp_e2e_bit_exact():
         assert np.array_equal(p_.u, f.recon[1])
         assert np.array_equal(p_.v, f.recon[2])
         assert p_.md5 == f.md5 == p_.sei_md5
+
+
+def test_scale_mv_negative_td_truncates_toward_zero():
+    # spec 8.5.3.2.8: tx = (16384 + |td|/2) / td with C truncation; for
+    # td = -2, tx must be -8192 (floor division would give -8193)
+    from x265_mod_by_patman_tpu.entropy.mv_pred import _scale_mv
+    # tb=1, td=-2: dsf = clip((1*-8192 + 32) >> 6) = -128 -> mv halved,
+    # sign flipped
+    assert _scale_mv((8, -4), 1, -2) == (-4, 2)
+    # symmetry: scaling with td=2, tb=-1 must mirror exactly
+    assert _scale_mv((8, -4), -1, 2) == (-4, 2)
+    # the off-by-one case: larger mv magnifies the tx error if floored
+    big = _scale_mv((1024, 0), 1, -2)
+    assert big == (-512, 0)

@@ -8,9 +8,9 @@ from x265_mod_by_patman_tpu.decoder.decoder import Decoder
 
 def test_tune_effects():
     p = default_params(64, 64).apply_tune("psnr")
-    assert p.aq_mode == 0 and not p.cu_tree
+    assert p.aq_strength == 0.0 and p.psy_rd == 0.0
     p = default_params(64, 64).apply_tune("zerolatency")
-    assert p.bframes == 0 and p.rc_lookahead == 0
+    assert p.bframes == 0 and p.rc_lookahead == 0 and not p.scenecut
     p = default_params(64, 64).apply_tune("fastdecode")
     assert not p.deblock and not p.sao and not p.weightp
     p = default_params(64, 64).parse("tune", "ssim")

@@ -34,7 +34,7 @@ def lambda_qp(qp: int) -> Tuple[float, float]:
 
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
-                    weights=None):
+                    weights=None, subme: int = 2):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -70,7 +70,7 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     out = _p_core(oy, rys, rus, rvs, wq, wo,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), wpat, search_range, block, bd,
-                  sps.log2_ctu_size, _on_tpu(oy))
+                  sps.log2_ctu_size, _on_tpu(oy), subme)
     modes, inter, mvs, rsel, mcy, mcu, mcv = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -79,10 +79,10 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
 
 @functools.partial(
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
-                              "log2_ctu", "use_pallas"))
+                              "log2_ctu", "use_pallas", "subme"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
-            use_pallas: bool):
+            use_pallas: bool, subme: int = 2):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -114,7 +114,8 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
                                         search_range,
                                         use_pallas=use_pallas)
         mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
-                                             pz, pz, lam256, n, bd)
+                                             pz, pz, lam256, n, bd,
+                                             subme)
         cost = cost + ((lam256 * (2 if ridx else 1)) >> 8)
         # 2. neighbor-coherence pass per ref
         mvx2d = mvx.reshape(nby, nbx)
@@ -122,7 +123,8 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
         for (sy, sx) in ((0, 1), (1, 0)):
             cx_ = jnp.roll(mvx2d, (sy, sx), (0, 1)).ravel()
             cy_ = jnp.roll(mvy2d, (sy, sx), (0, 1)).ravel()
-            pred = mc_batch(ry, bx, by, cx_, cy_, n, 0, bd)
+            pred = mc_batch(ry, bx, by, cx_, cy_, n, 0, bd,
+                            use_pallas=use_pallas)
             c = satd_batch(org, pred) + ((lam256 * 2) >> 8)
             upd = c < cost
             mvx = jnp.where(upd, cx_, mvx)
@@ -163,11 +165,12 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             rp = refs[ridx][pi]
             wp = weights[ridx]
             if pi == 0 and wp is not None:
-                p14 = mc_batch_14(rp, bx_, by_, mvx, mvy, sz, c_idx, bd)
+                p14 = mc_batch_14(rp, bx_, by_, mvx, mvy, sz, c_idx, bd,
+                                  use_pallas=use_pallas)
                 preds.append(wp_apply_batch(p14, wp[0], wp[1], 6, bd))
             else:
                 preds.append(mc_batch(rp, bx_, by_, mvx, mvy, sz,
-                                      c_idx, bd))
+                                      c_idx, bd, use_pallas=use_pallas))
         sel = preds[0]
         for ridx in range(1, nref):
             sel = jnp.where((ref_sel == ridx)[:, None, None],
@@ -184,7 +187,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
 
 
 def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
-                use_pallas=None):
+                use_pallas=None, subme=2):
     """Full search + subpel + neighbor coherence against one reference.
     Returns (mvx, mvy, cost) device arrays."""
     nb = bx.shape[0]
@@ -193,7 +196,8 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
                                     n, search_range,
                                     use_pallas=use_pallas)
     mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
-                                         pz, pz, lam256, n, bit_depth)
+                                         pz, pz, lam256, n, bit_depth,
+                                         subme)
     h, w = oy.shape
     gy = by[:, None, None] + jnp.arange(n)[None, :, None]
     gx = bx[:, None, None] + jnp.arange(n)[None, None, :]
@@ -203,7 +207,8 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
 
 
 def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
-                    search_range: int = 16, block: int = 16):
+                    search_range: int = 16, block: int = 16,
+                    subme: int = 2):
     """B-frame analysis: ME against both anchors + bi-prediction test +
     intra fallback (the batched analog of x265 checkBidir2Nx2N,
     analysis.cpp:4007); ONE jitted program like analyse_p_frame.
@@ -227,7 +232,7 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.asarray(np.asarray(ref1[2], np.int32)),
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), search_range, block, bd,
-                  _on_tpu(oy))
+                  _on_tpu(oy), subme)
     modes, inter, dirs, mv0, mv1, mcy, mcu, mcv = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
             np.asarray(mv0), np.asarray(mv1),
@@ -236,9 +241,10 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
 
 @functools.partial(
     jax.jit, static_argnames=("search_range", "block", "bd",
-                              "use_pallas"))
+                              "use_pallas", "subme"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
-            search_range: int, block: int, bd: int, use_pallas: bool):
+            search_range: int, block: int, bd: int, use_pallas: bool,
+            subme: int = 2):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -249,13 +255,17 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
     by = jnp.asarray((bys.ravel() * n).astype(np.int32))
 
     mv0x, mv0y, cost0, org = _me_one_ref(oy, r0y, bx, by, n, lam256,
-                                         search_range, bd, use_pallas)
+                                         search_range, bd, use_pallas,
+                                         subme)
     mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y, bx, by, n, lam256,
-                                       search_range, bd, use_pallas)
+                                       search_range, bd, use_pallas,
+                                       subme)
 
     # bi-prediction of the two best uni MVs (x265 checkBidir2Nx2N)
-    p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0, bd)
-    p1_14 = mc_batch_14(r1y, bx, by, mv1x, mv1y, n, 0, bd)
+    p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0, bd,
+                        use_pallas=use_pallas)
+    p1_14 = mc_batch_14(r1y, bx, by, mv1x, mv1y, n, 0, bd,
+                        use_pallas=use_pallas)
     bi_pred = bi_combine(p0_14, p1_14, bd)
     bits_bi = mv_bits(mv0x, mv0y) + mv_bits(mv1x, mv1y)
     cost_bi = satd_batch(org, bi_pred) + ((lam256 * bits_bi) >> 8)
@@ -284,10 +294,14 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             (r0y, r1y, 0, n, bx, by),
             (ru0, ru1, 1, nc, bx // 2, by // 2),
             (rv0, rv1, 2, nc, bx // 2, by // 2)):
-        u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd)
-        u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd)
-        b0 = mc_batch_14(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd)
-        b1 = mc_batch_14(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd)
+        u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd,
+                      use_pallas=use_pallas)
+        u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd,
+                      use_pallas=use_pallas)
+        b0 = mc_batch_14(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd,
+                         use_pallas=use_pallas)
+        b1 = mc_batch_14(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd,
+                         use_pallas=use_pallas)
         bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))

@@ -121,6 +121,17 @@ class Encoder:
         self._anchors: List[tuple] = []
         self._col_store: Dict[int, object] = {}   # poc -> ColMotion
         self.max_refs = max(1, min(self.p.max_num_references, 4))
+        # effective dense-search radius: the TPU ME is always a dense
+        # full search of a +-r window; --me selects the window budget
+        # (the speed/quality axis the reference's pattern searches span,
+        # motion.cpp:923) and --merange caps it (pallas kernel lane
+        # limit: r <= 63)
+        method_r = {"dia": 8, "hex": 16, "umh": 24, "sea": 32,
+                    "star": 32, "full": 63}
+        if self.p.search_method not in method_r:
+            raise ValueError(f"unknown --me {self.p.search_method!r}")
+        self._me_range = max(4, min(self.p.search_range,
+                                    method_r[self.p.search_method]))
         self._headers_sent = False
         self.bframes = max(0, self.p.bframes) if self.p.keyframe_max > 1 \
             else 0
@@ -360,7 +371,8 @@ class Encoder:
         # scene-cut detection (reference slicetype.cpp scenecut bias
         # analog): a large jump in temporal complexity vs the running
         # average promotes the frame to IDR
-        if not force_idr and p.keyframe_max > 1 and self._cplx_avg > 0 \
+        if not force_idr and p.scenecut and p.keyframe_max > 1 \
+                and self._cplx_avg > 0 \
                 and self._disp_since_idr >= max(1, p.keyframe_min):
             if cplx > 4.0 * self._cplx_avg and \
                     cplx > 0.1 * self.sps.width * self.sps.height:
@@ -663,7 +675,8 @@ class Encoder:
             else:
                 modes, inter_mask, mvs, ref_sel, mc = analyse_p_frame(
                     y, u, v, refs, self.sps, qp,
-                    search_range=min(p.search_range, 24), weights=wp_l0)
+                    search_range=self._me_range, weights=wp_l0,
+                    subme=p.subpel_refine)
             with trace.scope("wavefront", type="P"):
                 r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
@@ -681,7 +694,8 @@ class Encoder:
             else:
                 modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
                     y, u, v, ref0[0], ref1[0],
-                    self.sps, qp, search_range=min(p.search_range, 24))
+                    self.sps, qp, search_range=self._me_range,
+                    subme=p.subpel_refine)
             r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
             ref_pocs = ((ref0[1],), (ref1[1],))
         if self._ana_store is not None:

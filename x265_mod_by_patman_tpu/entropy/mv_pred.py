@@ -238,7 +238,10 @@ def _scale_mv(mv: Tuple[int, int], tb: int, td: int) -> Tuple[int, int]:
     """POC-distance MV scaling (spec 8.5.3.2.8 derivation)."""
     if td == tb:
         return mv
-    tx = (16384 + (abs(td) >> 1)) // td
+    # tx = (16384 + |td|/2) / td with C-style truncation toward zero
+    # (spec 8.5.3.2.8; Python // floors, which is off by one for td < 0)
+    num = 16384 + (abs(td) >> 1)
+    tx = -(num // -td) if td < 0 else num // td
     dsf = min(4095, max(-4096, (tb * tx + 32) >> 6))
     out = []
     for c in mv:

@@ -114,12 +114,15 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
     return best_x, best_y, best_cost
 
 
-@functools.partial(jax.jit, static_argnames=("n", "bit_depth"))
+@functools.partial(jax.jit, static_argnames=("n", "bit_depth", "subme"))
 def subpel_refine_batch(ref, orig, x0, y0, mv_x, mv_y,
                         pred_mv_x, pred_mv_y, lambda_x256: int, n: int,
-                        bit_depth: int = 8):
+                        bit_depth: int = 8, subme: int = 2):
     """Half- then quarter-pel refinement with SATD (one iteration each,
     reference subme-2 equivalent).  MVs in/out in QPEL units.
+
+    subme (reference --subme / MotionEstimate::setSearchMethod):
+    0 = integer-pel only (SATD re-cost), 1 = half-pel, >=2 = quarter-pel.
 
     TPU shape: ONE superset window gather per block covers every
     refinement candidate (their integer parts differ by at most +-1 px
@@ -193,8 +196,11 @@ def subpel_refine_batch(ref, orig, x0, y0, mv_x, mv_y,
         (best, bx, by), _ = jax.lax.scan(body, init, offs_a)
         return bx, by, best
 
+    if subme <= 0:
+        return mv_x, mv_y, cost_at(mv_x, mv_y)
     mx, my, cost = refine(mv_x, mv_y, offs8)
-    mx, my, cost = refine(mx, my, offs4)
+    if subme >= 2:
+        mx, my, cost = refine(mx, my, offs4)
     return mx, my, cost
 
 

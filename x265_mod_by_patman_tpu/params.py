@@ -123,13 +123,12 @@ class EncoderParams:
     sign_hide: bool = False   # net RD win needs RDOQ-grade costs (round 2)
     strong_intra_smoothing: bool = True
     constrained_intra: bool = False
-    temporal_mvp: bool = True
     amp: bool = False
     rect: bool = False
     wpp: bool = True
     repeat_headers: bool = False
     decoded_picture_hash: int = 1   # 0 none, 1 md5 (SEI)
-    aud: bool = False
+    scenecut: bool = True           # complexity-spike IDR promotion
 
     # profile / level
     profile: str = "main"
@@ -152,9 +151,14 @@ class EncoderParams:
         Encoder::configure)."""
         p = self
         assert p.source_width > 0 and p.source_height > 0, "frame size unset"
+        if p.internal_csp == CHROMA_420:
+            # the conformance window is signaled in chroma units; odd
+            # dimensions would silently drop a pixel of crop (x265
+            # x265_check_params rejects odd dims for 4:2:0 likewise)
+            assert p.source_width % 2 == 0 and p.source_height % 2 == 0, \
+                "4:2:0 requires even source dimensions"
         assert p.ctu_size in (16, 32, 64)
-        assert p.min_cu_size in (8, 16, 32) and p.min_cu_size < p.ctu_size or \
-            p.min_cu_size == p.ctu_size
+        assert p.min_cu_size in (8, 16, 32) and p.min_cu_size <= p.ctu_size
         assert p.internal_bit_depth in (8, 10, 12)
         assert p.internal_csp in (CHROMA_400, CHROMA_420, CHROMA_422, CHROMA_444)
         assert 0 <= p.qp <= 51
@@ -206,11 +210,15 @@ class EncoderParams:
         return self
 
     def apply_tune(self, tune: str) -> "EncoderParams":
-        """x265 tunes (param.cpp x265_param_default_preset tune branch)."""
+        """x265 tunes, aligned knob-for-knob with the reference's tune
+        branch (param.cpp:655-709) for the knobs this encoder supports.
+        Documented deviations: psy_rdoq/ip-pb factors/qpStep/const-vbv
+        are not separate knobs here (grain keeps rdoq_level=2 as the
+        psy_rdoq stand-in; I/B QP offsets are the fixed CQP convention
+        in encoder/top.py QP_OFFSET)."""
         t = tune.lower()
         if t == "psnr":
-            self.aq_mode = 0
-            self.cu_tree = False
+            self.aq_strength = 0.0
             self.psy_rd = 0.0
         elif t == "ssim":
             self.aq_mode = 2
@@ -218,22 +226,26 @@ class EncoderParams:
         elif t == "grain":
             self.aq_mode = 0
             self.cu_tree = False
+            self.psy_rd = 4.0
             self.rdoq_level = 2
-            self.deblock_tc_offset = -2
-            self.deblock_beta_offset = -2
-            self.rc_lookahead = min(self.rc_lookahead, 20)
-        elif t == "fastdecode":
+            self.sao = False
+        elif t in ("fastdecode", "fast-decode"):
             self.deblock = False
             self.sao = False
             self.weightp = False
+            self.intra_in_bframes = False
         elif t in ("zerolatency", "zero-latency"):
             self.bframes = 0
             self.b_adapt = 0
             self.rc_lookahead = 0
+            self.scenecut = False
+            self.hist_scenecut = False
             self.cu_tree = False
             self.mcstf = False
         elif t == "animation":
-            self.bframes = max(self.bframes, 5)
+            if self.bframes + 2 < self.rc_lookahead:
+                self.bframes += 2
+            self.psy_rd = 0.4
             self.aq_strength = 0.4
             self.deblock_tc_offset = 1
             self.deblock_beta_offset = 1
