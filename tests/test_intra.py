@@ -112,3 +112,31 @@ def test_strong_smoothing_linearizes():
     f = I.filter_refs(s, 5, strong=True)
     # exact linear interpolation along top
     assert f[2 * n + 32] == ((63 - 31) * 0 + 32 * 64 + 32) >> 6
+
+
+def test_substitute_filter_batch_strong_32_matches_golden():
+    import numpy as np
+    import jax.numpy as jnp
+    from x265_mod_by_patman_tpu.ops.intra import (
+        substitute_filter_batch, substitute_refs, filter_refs,
+        strong_smoothing_condition)
+    rng = np.random.default_rng(11)
+    n = 32
+    B = 12
+    s_raw = rng.integers(0, 256, (B, 4 * n + 1)).astype(np.int32)
+    # half the lanes smooth (trigger the condition), half noisy
+    for b in range(0, B, 2):
+        v = np.linspace(40, 90, 4 * n + 1).astype(np.int32)
+        s_raw[b] = v
+    avail = np.ones((B, 4 * n + 1), bool)
+    avail[3, :10] = False
+    su, sf = substitute_filter_batch(jnp.asarray(s_raw),
+                                     jnp.asarray(avail), 5, 8,
+                                     strong=True)
+    su, sf = np.asarray(su), np.asarray(sf)
+    for b in range(B):
+        g_sub = substitute_refs(s_raw[b], avail[b], 8)
+        strong = strong_smoothing_condition(g_sub, 5, 8)
+        g_filt = filter_refs(g_sub, 5, strong, 8)
+        assert np.array_equal(su[b], g_sub), b
+        assert np.array_equal(sf[b], g_filt), (b, strong)

@@ -531,27 +531,23 @@ class Decoder:
                                               cl)))
             return
         else:
-            # the TU quadtree is forced down to log2_max_tu_size; intra
-            # prediction + recon run per TU in z-order with the CU mode
-            # (spec 8.4.4.2: prediction per transform block when split)
-            tu = min(cu.log2_size, sps.log2_max_tu_size)
-            step = 1 << tu
-            size = 1 << cu.log2_size
-            for ty in range(cu.y0, cu.y0 + size, step):
-                for tx in range(cu.x0, cu.x0 + size, step):
-                    self._recon_tb(y, tx, ty, tu, cu.luma_modes[0], 0, qp,
-                                   cu.coeffs.get((0, tx, ty, tu)))
-        cmode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
-        ctu = max(2, min(cu.log2_size, sps.log2_max_tu_size) - 1)
-        cx, cy = cu.x0 >> 1, cu.y0 >> 1
-        csize = 1 << max(2, cu.log2_size - 1)
-        cstep = 1 << ctu
-        for ty in range(cy, cy + csize, cstep):
-            for tx in range(cx, cx + csize, cstep):
-                self._recon_tb(u, tx, ty, ctu, cmode, 1, qp_cb,
-                               cu.coeffs.get((1, tx, ty, ctu)))
-                self._recon_tb(v, tx, ty, ctu, cmode, 2, qp_cr,
-                               cu.coeffs.get((2, tx, ty, ctu)))
+            # prediction + recon follow the PARSED TU tree in z-order
+            # (spec 8.4.4.2: prediction per transform block when split);
+            # tu_leaves was recorded by the syntax parser
+            cmode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
+            for (tx, ty, tl, blk) in cu.tu_leaves:
+                self._recon_tb(y, tx, ty, tl, cu.luma_modes[0], 0, qp,
+                               cu.coeffs.get((0, tx, ty, tl)))
+                if tl > 2:
+                    ccx, ccy, cl = tx >> 1, ty >> 1, tl - 1
+                elif blk == 3:
+                    ccx, ccy, cl = (tx - 4) >> 1, (ty - 4) >> 1, 2
+                else:
+                    continue
+                self._recon_tb(u, ccx, ccy, cl, cmode, 1, qp_cb,
+                               cu.coeffs.get((1, ccx, ccy, cl)))
+                self._recon_tb(v, ccx, ccy, cl, cmode, 2, qp_cr,
+                               cu.coeffs.get((2, ccx, ccy, cl)))
 
     def _recon_inter_cu(self, cu, y, u, v, qp, qp_cb, qp_cr) -> None:
         """Golden inter recon: uni MC (mc_block_ref) or bi-prediction
@@ -591,23 +587,30 @@ class Decoder:
             else:
                 pred = mc_block_ref(refs1[pi].astype(np.int32), cx, cy,
                                     cu.mv1[0], cu.mv1[1], cn, cn, c_idx, bd)
-            # residual applies per TU of the (forced) quadtree
-            tl = min(clog2, self.sps.log2_max_tu_size - (1 if c_idx
-                                                         else 0))
-            tn = 1 << tl
+            # residual applies per leaf of the PARSED TU tree
             rec = pred.astype(np.int32)
-            for ty in range(0, cn, tn):
-                for tx in range(0, cn, tn):
-                    levels = cu.coeffs.get((c_idx, cx + tx, cy + ty, tl))
-                    if levels is not None and np.any(levels):
-                        if getattr(cu, "tq_bypass", False):
-                            resi = levels.astype(np.int32)
-                        else:
-                            coef = dequant_ref(levels.astype(np.int16),
-                                               qpc, tl, bd,
-                                               self._scal_mat(tl, False))
-                            resi = idct_ref(coef, bd, dst=False)
-                        rec[ty:ty + tn, tx:tx + tn] += resi
+            for (lx, ly, ll, blk) in cu.tu_leaves:
+                if c_idx == 0:
+                    tl, tx, ty = ll, lx - cu.x0, ly - cu.y0
+                elif ll > 2:
+                    tl = ll - 1
+                    tx, ty = (lx >> 1) - cx, (ly >> 1) - cy
+                elif blk == 3:
+                    tl = 2
+                    tx, ty = ((lx - 4) >> 1) - cx, ((ly - 4) >> 1) - cy
+                else:
+                    continue
+                tn = 1 << tl
+                levels = cu.coeffs.get((c_idx, cx + tx, cy + ty, tl))
+                if levels is not None and np.any(levels):
+                    if getattr(cu, "tq_bypass", False):
+                        resi = levels.astype(np.int32)
+                    else:
+                        coef = dequant_ref(levels.astype(np.int16),
+                                           qpc, tl, bd,
+                                           self._scal_mat(tl, False))
+                        resi = idct_ref(coef, bd, dst=False)
+                    rec[ty:ty + tn, tx:tx + tn] += resi
             plane[cy:cy + cn, cx:cx + cn] = np.clip(rec, 0, maxv)
 
     def _scal_mat(self, log2: int, intra: bool):

@@ -47,6 +47,8 @@ class CodedCU:
     coeffs: Dict = field(default_factory=dict)
     is_inter: bool = False
     tq_bypass: bool = False              # cu_transquant_bypass_flag
+    tu_split: bool = False               # voluntary depth-0 TU split
+    tu_leaves: list = field(default_factory=list)  # decoder: (x, y, log2)
     mv: Tuple[int, int] = (0, 0)         # qpel, list 0
     ref_idx: int = 0
     inter_dir: int = 1                   # 1=L0, 2=L1, 3=BI
@@ -459,9 +461,9 @@ class SliceSyntaxEncoder:
                           trafo_depth < max_depth and
                           not (intra_split and trafo_depth == 0))
         split = (log2 > sps.log2_max_tu_size or
-                 (intra_split and trafo_depth == 0))
+                 (intra_split and trafo_depth == 0) or
+                 (cu.tu_split and trafo_depth == 0 and can_code_split))
         if can_code_split:
-            # v1 analysis never splits TUs voluntarily
             ir.cbin(1 if split else 0,
                     OFF["TRANS_SUBDIV"] + 5 - log2)
         cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1   # 4:2:0 chroma geometry
@@ -888,6 +890,8 @@ class SliceSyntaxDecoder:
         else:
             split = (log2 > sps.log2_max_tu_size or
                      (intra_split and trafo_depth == 0))
+        if trafo_depth == 0:
+            cu.tu_split = bool(split)
         cbf_cb = cbf_cr = False
         if log2 > 2:
             if parent_cbf_cb:
@@ -911,6 +915,7 @@ class SliceSyntaxDecoder:
                 OFF["QT_CBF"] + (1 if trafo_depth == 0 else 0)))
         else:
             cbf_luma = True                    # inferred (inter, no chroma)
+        cu.tu_leaves.append((x0, y0, log2, blk_idx))
         self._transform_unit(cu, x0, y0, log2, trafo_depth, blk_idx,
                              cbf_luma, cbf_cb, cbf_cr)
 

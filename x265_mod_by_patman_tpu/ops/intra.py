@@ -373,13 +373,17 @@ def intra_pred_select_batch(s_unfilt: jnp.ndarray, s_filt: jnp.ndarray,
     return pred
 
 
-@functools.partial(jax.jit, static_argnames=("log2_size", "bit_depth"))
+@functools.partial(jax.jit,
+                   static_argnames=("log2_size", "bit_depth", "strong"))
 def substitute_filter_batch(s_raw: jnp.ndarray, avail: jnp.ndarray,
-                            log2_size: int, bit_depth: int = 8):
+                            log2_size: int, bit_depth: int = 8,
+                            strong: bool = False):
     """Batched reference substitution (spec 8.4.4.2.2) + [1 2 1] smoothing.
 
     s_raw: (B, 4N+1) gathered samples (garbage where unavailable);
-    avail:  (B, 4N+1) bool.
+    avail:  (B, 4N+1) bool.  strong: apply the conditional bi-linear
+    strong smoothing for 32x32 luma (spec 8.4.4.2.3; golden analog
+    filter_refs(strong=True) + strong_smoothing_condition).
     Returns (s_unfilt, s_filt) both (B, 4N+1) int32.
     """
     slen = s_raw.shape[-1]
@@ -397,4 +401,24 @@ def substitute_filter_batch(s_raw: jnp.ndarray, avail: jnp.ndarray,
     sm = (s_sub[:, :-2] + 2 * s_sub[:, 1:-1] + s_sub[:, 2:] + 2) >> 2
     s_filt = jnp.concatenate(
         [s_sub[:, :1], sm, s_sub[:, -1:]], axis=1)
+    if strong and log2_size == 5:
+        n = 1 << log2_size
+        bl = s_sub[:, 0]                             # p[-1][2N-1]
+        corner = s_sub[:, 2 * n]
+        tr = s_sub[:, 4 * n]
+        thresh = 1 << (bit_depth - 5)
+        cond = (jnp.abs(corner + tr - 2 * s_sub[:, 3 * n]) < thresh) & \
+            (jnp.abs(corner + bl - 2 * s_sub[:, n]) < thresh)
+        k = jnp.arange(slen)
+        # left segment S[1..2N-1]: y = 2N-1-k; top S[2N+1+x]: x = k-2N-1
+        y = 2 * n - 1 - k
+        x = k - 2 * n - 1
+        left_lin = ((63 - y)[None] * corner[:, None]
+                    + (y + 1)[None] * bl[:, None] + 32) >> 6
+        top_lin = ((63 - x)[None] * corner[:, None]
+                   + (x + 1)[None] * tr[:, None] + 32) >> 6
+        lin = jnp.where((k >= 1) & (k < 2 * n), left_lin,
+                        jnp.where((k > 2 * n) & (k < 4 * n), top_lin,
+                                  s_sub))
+        s_filt = jnp.where(cond[:, None], lin, s_filt)
     return s_sub, s_filt
