@@ -188,6 +188,68 @@ def decide_modes(y: np.ndarray, sps, block: int = 16) -> np.ndarray:
     return modes.reshape(nby, nbx)
 
 
+def decide_modes_tree(y: np.ndarray, sps, qp: int, nxn: bool = False):
+    """Variable CU-tree intra decision over depths {32, 16(, 8 NxN)}:
+    dense 35-mode sweeps at each size, then a bottom-up split DP (the
+    batched analog of compressIntraCU's depth recursion with RD compare,
+    analysis.cpp:878/4271 — SATD + lambda * syntax-bit costs here, like
+    the reference's rd<=4 sa8d decisions).
+
+    Returns (modes16 (nby,nbx), split_map8 or None, modes8 or None,
+    split32 (n32y,n32x) bool, mode32 (n32y,n32x) int32)."""
+    from .inter_mode import lambda_qp
+    h, w = sps.height, sps.width
+    nbx, nby = w // 16, h // 16
+    n32x, n32y = w // 32, h // 32
+    lam = lambda_qp(qp)[0] * (1 << (sps.bit_depth - 8))
+    if nxn:
+        modes16, split_map, modes8 = decide_modes_split(y, sps, qp, 16)
+    else:
+        modes16 = decide_modes_rd(y, sps, qp, 16)
+        split_map = modes8 = None
+
+    # 16-level totals of the CHOSEN modes (mode-bit charge ~4 bins each)
+    avail = frame_avail_masks(w, h, 16, sps.log2_ctu_size, 0)
+    bys, bxs = np.mgrid[0:nby, 0:nbx]
+    orig = jnp.asarray(np.asarray(y, dtype=np.int32))
+    c16 = np.asarray(_mode_costs(
+        orig, jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+        jnp.asarray(bxs.ravel().astype(np.int32)),
+        jnp.asarray(bys.ravel().astype(np.int32)),
+        4, sps.bit_depth)).reshape(nby, nbx, 35)
+    best16 = np.take_along_axis(c16, modes16[..., None],
+                                axis=-1)[..., 0] + lam * 4.0
+
+    # 32-level sweep
+    avail32 = frame_avail_masks(w, h, 32, sps.log2_ctu_size, 0)
+    b32y, b32x = np.mgrid[0:n32y, 0:n32x]
+    c32 = np.asarray(_mode_costs(
+        orig, jnp.asarray(avail32.reshape(-1, avail32.shape[-1])),
+        jnp.asarray(b32x.ravel().astype(np.int32)),
+        jnp.asarray(b32y.ravel().astype(np.int32)),
+        5, sps.bit_depth)).reshape(n32y, n32x, 35)
+    mpm32 = _mpm_grid(np.argmin(c32, axis=-1).astype(np.int32),
+                      sps.log2_ctu_size, 32)
+    bits32 = np.full((n32y, n32x, 35), 6.0)
+    ma = np.arange(35)[None, None, :]
+    bits32 = np.where(ma == mpm32[..., 2:3], 3.0, bits32)
+    bits32 = np.where(ma == mpm32[..., 1:2], 3.0, bits32)
+    bits32 = np.where(ma == mpm32[..., 0:1], 2.0, bits32)
+    t32 = c32 + lam * bits32
+    mode32 = np.argmin(t32, axis=-1).astype(np.int32)
+    best32 = t32.min(axis=-1)
+
+    # bottom-up DP: unsplit saves 3 extra per-CU syntax sets (mode
+    # prev_flag + mpm/rem bins ~3.5, chroma_pred ~1, cbf flags ~3 each
+    # ~= 22 bins total); boundary regions must split
+    sum16 = (best16[0:2 * n32y:2, 0:2 * n32x:2]
+             + best16[0:2 * n32y:2, 1:2 * n32x:2]
+             + best16[1:2 * n32y:2, 0:2 * n32x:2]
+             + best16[1:2 * n32y:2, 1:2 * n32x:2])
+    split32 = best32 > sum16 + lam * 22.0
+    return modes16, split_map, modes8, split32, mode32
+
+
 def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16):
     """Mode decision with the NxN (4x 8x8 PU) candidate per block: the
     batched analog of the reference comparing the 2Nx2N intra cost with

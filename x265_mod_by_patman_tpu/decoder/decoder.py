@@ -380,13 +380,20 @@ class Decoder:
             from ..ops.deblock import (
                 deblock_luma_ref, deblock_chroma_ref, inter_bs_maps,
                 intra_bs_maps, chroma_on_maps)
-            # NxN CUs add interior TU8 transform edges
+            # NxN CUs add interior TU8 transform edges; unsplit TU32
+            # intra CUs remove their interior 16-px edges
             split_grid = np.zeros((h // 16, w // 16), bool)
+            merge32_grid = np.zeros((h // 32, w // 32), bool)
             for cu in all_cus:
                 if not cu.is_inter and cu.part_nxn:
                     split_grid[cu.y0 // 16, cu.x0 // 16] = True
+                if cu.log2_size == 5 and not cu.is_inter \
+                        and not cu.tu_split:
+                    merge32_grid[cu.y0 // 32, cu.x0 // 32] = True
             if not split_grid.any():
                 split_grid = None
+            if not merge32_grid.any():
+                merge32_grid = None
             if slice_type != 2:
                 nbx, nby = w // 16, h // 16
                 intra_mask = np.ones((nby, nbx), bool)
@@ -409,19 +416,19 @@ class Decoder:
                             p0[sl] = ref_pocs[0][cu.ref_idx]
                         if cu.inter_dir & 2:
                             p1[sl] = ref_pocs[1][cu.ref_idx1]
-                    tu = min(cu.log2_size, sps.log2_max_tu_size)
-                    tstep = max(1, (1 << tu) // 16)
-                    for j in range(n16):
-                        for i in range(n16):
-                            lv = cu.coeffs.get(
-                                (0, cu.x0 + (i // tstep) * (1 << tu),
-                                 cu.y0 + (j // tstep) * (1 << tu), tu))
-                            cbf[by0 + j, bx0 + i] = \
-                                lv is not None and bool(np.any(lv))
+                    # luma cbf at 16-grid granularity from the actual
+                    # coded TU keys (works for any parsed TU tree)
+                    for (ci, kx, ky, kl), lv in cu.coeffs.items():
+                        if ci != 0 or not np.any(lv):
+                            continue
+                        t16 = max(1, (1 << kl) // 16)
+                        cbf[ky // 16:ky // 16 + t16,
+                            kx // 16:kx // 16 + t16] = True
                 bs_v, bs_h = inter_bs_maps(intra_mask, mvs, cbf, w, h, 16,
                                            dirs, mvs1, p0, p1, split_grid)
             else:
-                bs_v, bs_h = intra_bs_maps(w, h, 16, split_grid)
+                bs_v, bs_h = intra_bs_maps(w, h, 16, split_grid,
+                                           merge32_grid)
             on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> 1, w >> 1)
             qarg = qp_grid if pps.cu_qp_delta_enabled else qp
             y = deblock_luma_ref(y, bs_v, bs_h, qarg,

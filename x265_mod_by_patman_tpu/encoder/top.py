@@ -113,7 +113,8 @@ class Encoder:
                                         self.p.sign_hide,
                                         self.p.rdoq_level > 0,
                                         slice_tops, self.p.nxn_intra,
-                                        self.p.lossless)
+                                        self.p.lossless,
+                                        tree=self.p.var_cu_tree)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)
@@ -641,20 +642,31 @@ class Encoder:
         disp = self._idr_base + poc
         trace.instant("picture", poc=poc, type=ftype, qp=qp)
         rec_a = self._ana_load.get(disp, ftype) if self._ana_load else None
-        split_map = modes8 = None
+        split_map = modes8 = split32 = mode32 = None
         if ftype == "I":
             if rec_a is not None:
                 modes = rec_a["modes"]
                 split_map = rec_a.get("split_map")
                 modes8 = rec_a.get("modes8")
+                split32 = rec_a.get("split32")
+                mode32 = rec_a.get("mode32")
+            elif p.var_cu_tree:
+                from ..analysis.intra_mode import decide_modes_tree
+                modes, split_map, modes8, split32, mode32 = \
+                    decide_modes_tree(y, self.sps, qp, nxn=p.nxn_intra)
             elif p.nxn_intra:
                 from ..analysis.intra_mode import decide_modes_split
                 modes, split_map, modes8 = decide_modes_split(
                     y, self.sps, qp, block=16)
             else:
                 modes = decide_modes_rd(y, self.sps, qp, block=16)
-            r = recon.run(y, u, v, modes, qp=qp_map,
-                          split_map=split_map, modes8=modes8)
+            if split32 is not None:
+                r = recon.run_tree(y, u, v, modes, split32, mode32,
+                                   qp=qp_map, split_map=split_map,
+                                   modes8=modes8)
+            else:
+                r = recon.run(y, u, v, modes, qp=qp_map,
+                              split_map=split_map, modes8=modes8)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -702,19 +714,21 @@ class Encoder:
             self._ana_store.save(
                 disp, ftype, modes=modes, inter_mask=inter_mask,
                 mvs=mvs, ref_sel=ref_sel, dirs=dirs, mvs1=mvs1,
-                split_map=split_map, modes8=modes8)
+                split_map=split_map, modes8=modes8, split32=split32,
+                mode32=mode32)
 
         dqp_map = self._derived_qp_map(qp_map, r)
         with trace.scope("loopfilter", type=ftype):
             self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
-                          dqp_map, recon, ref_sel, split_map)
+                          dqp_map, recon, ref_sel, split_map, split32)
             sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
         with trace.scope("entropy", type=ftype):
             slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1,
                                             dirs, r, ftype, poc, qp,
                                             ref_pocs, sao_maps, ref_sel,
                                             keep_pocs, qp_map, wp_l0,
-                                            split_map, modes8)
+                                            split_map, modes8,
+                                            split32, mode32)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -791,7 +805,8 @@ class Encoder:
         return ColMotion(poc, d, mv, rp)
 
     def _deblock(self, r: dict, inter_mask, mvs, mvs1, dirs, ref_pocs,
-                 qp: int, recon, ref_sel=None, split_map=None) -> None:
+                 qp: int, recon, ref_sel=None, split_map=None,
+                 split32=None) -> None:
         if not self.p.deblock:
             return
         p = self.p
@@ -817,7 +832,8 @@ class Encoder:
             bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16,
                                        dirs_m, mvs1_m, p0, p1, split_map)
         else:
-            bs_v, bs_h = intra_bs_maps(w, h, 16, split_map)
+            merge32 = ~split32 if split32 is not None else None
+            bs_v, bs_h = intra_bs_maps(w, h, 16, split_map, merge32)
         on_v, on_h = chroma_on_maps(bs_v, bs_h, h // 2, w // 2)
         dy, du, dv = deblock_frame_batch(
             jnp.asarray(r["recon_y"].astype(np.int32)),
@@ -900,7 +916,8 @@ class Encoder:
                       ftype: str, poc: int, qp: int, ref_pocs,
                       sao_maps=None, ref_sel=None,
                       keep_pocs: tuple = (), qp_map=None,
-                      wp_l0=None, split_map=None, modes8=None) -> bytes:
+                      wp_l0=None, split_map=None, modes8=None,
+                      split32=None, mode32=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -945,68 +962,92 @@ class Encoder:
         rec = self.recon
         bpc = rec.bpc
         nbx, nby = rec.nbx, rec.nby
-        def build_cus(cx, cy):
-            cus: List[CodedCU] = []
-            tqb = self.p.lossless
-            for zy in range(bpc):
-                for zx in range(bpc):
-                    bx, by = cx * bpc + zx, cy * bpc + zy
-                    if bx >= nbx or by >= nby:
-                        continue
-                    x0, y0 = bx * 16, by * 16
-                    if inter_mask is not None and inter_mask[by, bx]:
-                        d = 1 if dirs is None else int(dirs[by, bx])
-                        cu = CodedCU(
-                            x0, y0, 4, (1,), 4, {}, is_inter=True,
-                            mv=(int(mvs[by, bx, 0]),
-                                int(mvs[by, bx, 1])),
-                            ref_idx=int(ref_sel[by, bx])
-                            if ref_sel is not None else 0,
-                            inter_dir=d,
-                            mv1=(int(mvs1[by, bx, 0]),
-                                 int(mvs1[by, bx, 1]))
-                            if mvs1 is not None else (0, 0),
-                            ref_idx1=0)
-                    elif split_map is not None and split_map[by, bx]:
-                        # NxN intra: 4 PUs + forced TU8 split; the luma
-                        # level store holds the 4 TU8s as quadrants
-                        cu = CodedCU(x0, y0, 4,
-                                     tuple(int(m)
-                                           for m in modes8[by, bx]), 4)
-                        lvq = r["lev_y"][by, bx]
-                        for k, (dx8, dy8) in enumerate(
-                                ((0, 0), (8, 0), (0, 8), (8, 8))):
-                            sub = lvq[dy8:dy8 + 8, dx8:dx8 + 8]
-                            if np.any(sub):
-                                cu.coeffs[(0, x0 + dx8, y0 + dy8, 3)] = \
-                                    sub
-                        for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
-                            lvc = r[key][by, bx]
-                            cx0, cy0 = x0 >> 1, y0 >> 1
-                            for (dx4, dy4) in ((0, 0), (4, 0), (0, 4),
-                                               (4, 4)):
-                                sub = lvc[dy4:dy4 + 4, dx4:dx4 + 4]
-                                if np.any(sub):
-                                    cu.coeffs[(c_idx, cx0 + dx4,
-                                               cy0 + dy4, 2)] = sub
-                        cu.tq_bypass = tqb
-                        cus.append(cu)
-                        continue
-                    else:
-                        cu = CodedCU(x0, y0, 4,
-                                     (int(modes[by, bx]),), 4)
-                    for c_idx, key, clog2 in ((0, "lev_y", 4),
-                                              (1, "lev_u", 3),
-                                              (2, "lev_v", 3)):
-                        lv = r[key][by, bx]
-                        if np.any(lv):
-                            cx0 = x0 >> (1 if c_idx else 0)
-                            cy0 = y0 >> (1 if c_idx else 0)
-                            cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
-                    cu.tq_bypass = tqb
-                    cus.append(cu)
+        tree = self.p.var_cu_tree
+
+        def build16(bx, by, tqb):
+            x0, y0 = bx * 16, by * 16
+            if inter_mask is not None and inter_mask[by, bx]:
+                d = 1 if dirs is None else int(dirs[by, bx])
+                cu = CodedCU(
+                    x0, y0, 4, (1,), 4, {}, is_inter=True,
+                    mv=(int(mvs[by, bx, 0]),
+                        int(mvs[by, bx, 1])),
+                    ref_idx=int(ref_sel[by, bx])
+                    if ref_sel is not None else 0,
+                    inter_dir=d,
+                    mv1=(int(mvs1[by, bx, 0]),
+                         int(mvs1[by, bx, 1]))
+                    if mvs1 is not None else (0, 0),
+                    ref_idx1=0)
+            elif split_map is not None and split_map[by, bx]:
+                # NxN intra: 4 PUs + forced TU8 split; the luma
+                # level store holds the 4 TU8s as quadrants
+                cu = CodedCU(x0, y0, 4,
+                             tuple(int(m) for m in modes8[by, bx]), 4)
+                lvq = r["lev_y"][by, bx]
+                for k, (dx8, dy8) in enumerate(
+                        ((0, 0), (8, 0), (0, 8), (8, 8))):
+                    sub = lvq[dy8:dy8 + 8, dx8:dx8 + 8]
+                    if np.any(sub):
+                        cu.coeffs[(0, x0 + dx8, y0 + dy8, 3)] = sub
+                for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
+                    lvc = r[key][by, bx]
+                    cx0, cy0 = x0 >> 1, y0 >> 1
+                    for (dx4, dy4) in ((0, 0), (4, 0), (0, 4), (4, 4)):
+                        sub = lvc[dy4:dy4 + 4, dx4:dx4 + 4]
+                        if np.any(sub):
+                            cu.coeffs[(c_idx, cx0 + dx4,
+                                       cy0 + dy4, 2)] = sub
+                cu.tq_bypass = tqb
+                return cu
+            else:
+                cu = CodedCU(x0, y0, 4, (int(modes[by, bx]),), 4)
+            for c_idx, key, clog2 in ((0, "lev_y", 4),
+                                      (1, "lev_u", 3),
+                                      (2, "lev_v", 3)):
+                lv = r[key][by, bx]
+                if np.any(lv):
+                    cx0 = x0 >> (1 if c_idx else 0)
+                    cy0 = y0 >> (1 if c_idx else 0)
+                    cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
+            cu.tq_bypass = tqb
+            return cu
+
+        def build_region(rx, ry, tqb):
+            """CUs of one 32x32 region (z-order): a true 32 CU (tree
+            intra TU32, or a same-motion inter merge with TU16 quads),
+            else the region's 16x16 CUs."""
+            x0, y0 = rx * 32, ry * 32
+            full = (x0 + 32 <= sps.width and y0 + 32 <= sps.height)
+            if (tree and full and split32 is not None
+                    and not split32[ry, rx]):
+                # true 32x32 intra CU: TU32 luma assembled from the 4
+                # quadrant slots, TU16 chroma likewise
+                cu = CodedCU(x0, y0, 5, (int(mode32[ry, rx]),), 4)
+                by0, bx0 = 2 * ry, 2 * rx
+                lv32 = np.block(
+                    [[r["lev_y"][by0, bx0], r["lev_y"][by0, bx0 + 1]],
+                     [r["lev_y"][by0 + 1, bx0],
+                      r["lev_y"][by0 + 1, bx0 + 1]]])
+                if np.any(lv32):
+                    cu.coeffs[(0, x0, y0, 5)] = lv32
+                for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
+                    lv16 = np.block(
+                        [[r[key][by0, bx0], r[key][by0, bx0 + 1]],
+                         [r[key][by0 + 1, bx0],
+                          r[key][by0 + 1, bx0 + 1]]])
+                    if np.any(lv16):
+                        cu.coeffs[(c_idx, x0 >> 1, y0 >> 1, 4)] = lv16
+                return [cu]
+            cus = []
+            for (zy, zx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                bx, by = 2 * rx + zx, 2 * ry + zy
+                if bx < nbx and by < nby:
+                    cus.append(build16(bx, by, tqb))
             # merge 4 identical-motion inter CUs into one 32x32 CU
-            if (bpc == 2 and len(cus) == 4 and
+            # (TU16 residual quads; with log2_max_tu 5 this needs the
+            # voluntary TU split)
+            if (full and len(cus) == 4 and
                     all(c.is_inter for c in cus) and
                     len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
                           c.ref_idx1) for c in cus}) == 1):
@@ -1014,25 +1055,44 @@ class Encoder:
                 merged = {}
                 for c in cus:
                     merged.update(c.coeffs)
-                cus = [CodedCU(cx * 32, cy * 32, 5, (1,), 4, merged,
-                               is_inter=True, mv=c0.mv,
-                               ref_idx=c0.ref_idx,
-                               inter_dir=c0.inter_dir, mv1=c0.mv1,
-                               ref_idx1=c0.ref_idx1,
-                               tq_bypass=tqb)]
+                return [CodedCU(x0, y0, 5, (1,), 4, merged,
+                                is_inter=True, mv=c0.mv,
+                                ref_idx=c0.ref_idx,
+                                inter_dir=c0.inter_dir, mv1=c0.mv1,
+                                ref_idx1=c0.ref_idx1, tq_bypass=tqb,
+                                tu_split=tree and bool(merged))]
             # merge 4 same-mode intra CUs into one 32x32 intra CU
-            elif (bpc == 2 and len(cus) == 4 and
-                  all((not c.is_inter) and not c.part_nxn
-                      for c in cus) and
-                  len({(c.luma_modes[0], c.chroma_idx)
-                       for c in cus}) == 1):
+            # (legacy max_tu=16 forced-split form; superseded by true
+            # TU32 CUs in tree mode)
+            if (not tree and full and len(cus) == 4 and
+                    all((not c.is_inter) and not c.part_nxn
+                        for c in cus) and
+                    len({(c.luma_modes[0], c.chroma_idx)
+                         for c in cus}) == 1):
                 merged = {}
                 for c in cus:
                     merged.update(c.coeffs)
-                cus = [CodedCU(cx * 32, cy * 32, 5,
-                               (cus[0].luma_modes[0],),
-                               cus[0].chroma_idx, merged,
-                               tq_bypass=tqb)]
+                return [CodedCU(x0, y0, 5, (cus[0].luma_modes[0],),
+                                cus[0].chroma_idx, merged,
+                                tq_bypass=tqb)]
+            return cus
+
+        def build_cus(cx, cy):
+            tqb = self.p.lossless
+            if bpc == 1:
+                bx, by = cx, cy
+                if bx >= nbx or by >= nby:
+                    return []
+                return [build16(bx, by, tqb)]
+            cus: List[CodedCU] = []
+            rpc = bpc // 2
+            for q in range(rpc * rpc):
+                qx = ((q >> 0) & 1) | (((q >> 2) & 1) << 1)
+                qy = ((q >> 1) & 1) | (((q >> 3) & 1) << 1)
+                rx, ry = cx * rpc + qx, cy * rpc + qy
+                if rx * 32 >= sps.width or ry * 32 >= sps.height:
+                    continue
+                cus.extend(build_region(rx, ry, tqb))
             return cus
 
         def encode_ctu_at(syn_, ir_, cx, cy, last):

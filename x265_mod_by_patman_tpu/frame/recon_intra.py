@@ -197,6 +197,164 @@ _component_substep = jax.jit(
 )
 
 
+def _intra_tb_whole(plane, orig, x0, y0, modes, avail, log2n: int,
+                    qp, c_idx: int, bit_depth: int, sign_hide: bool,
+                    rdoq: bool, qm, dm, strong: bool):
+    """Whole-TB intra predict + transform + recon for (B,) lanes at pixel
+    coords (x0, y0).  Unlike _substep_body this does NOT write the plane —
+    the caller commits the result under the CU-tree split mask.
+
+    Returns (rec (B,N,N), lev (B,N,N), gy, gx index grids)."""
+    n = 1 << log2n
+    maxval = (1 << bit_depth) - 1
+    hp, wp = plane.shape
+    ks = np.arange(4 * n + 1)
+    k_x = np.where(ks <= 2 * n, -1, ks - (2 * n + 1))
+    k_y = np.where(ks < 2 * n, 2 * n - 1 - ks, -1)
+    xs = jnp.clip(x0[:, None] + jnp.asarray(k_x)[None, :], 0, wp - 1)
+    ys = jnp.clip(y0[:, None] + jnp.asarray(k_y)[None, :], 0, hp - 1)
+    s_sub, s_filt = substitute_filter_batch(plane[ys, xs], avail, log2n,
+                                            bit_depth, strong=strong)
+    pred = intra_pred_select_batch(s_sub, s_filt, modes, log2n, c_idx,
+                                   bit_depth)
+    gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+    org = orig[jnp.clip(gy, 0, orig.shape[0] - 1),
+               jnp.clip(gx, 0, orig.shape[1] - 1)].astype(jnp.int32)
+    coef = dct_batch(org - pred, log2n, bit_depth)
+    ones = jnp.ones(x0.shape, bool)
+    lev = rdoq_levels(coef, ones, qp, log2n, bit_depth) if rdoq \
+        else quant_dyn(coef, ones, qp, log2n, bit_depth, qm)
+    if sign_hide:
+        lev = sbh_adjust(lev, coef, ones, qp, log2n, bit_depth)
+    deq = dequant_dyn(lev, qp, log2n, bit_depth, dm, ones)
+    rec = jnp.clip(pred + idct_batch(deq, log2n, bit_depth), 0, maxval)
+    return rec, lev, gy, gx
+
+
+def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
+                         modes, s16_bx, s16_by, s16_avy, s16_avc,
+                         r_px, r_py, r_valid, r_avy, r_avc,
+                         split32, mode32,
+                         qp, qp_cb, qp_cr, bit_depth: int = 8,
+                         sign_hide: bool = False, rdoq: bool = False,
+                         mats=None, mats32=None, split_map=None,
+                         modes8=None, s16_av8=None, s16_av4c=None,
+                         strong: bool = False):
+    """Variable CU-tree wavefront (intra): steps iterate 32x32 regions in
+    wavefront + z order; each step evaluates BOTH the four z-ordered
+    16x16 CU substeps (with their optional NxN splits) AND the whole
+    region as one 32x32 CU (TU32 luma + TU16 chroma), committing per the
+    split32 decision — the batched branchless form of the reference's
+    compressIntraCU depth recursion (analysis.cpp:878; SURVEY §7
+    'pruning masks, not branches').
+
+    s16_*: (S, 4, B) per-16-block schedule; r_px/r_py: (S, B) region
+    pixel coords (invalid lanes redirected into the dump area);
+    split32/mode32: (n32y, n32x) maps; r_valid: (S, B) bool.
+    """
+    nby = lev_y.shape[0] - 1
+    nbx = lev_y.shape[1]
+    n32y, n32x = split32.shape
+    bpc = (nbx + qp.shape[1] - 1) // qp.shape[1]
+    skip_map = jnp.zeros((nby + 1, nbx), bool)
+
+    def step(s, carry):
+        yp, up, vp, lev_y, lev_u, lev_v = carry
+        # -- the 4 z-ordered 16x16 substeps (identical to the legacy body)
+        for z in range(4):
+            bx = s16_bx[s, z]
+            by = s16_by[s, z]
+            cy = jnp.clip(by // bpc, 0, qp.shape[0] - 1)
+            cx = jnp.clip(bx // bpc, 0, qp.shape[1] - 1)
+            md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
+            yp, lev_y, _ = _substep_body(
+                yp, lev_y, oy, bx, by, md, s16_avy[s, z],
+                4, qp[cy, cx], 0, bit_depth, None, None, sign_hide,
+                None, rdoq, mats[0] if mats else None,
+                mats[1] if mats else None,
+                split_map, modes8,
+                s16_av8[s, z] if s16_av8 is not None else None,
+                (mats[2] if mats else None, mats[3] if mats else None))
+            up, lev_u, _ = _substep_body(
+                up, lev_u, ou, bx, by, md, s16_avc[s, z],
+                3, qp_cb[cy, cx], 1, bit_depth, None, None, sign_hide,
+                None, rdoq, mats[2] if mats else None,
+                mats[3] if mats else None,
+                split_map, modes8,
+                s16_av4c[s, z] if s16_av4c is not None else None,
+                (None, None))
+            vp, lev_v, _ = _substep_body(
+                vp, lev_v, ov, bx, by, md, s16_avc[s, z],
+                3, qp_cr[cy, cx], 2, bit_depth, None, None, sign_hide,
+                None, rdoq, mats[2] if mats else None,
+                mats[3] if mats else None,
+                split_map, modes8,
+                s16_av4c[s, z] if s16_av4c is not None else None,
+                (None, None))
+
+        # -- whole-region 32x32 CU path -----------------------------------
+        px = r_px[s]
+        py = r_py[s]
+        valid = r_valid[s]
+        r32x = jnp.clip(px >> 5, 0, n32x - 1)
+        r32y = jnp.clip(py >> 5, 0, n32y - 1)
+        commit = valid & ~split32[r32y, r32x]
+        md32 = mode32[r32y, r32x]
+        cy = jnp.clip((py >> 4) // bpc, 0, qp.shape[0] - 1)
+        cx = jnp.clip((px >> 4) // bpc, 0, qp.shape[1] - 1)
+        rec32, lv32, gy, gx = _intra_tb_whole(
+            yp, oy, px, py, md32, r_avy[s], 5, qp[cy, cx], 0,
+            bit_depth, sign_hide, rdoq,
+            mats32[0] if mats32 else None,
+            mats32[1] if mats32 else None, strong)
+        cur = yp[jnp.clip(gy, 0, yp.shape[0] - 1), gx]
+        yp = yp.at[jnp.clip(gy, 0, yp.shape[0] - 1), gx].set(
+            jnp.where(commit[:, None, None], rec32, cur))
+        for (cpl, lev_c, opl, qpc, mi) in ((up, lev_u, ou, qp_cb, 1),
+                                           (vp, lev_v, ov, qp_cr, 2)):
+            recc, lvc, gyc, gxc = _intra_tb_whole(
+                cpl, opl, px >> 1, py >> 1, md32, r_avc[s], 4,
+                qpc[cy, cx], mi, bit_depth, sign_hide, rdoq,
+                mats32[2] if mats32 else None,
+                mats32[3] if mats32 else None, False)
+            curc = cpl[jnp.clip(gyc, 0, cpl.shape[0] - 1), gxc]
+            cpl = cpl.at[jnp.clip(gyc, 0, cpl.shape[0] - 1), gxc].set(
+                jnp.where(commit[:, None, None], recc, curc))
+            # store TU16 chroma levels as 8x8 quadrants of the 4 blocks
+            for (dy, dx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                bq_x = jnp.where(valid, (px >> 4) + dx, 0)
+                bq_y = jnp.where(valid, (py >> 4) + dy, nby)
+                q = lvc[:, dy * 8:dy * 8 + 8, dx * 8:dx * 8 + 8]
+                curl = lev_c[bq_y, bq_x]
+                lev_c = lev_c.at[bq_y, bq_x].set(
+                    jnp.where(commit[:, None, None], q, curl))
+            if mi == 1:
+                up, lev_u = cpl, lev_c
+            else:
+                vp, lev_v = cpl, lev_c
+        # store TU32 luma levels as 16x16 quadrants of the 4 blocks
+        for (dy, dx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            bq_x = jnp.where(valid, (px >> 4) + dx, 0)
+            bq_y = jnp.where(valid, (py >> 4) + dy, nby)
+            q = lv32[:, dy * 16:dy * 16 + 16, dx * 16:dx * 16 + 16]
+            curl = lev_y[bq_y, bq_x]
+            lev_y = lev_y.at[bq_y, bq_x].set(
+                jnp.where(commit[:, None, None], q, curl))
+        return yp, up, vp, lev_y, lev_u, lev_v
+
+    carry = (yp, up, vp, lev_y, lev_u, lev_v)
+    carry = jax.lax.fori_loop(0, s16_bx.shape[0], step, carry)
+    return carry
+
+
+_wavefront_tree_run = jax.jit(
+    _wavefront_tree_body,
+    static_argnames=("bit_depth", "sign_hide", "rdoq", "strong"),
+    donate_argnums=(0, 1, 2, 3, 4, 5),
+)
+
+
 def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     sb_bx, sb_by, sb_avy, sb_avc,
                     mc_y, mc_u, mc_v, inter_mask,
@@ -305,13 +463,15 @@ class IntraReconstructor:
     def __init__(self, sps, cb_qp_offset: int = 0,
                  cr_qp_offset: int = 0, sign_hide: bool = False,
                  rdoq: bool = False, slice_tops: tuple = (),
-                 nxn: bool = False, lossless: bool = False) -> None:
+                 nxn: bool = False, lossless: bool = False,
+                 tree: bool = False) -> None:
         self.sps = sps
         self.cb_qp_offset = cb_qp_offset
         self.cr_qp_offset = cr_qp_offset
         self.sign_hide = bool(sign_hide)
         self.rdoq = bool(rdoq)
         self.mats = None
+        self.mats32 = None
         if getattr(sps, "scaling_list_enabled", False):
             from ..ops.transform import quant_mats
             from ..constants.scaling import default_matrix
@@ -322,6 +482,14 @@ class IntraReconstructor:
                 quant_mats(3),
                 np.stack([default_matrix(3, True),
                           default_matrix(3, False)])))
+            if tree:
+                self.mats32 = tuple(jnp.asarray(a) for a in (
+                    quant_mats(5),
+                    np.stack([default_matrix(5, True),
+                              default_matrix(5, False)]),
+                    quant_mats(4),
+                    np.stack([default_matrix(4, True),
+                              default_matrix(4, False)])))
         self.bd = sps.bit_depth
         self.log2_ctu = sps.log2_ctu_size
         self.nl = 16                       # luma block size (v1 uniform)
@@ -337,7 +505,138 @@ class IntraReconstructor:
         self.slice_tops = tuple(slice_tops)
         self.nxn = bool(nxn)
         self.lossless = bool(lossless)
+        self.tree = bool(tree)
+        if self.tree:
+            assert self.log2_ctu >= 5 and not self.lossless
+            self.n32x = w // 32
+            self.n32y = h // 32
+            self._build_tree_schedule()
         self._build_schedule()
+
+    def _build_tree_schedule(self) -> None:
+        """Stacked (S, 4, B) 16-block + (S, B) 32-region schedule: regions
+        iterate in wavefront-diagonal order, then z within the CTU; the 4
+        16-blocks of each region in z order (same total order as the
+        legacy schedule, grouped by region)."""
+        w, h = self.sps.width, self.sps.height
+        avail_y = frame_avail_masks(w, h, self.nl, self.log2_ctu, 0,
+                                    self.slice_tops)
+        avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, 1,
+                                    self.slice_tops)
+        av32 = frame_avail_masks(w, h, 32, self.log2_ctu, 0,
+                                 self.slice_tops)
+        av16c = frame_avail_masks(w, h, 16, self.log2_ctu, 1,
+                                  self.slice_tops)
+        av8_full = av4c_full = None
+        if self.nxn:
+            av8_full = frame_avail_masks(w, h, 8, self.log2_ctu, 0,
+                                         self.slice_tops)
+            av4c_full = frame_avail_masks(w, h, 4, self.log2_ctu, 1,
+                                          self.slice_tops)
+        waves = ctu_wavefront_order(self.n_ctu_x, self.n_ctu_y)
+        B = max(len(wv[0]) for wv in waves)
+        rpc = self.bpc // 2                 # 32-regions per CTU axis
+        st = {"bx": [], "by": [], "avy": [], "avc": [], "av8": [],
+              "av4c": [], "px": [], "py": [], "valid": [], "ravy": [],
+              "ravc": []}
+        for (cxs, cys) in waves:
+            nb = len(cxs)
+            pad = B - nb
+            for q in range(rpc * rpc):
+                qx = ((q >> 0) & 1) | (((q >> 2) & 1) << 1)
+                qy = ((q >> 1) & 1) | (((q >> 3) & 1) << 1)
+                rx = cxs * rpc + qx
+                ry = cys * rpc + qy
+                rvalid = ((rx + 1) * 32 <= w) & ((ry + 1) * 32 <= h)
+                # skip steps whose region AND all 4 sub-blocks are outside
+                any_blk = False
+                zb = {"bx": [], "by": [], "avy": [], "avc": [], "av8": [],
+                      "av4c": []}
+                for z in range(4):
+                    zx, zy = z & 1, z >> 1
+                    bx = rx * 2 + zx
+                    by = ry * 2 + zy
+                    valid = (bx < self.nbx) & (by < self.nby)
+                    any_blk |= valid.any()
+                    bxp = np.where(valid, bx, 0).astype(np.int32)
+                    byp = np.where(valid, by, self.nby).astype(np.int32)
+                    avy = avail_y[np.where(valid, byp, 0),
+                                  np.where(valid, bxp, 0)] & valid[:, None]
+                    avc = avail_c[np.where(valid, byp, 0),
+                                  np.where(valid, bxp, 0)] & valid[:, None]
+                    if pad:
+                        bxp = np.concatenate([bxp, np.zeros(pad, np.int32)])
+                        byp = np.concatenate(
+                            [byp, np.full(pad, self.nby, np.int32)])
+                        avy = np.concatenate(
+                            [avy, np.zeros((pad, avy.shape[1]), bool)])
+                        avc = np.concatenate(
+                            [avc, np.zeros((pad, avc.shape[1]), bool)])
+                    zb["bx"].append(bxp)
+                    zb["by"].append(byp)
+                    zb["avy"].append(avy)
+                    zb["avc"].append(avc)
+                    if av8_full is not None:
+                        a8 = np.zeros((B, 4, 33), bool)
+                        a4 = np.zeros((B, 4, 17), bool)
+                        for k, (dx8, dy8) in enumerate(
+                                ((0, 0), (1, 0), (0, 1), (1, 1))):
+                            a8[:nb, k] = av8_full[
+                                np.where(valid, 2 * byp[:nb] + dy8, 0),
+                                np.where(valid, 2 * bxp[:nb] + dx8, 0)] \
+                                & valid[:, None]
+                            a4[:nb, k] = av4c_full[
+                                np.where(valid, 2 * byp[:nb] + dy8, 0),
+                                np.where(valid, 2 * bxp[:nb] + dx8, 0)] \
+                                & valid[:, None]
+                        zb["av8"].append(a8)
+                        zb["av4c"].append(a4)
+                if not any_blk:
+                    continue
+                px = np.where(rvalid, rx * 32, 0).astype(np.int32)
+                py = np.where(rvalid, ry * 32, h).astype(np.int32)
+                ravy = av32[np.where(rvalid, np.minimum(ry, self.n32y - 1),
+                                     0),
+                            np.where(rvalid, np.minimum(rx, self.n32x - 1),
+                                     0)] & rvalid[:, None]
+                ravc = av16c[np.where(rvalid,
+                                      np.minimum(ry, self.n32y - 1), 0),
+                             np.where(rvalid,
+                                      np.minimum(rx, self.n32x - 1), 0)] \
+                    & rvalid[:, None]
+                if pad:
+                    px = np.concatenate([px, np.zeros(pad, np.int32)])
+                    py = np.concatenate([py, np.full(pad, h, np.int32)])
+                    rvalid = np.concatenate([rvalid, np.zeros(pad, bool)])
+                    ravy = np.concatenate(
+                        [ravy, np.zeros((pad, 129), bool)])
+                    ravc = np.concatenate(
+                        [ravc, np.zeros((pad, 65), bool)])
+                st["bx"].append(np.stack(zb["bx"]))
+                st["by"].append(np.stack(zb["by"]))
+                st["avy"].append(np.stack(zb["avy"]))
+                st["avc"].append(np.stack(zb["avc"]))
+                if av8_full is not None:
+                    st["av8"].append(np.stack(zb["av8"]))
+                    st["av4c"].append(np.stack(zb["av4c"]))
+                st["px"].append(px)
+                st["py"].append(py)
+                st["valid"].append(rvalid)
+                st["ravy"].append(ravy)
+                st["ravc"].append(ravc)
+        self.t_bx = jnp.asarray(np.stack(st["bx"]))
+        self.t_by = jnp.asarray(np.stack(st["by"]))
+        self.t_avy = jnp.asarray(np.stack(st["avy"]))
+        self.t_avc = jnp.asarray(np.stack(st["avc"]))
+        self.t_av8 = jnp.asarray(np.stack(st["av8"])) \
+            if av8_full is not None else None
+        self.t_av4c = jnp.asarray(np.stack(st["av4c"])) \
+            if av8_full is not None else None
+        self.t_px = jnp.asarray(np.stack(st["px"]))
+        self.t_py = jnp.asarray(np.stack(st["py"]))
+        self.t_valid = jnp.asarray(np.stack(st["valid"]))
+        self.t_ravy = jnp.asarray(np.stack(st["ravy"]))
+        self.t_ravc = jnp.asarray(np.stack(st["ravc"]))
 
     def _build_schedule(self) -> None:
         """Static (per frame geometry) stacked wavefront schedule."""
@@ -419,6 +718,49 @@ class IntraReconstructor:
         qcr = tab[np.clip(qy + self.cr_qp_offset, 0, 69)]
         return (jnp.asarray(qy), jnp.asarray(qcb.astype(np.int32)),
                 jnp.asarray(qcr.astype(np.int32)))
+
+    def run_tree(self, y, u, v, modes, split32, mode32, qp=32,
+                 split_map=None, modes8=None, materialize: bool = True):
+        """Intra variable-CU-tree reconstruction: 32x32 CUs (TU32 luma /
+        TU16 chroma) where split32 is False, the 16-grid (with optional
+        NxN sub-splits) elsewhere.  Arguments mirror run()."""
+        assert self.tree
+        qp_map = self._qp_maps(qp)
+        nl, nc = self.nl, self.nc
+        w, h = self.sps.width, self.sps.height
+        wc, hc = w // 2, h // 2
+        yp = jnp.zeros((h + 32, w), jnp.int32)
+        up = jnp.zeros((hc + 16, wc), jnp.int32)
+        vp = jnp.zeros((hc + 16, wc), jnp.int32)
+        lev_y = jnp.zeros((self.nby + 1, self.nbx, nl, nl), jnp.int32)
+        lev_u = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        lev_v = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        oy = jnp.asarray(np.asarray(y, dtype=np.int32))
+        ou = jnp.asarray(np.asarray(u, dtype=np.int32))
+        ov = jnp.asarray(np.asarray(v, dtype=np.int32))
+        sm = m8j = None
+        if split_map is not None:
+            sm = jnp.concatenate(
+                [jnp.asarray(np.asarray(split_map, bool)),
+                 jnp.zeros((1, self.nbx), bool)], axis=0)
+            m8j = jnp.asarray(np.asarray(modes8, np.int32))
+        yp, up, vp, lev_y, lev_u, lev_v = _wavefront_tree_run(
+            yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
+            jnp.asarray(np.asarray(modes, np.int32)),
+            self.t_bx, self.t_by, self.t_avy, self.t_avc,
+            self.t_px, self.t_py, self.t_valid, self.t_ravy, self.t_ravc,
+            jnp.asarray(np.asarray(split32, bool)),
+            jnp.asarray(np.asarray(mode32, np.int32)),
+            qp_map[0], qp_map[1], qp_map[2], self.bd,
+            self.sign_hide, self.rdoq, self.mats, self.mats32,
+            sm, m8j,
+            self.t_av8 if split_map is not None else None,
+            self.t_av4c if split_map is not None else None,
+            bool(getattr(self.sps, "strong_intra_smoothing", True)))
+        rd = {"recon_y": yp[:h], "recon_u": up[:hc], "recon_v": vp[:hc],
+              "lev_y": lev_y[:self.nby], "lev_u": lev_u[:self.nby],
+              "lev_v": lev_v[:self.nby]}
+        return self.materialize(rd) if materialize else rd
 
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
             modes: np.ndarray, mc_pred=None, inter_mask=None,

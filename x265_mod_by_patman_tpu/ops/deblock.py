@@ -32,12 +32,14 @@ def _clip3(lo, hi, x):
 # ---------------------------------------------------------------------------
 
 def intra_bs_maps(width: int, height: int, tu_size: int = 16,
-                  split_map=None):
+                  split_map=None, merge32=None):
     """BS maps for an all-intra frame with a uniform TU grid: every TU
     boundary on the 8-px deblock grid has BS=2 (spec 8.7.2.4: either side
     intra -> bS 2); interior 8-px lines are not transform edges -> 0.
     split_map: optional (nby, nbx) bool — NxN blocks whose interior TU8
     edges are also transform boundaries.
+    merge32: optional (n32y, n32x) bool — 32x32 CUs coded with a single
+    TU32 whose interior 16-px lines are NOT transform edges.
 
     Returns (bs_v, bs_h):
       bs_v: (H/4, W/8 - 1) BS of vertical edge at x=8*(e+1), rows 4y..4y+3
@@ -53,9 +55,27 @@ def intra_bs_maps(width: int, height: int, tu_size: int = 16,
     for e in range(eh):
         if ((e + 1) * 8) % tu_size == 0:
             bs_h[e, :] = 2
+    if merge32 is not None:
+        clear_merge32_edges(bs_v, bs_h, merge32)
     if split_map is not None:
         mark_split_edges(bs_v, bs_h, split_map)
     return bs_v, bs_h
+
+
+def clear_merge32_edges(bs_v, bs_h, merge32) -> None:
+    """Zero the interior 16-px edges of unsplit 32x32 TU32 CUs (they are
+    neither TU nor PU boundaries)."""
+    n32y, n32x = merge32.shape
+    for ry in range(n32y):
+        for rx in range(n32x):
+            if not merge32[ry, rx]:
+                continue
+            e = 4 * rx + 1                  # vertical edge at x=rx*32+16
+            if e < bs_v.shape[1]:
+                bs_v[ry * 8:(ry + 1) * 8, e] = 0
+            e = 4 * ry + 1
+            if e < bs_h.shape[0]:
+                bs_h[e, rx * 8:(rx + 1) * 8] = 0
 
 
 def mark_split_edges(bs_v, bs_h, split_map) -> None:

@@ -145,6 +145,7 @@ class EncoderParams:
     pic_height_in_ctus: int = 0
     max_cu_depth: int = 2
     log2_ctu_size: int = 5
+    var_cu_tree: bool = False       # variable CU tree RDO (rd_level >= 3)
 
     def validate(self) -> "EncoderParams":
         """Validation + derivation (analog of x265_check_params +
@@ -185,6 +186,15 @@ class EncoderParams:
             # NxN PUs exist only at min CU size (spec 7.4.9.4); our NxN
             # CU is 16x16 with 8x8 PUs/TUs
             p.min_cu_size = 16
+        # variable CU-tree RDO (rd >= 3, reference rd-levels
+        # doc/reST/presets.rst): true 32x32 intra CUs with TU32 need
+        # log2_max_tu 5; inter CUs keep TU16 quads via a voluntary split
+        p.var_cu_tree = (p.rd_level >= 3 and not p.lossless
+                         and p.ctu_size >= 32
+                         and p.source_width >= 32 and p.source_height >= 32)
+        if p.var_cu_tree:
+            p.max_tu_size = 32
+            p.tu_inter_depth = max(p.tu_inter_depth, 2)
         return p
 
     def apply_preset(self, preset: str) -> "EncoderParams":
