@@ -104,10 +104,12 @@ def encode_x265(clip, frames_n, w, h, fps, q, binary, extra):
     with tempfile.TemporaryDirectory() as td:
         out = os.path.join(td, "o.hevc")
         rec = os.path.join(td, "r.y4m")
+        toks = extra.split()
+        use_crf = "--crf" in toks
+        toks = [t for t in toks if t != "--crf"]
         cmd = [binary, "--input", clip, "--frames", str(frames_n),
-               "-o", out, "--recon", rec] + extra.split() + \
-            (["--crf", str(q)] if "--crf" in extra or extra.endswith("crf")
-             else ["--qp", str(q)])
+               "-o", out, "--recon", rec] + toks + \
+            (["--crf", str(q)] if use_crf else ["--qp", str(q)])
         subprocess.run(cmd, check=True, capture_output=True)
         _, _, recs = read_y4m(rec)
         kbps = os.path.getsize(out) * 8 * fps / frames_n / 1000.0

@@ -32,6 +32,41 @@ def lambda_qp(qp: int) -> Tuple[float, float]:
     return math.sqrt(lam2), lam2
 
 
+def _neigh_field(f2d, sy: int, sx: int):
+    """Coding-order neighbor gather on a (nby, nbx) block field:
+    out[y, x] = f2d[y - sy, x - sx], plus a validity mask for in-frame
+    positions.  The batched stand-in for CUData neighbor walks."""
+    nby, nbx = f2d.shape[:2]
+    s = jnp.roll(f2d, (sy, sx), (0, 1))
+    ys = jnp.arange(nby)[:, None]
+    xs = jnp.arange(nbx)[None, :]
+    iy = ys - sy
+    ix = xs - sx
+    ok = (iy >= 0) & (iy < nby) & (ix >= 0) & (ix < nbx)
+    return s, ok
+
+
+def _stack_refs(planes, m: int):
+    """Stack reference planes vertically with per-plane edge padding of
+    `m` rows, so one MC gather serves per-block reference indices:
+    block at (bx, by) on ref r reads the tall plane at
+    y = by + r*strip + m.  Clamped out-of-window reads stay inside the
+    ref's own padded strip for |mv_y| <= 4*(m - taps)."""
+    padded = [jnp.pad(p, ((m, m), (0, 0)), mode="edge") for p in planes]
+    tall = jnp.concatenate(padded, axis=0)
+    strip = padded[0].shape[0]
+    return tall, strip
+
+
+# candidate-position order approximating the spatial merge list
+# (A1 left, B1 top, B0 top-right; spec 8.5.3.2.3)
+_MERGE_NEIGH = ((0, 1), (1, 0), (1, -1))
+
+# merge_idx TR bin count per list position (cu_syntax._merge_idx with
+# cmax = max_merge - 1 = 2): idx0 -> 1, idx1 -> 2, idx2 -> 2
+_MERGE_IDX_BINS = (1, 2, 2)
+
+
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     weights=None, subme: int = 2):
@@ -106,7 +141,8 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     gx = bx[:, None, None] + jnp.arange(n)[None, None, :]
     org = oy[jnp.clip(gy, 0, h - 1), jnp.clip(gx, 0, w - 1)].astype(jnp.int32)
 
-    # 1. per-ref full search + subpel; ref_idx bit charge for non-zero refs
+    # 1. per-ref full search + subpel (zero-pred regularized); recover
+    # pure SATD by subtracting the exact bit charge the search applied
     cands = []
     pz = jnp.zeros(nb, jnp.int32)
     for ridx, ry in enumerate(ry_all):
@@ -116,27 +152,70 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
         mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
                                              pz, pz, lam256, n, bd,
                                              subme)
-        cost = cost + ((lam256 * (2 if ridx else 1)) >> 8)
-        # 2. neighbor-coherence pass per ref
-        mvx2d = mvx.reshape(nby, nbx)
-        mvy2d = mvy.reshape(nby, nbx)
-        for (sy, sx) in ((0, 1), (1, 0)):
-            cx_ = jnp.roll(mvx2d, (sy, sx), (0, 1)).ravel()
-            cy_ = jnp.roll(mvy2d, (sy, sx), (0, 1)).ravel()
-            pred = mc_batch(ry, bx, by, cx_, cy_, n, 0, bd,
-                            use_pallas=use_pallas)
-            c = satd_batch(org, pred) + ((lam256 * 2) >> 8)
-            upd = c < cost
-            mvx = jnp.where(upd, cx_, mvx)
-            mvy = jnp.where(upd, cy_, mvy)
-            cost = jnp.where(upd, c, cost)
-        cands.append((mvx, mvy, cost))
+        satd = cost - ((lam256 * mv_bits(mvx, mvy)) >> 8)
+        cands.append((mvx, mvy, satd))
 
-    costs_r = jnp.stack([c[2] for c in cands])        # (R, nb)
-    ref_sel = jnp.argmin(costs_r, axis=0).astype(jnp.int32)
-    cost = jnp.min(costs_r, axis=0)
-    mvx = jnp.choose(ref_sel, [c[0] for c in cands], mode="clip")
-    mvy = jnp.choose(ref_sel, [c[1] for c in cands], mode="clip")
+    # provisional joint (ref, mv): SATD + zero-pred mvd + ref_idx bins
+    satd_r = jnp.stack([c[2] for c in cands])         # (R, nb)
+    mvx_r = jnp.stack([c[0] for c in cands])
+    mvy_r = jnp.stack([c[1] for c in cands])
+    prov = satd_r + ((lam256 * (mv_bits(mvx_r, mvy_r) +
+                                jnp.arange(nref)[:, None] + 4)) >> 8)
+    ref_sel = jnp.argmin(prov, axis=0).astype(jnp.int32)
+    mvx = jnp.take_along_axis(mvx_r, ref_sel[None], 0)[0]
+    mvy = jnp.take_along_axis(mvy_r, ref_sel[None], 0)[0]
+    satd_me = jnp.take_along_axis(satd_r, ref_sel[None], 0)[0]
+
+    # 2. merge/AMVP-true candidate selection (batched mergeEstimation +
+    # selectMVP analog, reference search.cpp:2237/2347): candidates are
+    # the coding-order neighbors' (mv, ref) with merge_idx bin charges
+    # vs the ME winner with real AMVP-predictor mvd charges.  Two
+    # rounds so merge regions can grow along the coding order.
+    m_pad = search_range + 12
+    tall, strip = _stack_refs(ry_all, m_pad)
+    me_mvx, me_mvy, me_ref = mvx, mvy, ref_sel
+
+    def cand_round(mvx, mvy, rsel):
+        f2x = mvx.reshape(nby, nbx)
+        f2y = mvy.reshape(nby, nbx)
+        f2r = rsel.reshape(nby, nbx)
+        nfs = [(_neigh_field(f2x, sy, sx)[0],
+                _neigh_field(f2y, sy, sx)[0],
+                _neigh_field(f2r, sy, sx)[0],
+                _neigh_field(f2r, sy, sx)[1])
+               for (sy, sx) in _MERGE_NEIGH]
+        # AMVP predictors ~ (A1, B1) neighbor MVs (zero when absent)
+        p0x = jnp.where(nfs[0][3], nfs[0][0], 0).ravel()
+        p0y = jnp.where(nfs[0][3], nfs[0][1], 0).ravel()
+        p1x = jnp.where(nfs[1][3], nfs[1][0], 0).ravel()
+        p1y = jnp.where(nfs[1][3], nfs[1][1], 0).ravel()
+        mvd_bits_best = jnp.minimum(mv_bits(me_mvx - p0x, me_mvy - p0y),
+                                    mv_bits(me_mvx - p1x, me_mvy - p1y))
+        # merge_flag=0 + mvp_idx + part/pred bins + ref_idx TR bins
+        cost_me = satd_me + ((lam256 * (mvd_bits_best + 3 + me_ref)) >> 8)
+        best_cost = cost_me
+        best_x, best_y, best_r = me_mvx, me_mvy, me_ref
+        for k, (cmx2, cmy2, crf2, ok2) in enumerate(nfs):
+            cmx = cmx2.ravel()
+            cmy = cmy2.ravel()
+            crf = jnp.clip(crf2.ravel(), 0, nref - 1)
+            ok = ok2.ravel()
+            y0t = by + crf * strip + m_pad
+            pr = mc_batch(tall, bx, y0t, cmx, cmy, n, 0, bd,
+                          use_pallas=use_pallas)
+            sc_satd = satd_batch(org, pr)
+            # skip/merge_flag + merge_idx TR bins
+            sc = sc_satd + ((lam256 * (2 + _MERGE_IDX_BINS[k])) >> 8)
+            sc = jnp.where(ok, sc, 1 << 30)
+            upd = sc < best_cost
+            best_cost = jnp.where(upd, sc, best_cost)
+            best_x = jnp.where(upd, cmx, best_x)
+            best_y = jnp.where(upd, cmy, best_y)
+            best_r = jnp.where(upd, crf, best_r)
+        return best_x, best_y, best_r, best_cost
+
+    for _ in range(2):
+        mvx, mvy, ref_sel, cost = cand_round(mvx, mvy, ref_sel)
 
     # 3. intra costs (orig-neighbor batched sweep)
     icosts = _mode_costs(oy, avail,
@@ -260,15 +339,104 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
     mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y, bx, by, n, lam256,
                                        search_range, bd, use_pallas,
                                        subme)
+    satd0 = cost0 - ((lam256 * mv_bits(mv0x, mv0y)) >> 8)
+    satd1 = cost1 - ((lam256 * mv_bits(mv1x, mv1y)) >> 8)
+
+    off2 = 1 << (13 - bd)
+    sh2 = 14 - bd
+    maxv = (1 << bd) - 1
+
+    def uni_of(p14):
+        return jnp.clip((p14 + off2) >> sh2, 0, maxv)
 
     # bi-prediction of the two best uni MVs (x265 checkBidir2Nx2N)
     p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0, bd,
                         use_pallas=use_pallas)
     p1_14 = mc_batch_14(r1y, bx, by, mv1x, mv1y, n, 0, bd,
                         use_pallas=use_pallas)
-    bi_pred = bi_combine(p0_14, p1_14, bd)
-    bits_bi = mv_bits(mv0x, mv0y) + mv_bits(mv1x, mv1y)
-    cost_bi = satd_batch(org, bi_pred) + ((lam256 * bits_bi) >> 8)
+    satd_bi = satd_batch(org, bi_combine(p0_14, p1_14, bd))
+
+    # merge/AMVP-true selection over full (dir, mv0, mv1) motion
+    # (batched mergeEstimation/selectMVP analog, search.cpp:2237/2347):
+    # ME candidates L0/L1/BI with real AMVP-predictor mvd charges vs the
+    # coding-order neighbors' motion with merge_idx charges.
+    me_b0 = mv_bits(mv0x, mv0y)
+    me_b1 = mv_bits(mv1x, mv1y)
+
+    def b_cand_round(dirs, c0x, c0y, c1x, c1y):
+        f = lambda a: a.reshape(nby, nbx)
+        nfs = []
+        for (sy, sx) in _MERGE_NEIGH:
+            nd, ok = _neigh_field(f(dirs), sy, sx)
+            n0x, _ = _neigh_field(f(c0x), sy, sx)
+            n0y, _ = _neigh_field(f(c0y), sy, sx)
+            n1x, _ = _neigh_field(f(c1x), sy, sx)
+            n1y, _ = _neigh_field(f(c1y), sy, sx)
+            nfs.append((nd.ravel(), ok.ravel(), n0x.ravel(),
+                        n0y.ravel(), n1x.ravel(), n1y.ravel()))
+
+        # per-list AMVP predictors ~ A1/B1 neighbor MVs of that list
+        def preds(lst):
+            out = []
+            for k in (0, 1):
+                nd, ok, n0x, n0y, n1x, n1y = nfs[k]
+                has = ok & ((nd & (1 << lst)) != 0)
+                px = jnp.where(has, n0x if lst == 0 else n1x, 0)
+                py = jnp.where(has, n0y if lst == 0 else n1y, 0)
+                out.append((px, py))
+            return out
+        pl0 = preds(0)
+        pl1 = preds(1)
+        mvd0 = jnp.minimum(
+            mv_bits(mv0x - pl0[0][0], mv0y - pl0[0][1]),
+            mv_bits(mv0x - pl0[1][0], mv0y - pl0[1][1]))
+        mvd1 = jnp.minimum(
+            mv_bits(mv1x - pl1[0][0], mv1y - pl1[0][1]),
+            mv_bits(mv1x - pl1[1][0], mv1y - pl1[1][1]))
+        # ME modes: satd + merge_flag0/pred/part + inter_pred_idc(2) +
+        # mvd + mvp_idx per used list
+        cL0 = satd0 + ((lam256 * (mvd0 + 6)) >> 8)
+        cL1 = satd1 + ((lam256 * (mvd1 + 6)) >> 8)
+        cBI = satd_bi + ((lam256 * (mvd0 + mvd1 + 7)) >> 8)
+        best = jnp.stack([cL0, cL1, cBI], 0)
+        mi = jnp.argmin(best, 0)
+        best_cost = jnp.min(best, 0)
+        best_dir = (mi + 1).astype(jnp.int32)     # 1=L0, 2=L1, 3=BI
+        best_0x = jnp.where(mi != 1, mv0x, 0)
+        best_0y = jnp.where(mi != 1, mv0y, 0)
+        best_1x = jnp.where(mi != 0, mv1x, 0)
+        best_1y = jnp.where(mi != 0, mv1y, 0)
+        for k, (nd, ok, n0x, n0y, n1x, n1y) in enumerate(nfs):
+            q0 = mc_batch_14(r0y, bx, by, n0x, n0y, n, 0, bd,
+                             use_pallas=use_pallas)
+            q1 = mc_batch_14(r1y, bx, by, n1x, n1y, n, 0, bd,
+                             use_pallas=use_pallas)
+            pred = jnp.where((nd == 3)[:, None, None],
+                             bi_combine(q0, q1, bd),
+                             jnp.where((nd == 1)[:, None, None],
+                                       uni_of(q0), uni_of(q1)))
+            sc_satd = satd_batch(org, pred)
+            sc = sc_satd + ((lam256 * (2 + _MERGE_IDX_BINS[k])) >> 8)
+            sc = jnp.where(ok & (nd > 0), sc, 1 << 30)
+            upd = sc < best_cost
+            best_cost = jnp.where(upd, sc, best_cost)
+            best_dir = jnp.where(upd, nd, best_dir)
+            best_0x = jnp.where(upd, n0x, best_0x)
+            best_0y = jnp.where(upd, n0y, best_0y)
+            best_1x = jnp.where(upd, n1x, best_1x)
+            best_1y = jnp.where(upd, n1y, best_1y)
+        return best_dir, best_0x, best_0y, best_1x, best_1y, best_cost
+
+    # provisional direction field from the pure ME costs (zero-pred
+    # charges), so round-1 neighbor predictors aren't list-biased
+    prov = jnp.stack([cost0, cost1,
+                      satd_bi + ((lam256 * (me_b0 + me_b1 + 2)) >> 8)], 0)
+    dirs = (jnp.argmin(prov, 0) + 1).astype(jnp.int32)
+    c0x, c0y, c1x, c1y = mv0x, mv0y, mv1x, mv1y
+    for _ in range(2):
+        dirs, c0x, c0y, c1x, c1y, inter_cost = b_cand_round(
+            dirs, c0x, c0y, c1x, c1y)
+    mv0x, mv0y, mv1x, mv1y = c0x, c0y, c1x, c1y
 
     # intra fallback
     icosts = _mode_costs(oy, avail,
@@ -278,12 +446,8 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
     intra_best = jnp.min(icosts, axis=1) + ((lam256 * 5) >> 8)
     intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
 
-    costs = jnp.stack([cost0, cost1, cost_bi, intra_best], axis=0)
-    choice = jnp.argmin(costs, axis=0)       # 0=L0, 1=L1, 2=BI, 3=intra
-    use_inter = choice != 3
-    dirs = jnp.where(choice == 0, 1,
-                     jnp.where(choice == 1, 2,
-                               jnp.where(choice == 2, 3, 0)))
+    use_inter = inter_cost <= intra_best
+    dirs = jnp.where(use_inter, dirs, 0)
 
     # MC predictions of the chosen mode per block
     nc = n // 2

@@ -132,13 +132,20 @@ def main(argv=None) -> int:
         from .utils.metrics import frame_mse, psnr as psnr_fn, ssim as \
             ssim_fn, global_psnr
 
+    recon_buf = {}                 # disp idx -> recon planes (reorder)
+    next_recon = [0]
+
     def emit(frames):
         nonlocal done, out_bytes, ssim_sum, qp_sum
         for f in frames:
             out.write(f.bitstream)
             out_bytes += len(f.bitstream)
             if recon_w:
-                recon_w.write(*f.recon)
+                # recon file is display-ordered (reference x265 --recon)
+                recon_buf[f.disp] = f.recon
+                while next_recon[0] in recon_buf:
+                    recon_w.write(*recon_buf.pop(next_recon[0]))
+                    next_recon[0] += 1
             qp_sum += f.qp
             py = pu = pv = sv = 0.0
             if want_metrics and f.disp in srcs:
