@@ -690,7 +690,8 @@ class Encoder:
                     search_range=self._me_range, weights=wp_l0,
                     subme=p.subpel_refine)
             with trace.scope("wavefront", type="P"):
-                r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
+                r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map,
+                              init_type=1)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (ref0, ref1, keep_pocs, b_is_ref) = b_refs
@@ -708,7 +709,8 @@ class Encoder:
                     y, u, v, ref0[0], ref1[0],
                     self.sps, qp, search_range=self._me_range,
                     subme=p.subpel_refine)
-            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map)
+            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map,
+                          init_type=0)
             ref_pocs = ((ref0[1],), (ref1[1],))
         if self._ana_store is not None:
             self._ana_store.save(

@@ -38,7 +38,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   mc_pred=None, inter_mask=None, sign_hide: bool = False,
                   skip_in=None, rdoq: bool = False, qmats=None,
                   dmats=None, split_map=None, modes8=None, av8=None,
-                  m8=(None, None), lossless: bool = False):
+                  m8=(None, None), lossless: bool = False,
+                  init_type=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -92,7 +93,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         levels = levels.at[by, bx].set(lev)
         return plane, levels, skip
     coef = dct_batch(resi, log2n, bit_depth)
-    lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth) if rdoq \
+    lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth, c_idx,
+                      init_type) if rdoq \
         else quant_dyn(coef, intra_mask, qp, log2n, bit_depth, qmats)
     if sign_hide:
         lev = sbh_adjust(lev, coef, intra_mask, qp, log2n, bit_depth)
@@ -165,7 +167,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             coef8 = dct_batch(org8 - pred8, l2s, bit_depth)
             # sub-TU scaling tables (per size, not per component) are
             # threaded via m8 (flat/None when lists are off)
-            lv8 = rdoq_levels(coef8, ones, qp, l2s, bit_depth) if rdoq \
+            lv8 = rdoq_levels(coef8, ones, qp, l2s, bit_depth, c_idx,
+                              init_type) if rdoq \
                 else quant_dyn(coef8, ones, qp, l2s, bit_depth, m8[0])
             if sign_hide:
                 lv8 = sbh_adjust(lv8, coef8, ones, qp, l2s, bit_depth)
@@ -199,7 +202,8 @@ _component_substep = jax.jit(
 
 def _intra_tb_whole(plane, orig, x0, y0, modes, avail, log2n: int,
                     qp, c_idx: int, bit_depth: int, sign_hide: bool,
-                    rdoq: bool, qm, dm, strong: bool):
+                    rdoq: bool, qm, dm, strong: bool,
+                    init_type=None):
     """Whole-TB intra predict + transform + recon for (B,) lanes at pixel
     coords (x0, y0).  Unlike _substep_body this does NOT write the plane —
     the caller commits the result under the CU-tree split mask.
@@ -223,7 +227,8 @@ def _intra_tb_whole(plane, orig, x0, y0, modes, avail, log2n: int,
                jnp.clip(gx, 0, orig.shape[1] - 1)].astype(jnp.int32)
     coef = dct_batch(org - pred, log2n, bit_depth)
     ones = jnp.ones(x0.shape, bool)
-    lev = rdoq_levels(coef, ones, qp, log2n, bit_depth) if rdoq \
+    lev = rdoq_levels(coef, ones, qp, log2n, bit_depth, c_idx,
+                      init_type) if rdoq \
         else quant_dyn(coef, ones, qp, log2n, bit_depth, qm)
     if sign_hide:
         lev = sbh_adjust(lev, coef, ones, qp, log2n, bit_depth)
@@ -240,7 +245,7 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          sign_hide: bool = False, rdoq: bool = False,
                          mats=None, mats32=None, split_map=None,
                          modes8=None, s16_av8=None, s16_av4c=None,
-                         strong: bool = False):
+                         strong: bool = False, init_type=None):
     """Variable CU-tree wavefront (intra): steps iterate 32x32 regions in
     wavefront + z order; each step evaluates BOTH the four z-ordered
     16x16 CU substeps (with their optional NxN splits) AND the whole
@@ -275,7 +280,8 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                 mats[1] if mats else None,
                 split_map, modes8,
                 s16_av8[s, z] if s16_av8 is not None else None,
-                (mats[2] if mats else None, mats[3] if mats else None))
+                (mats[2] if mats else None, mats[3] if mats else None),
+                init_type=init_type)
             up, lev_u, _ = _substep_body(
                 up, lev_u, ou, bx, by, md, s16_avc[s, z],
                 3, qp_cb[cy, cx], 1, bit_depth, None, None, sign_hide,
@@ -283,7 +289,7 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                 mats[3] if mats else None,
                 split_map, modes8,
                 s16_av4c[s, z] if s16_av4c is not None else None,
-                (None, None))
+                (None, None), init_type=init_type)
             vp, lev_v, _ = _substep_body(
                 vp, lev_v, ov, bx, by, md, s16_avc[s, z],
                 3, qp_cr[cy, cx], 2, bit_depth, None, None, sign_hide,
@@ -291,7 +297,7 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                 mats[3] if mats else None,
                 split_map, modes8,
                 s16_av4c[s, z] if s16_av4c is not None else None,
-                (None, None))
+                (None, None), init_type=init_type)
 
         # -- whole-region 32x32 CU path -----------------------------------
         px = r_px[s]
@@ -307,7 +313,7 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
             yp, oy, px, py, md32, r_avy[s], 5, qp[cy, cx], 0,
             bit_depth, sign_hide, rdoq,
             mats32[0] if mats32 else None,
-            mats32[1] if mats32 else None, strong)
+            mats32[1] if mats32 else None, strong, init_type)
         cur = yp[jnp.clip(gy, 0, yp.shape[0] - 1), gx]
         yp = yp.at[jnp.clip(gy, 0, yp.shape[0] - 1), gx].set(
             jnp.where(commit[:, None, None], rec32, cur))
@@ -317,7 +323,7 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                 cpl, opl, px >> 1, py >> 1, md32, r_avc[s], 4,
                 qpc[cy, cx], mi, bit_depth, sign_hide, rdoq,
                 mats32[2] if mats32 else None,
-                mats32[3] if mats32 else None, False)
+                mats32[3] if mats32 else None, False, init_type)
             curc = cpl[jnp.clip(gyc, 0, cpl.shape[0] - 1), gxc]
             cpl = cpl.at[jnp.clip(gyc, 0, cpl.shape[0] - 1), gxc].set(
                 jnp.where(commit[:, None, None], recc, curc))
@@ -361,7 +367,8 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     qp, qp_cb, qp_cr, bit_depth: int = 8,
                     sign_hide: bool = False, rdoq: bool = False,
                     mats=None, split_map=None, modes8=None, sb_av8=None,
-                    sb_av4c=None, lossless: bool = False):
+                    sb_av4c=None, lossless: bool = False,
+                    init_type=None):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -400,7 +407,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             split_map, modes8,
             sb_av8[s] if sb_av8 is not None else None,
             (mats[2] if mats else None, mats[3] if mats else None),
-            lossless)
+            lossless, init_type)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         m4 = (None, None)                    # 4x4 lists are flat
@@ -410,14 +417,16 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             skip_map, rdoq, mats[2] if mats else None,
             mats[3] if mats else None,
             split_map, modes8,
-            sb_av4c[s] if sb_av4c is not None else None, m4, lossless)
+            sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
+            init_type)
         vp, lev_v, _ = _substep_body(
             vp, lev_v, ov, bx, by, md, sb_avc[s],
             3, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
             skip_map, rdoq, mats[2] if mats else None,
             mats[3] if mats else None,
             split_map, modes8,
-            sb_av4c[s] if sb_av4c is not None else None, m4, lossless)
+            sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
+            init_type)
         return yp, up, vp, lev_y, lev_u, lev_v, skip_map
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map)
@@ -438,7 +447,8 @@ _wavefront_run = jax.jit(
 def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          modes, sb_bx, sb_by, sb_avy, sb_avc,
                          mc_y, mc_u, mc_v, inter_mask,
-                         qp, qp_cb, qp_cr, bit_depth: int = 8,
+                         qp, qp_cb, qp_cr, init_type=None,
+                         bit_depth: int = 8,
                          sign_hide: bool = False, rdoq: bool = False,
                          mats=None):
     """Multi-frame wavefront: every per-frame arg carries a leading F
@@ -446,7 +456,8 @@ def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
     in lockstep — the multi-frame batching lever from SURVEY.md §7
     ('need big CTU batches to fill the MXU at small resolutions')."""
     def fn(*args):
-        return _wavefront_body(*args, bit_depth=bit_depth,
+        return _wavefront_body(*args, init_type=init_type,
+                               bit_depth=bit_depth,
                                sign_hide=sign_hide, rdoq=rdoq, mats=mats)
     return jax.vmap(fn, in_axes=(0,) * 10 + (None,) * 4 + (0,) * 4 +
                     (None,) * 3)(
@@ -720,7 +731,8 @@ class IntraReconstructor:
                 jnp.asarray(qcr.astype(np.int32)))
 
     def run_tree(self, y, u, v, modes, split32, mode32, qp=32,
-                 split_map=None, modes8=None, materialize: bool = True):
+                 split_map=None, modes8=None, materialize: bool = True,
+                 init_type: int = 2):
         """Intra variable-CU-tree reconstruction: 32x32 CUs (TU32 luma /
         TU16 chroma) where split32 is False, the 16-grid (with optional
         NxN sub-splits) elsewhere.  Arguments mirror run()."""
@@ -756,7 +768,8 @@ class IntraReconstructor:
             sm, m8j,
             self.t_av8 if split_map is not None else None,
             self.t_av4c if split_map is not None else None,
-            bool(getattr(self.sps, "strong_intra_smoothing", True)))
+            bool(getattr(self.sps, "strong_intra_smoothing", True)),
+            jnp.int32(init_type))
         rd = {"recon_y": yp[:h], "recon_u": up[:hc], "recon_v": vp[:hc],
               "lev_y": lev_y[:self.nby], "lev_u": lev_u[:self.nby],
               "lev_v": lev_v[:self.nby]}
@@ -765,7 +778,7 @@ class IntraReconstructor:
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
             modes: np.ndarray, mc_pred=None, inter_mask=None,
             qp=32, materialize: bool = True, split_map=None,
-            modes8=None):
+            modes8=None, init_type: int = 2):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
@@ -810,7 +823,7 @@ class IntraReconstructor:
             self.sign_hide, self.rdoq, self.mats, sm, m8j,
             self.sb_av8 if split_map is not None else None,
             self.sb_av4c if split_map is not None else None,
-            self.lossless)
+            self.lossless, jnp.int32(init_type))
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller
@@ -869,7 +882,7 @@ class IntraReconstructor:
             jnp.asarray(np.asarray(modes, np.int32)),
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
-            qp_map[0], qp_map[1], qp_map[2], self.bd,
+            qp_map[0], qp_map[1], qp_map[2], jnp.int32(2), self.bd,
             self.sign_hide, self.rdoq, self.mats)
 
         dt = np.uint8 if self.bd == 8 else np.uint16

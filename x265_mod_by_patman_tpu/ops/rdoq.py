@@ -56,11 +56,25 @@ def _level_bits(lv: jnp.ndarray) -> jnp.ndarray:
     return b
 
 
+def _diag4_scan() -> np.ndarray:
+    """Raster indices of the 4x4 diagonal scan (spec up-right diagonal),
+    scan position -> raster index within the CG."""
+    from ..constants.hevc_tables import scan_order, SCAN_DIAG
+    s = scan_order(2, SCAN_DIAG)
+    return (s[:, 1] * 4 + s[:, 0]).astype(np.int32)
+
+
 def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
-                log2_size: int, bit_depth: int = 8) -> jnp.ndarray:
+                log2_size: int, bit_depth: int = 8, c_idx: int = 0,
+                init_type=None, sign_hide: bool = False) -> jnp.ndarray:
     """RD-quantize a batch of TUs.  coef: (B, n, n) int32 transform
     output; qp scalar or (B,); returns signed levels (B, n, n) int32,
-    drop-in for quant_dyn (transform.py) when rdoq_level > 0."""
+    drop-in for quant_dyn (transform.py) when rdoq_level > 0.
+
+    With init_type (traced scalar, 0=B/1=P/2=I), per-context fractional
+    bits come from the slice-start CABAC states via the baked
+    (init_type, qp) tables (entropy/est_bits.py — the EstBitsSbac
+    analog); otherwise the static average-bit model applies."""
     qp = jnp.asarray(qp, jnp.int32)
     if qp.ndim == 0:
         qp = jnp.broadcast_to(qp, coef.shape[:1])
@@ -82,8 +96,40 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     hi = jnp.ceil(cs)
     lo = jnp.floor(cs)
 
+    if init_type is None:
+        level_bits = _level_bits
+        cg_save = _CG_FLAG
+    else:
+        from ..entropy.est_bits import (BITS_TABLE, sig_ctx_map,
+                                        residual_ctx_scalars)
+        tbl = jnp.asarray(BITS_TABLE)               # (3, 52, C, 2)
+        bt = tbl[init_type, jnp.clip(qp, 0, 51)]    # (B, C, 2)
+        smap = jnp.asarray(sig_ctx_map(log2_size, c_idx))
+        sig0 = bt[:, smap, 0]                       # (B, n, n)
+        sig1 = bt[:, smap, 1]
+        g1c, g2c, cgc = residual_ctx_scalars(log2_size, c_idx)
+        g1_0 = bt[:, g1c, 0][:, None, None]
+        g1_1 = bt[:, g1c, 1][:, None, None]
+        g2_0 = bt[:, g2c, 0][:, None, None]
+        g2_1 = bt[:, g2c, 1][:, None, None]
+        cg_save = bt[:, cgc, 1] - bt[:, cgc, 0]     # (B,)
+
+        def level_bits(lv):
+            # exact coeff_abs_level_remaining length at rice 0:
+            # v = lv-3; v+1 bins below 3, else 4 + 2*floor(log2(v-2))
+            v = jnp.maximum(lv - 3.0, 0.0)
+            rem = jnp.where(
+                v < 3.0, v + 1.0,
+                4.0 + 2.0 * jnp.floor(
+                    jnp.log2(jnp.maximum(v - 2.0, 1.0))))
+            return jnp.where(
+                lv == 0, sig0,
+                sig1 + _SIGN + jnp.where(
+                    lv == 1, g1_0,
+                    g1_1 + jnp.where(lv == 2, g2_0, g2_1 + rem)))
+
     def cost(lv):
-        return (cs - lv) ** 2 + k * _level_bits(lv)
+        return (cs - lv) ** 2 + k * level_bits(lv)
 
     zero = jnp.zeros_like(cs)
     c_hi, c_lo, c_z = cost(hi), cost(lo), cost(zero)
@@ -100,10 +146,68 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
         cb = cbest.reshape(-1, g, 4, g, 4)
         czb = (cs ** 2).reshape(-1, g, 4, g, 4)
         keep = cb.sum(axis=(2, 4))
-        kill = czb.sum(axis=(2, 4)) - k[:, 0, 0][:, None, None] * _CG_FLAG
+        saving = k[:, 0, 0] * cg_save if init_type is not None \
+            else k[:, 0, 0] * _CG_FLAG
+        kill = czb.sum(axis=(2, 4)) - saving[:, None, None]
         zero_cg = (kill < keep)[:, :, None, :, None]
         lv = jnp.where(zero_cg, 0.0, lv.reshape(-1, g, 4, g, 4)) \
             .reshape(-1, n, n)
+
+    if sign_hide:
+        # RDOQ-integrated sign-bit hiding (reference signBitHidingHDQ,
+        # quant.cpp:247, with RD deltas instead of quant-residue
+        # heuristics): where a CG's level-sum parity mismatches the
+        # first coefficient's sign, flip the single level +-1 whose
+        # (cs - L)^2 + K*bits delta is smallest, under window guards
+        # that keep first/last scan positions (and thus the hide
+        # trigger and hidden-sign source) unchanged.
+        n = 1 << log2_size
+        g = max(1, n // 4)
+        diag = jnp.asarray(_diag4_scan())
+        b = lv.shape[0]
+
+        def tiles(a):
+            t = a.reshape(b, g, 4, g, 4).transpose(0, 1, 3, 2, 4) \
+                .reshape(b, g, g, 16)
+            return t[..., diag]                     # scan order per CG
+
+        lv_t = tiles(lv)                            # |levels|, float
+        cs_t = tiles(cs)
+        sgn_t = tiles(jnp.sign(c).astype(jnp.float32))
+        pos = jnp.arange(16)
+        sig = lv_t != 0
+        first = jnp.min(jnp.where(sig, pos, 99), axis=-1)
+        last = jnp.max(jnp.where(sig, pos, -1), axis=-1)
+        hide = (last - first) >= 4
+        parity = (jnp.sum(lv_t, axis=-1).astype(jnp.int32)) & 1
+        first_sgn = jnp.take_along_axis(
+            sgn_t, jnp.minimum(first, 15)[..., None], axis=-1)[..., 0]
+        want = (first_sgn < 0).astype(jnp.int32)
+        mismatch = hide & (parity != want)
+
+        kt = k[:, 0, 0][:, None, None, None]
+        bits_t = (lambda q: tiles(level_bits(q)))
+        cost_cur = (cs_t - lv_t) ** 2 + kt * bits_t(lv)
+        cost_up = (cs_t - (lv_t + 1)) ** 2 + kt * tiles(level_bits(lv + 1))
+        cost_dn = (cs_t - (lv_t - 1)) ** 2 + \
+            kt * tiles(level_bits(jnp.maximum(lv - 1, 0)))
+        in_win = (pos >= first[..., None]) & (pos <= last[..., None])
+        edge = (pos == first[..., None]) | (pos == last[..., None])
+        big = jnp.float32(1e30)
+        du = jnp.where(in_win, cost_up - cost_cur, big)
+        dd = jnp.where(in_win & (lv_t >= 1) & ~(edge & (lv_t == 1)),
+                       cost_dn - cost_cur, big)
+        step = jnp.where(du <= dd, 1.0, -1.0)
+        delta = jnp.minimum(du, dd)
+        pick = jnp.argmin(delta, axis=-1)           # (b, g, g)
+        onehot = (pos == pick[..., None]) & mismatch[..., None]
+        new_t = lv_t + jnp.where(onehot, step, 0.0)
+        # scatter back: scan order -> raster tiles -> full block
+        inv = jnp.zeros(16, jnp.int32).at[diag].set(
+            jnp.arange(16, dtype=jnp.int32))
+        new_r = new_t[..., inv].reshape(b, g, g, 4, 4) \
+            .transpose(0, 1, 3, 2, 4).reshape(b, n, n)
+        lv = new_r
 
     lv = jnp.clip(lv, 0, 32767).astype(jnp.int32)
     return jnp.sign(c) * lv
