@@ -1137,7 +1137,7 @@ class Encoder:
             return out_rbsps
 
         row_irs: List = []
-        sync_offs: List[int] = []    # IR bin offset after the row's 2nd CTU
+        sync_marks: List = []   # IR mark after the row's 2nd CTU
         ir = BinIR(1 << 18)
         for cy in range(n_ctu_y):
             if use_wpp and cy > 0:
@@ -1149,8 +1149,8 @@ class Encoder:
                 if use_wpp and cx == min(1, n_ctu_x - 1):
                     # WPP context-sync point: after the 2nd CTU of the row
                     # (reference CTURow::bufferedEntropy handoff,
-                    # frameencoder.cpp:1666-1685)
-                    sync_offs.append(ir.n)
+                    # frameencoder.cpp:1666-1685); deferred-TB-safe mark
+                    sync_marks.append(ir.mark())
                 if use_wpp and cx == n_ctu_x - 1 and not last:
                     ir.term(1)             # end_of_subset_one_bit
         row_irs.append(ir)
@@ -1175,8 +1175,8 @@ class Encoder:
             if k + 1 < len(row_irs):
                 nxt = row_states.copy()
                 b, c = rir.arrays()
-                advance_states_over_ir(b[:sync_offs[k]], c[:sync_offs[k]],
-                                       nxt)
+                off = rir.resolve_mark(sync_marks[k])
+                advance_states_over_ir(b[:off], c[:off], nxt)
                 row_states = nxt
             sub_bw = BitWriter()
             b, c = rir.arrays()

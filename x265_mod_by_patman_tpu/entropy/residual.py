@@ -90,22 +90,47 @@ def _scan_arrays(log2_tb: int, scan_idx: int):
     return _SCAN_CACHE_C[key]
 
 
+_MERGE = None
+
+
+def _merge_tables():
+    """Lazy singleton for the slice-level merge call: (native, scan blob,
+    scan offsets, ctx-group offsets).  The blob concatenates scan_xy +
+    cg_xy for every (log2_tb, scan_idx); offsets index int32 elements."""
+    global _MERGE
+    if _MERGE is None:
+        nat = _native_setup()
+        assert nat, "merge path requires the native library"
+        parts = []
+        offs = np.full(4 * 6, -1, dtype=np.int32)
+        cur = 0
+        for log2 in range(2, 6):
+            for scan in range(3):
+                if log2 > 3 and scan != SCAN_DIAG:
+                    continue          # hor/ver scans exist only for 4x4/8x8
+                sxy, cgxy = _scan_arrays(log2, scan)
+                offs[(log2 - 2) * 6 + scan * 2] = cur
+                parts.append(sxy.ravel())
+                cur += sxy.size
+                offs[(log2 - 2) * 6 + scan * 2 + 1] = cur
+                parts.append(cgxy.ravel())
+                cur += cgxy.size
+        blob = np.ascontiguousarray(np.concatenate(parts), dtype=np.int32)
+        _MERGE = (nat, blob, offs, _OFF_ARR)
+    return _MERGE
+
+
 def encode_residual(ir: BinIR, level: np.ndarray, log2_tb: int, c_idx: int,
                     scan_idx: int, sign_hide: bool = False) -> None:
     """Append the residual_coding bins of one TB to `ir`.
 
     level: (N, N) int array of quantized levels [y][x]; must be nonzero
-    somewhere (caller checks cbf).  Dispatches to the native C kernel when
-    available (bit-exact parity enforced by tests/test_native_entropy.py).
-    """
-    nat = _native_setup()
-    if nat:
-        scan_xy, cg_xy = _scan_arrays(log2_tb, scan_idx)
-        ir.ensure(1 << 14)            # worst-case 32x32 TB bins
-        bins_buf, ctx_buf = ir.tail_ptrs()
-        cnt = nat.enc_residual(level, log2_tb, c_idx, scan_idx, sign_hide,
-                               scan_xy, cg_xy, _OFF_ARR, bins_buf, ctx_buf)
-        ir.n += cnt
+    somewhere (caller checks cbf).  With the native library the TB is
+    DEFERRED — binarized by one merge_residual_ir call per slice/row at
+    ir.finalize() (bit-exact parity vs the python golden enforced by
+    tests/test_native_entropy.py)."""
+    if _native_setup():
+        ir.defer_residual(level, log2_tb, c_idx, scan_idx, sign_hide)
         return
     return _encode_residual_py(ir, level, log2_tb, c_idx, scan_idx,
                                sign_hide)

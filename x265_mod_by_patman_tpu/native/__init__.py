@@ -63,6 +63,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.advance_states.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.merge_residual_ir.restype = ctypes.c_long
+    lib.merge_residual_ir.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 
@@ -114,6 +119,21 @@ class NativeEntropy:
             _ptr(level), log2_tb, c_idx, scan_idx,
             1 if sign_hide else 0, _ptr(scan_xy), _ptr(cg_xy), _ptr(off),
             _ptr(bins_buf), _ptr(ctx_buf))
+
+    def merge_residual_ir(self, py_bins: np.ndarray, py_ctx: np.ndarray,
+                          n_py: int, tu_desc: np.ndarray, ntu: int,
+                          levels: np.ndarray, scan_blob: np.ndarray,
+                          scan_offs: np.ndarray, off: np.ndarray,
+                          out_bins: np.ndarray, out_ctx: np.ndarray,
+                          tu_counts: np.ndarray) -> int:
+        """One call per slice/row: interleave python syntax bins with
+        natively-encoded residual TU bins (see entropy_kernels.c)."""
+        return self.lib.merge_residual_ir(
+            py_bins.ctypes.data, py_ctx.ctypes.data, n_py,
+            tu_desc.ctypes.data, ntu, levels.ctypes.data,
+            scan_blob.ctypes.data, scan_offs.ctypes.data, off.ctypes.data,
+            out_bins.ctypes.data, out_ctx.ctypes.data,
+            tu_counts.ctypes.data)
 
 
 _native: Optional[NativeEntropy] = None

@@ -403,3 +403,53 @@ long enc_residual(const int32_t *level, int log2_tb, int c_idx,
     }
     return ir.n;
 }
+
+/* ---------------------------------------- slice-level merged residuals */
+
+/* Merge a python-generated syntax bin-IR with deferred residual TUs in
+ * ONE call (the "one native call per slice" entropy path: kills the
+ * per-TU ctypes dispatch that dominated host time; analog of the
+ * reference coding the whole CTU row inside Entropy::encodeCTU).
+ *
+ * py_bins/py_ctx: python syntax bins (n_py of them).
+ * tu_desc: ntu * 6 int32: [pos_in_py_stream, lev_off, log2_tb, c_idx,
+ *          scan_idx, sign_hide], pos non-decreasing.
+ * levels:  staging buffer; TU t's raster levels at lev_off..+n*n.
+ * scan_blob + scan_offs: scan_offs[(log2-2)*6 + scan*2 + {0,1}] are
+ *          int32-element offsets of scan_xy / cg_xy in scan_blob.
+ * tu_counts: out, per-TU appended bin counts (for WPP sync marks).
+ * Returns total merged bin count. */
+long merge_residual_ir(const uint8_t *py_bins, const int32_t *py_ctx,
+                       long n_py, const int32_t *tu_desc, long ntu,
+                       const int32_t *levels, const int32_t *scan_blob,
+                       const int32_t *scan_offs, const int32_t *off,
+                       uint8_t *out_bins, int32_t *out_ctx,
+                       int32_t *tu_counts)
+{
+    long src = 0, dst = 0;
+    for (long t = 0; t < ntu; t++) {
+        const int32_t *d = &tu_desc[6 * t];
+        long pos = d[0];
+        long seg = pos - src;
+        if (seg > 0) {
+            memcpy(&out_bins[dst], &py_bins[src], (size_t)seg);
+            memcpy(&out_ctx[dst], &py_ctx[src], (size_t)seg * 4);
+            src += seg;
+            dst += seg;
+        }
+        int log2_tb = d[2];
+        int so = (log2_tb - 2) * 6 + d[4] * 2;
+        long cnt = enc_residual(&levels[d[1]], log2_tb, d[3], d[4], d[5],
+                                &scan_blob[scan_offs[so]],
+                                &scan_blob[scan_offs[so + 1]], off,
+                                &out_bins[dst], &out_ctx[dst]);
+        tu_counts[t] = (int32_t)cnt;
+        dst += cnt;
+    }
+    if (n_py > src) {
+        memcpy(&out_bins[dst], &py_bins[src], (size_t)(n_py - src));
+        memcpy(&out_ctx[dst], &py_ctx[src], (size_t)(n_py - src) * 4);
+        dst += n_py - src;
+    }
+    return dst;
+}
