@@ -46,27 +46,42 @@ def synth_frames(n, w=W, h=H):
 
 
 def main():
+    import jax as _jax
     from x265_mod_by_patman_tpu.params import default_params
     from x265_mod_by_patman_tpu.encoder.top import Encoder
+    from x265_mod_by_patman_tpu.analysis.intra_mode import \
+        decide_modes_rd_multi
 
-    frames = synth_frames(FRAMES + 1)
+    n_bench = max(FRAMES, 32)
+    batch = 8
+    frames = synth_frames(n_bench + batch)
     # ultrafast-equivalent intra config (matches the x265 baseline run:
-    # deblock on, SAO off at ultrafast).  Streaming path: the multi-frame
-    # batched path (encode_batch) is faster at steady state but its
-    # compile does not fit the bench budget on the tunnel-attached chip
-    # (compiles are not cross-process cacheable there; see BENCH_NOTES).
+    # deblock on, SAO off at ultrafast).  Production multi-frame path:
+    # batched mode decision + vmapped wavefront + batched deblock chained
+    # on device (8 frames/dispatch), device->host transfers packed +
+    # async, host entropy overlapping device compute.
     p = default_params(W, H, qp=QP, keyframe_max=1, sao=False)
     enc = Encoder(p)
-    enc.encode_intra_pipelined(frames[:1])   # warmup: jit compiles
+    enc.encode_intra_batched(frames[:batch], batch=batch)  # jit compiles
 
-    # pipelined path: frame k+1's device wavefront is dispatched before
-    # frame k's host entropy runs (JAX async dispatch overlap)
     t0 = time.time()
     nbytes = 0
-    for out in enc.encode_intra_pipelined(frames[1:]):
+    for out in enc.encode_intra_batched(frames[batch:batch + n_bench],
+                                        batch=batch):
         nbytes += len(out.bitstream)
     dt = time.time() - t0
-    fps = FRAMES / dt
+    fps = n_bench / dt
+
+    # device-only time for one batch (separates kernel cost from the
+    # RPC-tunnel/host floor, per VERDICT round-1 ask)
+    ys = np.stack([enc._pad(f[0], 0) for f in frames[:batch]])
+    us = np.stack([enc._pad(f[1], 1) for f in frames[:batch]])
+    vs = np.stack([enc._pad(f[2], 1) for f in frames[:batch]])
+    td = time.time()
+    md = decide_modes_rd_multi(ys, enc.sps, QP)
+    rd = enc.recon.run_batch(ys, us, vs, md, qp=QP, materialize=False)
+    _jax.block_until_ready(rd["recon_y"])
+    dev_s = (time.time() - td) / batch
 
     baseline = float(os.environ.get("BASELINE_X265_FPS", 0) or 0)
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -82,6 +97,9 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 4) if baseline else 0.0,
+        "device_s_per_frame": round(dev_s, 4),
+        "device_only_fps": round(1.0 / dev_s, 2) if dev_s else 0.0,
+        "kbps": round(nbytes * 8 * 25.0 / n_bench / 1000.0, 1),
     }))
 
 

@@ -52,3 +52,28 @@ def test_pipelined_matches_streaming():
         assert a.bitstream == b.bitstream
     pics = Decoder().decode(b"".join(f.bitstream for f in piped))
     assert all(p_.md5 == p_.sei_md5 for p_ in pics)
+
+
+def test_intra_batched_pipeline_matches_and_decodes():
+    """encode_intra_batched (chained device programs + packed async
+    transfers) must bit-match the single-frame pipelined path and
+    decode bit-exact, across a partial final batch."""
+    from x265_mod_by_patman_tpu.params import default_params
+    from x265_mod_by_patman_tpu.encoder.top import Encoder
+    from x265_mod_by_patman_tpu.decoder.decoder import Decoder
+    w, h = 96, 64
+    frames = [synth_frame(w, h, seed=i, motion=i) for i in range(5)]
+    kw = dict(qp=32, keyframe_max=1, rc_mode="cqp", sao=False)
+
+    ref = Encoder(default_params(w, h, **kw)).encode_intra_pipelined(frames)
+    got = Encoder(default_params(w, h, **kw)).encode_intra_batched(
+        frames, batch=2)
+
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        assert a.bitstream == b.bitstream and a.md5 == b.md5
+
+    pics = Decoder().decode(b"".join(f.bitstream for f in got))
+    for f, pic in zip(got, pics):
+        assert pic.md5 == f.md5 == pic.sei_md5
+        assert np.array_equal(pic.y, f.recon[0])

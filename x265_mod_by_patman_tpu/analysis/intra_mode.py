@@ -160,15 +160,102 @@ def _homogenize_ctus(modes, total, lam, sps, block) -> None:
     group = t.sum(axis=(1, 3))                    # (cy, cx, 35)
     best_common = group.min(axis=-1)
     common_mode = group.argmin(axis=-1)
-    indiv = np.take_along_axis(
-        t.reshape(cy, 4, cx, 35),
-        modes[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
-        .transpose(0, 1, 3, 2).reshape(cy, 4, cx)[..., None],
-        axis=-1)[..., 0].sum(axis=1)
+    chosen = np.take_along_axis(total, modes[..., None], axis=-1)[..., 0]
+    indiv = chosen[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2).sum(axis=(1, 3))
     unify = best_common <= indiv + lam * 20.0
     mm = modes[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
     cm = common_mode[:, None, :, None]
     mm[...] = np.where(unify[:, None, :, None], cm, mm)
+
+
+def _mpm_grid_jnp(modes, log2_ctu: int, block: int):
+    """_mpm_grid on device (jnp), same spec 8.4.2 derivation."""
+    nby, nbx = modes.shape
+    left = jnp.concatenate(
+        [jnp.ones((nby, 1), modes.dtype), modes[:, :-1]], axis=1)
+    top = jnp.concatenate(
+        [jnp.ones((1, nbx), modes.dtype), modes[:-1, :]], axis=0)
+    ctu_top = (jnp.arange(nby) * block) % (1 << log2_ctu) == 0
+    top = jnp.where(ctu_top[:, None], 1, top)
+    a, b = left, top
+    eq = a == b
+    lt2 = a < 2
+    m0 = jnp.where(eq & lt2, 0, a)
+    m1 = jnp.where(eq & lt2, 1, jnp.where(eq, 2 + ((a + 29) % 32), b))
+    c = jnp.where((a != 0) & (b != 0), 0,
+                  jnp.where((a != 1) & (b != 1), 1, 26))
+    m2 = jnp.where(eq & lt2, 26, jnp.where(eq, 2 + ((a - 1) % 32), c))
+    return jnp.stack([m0, m1, m2], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "log2n", "log2_ctu", "bit_depth", "nby", "nbx", "homog"))
+def _modes_rd_multi(origs, avail, bx, by, lam, log2n: int, log2_ctu: int,
+                    bit_depth: int, nby: int, nbx: int, homog: bool):
+    """Whole decide_modes_rd for F frames as ONE device program (SATD
+    sweep + MPM-bit re-argmin + CTU homogenization) — no host syncs, so
+    the batched pipeline chains modes -> wavefront -> deblock without
+    waiting on the device (lam traced: RC never recompiles)."""
+    block = 1 << log2n
+    f = origs.shape[0]
+    costs = jax.vmap(
+        lambda o: _mode_costs(o, avail, bx, by, log2n, bit_depth))(origs)
+    costs = costs.reshape(f, nby, nbx, 35).astype(jnp.float32)
+    pass1 = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+    mpm = jax.vmap(lambda m: _mpm_grid_jnp(m, log2_ctu, block))(pass1)
+    ma = jnp.arange(35)[None, None, None, :]
+    bits = jnp.full((f, nby, nbx, 35), 6.0, jnp.float32)
+    bits = jnp.where(ma == mpm[..., 2:3], 3.0, bits)
+    bits = jnp.where(ma == mpm[..., 1:2], 3.0, bits)
+    bits = jnp.where(ma == mpm[..., 0:1], 2.0, bits)
+    total = costs + lam * bits
+    modes = jnp.argmin(total, axis=-1).astype(jnp.int32)
+    if not homog:
+        return modes
+    cy, cx = nby // 2, nbx // 2
+
+    def homog_one(mo, to):
+        t = to[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2, 35)
+        group = t.sum(axis=(1, 3))
+        best_common = group.min(axis=-1)
+        common = group.argmin(axis=-1).astype(jnp.int32)
+        chosen = jnp.take_along_axis(to, mo[..., None], axis=-1)[..., 0]
+        indiv = chosen[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2) \
+            .sum(axis=(1, 3))
+        unify = best_common <= indiv + lam * 20.0
+        mm = mo[:cy * 2, :cx * 2].reshape(cy, 2, cx, 2)
+        mm = jnp.where(unify[:, None, :, None], common[:, None, :, None],
+                       mm).reshape(cy * 2, cx * 2)
+        return mo.at[:cy * 2, :cx * 2].set(mm)
+
+    return jax.vmap(homog_one)(modes, total)
+
+
+_GEOM_CACHE: dict = {}
+
+
+def decide_modes_rd_multi(ys, sps, qp, block: int = 16):
+    """decide_modes_rd for (F, h, w) stacks, fully on device — returns a
+    DEVICE (F, nby, nbx) int32 array (async; do not block on it)."""
+    from .inter_mode import lambda_qp
+    h, w = sps.height, sps.width
+    nbx, nby = w // block, h // block
+    log2n = block.bit_length() - 1
+    key = (w, h, block, sps.log2_ctu_size)
+    if key not in _GEOM_CACHE:
+        avail = frame_avail_masks(w, h, block, sps.log2_ctu_size, 0)
+        bys, bxs = np.mgrid[0:nby, 0:nbx]
+        _GEOM_CACHE[key] = (
+            jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+            jnp.asarray(bxs.ravel().astype(np.int32)),
+            jnp.asarray(bys.ravel().astype(np.int32)))
+    avail, bx, by = _GEOM_CACHE[key]
+    lam = lambda_qp(qp)[0] * (1 << (sps.bit_depth - 8))
+    bpc = (1 << sps.log2_ctu_size) // block
+    return _modes_rd_multi(
+        jnp.asarray(ys).astype(jnp.int32), avail, bx, by,
+        jnp.float32(lam), log2n, sps.log2_ctu_size, sps.bit_depth,
+        nby, nbx, bpc == 2 and nby >= 2 and nbx >= 2)
 
 
 def decide_modes(y: np.ndarray, sps, block: int = 16) -> np.ndarray:

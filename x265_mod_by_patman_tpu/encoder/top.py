@@ -572,6 +572,117 @@ class Encoder:
             prev = cur
         return out
 
+    def encode_intra_batched(self, frames, batch: int = 8,
+                             entropy_workers: int = 1
+                             ) -> List[EncodedFrame]:
+        """All-intra multi-frame pipeline (the production throughput
+        path): each batch of F frames runs as three CHAINED device
+        programs — batched mode decision, multi-frame wavefront,
+        multi-frame deblock — with no host sync between them (modes
+        stay on device), and while batch k+1 executes, batch k's
+        entropy runs on a host thread pool (the native C engine
+        releases the GIL, so slices encode in parallel: the
+        JAX-runtime analog of the reference's FrameEncoder thread ring,
+        threading.rst:124-215)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from ..analysis.intra_mode import decide_modes_rd_multi
+        from ..ops.deblock import deblock_frame_multi
+        from ..entropy.residual import _native_setup, _merge_tables
+        assert self.p.keyframe_max == 1
+        p = self.p
+        qp = self.rc.frame_qp("I", 0.0)
+        w, h = self.sps.width, self.sps.height
+        if p.deblock:
+            bs_v, bs_h = intra_bs_maps(w, h, 16)
+            on_v, on_h = chroma_on_maps(bs_v, bs_h, h // 2, w // 2)
+            dbl = (jnp.asarray(bs_v), jnp.asarray(bs_h),
+                   jnp.asarray(on_v), jnp.asarray(on_h))
+        if _native_setup():
+            _merge_tables()      # build shared tables before threading
+
+        def dispatch(fr_batch):
+            padded = [(self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+                      for (y, u, v) in fr_batch]
+            ys = np.stack([f[0] for f in padded])
+            us = np.stack([f[1] for f in padded])
+            vs = np.stack([f[2] for f in padded])
+            modes_dev = decide_modes_rd_multi(ys, self.sps, qp)
+            rd = self.recon.run_batch(ys, us, vs, modes_dev, qp=qp,
+                                      materialize=False)
+            if p.deblock:
+                dy, du, dv = deblock_frame_multi(
+                    rd["recon_y"][:, :h], rd["recon_u"][:, :h // 2],
+                    rd["recon_v"][:, :h // 2], *dbl,
+                    qp, chroma_qp(qp, p.cb_qp_offset),
+                    chroma_qp(qp, p.cr_qp_offset),
+                    p.deblock_beta_offset, p.deblock_tc_offset,
+                    self.sps.bit_depth)
+                rd = {**rd, "recon_y": dy, "recon_u": du, "recon_v": dv}
+            rd = self.recon.pack_batch(rd)
+            try:
+                modes_dev.copy_to_host_async()
+            except Exception:
+                pass
+            return modes_dev, rd, padded
+
+        def entropy_one(modes_np, r, yuv):
+            inter_mask = np.zeros(modes_np.shape, bool)
+            mvs = np.zeros(modes_np.shape + (2,), np.int32)
+            sao_maps = self._sao(r, *yuv, qp) if p.sao else None
+            rbsp = self._encode_slice(modes_np, inter_mask, mvs, None,
+                                      None, r, "I", 0, qp, ((), ()),
+                                      sao_maps)
+            md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
+                            bit_depth=self.sps.bit_depth)
+            return rbsp, md5
+
+        batches = [frames[i:i + batch]
+                   for i in range(0, len(frames), batch)]
+        pool = ThreadPoolExecutor(entropy_workers) \
+            if entropy_workers > 1 else None
+        out: List[EncodedFrame] = []
+        prev = None
+        try:
+            for k in range(len(batches) + 1):
+                cur = dispatch(batches[k]) if k < len(batches) else None
+                if prev is not None:
+                    modes_dev, rd, padded = prev
+                    modes_np = np.asarray(modes_dev)
+                    rs = self.recon.materialize_batch(rd)
+                    jobs = [
+                        pool.submit(entropy_one, modes_np[i], rs[i],
+                                    padded[i]) if pool
+                        else entropy_one(modes_np[i], rs[i], padded[i])
+                        for i in range(len(rs))]
+                    for i, jb in enumerate(jobs):
+                        rbsp, md5 = jb.result() if pool else jb
+                        nal = b""
+                        if not self._headers_sent:
+                            nal += self.headers()
+                            self._headers_sent = True
+                        if isinstance(rbsp, list):
+                            for rb in rbsp:
+                                nal += annexb(NAL_IDR_W_RADL, rb)
+                        else:
+                            nal += annexb(NAL_IDR_W_RADL, rbsp)
+                        if p.decoded_picture_hash:
+                            nal += annexb(NAL_SUFFIX_SEI,
+                                          write_decoded_picture_hash(md5))
+                        r = rs[i]
+                        fr = EncodedFrame(
+                            0, nal, (r["recon_y"], r["recon_u"],
+                                     r["recon_v"]),
+                            bits=len(nal) * 8, md5=md5, slice_type="I",
+                            qp=qp, disp=self.frame_count)
+                        self.rc.update("I", qp, fr.bits, 0.0)
+                        self.frame_count += 1
+                        out.append(fr)
+                prev = cur
+        finally:
+            if pool:
+                pool.shutdown()
+        return out
+
     def _emit_minigop(self) -> List[EncodedFrame]:
         frames = self._queue
         self._queue = []
