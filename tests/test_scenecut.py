@@ -24,7 +24,8 @@ def test_scenecut_inserts_idr():
     scene_a = moving_scene(w, h, 4, seed=1)
     scene_b = flat_scene(w, h, 4)              # hard content change
     frames = scene_a + scene_b
-    p = default_params(w, h, qp=32, keyframe_max=250, bframes=0)
+    p = default_params(w, h, qp=32, keyframe_max=250, keyframe_min=1,
+                       bframes=0)
     enc = Encoder(p)
     encoded = []
     for f in frames:
@@ -42,7 +43,8 @@ def test_scenecut_inserts_idr():
 def test_no_spurious_idr_on_smooth_content():
     w, h = 96, 64
     frames = moving_scene(w, h, 8, seed=5)
-    p = default_params(w, h, qp=32, keyframe_max=250, bframes=0)
+    p = default_params(w, h, qp=32, keyframe_max=250, keyframe_min=1,
+                       bframes=0)
     enc = Encoder(p)
     encoded = []
     for f in frames:

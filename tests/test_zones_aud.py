@@ -68,24 +68,28 @@ def test_hist_scenecut():
     brite = (rng.random((h, w)) * 200 + 55).astype(np.uint8)
     u = np.full((h // 2, w // 2), 128, np.uint8)
     frames = [(dark, u, u)] * 4 + [(brite, u, u)] * 3
-    p = default_params(w, h, qp=30, keyframe_max=250, bframes=0,
-                       hist_scenecut=True)
+    p = default_params(w, h, qp=30, keyframe_max=250, keyframe_min=1,
+                       bframes=0, hist_scenecut=True)
     out = _roundtrip(p, frames)
     by_disp = {f.disp: f for f in out}
     assert by_disp[4].slice_type == "I"      # cut detected
 
 
 def test_b_adapt_closes_minigop():
+    """The b-adapt DP must not span an uncorrelated content change with
+    Bs: the mini-GOP closes with a P anchor on the last cheap frame
+    (slicetype.cpp slicetypePath cost-optimal placement)."""
     rng = np.random.default_rng(6)
     w, h = 96, 64
     u = np.full((h // 2, w // 2), 128, np.uint8)
     base = rng.integers(0, 256, (h, w)).astype(np.uint8)
-    frames = [(np.roll(base, k, 1), u, u) for k in range(4)]
-    hard = rng.integers(0, 256, (h, w)).astype(np.uint8)   # complexity spike
+    frames = [(np.roll(base, 2 * k, 1), u, u) for k in range(4)]
+    hard = rng.integers(0, 256, (h, w)).astype(np.uint8)   # content change
     frames.append((hard, u, u))
-    frames.append((np.roll(hard, 1, 1), u, u))
+    frames.append((np.roll(hard, 2, 1), u, u))
     p = default_params(w, h, qp=30, keyframe_max=250, bframes=3, b_adapt=1,
                        keyframe_min=100)   # suppress scene-cut IDR
     out = _roundtrip(p, frames)
-    by_disp = {f.disp: f for f in out}
-    assert by_disp[4].slice_type in ("P", "I")
+    by_disp = {f.disp: f.slice_type for f in out}
+    assert by_disp[3] in ("P", "I"), by_disp   # GOP closed before the cut
+    assert by_disp[1] == "B" and by_disp[2] == "B", by_disp

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.cost import satd_batch
-from ..ops.me import full_search_batch
+from ..ops.interp import mc_batch
+from ..ops.me import full_search_batch, subpel_refine_batch
 from .intra_mode import _mode_costs
 from .lookahead import lowres_plane, _raster_avail, LOG2N, N, \
     LOOKAHEAD_LAMBDA_X256, SEARCH_RANGE
@@ -68,20 +69,20 @@ def _lattice_costs(stack, triples, is_b, valid, nby: int, nbx: int,
         org = cur[oy, ox]
 
         def me_pred(ref):
+            # integer full search then qpel refinement: the reference
+            # lookahead is qpel-accurate on lowres (lowres.h:74-120
+            # lowresQPelCost) — integer-only ME misses odd-pixel
+            # fullres motion (0.5 px at lowres) and misfires scenecut
             mvx, mvy, _ = full_search_batch(
                 ref, cur, x0, y0, zero, zero, LOOKAHEAD_LAMBDA_X256, N,
                 SEARCH_RANGE)
-            fx, fy = mvx >> 2, mvy >> 2
-            gy = jnp.clip(y0[:, None, None] + fy[:, None, None]
-                          + jnp.arange(N)[None, :, None], 0, h - 1)
-            gx = jnp.clip(x0[:, None, None] + fx[:, None, None]
-                          + jnp.arange(N)[None, None, :], 0, w - 1)
-            return ref[gy, gx]
+            mvx, mvy, cost = subpel_refine_batch(
+                ref, cur, x0, y0, mvx, mvy, zero, zero,
+                LOOKAHEAD_LAMBDA_X256, N, 8, subme=2)
+            return mc_batch(ref, x0, y0, mvx, mvy, N), cost
 
-        pr0 = me_pred(stack[p0])
-        pr1 = me_pred(stack[p1])
-        c0 = satd_batch(org, pr0)
-        c1 = satd_batch(org, pr1)
+        pr0, c0 = me_pred(stack[p0])
+        pr1, c1 = me_pred(stack[p1])
         cbi = satd_batch(org, (pr0 + pr1 + 1) >> 1)
         ic = intra[b].reshape(-1)
         best = jnp.where(b_flag,

@@ -150,6 +150,14 @@ class Encoder:
         self._prev_src_y = None
         self._cplx_avg = 0.0              # running inter-complexity average
         self._idr_base = 0                # display index of the last IDR
+        self._slicetype = None            # lazy (needs padded geometry)
+        self._last_anchor_disp = -1       # display idx of last I/P anchor
+        # x265 derives min-keyint = keyint/10 when unset (param.cpp
+        # x265_check_params); it gates IDR promotion and the scenecut
+        # bias ramp
+        self._keyint_min = params.keyframe_min if params.keyframe_min > 0 \
+            else max(1, min(params.keyframe_max // 10,
+                            params.keyframe_max - 1))
         self._prev_hist = None
         self._mc_buf: deque = deque()     # MCSTF source window
         self._mc_hist: deque = deque(maxlen=2)
@@ -357,6 +365,15 @@ class Encoder:
         planes = (self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
         cplx = frame_complexity(planes[0], self._prev_src_y)
         self._prev_src_y = planes[0]
+        st = self._slicetype
+        if st is None and self.bframes > 0 and p.b_adapt > 0 \
+                and p.keyframe_max > 1:
+            from ..analysis.slicetype import SlicetypeLookahead
+            st = self._slicetype = SlicetypeLookahead(
+                planes[0].shape[1], planes[0].shape[0], self.bframes,
+                p.b_adapt, p.scenecut_bias / 100.0, p.scenecut_threshold)
+        if st is not None:
+            st.push(self.frame_count, planes[0])
         out: List[EncodedFrame] = []
         force_idr = (self.frame_count % max(1, p.keyframe_max) == 0)
         if self._qpfile.get(self.frame_count, ("", 0))[0] == "I":
@@ -365,43 +382,65 @@ class Encoder:
                 self._prev_hist is not None:
             hist = self._luma_hist(planes[0])
             if np.abs(hist - self._prev_hist).sum() > 0.4:
-                force_idr = self._disp_since_idr >= max(1, p.keyframe_min)
+                force_idr = self._disp_since_idr >= self._keyint_min
             self._prev_hist = hist
         elif p.hist_scenecut:
             self._prev_hist = self._luma_hist(planes[0])
-        # scene-cut detection (reference slicetype.cpp scenecut bias
-        # analog): a large jump in temporal complexity vs the running
-        # average promotes the frame to IDR
+        # scene-cut detection: the lookahead's intra/inter cost-ratio
+        # test when available (slicetype.cpp scenecutInternal:2832),
+        # else the temporal-complexity-spike fallback
         if not force_idr and p.scenecut and p.keyframe_max > 1 \
-                and self._cplx_avg > 0 \
-                and self._disp_since_idr >= max(1, p.keyframe_min):
-            if cplx > 4.0 * self._cplx_avg and \
-                    cplx > 0.1 * self.sps.width * self.sps.height:
+                and self._disp_since_idr >= self._keyint_min:
+            if st is not None and self.frame_count > 0:
+                force_idr = st.scenecut(
+                    self.frame_count, self.frame_count - 1,
+                    self._disp_since_idr, self._keyint_min,
+                    p.keyframe_max)
+            elif self._cplx_avg > 0 and cplx > 4.0 * self._cplx_avg \
+                    and cplx > 0.1 * self.sps.width * self.sps.height:
                 force_idr = True
         if not force_idr:
             self._cplx_avg = 0.9 * self._cplx_avg + 0.1 * cplx \
                 if self._cplx_avg else cplx
         if force_idr:
-            if self._queue:
-                out.extend(self._emit_minigop())
+            while self._queue:
+                out.extend(self._emit_minigop(self._next_gop_len()))
             self._disp_since_idr = 0
             self._idr_base = self.frame_count
+            self._last_anchor_disp = self.frame_count
             out.append(self._encode_picture(planes, 0, "I", cplx,
                                             qp_off=qp_off))
+            if st is not None:
+                st.drop_before(self.frame_count)
         else:
             self._queue.append((planes, self._disp_since_idr, cplx,
                                 qp_off))
-            # b-adapt: close the mini-GOP early at a complexity spike so
-            # the hard frame becomes a P anchor instead of a B
-            # (slicetype.cpp slicetypeDecide's cost-based B/P choice)
-            spike = (p.b_adapt > 0 and len(self._queue) > 1 and
-                     self._cplx_avg > 0 and
+            # b-adapt: spike fallback only without the lookahead (the
+            # DP's P placement subsumes it)
+            spike = (st is None and p.b_adapt > 0 and
+                     len(self._queue) > 1 and self._cplx_avg > 0 and
                      cplx > 2.5 * self._cplx_avg)
             if len(self._queue) >= self.bframes + 1 or spike:
-                out.extend(self._emit_minigop())
+                out.extend(self._emit_minigop(self._next_gop_len()))
         self.frame_count += 1
         self._disp_since_idr += 1
         return out
+
+    def _next_gop_len(self):
+        """Mini-GOP length for the head of the queue: the b-adapt DP's
+        P-anchor placement (slicetype.cpp slicetypePath analog), or the
+        whole queue without the lookahead."""
+        st = self._slicetype
+        if st is None or not self._queue:
+            return None
+        p0 = self._last_anchor_disp
+        disps = [self._idr_base + q[1] for q in self._queue]
+        if p0 < 0:
+            return None
+        try:
+            return st.decide_gop(p0, disps)
+        except KeyError:
+            return None
 
     def write_stats(self) -> None:
         """Pass-1 stats / analysis emission (call after final flush)."""
@@ -420,8 +459,8 @@ class Encoder:
             while self._la_buf:
                 fy, fu, fv = self._la_buf.popleft()
                 out.extend(self._ingest(fy, fu, fv, self._cutree.pop()))
-        if self._queue:
-            out.extend(self._emit_minigop())
+        while self._queue:
+            out.extend(self._emit_minigop(self._next_gop_len()))
         return out
 
     # -- batched all-intra path (config-1 / multi-frame throughput) -----------
@@ -683,9 +722,14 @@ class Encoder:
                 pool.shutdown()
         return out
 
-    def _emit_minigop(self) -> List[EncodedFrame]:
-        frames = self._queue
-        self._queue = []
+    def _emit_minigop(self, k: Optional[int] = None) -> List[EncodedFrame]:
+        if k is None or k >= len(self._queue):
+            frames, self._queue = self._queue, []
+        else:
+            frames, self._queue = self._queue[:k], self._queue[k:]
+        self._last_anchor_disp = self._idr_base + frames[-1][1]
+        if self._slicetype is not None:
+            self._slicetype.drop_before(self._last_anchor_disp)
         out = [self._encode_picture(frames[-1][0], frames[-1][1], "P",
                                     frames[-1][2], qp_off=frames[-1][3])]
         anchor0 = self._anchors[0]

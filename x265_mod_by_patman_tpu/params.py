@@ -128,7 +128,9 @@ class EncoderParams:
     wpp: bool = True
     repeat_headers: bool = False
     decoded_picture_hash: int = 1   # 0 none, 1 md5 (SEI)
-    scenecut: bool = True           # complexity-spike IDR promotion
+    scenecut: bool = True           # lookahead cost-ratio IDR promotion
+    scenecut_threshold: int = 40    # x265 --scenecut (cost-ratio %)
+    scenecut_bias: float = 5.0      # x265 --scenecut-bias (%)
 
     # profile / level
     profile: str = "main"
@@ -310,6 +312,14 @@ class EncoderParams:
             cll, _, fall = value.partition(",")
             self.max_cll = int(cll)
             self.max_fall = int(fall or 0)
+            return self
+        if key == "scenecut":              # x265: int threshold, 0=off
+            if value.lower() in ("true", "yes", "on"):
+                self.scenecut = True
+            else:
+                self.scenecut = int(value) > 0
+                if self.scenecut:
+                    self.scenecut_threshold = int(value)
             return self
         if key.startswith("no_"):          # x265 --no-X negations
             base = key[3:]
