@@ -69,7 +69,7 @@ _MERGE_IDX_BINS = (1, 2, 2)
 
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
-                    weights=None, subme: int = 2):
+                    weights=None, subme: int = 2, rect: bool = False):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -102,22 +102,26 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                               sps.log2_ctu_size, 0)
     lam, _ = lambda_qp(qp)
     lam256 = int(round(lam * 256)) << (bd - 8)
+    # rect PUs search on unweighted planes only (weightP fires on fades
+    # where rect rarely helps; keeps the weighted 14-bit path simple)
+    rect_eff = rect and not any(wpat) and block == 16
     out = _p_core(oy, rys, rus, rvs, wq, wo,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), wpat, search_range, block, bd,
-                  sps.log2_ctu_size, _on_tpu(oy), subme)
-    modes, inter, mvs, rsel, mcy, mcu, mcv = out
+                  sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff)
+    modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
-            (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)))
+            (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)),
+            np.asarray(part), np.asarray(mvs_b))
 
 
 @functools.partial(
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
-                              "log2_ctu", "use_pallas", "subme"))
+                              "log2_ctu", "use_pallas", "subme", "rect"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
-            use_pallas: bool, subme: int = 2):
+            use_pallas: bool, subme: int = 2, rect: bool = False):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -217,6 +221,89 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     for _ in range(2):
         mvx, mvy, ref_sel, cost = cand_round(mvx, mvy, ref_sel)
 
+    # 2b. rect PU candidates (2NxN / Nx2N): 8x8 sub-block ME on each
+    # block's chosen reference, then PU costs from own+partner SATD
+    # pairings (batched checkInter per-shape analog, x265
+    # analysis.cpp:1663 / search.cpp:2554 rect loop)
+    part = jnp.zeros(nb, jnp.int32)
+    mvbx = jnp.zeros(nb, jnp.int32)
+    mvby = jnp.zeros(nb, jnp.int32)
+    if rect:
+        offs = ((0, 0), (0, 8), (8, 0), (8, 8))       # (dy, dx), k-order
+        sx4 = (bx[:, None] +
+               jnp.asarray([o[1] for o in offs], jnp.int32)[None, :]) \
+            .reshape(-1)
+        sy4 = (by[:, None] +
+               jnp.asarray([o[0] for o in offs], jnp.int32)[None, :]) \
+            .reshape(-1)
+        rsel4 = jnp.repeat(ref_sel, 4)
+        otall = jnp.concatenate(
+            [jnp.pad(oy, ((m_pad, m_pad), (0, 0)), mode="edge")] * nref, 0)
+        ytall = sy4 + rsel4 * strip + m_pad
+        pz4 = jnp.zeros(nb * 4, jnp.int32)
+        im8x, im8y, _ = full_search_batch(tall, otall, sx4, ytall, pz4,
+                                          pz4, lam256, 8, search_range,
+                                          use_pallas=False)
+        mv8x, mv8y, c8 = subpel_refine_batch(tall, otall, sx4, ytall,
+                                             im8x, im8y, pz4, pz4,
+                                             lam256, 8, bd, subme)
+        own = (c8 - ((lam256 * mv_bits(mv8x, mv8y)) >> 8)).reshape(nb, 4)
+        g8y = jnp.clip(sy4[:, None, None] + jnp.arange(8)[None, :, None],
+                       0, h - 1)
+        g8x = jnp.clip(sx4[:, None, None] + jnp.arange(8)[None, None, :],
+                       0, w - 1)
+        org8 = oy[g8y, g8x].astype(jnp.int32)
+
+        def cross_satd(perm):
+            px_ = mv8x.reshape(nb, 4)[:, perm].reshape(-1)
+            py_ = mv8y.reshape(nb, 4)[:, perm].reshape(-1)
+            pr = mc_batch(tall, sx4, ytall, px_, py_, 8, 0, bd,
+                          use_pallas=False)
+            return satd_batch(org8, pr).reshape(nb, 4)
+
+        crossH = cross_satd((1, 0, 3, 2))
+        crossV = cross_satd((2, 3, 0, 1))
+        m8 = (mv8x.reshape(nb, 4), mv8y.reshape(nb, 4))
+        pu_bits = ((lam256 * (3 + ref_sel)) >> 8)
+
+        def pu_best(sa, sb, candA, candB):
+            """PU of sub-blocks (a, b): candA = a's MV over both, candB
+            = b's MV; returns (cost, mvx, mvy)."""
+            cA = sa[0] + sb[0] + ((lam256 * mv_bits(
+                m8[0][:, candA], m8[1][:, candA])) >> 8) + pu_bits
+            cB = sa[1] + sb[1] + ((lam256 * mv_bits(
+                m8[0][:, candB], m8[1][:, candB])) >> 8) + pu_bits
+            useA = cA <= cB
+            return (jnp.where(useA, cA, cB),
+                    jnp.where(useA, m8[0][:, candA], m8[0][:, candB]),
+                    jnp.where(useA, m8[1][:, candA], m8[1][:, candB]))
+
+        # 2NxN: top PU = subs (0, 1), bottom = (2, 3)
+        cT, mTx, mTy = pu_best((own[:, 0], crossH[:, 0]),
+                               (crossH[:, 1], own[:, 1]), 0, 1)
+        cBt, mBx, mBy = pu_best((own[:, 2], crossH[:, 2]),
+                                (crossH[:, 3], own[:, 3]), 2, 3)
+        costH = cT + cBt + ((lam256 * 2) >> 8)
+        # Nx2N: left PU = subs (0, 2), right = (1, 3)
+        cL, mLx, mLy = pu_best((own[:, 0], crossV[:, 0]),
+                               (crossV[:, 2], own[:, 2]), 0, 2)
+        cR, mRx, mRy = pu_best((own[:, 1], crossV[:, 1]),
+                               (crossV[:, 3], own[:, 3]), 1, 3)
+        costV = cL + cR + ((lam256 * 2) >> 8)
+        # degenerate rect (both PUs same MV) re-encodes 2Nx2N with extra
+        # bins — never pick it
+        costH = jnp.where((mTx == mBx) & (mTy == mBy), 1 << 30, costH)
+        costV = jnp.where((mLx == mRx) & (mLy == mRy), 1 << 30, costV)
+
+        allc = jnp.stack([cost, costH, costV])
+        part = jnp.argmin(allc, axis=0).astype(jnp.int32)
+        cost = jnp.min(allc, axis=0)
+        pu0x = jnp.where(part == 1, mTx, jnp.where(part == 2, mLx, mvx))
+        pu0y = jnp.where(part == 1, mTy, jnp.where(part == 2, mLy, mvy))
+        mvbx = jnp.where(part == 1, mBx, jnp.where(part == 2, mRx, 0))
+        mvby = jnp.where(part == 1, mBy, jnp.where(part == 2, mRy, 0))
+        mvx, mvy = pu0x, pu0y
+
     # 3. intra costs (orig-neighbor batched sweep)
     icosts = _mode_costs(oy, avail,
                          jnp.asarray(bxs.ravel().astype(np.int32)),
@@ -233,6 +320,27 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     # take the exact 14-bit path for luma (chroma stays unweighted)
     from ..ops.interp import mc_batch_14, wp_apply_batch
     nc = n // 2
+    if rect:
+        # per-sub-block final MVs: PU1 covers the bottom row (2NxN) or
+        # the right column (Nx2N) of the 2x2 sub-block grid
+        subB = jnp.where(
+            (part == 1)[:, None], jnp.asarray([0, 0, 1, 1])[None, :],
+            jnp.where((part == 2)[:, None],
+                      jnp.asarray([0, 1, 0, 1])[None, :], 0))
+        fmvx = jnp.where(subB == 1, mvbx[:, None],
+                         mvx[:, None]).reshape(-1)
+        fmvy = jnp.where(subB == 1, mvby[:, None],
+                         mvy[:, None]).reshape(-1)
+        m_c = m_pad // 2
+        strip_c = (h // 2) + 2 * m_c
+        tall_c = [None,
+                  jnp.concatenate([jnp.pad(rus[i], ((m_c, m_c), (0, 0)),
+                                           mode="edge")
+                                   for i in range(nref)], 0),
+                  jnp.concatenate([jnp.pad(rvs[i], ((m_c, m_c), (0, 0)),
+                                           mode="edge")
+                                   for i in range(nref)], 0)]
+        ytall_c = sy4 // 2 + rsel4 * strip_c + m_c
     mc = []
     for pi in range(3):
         c_idx = 0 if pi == 0 else pi
@@ -254,15 +362,31 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
         for ridx in range(1, nref):
             sel = jnp.where((ref_sel == ridx)[:, None, None],
                             preds[ridx], sel)
+        if rect:
+            if pi == 0:
+                rp8 = mc_batch(tall, sx4, ytall, fmvx, fmvy, 8, 0, bd,
+                               use_pallas=False)
+                half = 8
+            else:
+                rp8 = mc_batch(tall_c[pi], sx4 // 2, ytall_c, fmvx,
+                               fmvy, 4, pi, bd, use_pallas=False)
+                half = 4
+            ra = rp8.reshape(nb, 2, 2, half, half) \
+                .transpose(0, 1, 3, 2, 4).reshape(nb, sz, sz)
+            sel = jnp.where((part > 0)[:, None, None], ra, sel)
         mc.append(sel.reshape(nby, nbx, sz, sz))
 
     mvs = jnp.stack([mvx, mvy], axis=-1).reshape(nby, nbx, 2) \
+        .astype(jnp.int32)
+    mvs_b = jnp.stack([mvbx, mvby], axis=-1).reshape(nby, nbx, 2) \
         .astype(jnp.int32)
     return (intra_modes.reshape(nby, nbx),
             use_inter.reshape(nby, nbx),
             mvs,
             ref_sel.reshape(nby, nbx),
-            mc[0], mc[1], mc[2])
+            mc[0], mc[1], mc[2],
+            part.reshape(nby, nbx),
+            mvs_b)
 
 
 def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,

@@ -403,6 +403,12 @@ class Decoder:
                 p0 = np.zeros((nby, nbx), np.int64)
                 p1 = np.zeros((nby, nbx), np.int64)
                 cbf = np.zeros((nby, nbx), bool)
+                part16 = np.zeros((nby, nbx), np.int8)
+                d_b = np.zeros((nby, nbx), np.int32)
+                mv_b = np.zeros((nby, nbx, 2), np.int32)
+                mv1_b = np.zeros((nby, nbx, 2), np.int32)
+                p0_b = np.zeros((nby, nbx), np.int64)
+                p1_b = np.zeros((nby, nbx), np.int64)
                 for cu in all_cus:
                     n16 = max(1, (1 << cu.log2_size) // 16)
                     bx0, by0 = cu.x0 // 16, cu.y0 // 16
@@ -416,6 +422,16 @@ class Decoder:
                             p0[sl] = ref_pocs[0][cu.ref_idx]
                         if cu.inter_dir & 2:
                             p1[sl] = ref_pocs[1][cu.ref_idx1]
+                        if getattr(cu, "part_mode", 0):
+                            part16[sl] = cu.part_mode
+                            mb = cu.motion(1)
+                            d_b[sl] = mb.dir
+                            mv_b[sl] = mb.mv0
+                            mv1_b[sl] = mb.mv1
+                            if mb.dir & 1:
+                                p0_b[sl] = ref_pocs[0][mb.ref0]
+                            if mb.dir & 2:
+                                p1_b[sl] = ref_pocs[1][mb.ref1]
                     # luma cbf at 16-grid granularity from the actual
                     # coded TU keys (works for any parsed TU tree)
                     for (ci, kx, ky, kl), lv in cu.coeffs.items():
@@ -424,8 +440,10 @@ class Decoder:
                         t16 = max(1, (1 << kl) // 16)
                         cbf[ky // 16:ky // 16 + t16,
                             kx // 16:kx // 16 + t16] = True
-                bs_v, bs_h = inter_bs_maps(intra_mask, mvs, cbf, w, h, 16,
-                                           dirs, mvs1, p0, p1, split_grid)
+                bs_v, bs_h = inter_bs_maps(
+                    intra_mask, mvs, cbf, w, h, 16, dirs, mvs1, p0, p1,
+                    split_grid, part_map=part16,
+                    pu1=(d_b, mv_b, mv1_b, p0_b, p1_b))
             else:
                 bs_v, bs_h = intra_bs_maps(w, h, 16, split_grid,
                                            merge32_grid)
@@ -560,40 +578,55 @@ class Decoder:
         """Golden inter recon: uni MC (mc_block_ref) or bi-prediction
         (14-bit combine, spec 8.5.4.3) + residual."""
         from ..ops.interp import mc_block_ref_14, bi_combine_ref
+        from ..entropy.cu_syntax import pu_partitions
         bd = self.sps.bit_depth
         maxv = (1 << bd) - 1
-        d = cu.inter_dir
-        refs0 = self._ref_l0[cu.ref_idx] if d & 1 else None
-        refs1 = self._ref_l1[cu.ref_idx1] if d & 2 else None
-        for pi, (plane, c_idx, qpc, cx, cy, clog2) in enumerate((
-                (y, 0, qp, cu.x0, cu.y0, cu.log2_size),
-                (u, 1, qp_cb, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1),
-                (v, 2, qp_cr, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1))):
-            cn = 1 << clog2
+        nbs = 1 << cu.log2_size
+        pus = pu_partitions(cu.x0, cu.y0, nbs, getattr(cu, "part_mode", 0))
+
+        def pu_pred(pi_pu, px, py, pw, ph, c_idx, refs_shift):
+            mot = cu.motion(pi_pu)
+            d = mot.dir
+            sx, sy, sw, sh = (px >> refs_shift, py >> refs_shift,
+                              pw >> refs_shift, ph >> refs_shift)
+            r0 = self._ref_l0[mot.ref0][c_idx].astype(np.int32) \
+                if d & 1 else None
+            r1 = self._ref_l1[mot.ref1][c_idx].astype(np.int32) \
+                if d & 2 else None
             if d == 3:
-                p0 = mc_block_ref_14(refs0[pi].astype(np.int32), cx, cy,
-                                     cu.mv[0], cu.mv[1], cn, cn, c_idx, bd)
-                p1 = mc_block_ref_14(refs1[pi].astype(np.int32), cx, cy,
-                                     cu.mv1[0], cu.mv1[1], cn, cn, c_idx, bd)
-                pred = bi_combine_ref(p0, p1, bd)
-            elif d == 1:
+                p0 = mc_block_ref_14(r0, sx, sy, mot.mv0[0], mot.mv0[1],
+                                     sw, sh, c_idx, bd)
+                p1 = mc_block_ref_14(r1, sx, sy, mot.mv1[0], mot.mv1[1],
+                                     sw, sh, c_idx, bd)
+                return bi_combine_ref(p0, p1, bd)
+            if d == 1:
                 wp = None
                 if c_idx == 0 and self._cur_wp is not None:
-                    wp = self._cur_wp[1][cu.ref_idx]
+                    wp = self._cur_wp[1][mot.ref0]
                 if wp is not None:
                     from ..ops.interp import wp_apply_ref
-                    p14 = mc_block_ref_14(refs0[pi].astype(np.int32),
-                                          cx, cy, cu.mv[0], cu.mv[1],
-                                          cn, cn, c_idx, bd)
-                    pred = wp_apply_ref(p14, wp[0], wp[1],
+                    p14 = mc_block_ref_14(r0, sx, sy, mot.mv0[0],
+                                          mot.mv0[1], sw, sh, c_idx, bd)
+                    return wp_apply_ref(p14, wp[0], wp[1],
                                         self._cur_wp[0], bd)
-                else:
-                    pred = mc_block_ref(refs0[pi].astype(np.int32), cx,
-                                        cy, cu.mv[0], cu.mv[1], cn, cn,
-                                        c_idx, bd)
-            else:
-                pred = mc_block_ref(refs1[pi].astype(np.int32), cx, cy,
-                                    cu.mv1[0], cu.mv1[1], cn, cn, c_idx, bd)
+                return mc_block_ref(r0, sx, sy, mot.mv0[0], mot.mv0[1],
+                                    sw, sh, c_idx, bd)
+            return mc_block_ref(r1, sx, sy, mot.mv1[0], mot.mv1[1],
+                                sw, sh, c_idx, bd)
+
+        for (plane, c_idx, qpc, cx, cy, clog2) in (
+                (y, 0, qp, cu.x0, cu.y0, cu.log2_size),
+                (u, 1, qp_cb, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1),
+                (v, 2, qp_cr, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1)):
+            cn = 1 << clog2
+            shift = 0 if c_idx == 0 else 1
+            pred = np.zeros((cn, cn), np.int32)
+            for pi_pu, (px, py, pw, ph, _rule) in enumerate(pus):
+                blk = pu_pred(pi_pu, px, py, pw, ph, c_idx, shift)
+                oy0 = (py - cu.y0) >> shift
+                ox0 = (px - cu.x0) >> shift
+                pred[oy0:oy0 + (ph >> shift),
+                     ox0:ox0 + (pw >> shift)] = blk
             # residual applies per leaf of the PARSED TU tree
             rec = pred.astype(np.int32)
             for (lx, ly, ll, blk) in cu.tu_leaves:

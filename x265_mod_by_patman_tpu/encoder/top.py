@@ -792,6 +792,7 @@ class Encoder:
         mvs1 = None
         ref_sel = None
         wp_l0 = None
+        rect_info = None          # (part_map, mvs_b) when rect PUs used
         keep_pocs: tuple = ()
         b_is_ref = False
         disp = self._idr_base + poc
@@ -840,10 +841,16 @@ class Encoder:
                 ref_sel = rec_a["ref_sel"]
                 mc = mc_for_p(refs, mvs, ref_sel, self.sps, wp_l0)
             else:
-                modes, inter_mask, mvs, ref_sel, mc = analyse_p_frame(
-                    y, u, v, refs, self.sps, qp,
-                    search_range=self._me_range, weights=wp_l0,
-                    subme=p.subpel_refine)
+                # rect PUs disabled on analysis-reuse runs (saved
+                # analysis carries 2Nx2N motion only)
+                use_rect = p.rect and self._ana_store is None
+                modes, inter_mask, mvs, ref_sel, mc, part_map, mvs_b = \
+                    analyse_p_frame(
+                        y, u, v, refs, self.sps, qp,
+                        search_range=self._me_range, weights=wp_l0,
+                        subme=p.subpel_refine, rect=use_rect)
+                if np.any(part_map):
+                    rect_info = (part_map, mvs_b)
             with trace.scope("wavefront", type="P"):
                 r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map,
                               init_type=1)
@@ -877,7 +884,8 @@ class Encoder:
         dqp_map = self._derived_qp_map(qp_map, r)
         with trace.scope("loopfilter", type=ftype):
             self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
-                          dqp_map, recon, ref_sel, split_map, split32)
+                          dqp_map, recon, ref_sel, split_map, split32,
+                          rect_info)
             sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
         with trace.scope("entropy", type=ftype):
             slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1,
@@ -885,7 +893,7 @@ class Encoder:
                                             ref_pocs, sao_maps, ref_sel,
                                             keep_pocs, qp_map, wp_l0,
                                             split_map, modes8,
-                                            split32, mode32)
+                                            split32, mode32, rect_info)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -963,7 +971,7 @@ class Encoder:
 
     def _deblock(self, r: dict, inter_mask, mvs, mvs1, dirs, ref_pocs,
                  qp: int, recon, ref_sel=None, split_map=None,
-                 split32=None) -> None:
+                 split32=None, rect_info=None) -> None:
         if not self.p.deblock:
             return
         p = self.p
@@ -986,8 +994,19 @@ class Encoder:
                              ref_pocs[0][0] if ref_pocs[0] else 0, np.int64)
             p1 = np.full((nby, nbx),
                          ref_pocs[1][0] if ref_pocs[1] else 0, np.int64)
+            part16 = pu1 = None
+            if rect_info is not None:
+                part_map, mvs_b = rect_info
+                part16 = np.where(inter_mask, part_map, 0)
+                # PU1 shares the CU's list-0 ref (analysis constraint)
+                pu1 = (np.where(part16 > 0, 1, 0).astype(np.int32),
+                       mvs_b.astype(np.int32),
+                       np.zeros_like(mvs_b),
+                       np.where(part16 > 0, p0, 0),
+                       np.zeros_like(p0))
             bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16,
-                                       dirs_m, mvs1_m, p0, p1, split_map)
+                                       dirs_m, mvs1_m, p0, p1, split_map,
+                                       part_map=part16, pu1=pu1)
         else:
             merge32 = ~split32 if split32 is not None else None
             bs_v, bs_h = intra_bs_maps(w, h, 16, split_map, merge32)
@@ -1074,7 +1093,8 @@ class Encoder:
                       sao_maps=None, ref_sel=None,
                       keep_pocs: tuple = (), qp_map=None,
                       wp_l0=None, split_map=None, modes8=None,
-                      split32=None, mode32=None) -> bytes:
+                      split32=None, mode32=None,
+                      rect_info=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -1125,17 +1145,25 @@ class Encoder:
             x0, y0 = bx * 16, by * 16
             if inter_mask is not None and inter_mask[by, bx]:
                 d = 1 if dirs is None else int(dirs[by, bx])
+                rsel = int(ref_sel[by, bx]) if ref_sel is not None else 0
+                pm = 0
+                if rect_info is not None:
+                    pm = int(rect_info[0][by, bx])
                 cu = CodedCU(
                     x0, y0, 4, (1,), 4, {}, is_inter=True,
                     mv=(int(mvs[by, bx, 0]),
                         int(mvs[by, bx, 1])),
-                    ref_idx=int(ref_sel[by, bx])
-                    if ref_sel is not None else 0,
+                    ref_idx=rsel,
                     inter_dir=d,
                     mv1=(int(mvs1[by, bx, 0]),
                          int(mvs1[by, bx, 1]))
                     if mvs1 is not None else (0, 0),
-                    ref_idx1=0)
+                    ref_idx1=0, part_mode=pm)
+                if pm:
+                    cu.mv_b = (int(rect_info[1][by, bx, 0]),
+                               int(rect_info[1][by, bx, 1]))
+                    cu.ref_idx_b = rsel
+                    cu.inter_dir_b = d
             elif split_map is not None and split_map[by, bx]:
                 # NxN intra: 4 PUs + forced TU8 split; the luma
                 # level store holds the 4 TU8s as quadrants
@@ -1205,7 +1233,7 @@ class Encoder:
             # (TU16 residual quads; with log2_max_tu 5 this needs the
             # voluntary TU split)
             if (full and len(cus) == 4 and
-                    all(c.is_inter for c in cus) and
+                    all(c.is_inter and c.part_mode == 0 for c in cus) and
                     len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
                           c.ref_idx1) for c in cus}) == 1):
                 c0 = cus[0]

@@ -49,26 +49,51 @@ class CodedCU:
     tq_bypass: bool = False              # cu_transquant_bypass_flag
     tu_split: bool = False               # voluntary depth-0 TU split
     tu_leaves: list = field(default_factory=list)  # decoder: (x, y, log2)
-    mv: Tuple[int, int] = (0, 0)         # qpel, list 0
+    mv: Tuple[int, int] = (0, 0)         # qpel, list 0 (PU 0)
     ref_idx: int = 0
     inter_dir: int = 1                   # 1=L0, 2=L1, 3=BI
     mv1: Tuple[int, int] = (0, 0)        # qpel, list 1
     ref_idx1: int = 0
+    # rect partitions (x265 analysis.cpp checkInter 2NxN/Nx2N):
+    # part_mode 0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N; *_b fields are PU 1
+    part_mode: int = 0
+    mv_b: Tuple[int, int] = (0, 0)
+    ref_idx_b: int = 0
+    inter_dir_b: int = 1
+    mv1_b: Tuple[int, int] = (0, 0)
+    ref_idx1_b: int = 0
     # decoder-filled coding metadata (for stats / BS derivation)
     was_skip: bool = False
     qp: int = -1                         # derived CU QP (-1 = slice QP)
 
-    def motion(self) -> "Motion":
-        d = self.inter_dir
+    def motion(self, pu: int = 0) -> "Motion":
+        if pu == 0:
+            d, mv0, r0, mv1, r1 = (self.inter_dir, self.mv, self.ref_idx,
+                                   self.mv1, self.ref_idx1)
+        else:
+            d, mv0, r0, mv1, r1 = (self.inter_dir_b, self.mv_b,
+                                   self.ref_idx_b, self.mv1_b,
+                                   self.ref_idx1_b)
         return Motion(d,
-                      self.mv if d & 1 else (0, 0),
-                      self.ref_idx if d & 1 else -1,
-                      self.mv1 if d & 2 else (0, 0),
-                      self.ref_idx1 if d & 2 else -1)
+                      mv0 if d & 1 else (0, 0), r0 if d & 1 else -1,
+                      mv1 if d & 2 else (0, 0), r1 if d & 2 else -1)
 
     @property
     def part_nxn(self) -> bool:
         return (not self.is_inter) and len(self.luma_modes) == 4
+
+
+def pu_partitions(x0: int, y0: int, nbs: int, part_mode: int):
+    """PU geometry list [(x, y, w, h, merge_rule)] for a CU (spec
+    7.4.9.5 partition table; merge_rule = second-PU spatial exclusion
+    of 8.5.3.2.3)."""
+    if part_mode == 1:                   # 2NxN
+        h = nbs >> 1
+        return [(x0, y0, nbs, h, None), (x0, y0 + h, nbs, h, "no_b1")]
+    if part_mode == 2:                   # Nx2N
+        w = nbs >> 1
+        return [(x0, y0, w, nbs, None), (x0 + w, y0, w, nbs, "no_a1")]
+    return [(x0, y0, nbs, nbs, None)]
 
 
 class FrameSyntaxMaps:
@@ -286,6 +311,9 @@ class SliceSyntaxEncoder:
         nbs = 1 << log2
         z0 = self._z0(x0, y0)
         has_resi = any(np.any(v) for v in cu.coeffs.values())
+        if cu.is_inter and cu.part_mode:
+            self._inter_rect(ir, cu, has_resi)
+            return
         if cu.is_inter:
             mot = cu.motion()
             mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
@@ -337,6 +365,71 @@ class SliceSyntaxEncoder:
         ir.cbin(1, OFF["PRED_MODE"])              # MODE_INTRA
         self._coding_unit_intra(ir, cu)
         self.imaps.set_cu(x0, y0, log2, None)
+
+    def _part_mode_inter(self, ir: BinIR, pm: int, log2: int) -> None:
+        """part_mode binarization for inter CUs (spec 9.3.3.7; ctxInc
+        per Table 9-37: bin0 ctx0, bin1 ctx1, bin2 ctx2 at the minimum
+        CB size).  AMP shapes are not emitted (x265 --amp analog off)."""
+        if pm == 0:
+            ir.cbin(1, OFF["PART_SIZE"])             # 2Nx2N
+            return
+        ir.cbin(0, OFF["PART_SIZE"])
+        if pm == 1:
+            ir.cbin(1, OFF["PART_SIZE"] + 1)         # 2NxN
+            return
+        ir.cbin(0, OFF["PART_SIZE"] + 1)             # Nx2N...
+        if log2 == self.min_log2_cu and (1 << log2) > 8:
+            ir.cbin(1, OFF["PART_SIZE"] + 2)         # ...vs inter NxN
+
+    def _inter_rect(self, ir: BinIR, cu: CodedCU, has_resi: bool) -> None:
+        """Rect-partitioned inter CU (2NxN / Nx2N): part_mode + two
+        prediction_units, each with its own merge/AMVP derivation on
+        the rectangular geometry (spec 7.3.8.6; x265 search.cpp
+        predInterSearch per-PU loop)."""
+        x0, y0, log2 = cu.x0, cu.y0, cu.log2_size
+        nbs = 1 << log2
+        ir.cbin(0, self._skip_ctx(x0, y0))
+        ir.cbin(0, OFF["PRED_MODE"])                 # MODE_INTER
+        self._part_mode_inter(ir, cu.part_mode, log2)
+        for pi, (px, py, pw, ph, rule) in enumerate(
+                pu_partitions(x0, y0, nbs, cu.part_mode)):
+            mot = cu.motion(pi)
+            zp = self._z0(px, py)
+            mlist = merge_candidates(self.imaps, px, py, pw, zp,
+                                     self.max_merge, self.num_refs,
+                                     self.ref_pocs, self.col,
+                                     self.cur_poc, nbh=ph,
+                                     part_rule=rule)
+            midx = mlist.index(mot) if mot in mlist else -1
+            if midx >= 0:
+                ir.cbin(1, OFF["MERGE_FLAG"])
+                self._merge_idx(ir, midx)
+            else:
+                ir.cbin(0, OFF["MERGE_FLAG"])
+                if self.slice_type == 0:
+                    self._inter_pred_idc(ir, mot.dir,
+                                         self.log2_ctu - log2)
+                for lst in (0, 1):
+                    if not mot.has(lst):
+                        continue
+                    if self.num_refs[lst] > 1:
+                        self._ref_idx(ir, mot.ref(lst), lst)
+                    alist = amvp_candidates(self.imaps, px, py, pw, zp,
+                                            lst, mot.ref(lst),
+                                            self.ref_pocs, self.cur_poc,
+                                            self.col, nbh=ph)
+                    mv = mot.mv(lst)
+                    costs = [mvd_bits(mv[0] - c[0], mv[1] - c[1])
+                             for c in alist]
+                    mvp_idx = 0 if costs[0] <= costs[1] else 1
+                    self._mvd(ir, mv[0] - alist[mvp_idx][0],
+                              mv[1] - alist[mvp_idx][1])
+                    ir.cbin(mvp_idx, OFF["MVP_IDX"])
+            self.imaps.set_pu(px, py, pw, ph, mot)
+        ir.cbin(1 if has_resi else 0, OFF["QT_ROOT_CBF"])
+        if has_resi:
+            self._transform_tree(ir, cu, x0, y0, log2, 0, 0,
+                                 parent_cbf_cb=True, parent_cbf_cr=True)
 
     def _inter_pred_idc(self, ir: BinIR, d: int, ct_depth: int) -> None:
         """inter_pred_idc binarization (spec 9.3.3.8, 2Nx2N PU)."""
@@ -742,8 +835,25 @@ class SliceSyntaxDecoder:
             cu = self._coding_unit_intra(x0, y0, log2)
             self.imaps.set_cu(x0, y0, log2, None)
             return cu
-        part_2nx2n = dec.decode_bin(states, OFF["PART_SIZE"])
-        assert part_2nx2n, "only 2Nx2N inter PUs supported"
+        part = self._part_mode_inter_dec(log2)
+        if part:
+            pus = pu_partitions(x0, y0, nbs, part)
+            mots = []
+            for (px, py, pw, ph, rule) in pus:
+                mot = self._prediction_unit(px, py, pw, ph, rule)
+                mots.append(mot)
+                self.imaps.set_pu(px, py, pw, ph, mot)
+            cu = CodedCU(
+                x0, y0, log2, (1,), 4, {}, is_inter=True, part_mode=part,
+                mv=mots[0].mv0, ref_idx=max(mots[0].ref0, 0),
+                inter_dir=mots[0].dir, mv1=mots[0].mv1,
+                ref_idx1=max(mots[0].ref1, 0),
+                mv_b=mots[1].mv0, ref_idx_b=max(mots[1].ref0, 0),
+                inter_dir_b=mots[1].dir, mv1_b=mots[1].mv1,
+                ref_idx1_b=max(mots[1].ref1, 0))
+            if dec.decode_bin(states, OFF["QT_ROOT_CBF"]):
+                self._transform_tree(cu, x0, y0, log2, 0, 0, True, True)
+            return cu
         if dec.decode_bin(states, OFF["MERGE_FLAG"]):
             midx = self._merge_idx()
             mlist = merge_candidates(self.imaps, x0, y0, nbs, z0,
@@ -779,6 +889,53 @@ class SliceSyntaxDecoder:
         if dec.decode_bin(states, OFF["QT_ROOT_CBF"]):
             self._transform_tree(cu, x0, y0, log2, 0, 0, True, True)
         return cu
+
+    def _part_mode_inter_dec(self, log2: int) -> int:
+        """part_mode parse for inter CUs (mirror of _part_mode_inter):
+        0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N."""
+        if self.dec.decode_bin(self.states, OFF["PART_SIZE"]):
+            return 0
+        if self.dec.decode_bin(self.states, OFF["PART_SIZE"] + 1):
+            return 1
+        if log2 == self.min_log2_cu and (1 << log2) > 8:
+            b = self.dec.decode_bin(self.states, OFF["PART_SIZE"] + 2)
+            assert b, "inter NxN PUs unsupported"
+        return 2
+
+    def _prediction_unit(self, px: int, py: int, pw: int, ph: int,
+                         rule) -> Motion:
+        """prediction_unit parse on rectangular geometry (spec 7.3.8.6;
+        mirror of SliceSyntaxEncoder._inter_rect's PU body)."""
+        dec, states = self.dec, self.states
+        zp = self._z0(px, py)
+        if dec.decode_bin(states, OFF["MERGE_FLAG"]):
+            midx = self._merge_idx()
+            mlist = merge_candidates(self.imaps, px, py, pw, zp,
+                                     self.max_merge, self.num_refs,
+                                     self.ref_pocs, self.col,
+                                     self.cur_poc, nbh=ph,
+                                     part_rule=rule)
+            return mlist[midx]
+        if self.slice_type == 0:
+            # ct_depth from the CU size (= max PU dimension)
+            d = self._inter_pred_idc(
+                self.log2_ctu - max(pw, ph).bit_length() + 1)
+        else:
+            d = 1
+        mvs = [(0, 0), (0, 0)]
+        refs = [-1, -1]
+        for lst in (0, 1):
+            if not (d & (1 << lst)):
+                continue
+            refs[lst] = self._ref_idx(lst) if self.num_refs[lst] > 1 else 0
+            mvd = self._mvd()
+            mvp_idx = dec.decode_bin(states, OFF["MVP_IDX"])
+            alist = amvp_candidates(self.imaps, px, py, pw, zp, lst,
+                                    refs[lst], self.ref_pocs,
+                                    self.cur_poc, self.col, nbh=ph)
+            mvs[lst] = (alist[mvp_idx][0] + mvd[0],
+                        alist[mvp_idx][1] + mvd[1])
+        return Motion(d, mvs[0], refs[0], mvs[1], refs[1])
 
     def _inter_pred_idc(self, ct_depth: int) -> int:
         if self.dec.decode_bin(self.states, OFF["INTER_DIR"] + ct_depth):

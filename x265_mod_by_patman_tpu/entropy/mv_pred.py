@@ -50,15 +50,20 @@ class ColMotion:
     ref_poc: "np.ndarray"              # (nby, nbx, 2) int64
 
 
-def temporal_candidate(col: ColMotion, x0: int, y0: int, nbs: int,
+def temporal_candidate(col: ColMotion, x0: int, y0: int, nbw: int,
                        lst: int, target_poc: int, cur_poc: int,
                        pic_w: int, pic_h: int, log2_ctu: int,
-                       low_delay: bool) -> Optional[Tuple[int, int]]:
+                       low_delay: bool,
+                       nbh: Optional[int] = None
+                       ) -> Optional[Tuple[int, int]]:
     """Temporal MV for list `lst` targeting ref `target_poc` (spec
     8.5.3.2.8): bottom-right col block C0 (same CTU row only), center
-    C1 fallback; col list choice per 8.5.3.2.9; POC-distance scaling."""
-    c0 = (x0 + nbs, y0 + nbs)
-    c1 = (x0 + (nbs >> 1), y0 + (nbs >> 1))
+    C1 fallback; col list choice per 8.5.3.2.9; POC-distance scaling.
+    nbw/nbh: PU width/height (nbh defaults to nbw for square PUs)."""
+    if nbh is None:
+        nbh = nbw
+    c0 = (x0 + nbw, y0 + nbh)
+    c1 = (x0 + (nbw >> 1), y0 + (nbh >> 1))
     for i, (xc, yc) in enumerate((c0, c1)):
         if xc >= pic_w or yc >= pic_h:
             continue
@@ -112,9 +117,14 @@ class InterMaps:
     def set_cu(self, x0: int, y0: int, log2_size: int, motion=None,
                skip: bool = False) -> None:
         """motion: Motion for inter CUs, None for intra."""
-        n4 = 1 << (log2_size - 2)
-        ys = slice(y0 >> 2, (y0 >> 2) + n4)
-        xs = slice(x0 >> 2, (x0 >> 2) + n4)
+        n = 1 << log2_size
+        self.set_pu(x0, y0, n, n, motion, skip)
+
+    def set_pu(self, x0: int, y0: int, w: int, h: int, motion=None,
+               skip: bool = False) -> None:
+        """Rectangular PU variant (2NxN / Nx2N partitions)."""
+        ys = slice(y0 >> 2, (y0 + h) >> 2)
+        xs = slice(x0 >> 2, (x0 + w) >> 2)
         self.coded[ys, xs] = True
         self.skip[ys, xs] = skip
         if motion is None:
@@ -158,14 +168,25 @@ def merge_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
                      z0: int, max_cands: int = 3,
                      num_refs=(1, 0), ref_pocs=None,
                      col: Optional[ColMotion] = None,
-                     cur_poc: int = 0) -> List[Motion]:
-    """Merge candidate list for a 2Nx2N PU (spec 8.5.3.2.3): spatial,
+                     cur_poc: int = 0, nbh: Optional[int] = None,
+                     part_rule: Optional[str] = None) -> List[Motion]:
+    """Merge candidate list for a PU (spec 8.5.3.2.3): spatial,
     temporal (when a collocated field is given), combined-bi
-    (8.5.3.2.4), zero fill (bi zeros for B, L0 zeros for P)."""
-    a1 = maps.motion_at(x0 - 1, y0 + nbs - 1, z0)
-    b1 = maps.motion_at(x0 + nbs - 1, y0 - 1, z0)
-    b0 = maps.motion_at(x0 + nbs, y0 - 1, z0)
-    a0 = maps.motion_at(x0 - 1, y0 + nbs, z0)
+    (8.5.3.2.4), zero fill (bi zeros for B, L0 zeros for P).
+
+    nbs/nbh: PU width/height (nbh defaults to nbs).  part_rule encodes
+    the second-PU exclusions of 8.5.3.2.3: 'no_b1' for 2NxN partIdx 1,
+    'no_a1' for Nx2N partIdx 1 (prevents the degenerate merge that
+    reproduces 2Nx2N)."""
+    nbw = nbs
+    if nbh is None:
+        nbh = nbs
+    a1 = None if part_rule == "no_a1" else \
+        maps.motion_at(x0 - 1, y0 + nbh - 1, z0)
+    b1 = None if part_rule == "no_b1" else \
+        maps.motion_at(x0 + nbw - 1, y0 - 1, z0)
+    b0 = maps.motion_at(x0 + nbw, y0 - 1, z0)
+    a0 = maps.motion_at(x0 - 1, y0 + nbh, z0)
     cands: List[Motion] = []
     if a1 is not None:
         cands.append(a1)
@@ -184,14 +205,15 @@ def merge_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
         low_delay = all(rp <= cur_poc
                         for lst_p in (ref_pocs or ((), ()))
                         for rp in lst_p)
-        mv0 = temporal_candidate(col, x0, y0, nbs, 0, ref_pocs[0][0],
+        mv0 = temporal_candidate(col, x0, y0, nbw, 0, ref_pocs[0][0],
                                  cur_poc, maps.w, maps.h, maps.log2_ctu,
-                                 low_delay)
+                                 low_delay, nbh)
         mv1 = None
         if is_b_ and ref_pocs[1]:
-            mv1 = temporal_candidate(col, x0, y0, nbs, 1,
+            mv1 = temporal_candidate(col, x0, y0, nbw, 1,
                                      ref_pocs[1][0], cur_poc, maps.w,
-                                     maps.h, maps.log2_ctu, low_delay)
+                                     maps.h, maps.log2_ctu, low_delay,
+                                     nbh)
         if mv0 is not None or mv1 is not None:
             d = (1 if mv0 is not None else 0) | \
                 (2 if mv1 is not None else 0)
@@ -254,21 +276,26 @@ def _scale_mv(mv: Tuple[int, int], tb: int, td: int) -> Tuple[int, int]:
 def amvp_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
                     z0: int, lst: int, ref_idx: int,
                     ref_pocs, cur_poc: int,
-                    col: Optional[ColMotion] = None
+                    col: Optional[ColMotion] = None,
+                    nbh: Optional[int] = None
                     ) -> List[Tuple[int, int]]:
     """AMVP list (2 entries) for list `lst` (spec 8.5.3.2.6/7).
 
     ref_pocs: (pocs_l0, pocs_l1) tuples of reference POCs.
+    nbs/nbh: PU width/height (nbh defaults to nbs).
     Spatial candidates only (no TMVP); same-POC pass then scaled pass
     following the spec's A/B candidate rules.
     """
+    nbw = nbs
+    if nbh is None:
+        nbh = nbs
     target_poc = ref_pocs[lst][ref_idx]
 
     def neigh(nx, ny):
         return maps.motion_at(nx, ny, z0)
 
-    a_pos = ((x0 - 1, y0 + nbs), (x0 - 1, y0 + nbs - 1))
-    b_pos = ((x0 + nbs, y0 - 1), (x0 + nbs - 1, y0 - 1), (x0 - 1, y0 - 1))
+    a_pos = ((x0 - 1, y0 + nbh), (x0 - 1, y0 + nbh - 1))
+    b_pos = ((x0 + nbw, y0 - 1), (x0 + nbw - 1, y0 - 1), (x0 - 1, y0 - 1))
     a_motions = [neigh(*p) for p in a_pos]
     b_motions = [neigh(*p) for p in b_pos]
 
@@ -310,9 +337,9 @@ def amvp_candidates(maps: InterMaps, x0: int, y0: int, nbs: int,
         cands.append(mv_b)
     if col is not None and len(cands) < 2:
         low_delay = all(rp <= cur_poc for lp in ref_pocs for rp in lp)
-        t = temporal_candidate(col, x0, y0, nbs, lst, target_poc,
+        t = temporal_candidate(col, x0, y0, nbw, lst, target_poc,
                                cur_poc, maps.w, maps.h, maps.log2_ctu,
-                               low_delay)
+                               low_delay, nbh)
         if t is not None and t not in cands:
             cands.append(t)
     while len(cands) < 2:

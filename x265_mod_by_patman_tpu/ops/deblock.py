@@ -97,7 +97,8 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
                   cbf_luma: np.ndarray, width: int, height: int,
                   block: int = 16, dirs: np.ndarray = None,
                   mvs1: np.ndarray = None, poc0: np.ndarray = None,
-                  poc1: np.ndarray = None, split_map=None):
+                  poc1: np.ndarray = None, split_map=None,
+                  part_map=None, pu1=None):
     """BS maps for a P/B frame with a uniform CU/TU grid (spec 8.7.2.4):
     block-boundary edges on the 8-px grid get BS 2 if either side is
     intra, else 1 if either side has luma coefficients or the motion
@@ -107,6 +108,12 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
     intra_mask/cbf_luma: (nby, nbx) bool; mvs: (nby, nbx, 2) L0 qpel.
     B extras: dirs (bitmask 1/2/3), mvs1 (L1), poc0/poc1 per-block ref
     POCs.  P default: dirs=1 everywhere, single ref.
+
+    Rect PUs: part_map (nby, nbx) int (0=2Nx2N, 1=2NxN, 2=Nx2N) and
+    pu1 = (dirs_b, mvs_b, mvs1_b, poc0_b, poc1_b) second-PU fields.
+    Motion comparisons then run on an 8-px grid and the CU's interior
+    PU edge gets a motion-rule-only BS (spec 8.7.2.4: the cbf term
+    applies at transform edges; a PU-only edge uses the motion terms).
     """
     nby, nbx = intra_mask.shape
     if dirs is None:
@@ -122,7 +129,8 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
     bs_v = np.zeros((height // 4, max(ev, 0)), dtype=np.int32)
     bs_h = np.zeros((max(eh, 0), width // 4), dtype=np.int32)
 
-    def motion_differs(p, q):
+    def motion_differs(p, q, dirs=dirs, mvs=mvs, mvs1=mvs1,
+                       poc0=poc0, poc1=poc1):
         dp, dq = dirs[p], dirs[q]
         np_ = (dp & 1) + ((dp >> 1) & 1)
         nq_ = (dq & 1) + ((dq >> 1) & 1)
@@ -167,6 +175,63 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
         two = ip | iq
         one = cbf_luma[p] | cbf_luma[q] | motion_differs(p, q)
         return np.where(two, 2, np.where(one, 1, 0))
+
+    if part_map is not None and np.any(part_map) and block == 16:
+        d_b, mv_b, mv1_b, p0_b, p1_b = pu1
+
+        def exp8(f16, f_b):
+            f8 = np.repeat(np.repeat(f16, 2, 0), 2, 1)
+            m1 = np.repeat(part_map == 1, 2, 1)      # 2NxN: bottom row
+            f8[1::2][m1] = np.repeat(f_b, 2, 1)[m1]
+            m2 = np.repeat(part_map == 2, 2, 0)      # Nx2N: right col
+            f8[:, 1::2][m2] = np.repeat(f_b, 2, 0)[m2]
+            return f8
+
+        dirs8 = exp8(dirs, d_b)
+        mvs8 = exp8(mvs, mv_b)
+        mvs1_8 = exp8(mvs1, mv1_b)
+        poc0_8 = exp8(poc0, p0_b)
+        poc1_8 = exp8(poc1, p1_b)
+        intra8 = np.repeat(np.repeat(intra_mask, 2, 0), 2, 1)
+        cbf8 = np.repeat(np.repeat(cbf_luma, 2, 0), 2, 1)
+
+        def md8(p, q):
+            return motion_differs(p, q, dirs8, mvs8, mvs1_8,
+                                  poc0_8, poc1_8)
+
+        segs = np.arange(height // 4)
+        for e in range(ev):
+            x = (e + 1) * 8
+            rows8 = segs // 2
+            p = (rows8, np.full_like(rows8, e))
+            q = (rows8, np.full_like(rows8, e + 1))
+            if x % 16 == 0:                      # CU/TU boundary
+                two = intra8[p] | intra8[q]
+                one = cbf8[p] | cbf8[q] | md8(p, q)
+                bs_v[:, e] = np.where(two, 2, np.where(one, 1, 0))
+            else:                                # PU-only (Nx2N) edge
+                rows16 = segs * 4 // 16
+                exists = (~intra8[p]) & \
+                    (part_map[rows16, x // 16] == 2)
+                bs_v[:, e] = np.where(exists, md8(p, q).astype(int), 0)
+        segs = np.arange(width // 4)
+        for e in range(eh):
+            yy = (e + 1) * 8
+            cols8 = segs // 2
+            p = (np.full_like(cols8, e), cols8)
+            q = (np.full_like(cols8, e + 1), cols8)
+            if yy % 16 == 0:
+                two = intra8[p] | intra8[q]
+                one = cbf8[p] | cbf8[q] | md8(p, q)
+                bs_h[e, :] = np.where(two, 2, np.where(one, 1, 0))
+            else:                                # PU-only (2NxN) edge
+                cols16 = segs * 4 // 16
+                exists = (~intra8[p]) & \
+                    (part_map[yy // 16, cols16] == 1)
+                bs_h[e, :] = np.where(exists, md8(p, q).astype(int), 0)
+        if split_map is not None:
+            mark_split_edges(bs_v, bs_h, split_map)
+        return bs_v, bs_h
 
     for e in range(ev):
         x = (e + 1) * 8
