@@ -118,19 +118,39 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
 
 @functools.partial(
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
-                              "log2_ctu", "use_pallas", "subme", "rect"))
+                              "log2_ctu", "use_pallas", "subme", "rect",
+                              "band"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
-            use_pallas: bool, subme: int = 2, rect: bool = False):
+            use_pallas: bool, subme: int = 2, rect: bool = False,
+            band=None):
+    """band: None for a whole-frame call, else (axis_name, nby_total,
+    halo_blocks, n_devices) — the planes are then per-device SLABS
+    (band rows + halo_blocks block-rows of real neighbor pixels top
+    and bottom, exchanged by the shard_map wrapper via ppermute), and
+    the merge neighbor pass exchanges boundary MV rows between rounds
+    (the ICI analog of the reference's frame-parallel recon-row lag,
+    frameencoder.h:213 m_refLagRows)."""
     h, w = oy.shape
     n = block
-    nbx, nby = w // n, h // n
+    nbx = w // n
+    if band is None:
+        hb = 0
+        nby = h // n
+        nby_total = nby
+        gby0 = 0
+        nd = 1
+        axis = None
+    else:
+        axis, nby_total, hb, nd = band
+        nby = h // n - 2 * hb          # analyzed band block-rows
+        gby0 = jax.lax.axis_index(axis) * nby
     nb = nbx * nby
     nref = rys.shape[0]
 
     bys, bxs = np.mgrid[0:nby, 0:nbx]
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
-    by = jnp.asarray((bys.ravel() * n).astype(np.int32))
+    by = jnp.asarray(((bys.ravel() + hb) * n).astype(np.int32))
     from .weightp import weighted_plane_jnp
     weights = [(wq[i], wo[i]) if wpat[i] else None for i in range(nref)]
     ry_all = []
@@ -179,14 +199,41 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     tall, strip = _stack_refs(ry_all, m_pad)
     me_mvx, me_mvy, me_ref = mvx, mvy, ref_sel
 
+    def neigh2(f2d, sy: int, sx: int, ext=None):
+        """Band-aware coding-order neighbor gather: whole-frame calls
+        use _neigh_field; banded calls read the up-neighbor's boundary
+        row from `ext` (ppermute'd) and mask validity globally."""
+        if band is None:
+            return _neigh_field(f2d, sy, sx)
+        if sy == 0:
+            shifted = jnp.roll(f2d, sx, 1)
+        else:
+            shifted = jnp.roll(jnp.concatenate([ext, f2d], 0),
+                               sx, 1)[:nby]
+        ys = jnp.arange(nby)[:, None] + gby0
+        xs = jnp.arange(nbx)[None, :]
+        iy = ys - sy
+        ix = xs - sx
+        ok = (iy >= 0) & (iy < nby_total) & (ix >= 0) & (ix < nbx)
+        return shifted, ok
+
+    def boundary_ext(f2d):
+        """Up-neighbor's last block-row (devices 1.. receive; device 0
+        gets zeros, masked invalid by neigh2's global bounds)."""
+        if band is None:
+            return None
+        return jax.lax.ppermute(f2d[-1:], axis,
+                                [(i, i + 1) for i in range(nd - 1)])
+
     def cand_round(mvx, mvy, rsel):
         f2x = mvx.reshape(nby, nbx)
         f2y = mvy.reshape(nby, nbx)
         f2r = rsel.reshape(nby, nbx)
-        nfs = [(_neigh_field(f2x, sy, sx)[0],
-                _neigh_field(f2y, sy, sx)[0],
-                _neigh_field(f2r, sy, sx)[0],
-                _neigh_field(f2r, sy, sx)[1])
+        ext = (boundary_ext(f2x), boundary_ext(f2y), boundary_ext(f2r))
+        nfs = [(neigh2(f2x, sy, sx, ext[0])[0],
+                neigh2(f2y, sy, sx, ext[1])[0],
+                neigh2(f2r, sy, sx, ext[2])[0],
+                neigh2(f2r, sy, sx, ext[2])[1])
                for (sy, sx) in _MERGE_NEIGH]
         # AMVP predictors ~ (A1, B1) neighbor MVs (zero when absent)
         p0x = jnp.where(nfs[0][3], nfs[0][0], 0).ravel()
@@ -307,7 +354,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     # 3. intra costs (orig-neighbor batched sweep)
     icosts = _mode_costs(oy, avail,
                          jnp.asarray(bxs.ravel().astype(np.int32)),
-                         jnp.asarray(bys.ravel().astype(np.int32)),
+                         jnp.asarray((bys.ravel() + hb).astype(np.int32)),
                          n.bit_length() - 1, bd)
     intra_best = jnp.min(icosts, axis=1)
     intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)

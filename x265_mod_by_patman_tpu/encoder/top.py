@@ -151,6 +151,7 @@ class Encoder:
         self._cplx_avg = 0.0              # running inter-complexity average
         self._idr_base = 0                # display index of the last IDR
         self._slicetype = None            # lazy (needs padded geometry)
+        self._tiles_mesh = None           # tile-row sharding mesh (lazy)
         self._last_anchor_disp = -1       # display idx of last I/P anchor
         # x265 derives min-keyint = keyint/10 when unset (param.cpp
         # x265_check_params); it gates IDR promotion and the scenecut
@@ -844,11 +845,27 @@ class Encoder:
                 # rect PUs disabled on analysis-reuse runs (saved
                 # analysis carries 2Nx2N motion only)
                 use_rect = p.rect and self._ana_store is None
-                modes, inter_mask, mvs, ref_sel, mc, part_map, mvs_b = \
-                    analyse_p_frame(
-                        y, u, v, refs, self.sps, qp,
-                        search_range=self._me_range, weights=wp_l0,
-                        subme=p.subpel_refine, rect=use_rect)
+                if p.mesh_tile_rows > 1:
+                    # tile-row sharded analysis over the device mesh
+                    # (bit-identical to the whole-frame call; see
+                    # parallel/tiles.py)
+                    from ..parallel.tiles import analyse_p_frame_tiles
+                    from ..parallel.mesh import make_mesh
+                    if self._tiles_mesh is None:
+                        self._tiles_mesh = make_mesh(p.mesh_tile_rows,
+                                                     axis="rows")
+                    modes, inter_mask, mvs, ref_sel, mc, part_map, \
+                        mvs_b = analyse_p_frame_tiles(
+                            y, u, v, refs, self.sps, qp,
+                            search_range=self._me_range, weights=wp_l0,
+                            subme=p.subpel_refine, rect=use_rect,
+                            mesh=self._tiles_mesh)
+                else:
+                    modes, inter_mask, mvs, ref_sel, mc, part_map, \
+                        mvs_b = analyse_p_frame(
+                            y, u, v, refs, self.sps, qp,
+                            search_range=self._me_range, weights=wp_l0,
+                            subme=p.subpel_refine, rect=use_rect)
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
             with trace.scope("wavefront", type="P"):
