@@ -65,3 +65,51 @@ def test_sao_engages_and_improves():
         (psnr(f.recon[0], y), psnr(f2.recon[0], y))
     # and SAO should actually have fired somewhere (different recon)
     assert not np.array_equal(f.recon[0], f2.recon[0])
+
+
+def test_sao_merge_e2e():
+    """Merge-left/up RDO (sao.cpp rdoSaoUnitCu analog): merges must
+    appear in the bitstream and decode bit-exact."""
+    import numpy as np
+    from x265_mod_by_patman_tpu.params import default_params
+    from x265_mod_by_patman_tpu.encoder.top import Encoder
+    from x265_mod_by_patman_tpu.decoder.decoder import Decoder
+    import x265_mod_by_patman_tpu.ops.sao as sao_mod
+
+    rng = np.random.default_rng(2)
+    w, h = 128, 96
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    frames = []
+    for i in range(3):
+        y = (100 + 60 * np.sin((xx + 3 * i) / 17) + 40 * np.cos(yy / 13)
+             + rng.integers(0, 14, (h, w))).clip(0, 255).astype(np.uint8)
+        u = np.full((h // 2, w // 2), 120, np.uint8)
+        frames.append((y, u, u))
+
+    merged = [0]
+    orig_pass = sao_mod.sao_merge_pass
+
+    def spy(*a, **k):
+        m = orig_pass(*a, **k)
+        merged[0] += int((m > 0).sum())
+        return m
+
+    sao_mod.sao_merge_pass = spy
+    try:
+        p = default_params(w, h, qp=34, keyframe_max=250, bframes=1,
+                           scenecut=False)
+        enc = Encoder(p)
+        out = []
+        for f in frames:
+            out.extend(enc.encode_frame(*f))
+        out.extend(enc.flush())
+    finally:
+        sao_mod.sao_merge_pass = orig_pass
+    bs = enc.headers() + b"".join(f.bitstream for f in out)
+    pics = Decoder().decode(bs)
+    assert merged[0] > 0, "merge RDO should fire on smooth content"
+    by = {f.disp: f for f in out}
+    for pc in pics:
+        assert pc.sei_md5 == pc.md5
+        assert np.array_equal(pc.y, by[pc.poc].recon[0])
+        assert np.array_equal(pc.u, by[pc.poc].recon[1])

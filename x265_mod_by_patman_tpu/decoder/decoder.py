@@ -340,6 +340,8 @@ class Decoder:
         qp_cr = chroma_qp(qp, pps.cr_qp_offset)
         # intra prediction must not cross the slice's top boundary
         self._slice_top = (seg_addr // n_ctu_x) << sps.log2_ctu_size
+        # SAO merge-up is not signalable across a slice boundary
+        syn.sao_top_row = seg_addr // n_ctu_x
 
         use_wpp = pps.entropy_coding_sync and n_ctu_y > 1
         sub_offsets = [0]

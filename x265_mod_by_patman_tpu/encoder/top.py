@@ -1051,7 +1051,8 @@ class Encoder:
         per-plane (type, class, band, offsets) maps for the syntax."""
         from ..analysis.inter_mode import lambda_qp
         from ..ops.sao import (sao_stats_batch, sao_decide,
-                               sao_decide_chroma, sao_apply_batch)
+                               sao_decide_chroma, sao_apply_batch,
+                               sao_merge_pass)
         sps = self.sps
         ctu = 1 << sps.log2_ctu_size
         cctu = ctu // 2
@@ -1072,14 +1073,25 @@ class Encoder:
         bd = sps.bit_depth
         st_y = sao_stats_batch(padded(np.asarray(oy), ctu),
                                padded(r["recon_y"], ctu), ctu, h, w, bd)
-        maps_y = sao_decide(*st_y, lam2, bd)
+        *maps_y, cost_y = sao_decide(*st_y, lam2, bd)
         st_cb = sao_stats_batch(padded(np.asarray(ou), cctu),
                                 padded(r["recon_u"], cctu), cctu, hc, wc,
                                 bd)
         st_cr = sao_stats_batch(padded(np.asarray(ov), cctu),
                                 padded(r["recon_v"], cctu), cctu, hc, wc,
                                 bd)
-        maps_cb, maps_cr = sao_decide_chroma(st_cb, st_cr, lam2, bd)
+        maps_cb, maps_cr, cost_c = sao_decide_chroma(st_cb, st_cr, lam2,
+                                                     bd)
+        maps_y = [np.asarray(m) for m in maps_y]
+        maps_cb = [np.asarray(m) for m in maps_cb]
+        maps_cr = [np.asarray(m) for m in maps_cr]
+        # merge-left/up RDO (sao.cpp:1214 analog); rewrites the maps
+        stats3 = tuple(tuple(np.asarray(a) for a in st)
+                       for st in (st_y, st_cb, st_cr))
+        merge_map = sao_merge_pass(
+            stats3, (maps_y, maps_cb, maps_cr), cost_y + cost_c, lam2,
+            slice_top_rows=tuple(r0 for (r0, _r1) in self._slice_bands
+                                 if r0 > 0))
         for key, maps, tile, ph, pw in (("recon_y", maps_y, ctu, h, w),
                                         ("recon_u", maps_cb, cctu, hc, wc),
                                         ("recon_v", maps_cr, cctu, hc, wc)):
@@ -1089,7 +1101,7 @@ class Encoder:
                                   jnp.asarray(maps[2]),
                                   jnp.asarray(maps[3]), tile, ph, pw, bd)
             r[key] = np.asarray(out)[:ph, :pw].astype(self.pix_dtype)
-        return maps_y, maps_cb, maps_cr
+        return maps_y, maps_cb, maps_cr, merge_map
 
     def _pad(self, plane: np.ndarray, comp_shift: int) -> np.ndarray:
         """Pad a source plane to the coded (min-CU aligned) size by edge
@@ -1297,19 +1309,22 @@ class Encoder:
                 cus.extend(build_region(rx, ry, tqb))
             return cus
 
-        def encode_ctu_at(syn_, ir_, cx, cy, last):
+        def encode_ctu_at(syn_, ir_, cx, cy, last, sao_top=0):
             cus = build_cus(cx, cy)
             sao = None
+            merge = 0
             if sao_maps is not None:
                 from ..ops.sao import SaoParams
                 sao = tuple(
                     SaoParams(int(m[0][cy, cx]), int(m[1][cy, cx]),
                               int(m[2][cy, cx]),
                               tuple(int(o) for o in m[3][cy, cx]))
-                    for m in sao_maps)
+                    for m in sao_maps[:3])
+                merge = int(sao_maps[3][cy, cx])
             ctu_qp = None if (qp_map is None or np.isscalar(qp_map)) \
                 else int(qp_map[cy, cx])
-            syn_.encode_ctu(ir_, cus, cx, cy, last, sao, ctu_qp)
+            syn_.encode_ctu(ir_, cus, cx, cy, last, sao, ctu_qp,
+                            sao_merge=merge, sao_top=sao_top)
 
         n_slices = len(self._slice_bands) if not use_wpp else 1
         if n_slices > 1:
@@ -1324,7 +1339,8 @@ class Encoder:
                 for cy in range(r0, r1):
                     for cx in range(n_ctu_x):
                         encode_ctu_at(syn_b, ir_b, cx, cy,
-                                      cy == r1 - 1 and cx == n_ctu_x - 1)
+                                      cy == r1 - 1 and cx == n_ctu_x - 1,
+                                      sao_top=r0)
                 sh_b = dataclasses.replace(
                     sh, first_slice=(bi == 0),
                     segment_address=r0 * n_ctu_x)

@@ -208,11 +208,14 @@ class SliceSyntaxEncoder:
                             self.sps.pic_width_in_ctus)
 
     def encode_ctu(self, ir: BinIR, cu_list, ctu_x: int, ctu_y: int,
-                   last_ctu: bool, sao=None, ctu_qp: int = None) -> None:
+                   last_ctu: bool, sao=None, ctu_qp: int = None,
+                   sao_merge: int = 0, sao_top: int = 0) -> None:
         """cu_list: CodedCU objects of this CTU in z-scan order; sao:
         optional (SaoParams_y, SaoParams_cb, SaoParams_cr); ctu_qp: the
         AQ target QP of this CTU (cu_qp_delta coded when it has coded
-        coefficients)."""
+        coefficients); sao_merge: 0 explicit, 1 merge-left, 2 merge-up
+        (the maps already hold the merged values); sao_top: the slice's
+        first CTU row (merge-up not signalable across, spec 7.3.8.3)."""
         if self.pps.cu_qp_delta_enabled:
             if self.pps.entropy_coding_sync and ctu_x == 0:
                 self._qp_prev = self.qp    # WPP: reset per CTU row
@@ -220,7 +223,7 @@ class SliceSyntaxEncoder:
             self._dqp_coded = False
             self._cur_ctu_qp = self.qp if ctu_qp is None else int(ctu_qp)
         if sao is not None:
-            self._sao_params(ir, sao, ctu_x, ctu_y)
+            self._sao_params(ir, sao, ctu_x, ctu_y, sao_merge, sao_top)
         cu_by_pos = {(cu.x0, cu.y0): cu for cu in cu_list}
         x0 = ctu_x << self.log2_ctu
         y0 = ctu_y << self.log2_ctu
@@ -230,12 +233,15 @@ class SliceSyntaxEncoder:
             self._qp_prev = self._cur_ctu_qp if self._dqp_coded \
                 else self._qg_pred
 
-    # -- sao (7.3.8.3); explicit params, merge flags coded 0 -----------------
-    def _sao_params(self, ir: BinIR, sao, ctu_x: int, ctu_y: int) -> None:
+    # -- sao (7.3.8.3) with merge-left/up flags ------------------------------
+    def _sao_params(self, ir: BinIR, sao, ctu_x: int, ctu_y: int,
+                    merge: int = 0, top_row: int = 0) -> None:
         if ctu_x > 0:
-            ir.cbin(0, OFF["SAO_MERGE"])
-        if ctu_y > 0:
-            ir.cbin(0, OFF["SAO_MERGE"])
+            ir.cbin(1 if merge == 1 else 0, OFF["SAO_MERGE"])
+        if ctu_y > top_row and merge != 1:
+            ir.cbin(1 if merge == 2 else 0, OFF["SAO_MERGE"])
+        if merge:
+            return
         for c_idx in (0, 1, 2):
             pr = sao[c_idx]
             if c_idx == 0:
@@ -724,12 +730,22 @@ class SliceSyntaxDecoder:
     def _sao_params(self, ctu_x: int, ctu_y: int, sao_flags):
         from ..ops.sao import SaoParams
         dec, states = self.dec, self.states
-        if ctu_x > 0:
-            assert dec.decode_bin(states, OFF["SAO_MERGE"]) == 0, \
-                "sao merge unsupported"
-        if ctu_y > 0:
-            assert dec.decode_bin(states, OFF["SAO_MERGE"]) == 0, \
-                "sao merge unsupported"
+        top_row = getattr(self, "sao_top_row", 0)
+        if not hasattr(self, "_sao_done"):
+            self._sao_done = {}
+        merge = 0
+        if ctu_x > 0 and dec.decode_bin(states, OFF["SAO_MERGE"]):
+            merge = 1
+        if merge == 0 and ctu_y > top_row and \
+                dec.decode_bin(states, OFF["SAO_MERGE"]):
+            merge = 2
+        if merge:
+            src = self._sao_done[(ctu_y, ctu_x - 1) if merge == 1
+                                 else (ctu_y - 1, ctu_x)]
+            out = [SaoParams(p.type_idx, p.eo_class, p.band_pos,
+                             p.offsets) for p in src]
+            self._sao_done[(ctu_y, ctu_x)] = out
+            return out
         out = [SaoParams(), SaoParams(), SaoParams()]
         for c_idx in (0, 1, 2):
             if c_idx == 0 and not sao_flags[0]:
@@ -765,6 +781,7 @@ class SliceSyntaxDecoder:
                     ec = dec.decode_bins_ep(2)
                     out[1].eo_class = ec
                     out[2].eo_class = ec
+        self._sao_done[(ctu_y, ctu_x)] = out
         return out
 
     def _sao_type_dec(self) -> int:

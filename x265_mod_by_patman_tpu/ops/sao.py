@@ -241,10 +241,12 @@ def _best_offset_vec(s: np.ndarray, c: np.ndarray, lam: float,
 
 def sao_decide(eo_sum, eo_cnt, bo_sum, bo_cnt, lam: float,
                bit_depth: int = 8
-               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                          np.ndarray]:
     """Choose per-CTU type/class/offsets from stats (vectorized host RDO).
 
-    Returns (type_map, class_map, band_map, off_map) numpy arrays."""
+    Returns (type_map, class_map, band_map, off_map, cost_map); cost is
+    the chosen alternative's RD cost (0 for OFF) for the merge pass."""
     eo_sum = np.asarray(eo_sum).astype(np.float64)
     eo_cnt = np.asarray(eo_cnt).astype(np.float64)
     bo_sum = np.asarray(bo_sum).astype(np.float64)
@@ -288,7 +290,9 @@ def sao_decide(eo_sum, eo_cnt, bo_sum, bo_cnt, lam: float,
             bo_o, np.minimum(best_start + k, 31)[None], 0)[0]
         off_map[..., k] = np.where(use_eo, eo_k,
                                    np.where(use_bo, bo_k, 0))
-    return type_map, class_map, band_map, off_map
+    cost_map = np.where(use_eo, best_eo_cost,
+                        np.where(use_bo, best_bo_cost, 0.0))
+    return type_map, class_map, band_map, off_map, cost_map
 
 
 def sao_decide_chroma(stats_cb, stats_cr, lam: float,
@@ -297,7 +301,7 @@ def sao_decide_chroma(stats_cb, stats_cr, lam: float,
     (spec syntax), offsets/band position are per component.
 
     Returns per-plane (type, class, band, off) map tuples (cb_maps,
-    cr_maps)."""
+    cr_maps) plus the joint chroma RD cost map."""
     max_off = (1 << (min(bit_depth, 10) - 5)) - 1
     planes = []
     for stats in (stats_cb, stats_cr):
@@ -344,4 +348,83 @@ def sao_decide_chroma(stats_cb, stats_cr, lam: float,
             om[..., k] = np.where(use_eo, eo_k,
                                   np.where(use_bo, bo_k, 0))
         out.append((tm, cm, bm, om))
-    return out[0], out[1]
+    cost_map = np.where(use_eo, best_eo, np.where(use_bo, best_bo, 0.0))
+    return out[0], out[1], cost_map
+
+
+# ---------------------------------------------------------------------------
+# Merge RDO (x265 sao.cpp rdoSaoUnitCu:1214 merge-left/up decisions)
+# ---------------------------------------------------------------------------
+
+def _param_dist(stats, cy: int, cx: int, t: int, cls: int, band: int,
+                offs) -> float:
+    """RD distortion delta of applying a given param set to one CTU's
+    stats: sum over categories of c*o^2 - 2*o*s (x265 estSaoDist)."""
+    eo_sum, eo_cnt, bo_sum, bo_cnt = stats
+    d = 0.0
+    if t == SAO_EDGE:
+        for cat in range(1, 5):
+            o = int(offs[cat - 1])
+            c = float(eo_cnt[cls, cat, cy, cx])
+            sm = float(eo_sum[cls, cat, cy, cx])
+            d += c * o * o - 2.0 * o * sm
+    elif t == SAO_BAND:
+        for k in range(4):
+            o = int(offs[k])
+            b = (band + k) % 32
+            c = float(bo_cnt[b, cy, cx])
+            sm = float(bo_sum[b, cy, cx])
+            d += c * o * o - 2.0 * o * sm
+    return d
+
+
+def sao_merge_pass(stats3, maps3, cost_new, lam: float,
+                   slice_top_rows=()) -> np.ndarray:
+    """Raster merge-left/up RDO over the CTU grid (merge applies to all
+    three components jointly, spec 7.3.8.3).
+
+    stats3: per-plane (eo_sum, eo_cnt, bo_sum, bo_cnt) numpy stats.
+    maps3: per-plane [type, class, band, off] maps — REWRITTEN in place
+    to the merged params where a merge wins.
+    cost_new: (ncy, ncx) summed RD cost of the explicit decision.
+    slice_top_rows: CTU rows starting a new slice (merge-up forbidden
+    across; merge-left allowed, slices are whole rows).
+    Returns merge_map (ncy, ncx) int8: 0 none, 1 left, 2 up."""
+    ncy, ncx = cost_new.shape
+    tops = set(slice_top_rows)
+    merge_map = np.zeros((ncy, ncx), np.int8)
+
+    def params_at(cy, cx):
+        return [(int(m[0][cy, cx]), int(m[1][cy, cx]), int(m[2][cy, cx]),
+                 tuple(int(o) for o in m[3][cy, cx])) for m in maps3]
+
+    def dist_of(cy, cx, prm3):
+        return sum(_param_dist(stats3[pi], cy, cx, *prm3[pi])
+                   for pi in range(3))
+
+    for cy in range(ncy):
+        for cx in range(ncx):
+            has_left = cx > 0
+            has_up = cy > 0 and cy not in tops
+            nflags = int(has_left) + int(has_up)
+            best = float(cost_new[cy, cx]) + lam * nflags
+            choice, src = 0, None
+            if has_left:
+                prm = params_at(cy, cx - 1)
+                c = dist_of(cy, cx, prm) + lam * 1.0
+                if c < best:
+                    best, choice, src = c, 1, prm
+            if has_up:
+                prm = params_at(cy - 1, cx)
+                c = dist_of(cy, cx, prm) + lam * (1.0 + int(has_left))
+                if c < best:
+                    best, choice, src = c, 2, prm
+            if choice:
+                merge_map[cy, cx] = choice
+                for pi, m in enumerate(maps3):
+                    t, cls, band, offs = src[pi]
+                    m[0][cy, cx] = t
+                    m[1][cy, cx] = cls
+                    m[2][cy, cx] = band
+                    m[3][cy, cx] = offs
+    return merge_map
