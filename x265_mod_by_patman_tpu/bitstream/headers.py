@@ -50,6 +50,12 @@ class SPSInfo:
     transfer_characteristics: int = 2
     matrix_coeffs: int = 2
     fps: tuple = (0, 1)                  # timing info when num > 0
+    # HRD (Annex E.2.2; reference RateControl::initHRD,
+    # ratecontrol.cpp:934): signaled when VBV + --hrd
+    hrd: bool = False
+    hrd_bitrate: int = 0                 # bps (signaled, >= actual)
+    hrd_cpb_size: int = 0                # bits (signaled, >= actual)
+    hrd_cbr: bool = False
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     sao_enabled: bool = False
@@ -115,9 +121,15 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
     s.colour_primaries = p.colorprim
     s.transfer_characteristics = p.transfer
     s.matrix_coeffs = p.colormatrix
-    if p.vui_timing_info:
+    if p.hrd and p.vbv_bufsize > 0 and p.vbv_maxrate > 0:
+        s.hrd = True
+        s.hrd_bitrate = p.vbv_maxrate * 1000
+        s.hrd_cpb_size = p.vbv_bufsize * 1000
+        s.hrd_cbr = (p.rc_mode == "abr"
+                     and p.vbv_maxrate == p.bitrate_kbps)
+    if p.vui_timing_info or s.hrd:
         s.fps = (p.fps_num, p.fps_denom)
-    s.vui_present = bool(s.sar[0] or s.video_full_range or
+    s.vui_present = s.hrd or bool(s.sar[0] or s.video_full_range or
                          s.colour_primaries != 2 or
                          s.transfer_characteristics != 2 or
                          s.matrix_coeffs != 2 or s.fps[0] > 0)
@@ -137,7 +149,9 @@ def build_pps_info(p: EncoderParams) -> PPSInfo:
     q = PPSInfo()
     q.sign_hide = p.sign_hide
     q.init_qp = p.qp if p.rc_mode == "cqp" else 26
-    q.cu_qp_delta_enabled = p.aq_mode > 0 or p.cu_tree or p.rc_mode != "cqp"
+    q.cu_qp_delta_enabled = p.aq_mode > 0 or p.cu_tree \
+        or p.rc_mode != "cqp" \
+        or (p.vbv_bufsize > 0 and p.vbv_maxrate > 0)
     q.diff_cu_qp_delta_depth = 0
     q.cb_qp_offset = p.cb_qp_offset
     q.cr_qp_offset = p.cr_qp_offset
@@ -292,8 +306,48 @@ def _write_vui(bw: BitWriter, sps: SPSInfo) -> None:
         bw.u(sps.fps[1], 32)             # num_units_in_tick
         bw.u(sps.fps[0], 32)             # time_scale
         bw.flag(0)                       # poc_proportional_to_timing
-        bw.flag(0)                       # hrd_parameters_present
+        bw.flag(sps.hrd)                 # hrd_parameters_present
+        if sps.hrd:
+            _write_hrd(bw, sps)
     bw.flag(0)                           # bitstream_restriction
+
+
+# fixed HRD field lengths (written into hrd_parameters; reference
+# initHRD ratecontrol.cpp:934 picks sizes the same way)
+HRD_INIT_LEN = 24                        # initial_cpb_removal_* bits
+HRD_AU_LEN = 16                          # au_cpb_removal_delay bits
+HRD_DPB_LEN = 8                          # dpb_output_delay bits
+HRD_BR_SCALE = 4                         # bit_rate unit = 2^(6+4) = 1024
+HRD_CPB_SCALE = 4                        # cpb_size unit = 2^(4+4) = 256
+
+
+def hrd_signaled(sps: "SPSInfo"):
+    """(bitrate_bps, cpb_bits) as actually signaled (unit-rounded up)."""
+    br = -(-sps.hrd_bitrate // (1 << (6 + HRD_BR_SCALE))) \
+        << (6 + HRD_BR_SCALE)
+    cpb = -(-sps.hrd_cpb_size // (1 << (4 + HRD_CPB_SCALE))) \
+        << (4 + HRD_CPB_SCALE)
+    return br, cpb
+
+
+def _write_hrd(bw: BitWriter, sps: SPSInfo) -> None:
+    """hrd_parameters (E.2.2), NAL HRD only, one CPB, one sub-layer."""
+    bw.flag(1)                           # nal_hrd_parameters_present
+    bw.flag(0)                           # vcl_hrd_parameters_present
+    bw.flag(0)                           # sub_pic_hrd_params_present
+    bw.u(HRD_BR_SCALE, 4)                # bit_rate_scale
+    bw.u(HRD_CPB_SCALE, 4)               # cpb_size_scale
+    bw.u(HRD_INIT_LEN - 1, 5)            # initial_cpb_removal_delay_len
+    bw.u(HRD_AU_LEN - 1, 5)              # au_cpb_removal_delay_len
+    bw.u(HRD_DPB_LEN - 1, 5)             # dpb_output_delay_len
+    # sub-layer 0
+    bw.flag(1)                           # fixed_pic_rate_general_flag
+    bw.ue(0)                             # elemental_duration_in_tc_minus1
+    bw.ue(0)                             # cpb_cnt_minus1
+    br, cpb = hrd_signaled(sps)
+    bw.ue((br >> (6 + HRD_BR_SCALE)) - 1)     # bit_rate_value_minus1
+    bw.ue((cpb >> (4 + HRD_CPB_SCALE)) - 1)   # cpb_size_value_minus1
+    bw.flag(sps.hrd_cbr)                 # cbr_flag
 
 
 def write_pps(pps: PPSInfo) -> bytes:

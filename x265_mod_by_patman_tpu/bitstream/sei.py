@@ -96,6 +96,35 @@ def write_recovery_point(recovery_poc_cnt: int = 0,
     return _sei_rbsp(SEI_RECOVERY_POINT, bw.get_bytes())
 
 
+def write_buffering_period(initial_delay_90k: int,
+                           initial_offset_90k: int) -> bytes:
+    """Buffering-period SEI (D.2.2; reference SEIBufferingPeriod,
+    sei.h:796): one NAL-HRD CPB, no sub-pic params.  Delays in 90 kHz
+    units with the 24-bit field length signaled in hrd_parameters."""
+    from .headers import HRD_INIT_LEN, HRD_AU_LEN
+    bw = BitWriter()
+    bw.ue(0)                              # bp_seq_parameter_set_id
+    bw.flag(0)                            # irap_cpb_params_present_flag
+    bw.flag(0)                            # concatenation_flag
+    bw.u(0, HRD_AU_LEN)                   # au_cpb_removal_delay_delta_m1
+    bw.u(initial_delay_90k, HRD_INIT_LEN)
+    bw.u(initial_offset_90k, HRD_INIT_LEN)
+    bw.rbsp_trailing_bits()
+    return _sei_rbsp(0, bw.get_bytes())
+
+
+def write_pic_timing(au_cpb_removal_delay_minus1: int,
+                     pic_dpb_output_delay: int) -> bytes:
+    """Picture-timing SEI (D.2.3; reference SEIPictureTiming,
+    sei.h:830): CpbDpbDelays only (frame_field_info not signaled)."""
+    from .headers import HRD_AU_LEN, HRD_DPB_LEN
+    bw = BitWriter()
+    bw.u(au_cpb_removal_delay_minus1, HRD_AU_LEN)
+    bw.u(pic_dpb_output_delay, HRD_DPB_LEN)
+    bw.rbsp_trailing_bits()
+    return _sei_rbsp(1, bw.get_bytes())
+
+
 def plane_md5(*planes, bit_depth: int = 8) -> bytes:
     """Concatenated per-plane MD5 of decoded samples (spec D.3.19: one
     byte per sample for 8-bit, little-endian 16-bit above)."""

@@ -126,8 +126,36 @@ def _parse_vui(br: BitReader, s: SPSInfo) -> None:
         n = br.u(32)
         s.fps = (n, d)
         br.flag()                         # poc_proportional
-        assert br.flag() == 0             # hrd
+        if br.flag():                     # hrd_parameters (E.2.2)
+            _parse_hrd(br, s)
     br.flag()                             # bitstream_restriction
+
+
+def _parse_hrd(br: BitReader, s: SPSInfo) -> None:
+    """hrd_parameters mirror of headers._write_hrd (one CPB, NAL only)."""
+    nal_p = br.flag()
+    vcl_p = br.flag()
+    assert nal_p and not vcl_p, "only NAL HRD supported"
+    assert br.flag() == 0                 # sub_pic_hrd
+    br_scale = br.u(4)
+    cpb_scale = br.u(4)
+    br.u(5)                               # initial_cpb_removal_delay_len
+    br.u(5)                               # au_cpb_removal_delay_len
+    br.u(5)                               # dpb_output_delay_len
+    fixed = br.flag()                     # fixed_pic_rate_general
+    if fixed:
+        br.ue()                           # elemental_duration_minus1
+    else:
+        if br.flag():                     # fixed_pic_rate_within_cvs
+            br.ue()
+        else:
+            br.flag()                     # low_delay_hrd
+    cpb_cnt = br.ue() + 1
+    for _ in range(cpb_cnt):
+        s.hrd = True
+        s.hrd_bitrate = (br.ue() + 1) << (6 + br_scale)
+        s.hrd_cpb_size = (br.ue() + 1) << (4 + cpb_scale)
+        s.hrd_cbr = bool(br.flag())
 
 
 def parse_pps(rbsp: bytes) -> PPSInfo:

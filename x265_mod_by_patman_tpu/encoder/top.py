@@ -152,6 +152,8 @@ class Encoder:
         self._idr_base = 0                # display index of the last IDR
         self._slicetype = None            # lazy (needs padded geometry)
         self._tiles_mesh = None           # tile-row sharding mesh (lazy)
+        self._enc_order = 0               # decode-order AU counter (HRD)
+        self._last_bp_order = 0           # last buffering-period AU
         self._last_anchor_disp = -1       # display idx of last I/P anchor
         # x265 derives min-keyint = keyint/10 when unset (param.cpp
         # x265_check_params); it gates IDR promotion and the scenecut
@@ -818,12 +820,13 @@ class Encoder:
             else:
                 modes = decide_modes_rd(y, self.sps, qp, block=16)
             if split32 is not None:
-                r = recon.run_tree(y, u, v, modes, split32, mode32,
-                                   qp=qp_map, split_map=split_map,
-                                   modes8=modes8)
+                recon_fn = lambda qpm: recon.run_tree(
+                    y, u, v, modes, split32, mode32, qp=qpm,
+                    split_map=split_map, modes8=modes8)
             else:
-                r = recon.run(y, u, v, modes, qp=qp_map,
-                              split_map=split_map, modes8=modes8)
+                recon_fn = lambda qpm: recon.run(
+                    y, u, v, modes, qp=qpm, split_map=split_map,
+                    modes8=modes8)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -868,9 +871,9 @@ class Encoder:
                             subme=p.subpel_refine, rect=use_rect)
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
-            with trace.scope("wavefront", type="P"):
-                r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map,
-                              init_type=1)
+            recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
+                                             inter_mask, qp=qpm,
+                                             init_type=1)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (ref0, ref1, keep_pocs, b_is_ref) = b_refs
@@ -888,8 +891,9 @@ class Encoder:
                     y, u, v, ref0[0], ref1[0],
                     self.sps, qp, search_range=self._me_range,
                     subme=p.subpel_refine)
-            r = recon.run(y, u, v, modes, mc, inter_mask, qp=qp_map,
-                          init_type=0)
+            recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
+                                             inter_mask, qp=qpm,
+                                             init_type=0)
             ref_pocs = ((ref0[1],), (ref1[1],))
         if self._ana_store is not None:
             self._ana_store.save(
@@ -898,19 +902,46 @@ class Encoder:
                 split_map=split_map, modes8=modes8, split32=split32,
                 mode32=mode32)
 
-        dqp_map = self._derived_qp_map(qp_map, r)
-        with trace.scope("loopfilter", type=ftype):
-            self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
-                          dqp_map, recon, ref_sel, split_map, split32,
-                          rect_info)
-            sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
-        with trace.scope("entropy", type=ftype):
-            slice_rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1,
-                                            dirs, r, ftype, poc, qp,
-                                            ref_pocs, sao_maps, ref_sel,
-                                            keep_pocs, qp_map, wp_l0,
-                                            split_map, modes8,
-                                            split32, mode32, rect_info)
+        def run_pipeline(qpm):
+            with trace.scope("wavefront", type=ftype):
+                r = recon_fn(qpm)
+            dqp_map = self._derived_qp_map(qpm, r)
+            with trace.scope("loopfilter", type=ftype):
+                self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
+                              dqp_map, recon, ref_sel, split_map,
+                              split32, rect_info)
+                sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
+            with trace.scope("entropy", type=ftype):
+                rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1,
+                                          dirs, r, ftype, poc, qp,
+                                          ref_pocs, sao_maps, ref_sel,
+                                          keep_pocs, qpm, wp_l0,
+                                          split_map, modes8,
+                                          split32, mode32, rect_info)
+            return r, sao_maps, rbsp
+
+        r, sao_maps, slice_rbsp = run_pipeline(qp_map)
+        # row-level VBV: when the coded frame would underflow the CPB,
+        # raise QP from the first over-budget CTU row on and re-encode
+        # (reference rowVbvRateControl + row re-encode,
+        # ratecontrol.cpp:3034 / frameencoder.cpp:1990)
+        if self.rc.vbv_buffer > 0 and self.pps.cu_qp_delta_enabled:
+            for retry in range(3):
+                adj = self.rc.row_vbv_plan(
+                    slice_rbsp if isinstance(slice_rbsp, list)
+                    else [slice_rbsp],
+                    getattr(self, "_last_row_bits", None), retry)
+                if adj is None:
+                    break
+                r0_adj, dq = adj
+                base = qp_map if not np.isscalar(qp_map) else np.full(
+                    (self.sps.pic_height_in_ctus,
+                     self.sps.pic_width_in_ctus), qp_map, np.int32)
+                base = base.copy()
+                base[r0_adj:] = np.clip(base[r0_adj:] + dq, self.p.qp_min,
+                                        min(51, self.p.qp_max))
+                qp_map = base
+                r, sao_maps, slice_rbsp = run_pipeline(qp_map)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -931,6 +962,32 @@ class Encoder:
         if not self._headers_sent or (p.repeat_headers and ftype == "I"):
             out += self.headers()
             self._headers_sent = True
+        if self.sps.hrd:
+            # HRD timing SEIs (reference initHRD/hrdFullness,
+            # ratecontrol.cpp:934/2694): buffering period on IDR, pic
+            # timing on every AU
+            from ..bitstream.sei import (write_buffering_period,
+                                         write_pic_timing)
+            from ..bitstream.headers import hrd_signaled
+            from ..bitstream.nal import NAL_PREFIX_SEI
+            br, cpb = hrd_signaled(self.sps)
+            if ftype == "I":
+                fill = min(self.rc.vbv_fullness, cpb)
+                delay = min(int(round(90000.0 * fill / br)),
+                            (1 << 24) - 1)
+                offset = min(int(round(90000.0 * (cpb - fill) / br)),
+                             (1 << 24) - 1)
+                out += annexb(NAL_PREFIX_SEI,
+                              write_buffering_period(delay, offset))
+                self._last_bp_order = self._enc_order
+            au_delay_m1 = max(0, self._enc_order - self._last_bp_order
+                              - 1)
+            dpb_delay = (self.sps.num_reorder_pics
+                         + (self._idr_base + poc) - self._enc_order)
+            out += annexb(NAL_PREFIX_SEI,
+                          write_pic_timing(au_delay_m1,
+                                           max(0, dpb_delay)))
+        self._enc_order += 1
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
                "B": NAL_TRAIL_R if b_is_ref else NAL_TRAIL_N}[ftype]
         if isinstance(slice_rbsp, list):
@@ -1372,6 +1429,7 @@ class Encoder:
         row_irs.append(ir)
 
         if not use_wpp:
+            self._last_row_bits = None
             bw = write_slice_header(sh, sps, pps)
             states = init_states(slice_type, qp)
             bins, ctx = ir.arrays()
@@ -1401,6 +1459,7 @@ class Encoder:
             substreams.append(sub_bw.get_bytes())
 
         sh.entry_points = tuple(len(s) for s in substreams[:-1])
+        self._last_row_bits = [len(s) * 8 for s in substreams]
         bw = write_slice_header(sh, sps, pps)
         for s in substreams:
             bw.write_bytes(s)

@@ -65,6 +65,7 @@ class EncoderParams:
     vbv_bufsize: int = 0            # kbit
     vbv_maxrate: int = 0            # kbps
     vbv_init: float = 0.9
+    hrd: bool = False               # HRD signaling (needs VBV)
     pass_num: int = 0               # 0 off | 1 write stats | 2 consume
     stats_file: str = "x265_tpu_2pass.log"
 
@@ -188,6 +189,9 @@ class EncoderParams:
             # NxN PUs exist only at min CU size (spec 7.4.9.4); our NxN
             # CU is 16x16 with 8x8 PUs/TUs
             p.min_cu_size = 16
+        if p.hrd:
+            assert p.vbv_bufsize > 0 and p.vbv_maxrate > 0, \
+                "--hrd requires --vbv-bufsize and --vbv-maxrate"
         # variable CU-tree RDO (rd >= 3, reference rd-levels
         # doc/reST/presets.rst): true 32x32 intra CUs with TU32 need
         # log2_max_tu 5; inter CUs keep TU16 quads via a voluntary split

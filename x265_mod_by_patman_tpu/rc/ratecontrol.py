@@ -114,6 +114,38 @@ class RateControl:
         self.vbv_rate = maxrate_kbps * 1000.0 / self.fps
         self.vbv_fullness = init * self.vbv_buffer
 
+    def row_vbv_plan(self, rbsps, row_bits, retry: int):
+        """Intra-frame VBV check on the CODED frame (reference
+        rowVbvRateControl, ratecontrol.cpp:3034, adapted to the batched
+        design: instead of adapting QP row-by-row during a sequential
+        encode, the coded size is checked against the CPB and the frame
+        re-encoded with higher QP from the first over-budget CTU row).
+
+        rbsps: list of coded slice payloads; row_bits: per-CTU-row bit
+        sizes (WPP substream sizes) or None.  Returns (row0, dqp) to
+        apply, or None when the frame fits."""
+        if self.vbv_buffer <= 0:
+            return None
+        bits = sum(len(rb) for rb in rbsps) * 8
+        # hard CPB constraint at this AU's removal time: coded bits must
+        # not exceed the current fullness (underflow otherwise)
+        limit = self.vbv_fullness * 0.97
+        if bits <= limit:
+            return None
+        if row_bits:
+            import numpy as _np
+            cum = _np.cumsum(row_bits)
+            nrows = len(row_bits)
+            budget = limit * (_np.arange(1, nrows + 1) / nrows)
+            over = _np.nonzero(cum > budget)[0]
+            r0 = int(over[0]) if len(over) else 0
+        else:
+            r0 = 0
+        # QP step from the overshoot ratio (bits ~halve per +6 QP),
+        # escalating with each retry
+        dq = max(2, int(math.ceil(6 * math.log2(bits / max(limit, 1.0)))))
+        return r0, dq << retry
+
     def _predict_bits(self, qs: float, cplx_pow: float) -> float:
         coef = self.coef / self.coef_weight
         return coef * cplx_pow / max(qs, 1e-6)
