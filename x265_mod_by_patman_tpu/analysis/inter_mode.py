@@ -69,7 +69,8 @@ _MERGE_IDX_BINS = (1, 2, 2)
 
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
-                    weights=None, subme: int = 2, rect: bool = False):
+                    weights=None, subme: int = 2, rect: bool = False,
+                    amp: bool = False):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -105,10 +106,12 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     # rect PUs search on unweighted planes only (weightP fires on fades
     # where rect rarely helps; keeps the weighted 14-bit path simple)
     rect_eff = rect and not any(wpat) and block == 16
+    amp_eff = amp and rect_eff
     out = _p_core(oy, rys, rus, rvs, wq, wo,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), wpat, search_range, block, bd,
-                  sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff)
+                  sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
+                  amp_eff)
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -119,11 +122,11 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
 @functools.partial(
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
                               "log2_ctu", "use_pallas", "subme", "rect",
-                              "band"))
+                              "amp", "band"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
             use_pallas: bool, subme: int = 2, rect: bool = False,
-            band=None):
+            amp: bool = False, band=None):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -342,13 +345,85 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
         costH = jnp.where((mTx == mBx) & (mTy == mBy), 1 << 30, costH)
         costV = jnp.where((mLx == mRx) & (mLy == mRy), 1 << 30, costV)
 
-        allc = jnp.stack([cost, costH, costV])
-        part = jnp.argmin(allc, axis=0).astype(jnp.int32)
+        zero = jnp.zeros_like(mvx)
+        cands = [(0, mvx, mvy, zero, zero, cost),
+                 (1, mTx, mTy, mBx, mBy, costH),
+                 (2, mLx, mLy, mRx, mRy, costV)]
+        if amp:
+            # AMP shapes (2NxnU/2NxnD/nLx2N/nRx2N, x265 analysis.cpp
+            # checkInter AMP loop): each quarter strip and its
+            # complementary body pick the best MV from a candidate set
+            # {2Nx2N, the four rect PU MVs, the coding-order top/left
+            # neighbor MVs} by per-strip SATD — a thin strip usually
+            # continues the neighboring object's motion, which is the
+            # geometry AMP exists for.  SATD is evaluated once per
+            # candidate as a 4x4-tile map, then strips sum tile rows.
+            y0c = by + ref_sel * strip + m_pad
+            f2x = mvx.reshape(nby, nbx)
+            f2y = mvy.reshape(nby, nbx)
+            extx, exty = boundary_ext(f2x), boundary_ext(f2y)
+            tnx, tok = neigh2(f2x, 1, 0, extx)
+            tny, _ = neigh2(f2y, 1, 0, exty)
+            lnx, lok = neigh2(f2x, 0, 1)
+            lny, _ = neigh2(f2y, 0, 1)
+            topx = jnp.where(tok, tnx, f2x).reshape(-1)
+            topy = jnp.where(tok, tny, f2y).reshape(-1)
+            lefx = jnp.where(lok, lnx, f2x).reshape(-1)
+            lefy = jnp.where(lok, lny, f2y).reshape(-1)
+            cmvs = [(mvx, mvy), (mTx, mTy), (mBx, mBy), (mLx, mLy),
+                    (mRx, mRy), (topx, topy), (lefx, lefy)]
+            preds = jnp.stack([
+                mc_batch(tall, bx, y0c, ax, ay, n, 0, bd,
+                         use_pallas=use_pallas) for ax, ay in cmvs])
+            # (C, nb, nt, nt) 4x4-tile SATD maps
+            ddd = org[None].astype(jnp.int32) - preds
+            nt = n // 4
+            t4 = jnp.moveaxis(
+                ddd.reshape(len(cmvs), nb, nt, 4, nt, 4), -3, -2)
+            from ..ops.cost import H4
+            h4m = jnp.asarray(H4)
+            ht = jnp.einsum("ij,...jk,kl->...il", h4m, t4, h4m,
+                            preferred_element_type=jnp.int32)
+            ts = (jnp.sum(jnp.abs(ht), axis=(-2, -1)) + 1) >> 1
+            cax = jnp.stack([c[0] for c in cmvs])        # (C, nb)
+            cay = jnp.stack([c[1] for c in cmvs])
+            cbits = mv_bits(cax, cay) + 3 + ref_sel[None]
+
+            def region_best(rows, cols):
+                r = ts[:, :, rows[0]:rows[1], cols[0]:cols[1]] \
+                    .sum(axis=(-2, -1))
+                tot = r + ((lam256 * cbits) >> 8)
+                ci = jnp.argmin(tot, axis=0)
+                mvx_ = jnp.take_along_axis(cax, ci[None], 0)[0]
+                mvy_ = jnp.take_along_axis(cay, ci[None], 0)[0]
+                return jnp.min(tot, axis=0), mvx_, mvy_
+
+            part_bins = (lam256 * 4) >> 8
+            for code, r0, r1 in ((4, (0, 1), (1, nt)),
+                                 (5, (0, nt - 1), (nt - 1, nt))):
+                c0, m0x, m0y = region_best(r0, (0, nt))
+                c1, m1x, m1y = region_best(r1, (0, nt))
+                cc = jnp.where((m0x == m1x) & (m0y == m1y), 1 << 30,
+                               c0 + c1 + part_bins)
+                cands.append((code, m0x, m0y, m1x, m1y, cc))
+            for code, c0_, c1_ in ((6, (0, 1), (1, nt)),
+                                   (7, (0, nt - 1), (nt - 1, nt))):
+                c0, m0x, m0y = region_best((0, nt), c0_)
+                c1, m1x, m1y = region_best((0, nt), c1_)
+                cc = jnp.where((m0x == m1x) & (m0y == m1y), 1 << 30,
+                               c0 + c1 + part_bins)
+                cands.append((code, m0x, m0y, m1x, m1y, cc))
+        allc = jnp.stack([c[5] for c in cands])
+        idx = jnp.argmin(allc, axis=0)
+        part = jnp.asarray([c[0] for c in cands], jnp.int32)[idx]
         cost = jnp.min(allc, axis=0)
-        pu0x = jnp.where(part == 1, mTx, jnp.where(part == 2, mLx, mvx))
-        pu0y = jnp.where(part == 1, mTy, jnp.where(part == 2, mLy, mvy))
-        mvbx = jnp.where(part == 1, mBx, jnp.where(part == 2, mRx, 0))
-        mvby = jnp.where(part == 1, mBy, jnp.where(part == 2, mRy, 0))
+
+        def pick(f):
+            return jnp.take_along_axis(
+                jnp.stack([c[f] for c in cands]), idx[None], 0)[0]
+
+        pu0x, pu0y = pick(1), pick(2)
+        mvbx, mvby = pick(3), pick(4)
         mvx, mvy = pu0x, pu0y
 
     # 3. intra costs (orig-neighbor batched sweep)
@@ -420,7 +495,34 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
                 half = 4
             ra = rp8.reshape(nb, 2, 2, half, half) \
                 .transpose(0, 1, 3, 2, 4).reshape(nb, sz, sz)
-            sel = jnp.where((part > 0)[:, None, None], ra, sel)
+            sel = jnp.where(((part > 0) & (part < 4))[:, None, None],
+                            ra, sel)
+            if amp:
+                # AMP winners: quarter-strip combine of two full-block
+                # MCs with the final PU MVs (mirrors the decoder's
+                # per-PU MC on the 7.4.9.5 geometry)
+                q_ = sz // 4
+                yy_ = jnp.arange(sz)[None, :, None]
+                xx_ = jnp.arange(sz)[None, None, :]
+                pm = part[:, None, None]
+                mask1 = jnp.where(
+                    pm == 4, yy_ >= q_,
+                    jnp.where(pm == 5, yy_ >= 3 * q_,
+                              jnp.where(pm == 6, xx_ >= q_,
+                                        xx_ >= 3 * q_)))
+                if pi == 0:
+                    a0 = mc_batch(tall, bx, y0c, mvx, mvy, sz, 0, bd,
+                                  use_pallas=use_pallas)
+                    a1 = mc_batch(tall, bx, y0c, mvbx, mvby, sz, 0, bd,
+                                  use_pallas=use_pallas)
+                else:
+                    y0cc = by // 2 + ref_sel * strip_c + m_c
+                    a0 = mc_batch(tall_c[pi], bx // 2, y0cc, mvx, mvy,
+                                  sz, pi, bd, use_pallas=False)
+                    a1 = mc_batch(tall_c[pi], bx // 2, y0cc, mvbx,
+                                  mvby, sz, pi, bd, use_pallas=False)
+                ampp = jnp.where(mask1, a1, a0)
+                sel = jnp.where((part >= 4)[:, None, None], ampp, sel)
         mc.append(sel.reshape(nby, nbx, sz, sz))
 
     mvs = jnp.stack([mvx, mvy], axis=-1).reshape(nby, nbx, 2) \

@@ -23,13 +23,41 @@ def analyse_weightp(cur_y: np.ndarray, ref_y: np.ndarray,
                     denom: int = LUMA_DENOM
                     ) -> Optional[Tuple[int, int]]:
     """Returns (weight, offset) in 1<<denom scale, or None when weighting
-    does not help (reference requires a clear SAD win before enabling)."""
+    does not help (reference requires a clear SAD win before enabling).
+
+    The planes are globally aligned on the lowres grid first (the cheap
+    analog of the reference weighting the lookahead-MC'd reference,
+    weightPrediction.cpp:222 mcWeight): without alignment, a pure pan
+    decorrelates the planes and fabricates a bogus weight, which both
+    hurts quality and needlessly forces the weighted (rect/AMP-free)
+    analysis path."""
     a = _lowres8(cur_y).astype(np.float64)
     b = _lowres8(ref_y).astype(np.float64)
+    r = 4
+    h8, w8 = a.shape
+    if h8 > 2 * r + 2 and w8 > 2 * r + 2:
+        best = None
+        ac = a[r:-r, r:-r]
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                bc = b[r + dy:h8 - r + dy, r + dx:w8 - r + dx]
+                s = np.abs(ac - bc).mean()
+                if best is None or s < best[0]:
+                    best = (s, dy, dx)
+        _, dy, dx = best
+        a = ac
+        b = b[r + dy:h8 - r + dy, r + dx:w8 - r + dx]
     var = b.var()
     if var < 1e-3:
         return None
-    w = float(((a - a.mean()) * (b - b.mean())).mean() / var)
+    # weight guess exactly as the reference (weightPrediction.cpp:274,
+    # 301): scale = sqrt(varCur/varRef), offset = meanCur - meanRef *
+    # scale, with the mean/scale early-out.  This estimator only
+    # responds to real luminance changes (fades), never to motion
+    # misalignment — a pan preserves mean and variance.
+    w = float(np.sqrt(a.var() / var))
+    if abs(a.mean() - b.mean()) < 0.5 and abs(1.0 - w) < 0.01:
+        return None
     wq = int(np.clip(round(w * (1 << denom)), -128, 127))
     o = int(np.clip(round(a.mean() - (wq / (1 << denom)) * b.mean()),
                     -128, 127))

@@ -381,6 +381,11 @@ class Encoder:
             st.push(self.frame_count, planes[0])
         out: List[EncodedFrame] = []
         force_idr = (self.frame_count % max(1, p.keyframe_max) == 0)
+        if getattr(self, "_force_idr_next", False):
+            # x265_encoder_intra_refresh analog (api.cpp:365): the next
+            # ingested frame opens a fresh IDR
+            force_idr = True
+            self._force_idr_next = False
         if self._qpfile.get(self.frame_count, ("", 0))[0] == "I":
             force_idr = True
         if not force_idr and p.hist_scenecut and \
@@ -870,7 +875,8 @@ class Encoder:
                         mvs_b = analyse_p_frame(
                             y, u, v, refs, self.sps, qp,
                             search_range=self._me_range, weights=wp_l0,
-                            subme=p.subpel_refine, rect=use_rect)
+                            subme=p.subpel_refine, rect=use_rect,
+                            amp=p.amp)
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
             recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,

@@ -86,13 +86,27 @@ class CodedCU:
 def pu_partitions(x0: int, y0: int, nbs: int, part_mode: int):
     """PU geometry list [(x, y, w, h, merge_rule)] for a CU (spec
     7.4.9.5 partition table; merge_rule = second-PU spatial exclusion
-    of 8.5.3.2.3)."""
+    of 8.5.3.2.3).  Part codes follow the reference's PartSize enum:
+    0=2Nx2N, 1=2NxN, 2=Nx2N, 4=2NxnU, 5=2NxnD, 6=nLx2N, 7=nRx2N."""
+    q = nbs >> 2
     if part_mode == 1:                   # 2NxN
         h = nbs >> 1
         return [(x0, y0, nbs, h, None), (x0, y0 + h, nbs, h, "no_b1")]
     if part_mode == 2:                   # Nx2N
         w = nbs >> 1
         return [(x0, y0, w, nbs, None), (x0 + w, y0, w, nbs, "no_a1")]
+    if part_mode == 4:                   # 2NxnU
+        return [(x0, y0, nbs, q, None),
+                (x0, y0 + q, nbs, nbs - q, "no_b1")]
+    if part_mode == 5:                   # 2NxnD
+        return [(x0, y0, nbs, nbs - q, None),
+                (x0, y0 + nbs - q, nbs, q, "no_b1")]
+    if part_mode == 6:                   # nLx2N
+        return [(x0, y0, q, nbs, None),
+                (x0 + q, y0, nbs - q, nbs, "no_a1")]
+    if part_mode == 7:                   # nRx2N
+        return [(x0, y0, nbs - q, nbs, None),
+                (x0 + nbs - q, y0, q, nbs, "no_a1")]
     return [(x0, y0, nbs, nbs, None)]
 
 
@@ -373,19 +387,26 @@ class SliceSyntaxEncoder:
         self.imaps.set_cu(x0, y0, log2, None)
 
     def _part_mode_inter(self, ir: BinIR, pm: int, log2: int) -> None:
-        """part_mode binarization for inter CUs (spec 9.3.3.7; ctxInc
-        per Table 9-37: bin0 ctx0, bin1 ctx1, bin2 ctx2 at the minimum
-        CB size).  AMP shapes are not emitted (x265 --amp analog off)."""
+        """part_mode binarization for inter CUs (spec 9.3.3.7, Table
+        9-34; ctxInc per Table 9-37: bin0 ctx0, bin1 ctx1, bin2 ctx2
+        at the minimum CB size / ctx3 otherwise (the AMP bin), bin3
+        bypass)."""
+        amp = getattr(self.sps, "amp_enabled", False) \
+            and log2 > self.min_log2_cu
         if pm == 0:
             ir.cbin(1, OFF["PART_SIZE"])             # 2Nx2N
             return
         ir.cbin(0, OFF["PART_SIZE"])
-        if pm == 1:
-            ir.cbin(1, OFF["PART_SIZE"] + 1)         # 2NxN
+        horiz = pm in (1, 4, 5)
+        ir.cbin(1 if horiz else 0, OFF["PART_SIZE"] + 1)
+        if amp:
+            rect = pm in (1, 2)
+            ir.cbin(1 if rect else 0, OFF["PART_SIZE"] + 3)
+            if not rect:                             # 2NxnU/D, nL/nRx2N
+                ir.bypass(0 if pm in (4, 6) else 1)
             return
-        ir.cbin(0, OFF["PART_SIZE"] + 1)             # Nx2N...
-        if log2 == self.min_log2_cu and (1 << log2) > 8:
-            ir.cbin(1, OFF["PART_SIZE"] + 2)         # ...vs inter NxN
+        if not horiz and log2 == self.min_log2_cu and (1 << log2) > 8:
+            ir.cbin(1, OFF["PART_SIZE"] + 2)         # Nx2N vs inter NxN
 
     def _inter_rect(self, ir: BinIR, cu: CodedCU, has_resi: bool) -> None:
         """Rect-partitioned inter CU (2NxN / Nx2N): part_mode + two
@@ -909,10 +930,18 @@ class SliceSyntaxDecoder:
 
     def _part_mode_inter_dec(self, log2: int) -> int:
         """part_mode parse for inter CUs (mirror of _part_mode_inter):
-        0 = 2Nx2N, 1 = 2NxN, 2 = Nx2N."""
+        0=2Nx2N, 1=2NxN, 2=Nx2N, 4=2NxnU, 5=2NxnD, 6=nLx2N, 7=nRx2N."""
+        amp = getattr(self.sps, "amp_enabled", False) \
+            and log2 > self.min_log2_cu
         if self.dec.decode_bin(self.states, OFF["PART_SIZE"]):
             return 0
-        if self.dec.decode_bin(self.states, OFF["PART_SIZE"] + 1):
+        horiz = self.dec.decode_bin(self.states, OFF["PART_SIZE"] + 1)
+        if amp:
+            if self.dec.decode_bin(self.states, OFF["PART_SIZE"] + 3):
+                return 1 if horiz else 2
+            b3 = self.dec.decode_bin_ep()
+            return (4 if not b3 else 5) if horiz else (6 if not b3 else 7)
+        if horiz:
             return 1
         if log2 == self.min_log2_cu and (1 << log2) > 8:
             b = self.dec.decode_bin(self.states, OFF["PART_SIZE"] + 2)

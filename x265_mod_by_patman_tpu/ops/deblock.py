@@ -179,56 +179,65 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
     if part_map is not None and np.any(part_map) and block == 16:
         d_b, mv_b, mv1_b, p0_b, p1_b = pu1
 
-        def exp8(f16, f_b):
-            f8 = np.repeat(np.repeat(f16, 2, 0), 2, 1)
-            m1 = np.repeat(part_map == 1, 2, 1)      # 2NxN: bottom row
-            f8[1::2][m1] = np.repeat(f_b, 2, 1)[m1]
-            m2 = np.repeat(part_map == 2, 2, 0)      # Nx2N: right col
-            f8[:, 1::2][m2] = np.repeat(f_b, 2, 0)[m2]
-            return f8
+        def exp4(f16, f_b):
+            """Expand per-16-block fields to the 4x4 minblock grid with
+            the second PU's values over its actual geometry — rect
+            halves AND AMP quarter strips (PU edges at 4/12 offsets are
+            never on the 8-grid, so they add no edges, but the motion
+            sampled at CU-boundary segments must come from the PU that
+            covers those samples, spec 8.7.2.4)."""
+            f4 = np.repeat(np.repeat(f16, 4, 0), 4, 1)
+            ry = np.arange(f16.shape[0] * 4)[:, None] % 4
+            cx = np.arange(f16.shape[1] * 4)[None, :] % 4
+            pm4 = np.repeat(np.repeat(part_map, 4, 0), 4, 1)
+            in_pu1 = ((pm4 == 1) & (ry >= 2)) | ((pm4 == 2) & (cx >= 2)) \
+                | ((pm4 == 4) & (ry >= 1)) | ((pm4 == 5) & (ry >= 3)) \
+                | ((pm4 == 6) & (cx >= 1)) | ((pm4 == 7) & (cx >= 3))
+            fb4 = np.repeat(np.repeat(f_b, 4, 0), 4, 1)
+            if f4.ndim == 3:
+                in_pu1 = in_pu1[..., None]
+            return np.where(in_pu1, fb4, f4)
 
-        dirs8 = exp8(dirs, d_b)
-        mvs8 = exp8(mvs, mv_b)
-        mvs1_8 = exp8(mvs1, mv1_b)
-        poc0_8 = exp8(poc0, p0_b)
-        poc1_8 = exp8(poc1, p1_b)
-        intra8 = np.repeat(np.repeat(intra_mask, 2, 0), 2, 1)
-        cbf8 = np.repeat(np.repeat(cbf_luma, 2, 0), 2, 1)
+        dirs4 = exp4(dirs, d_b)
+        mvs4 = exp4(mvs, mv_b)
+        mvs1_4 = exp4(mvs1, mv1_b)
+        poc0_4 = exp4(poc0, p0_b)
+        poc1_4 = exp4(poc1, p1_b)
+        intra4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
+        cbf4 = np.repeat(np.repeat(cbf_luma, 4, 0), 4, 1)
 
-        def md8(p, q):
-            return motion_differs(p, q, dirs8, mvs8, mvs1_8,
-                                  poc0_8, poc1_8)
+        def md4(p, q):
+            return motion_differs(p, q, dirs4, mvs4, mvs1_4,
+                                  poc0_4, poc1_4)
 
         segs = np.arange(height // 4)
         for e in range(ev):
             x = (e + 1) * 8
-            rows8 = segs // 2
-            p = (rows8, np.full_like(rows8, e))
-            q = (rows8, np.full_like(rows8, e + 1))
+            p = (segs, np.full_like(segs, x // 4 - 1))
+            q = (segs, np.full_like(segs, x // 4))
             if x % 16 == 0:                      # CU/TU boundary
-                two = intra8[p] | intra8[q]
-                one = cbf8[p] | cbf8[q] | md8(p, q)
+                two = intra4[p] | intra4[q]
+                one = cbf4[p] | cbf4[q] | md4(p, q)
                 bs_v[:, e] = np.where(two, 2, np.where(one, 1, 0))
             else:                                # PU-only (Nx2N) edge
                 rows16 = segs * 4 // 16
-                exists = (~intra8[p]) & \
+                exists = (~intra4[p]) & \
                     (part_map[rows16, x // 16] == 2)
-                bs_v[:, e] = np.where(exists, md8(p, q).astype(int), 0)
+                bs_v[:, e] = np.where(exists, md4(p, q).astype(int), 0)
         segs = np.arange(width // 4)
         for e in range(eh):
             yy = (e + 1) * 8
-            cols8 = segs // 2
-            p = (np.full_like(cols8, e), cols8)
-            q = (np.full_like(cols8, e + 1), cols8)
+            p = (np.full_like(segs, yy // 4 - 1), segs)
+            q = (np.full_like(segs, yy // 4), segs)
             if yy % 16 == 0:
-                two = intra8[p] | intra8[q]
-                one = cbf8[p] | cbf8[q] | md8(p, q)
+                two = intra4[p] | intra4[q]
+                one = cbf4[p] | cbf4[q] | md4(p, q)
                 bs_h[e, :] = np.where(two, 2, np.where(one, 1, 0))
             else:                                # PU-only (2NxN) edge
                 cols16 = segs * 4 // 16
-                exists = (~intra8[p]) & \
+                exists = (~intra4[p]) & \
                     (part_map[yy // 16, cols16] == 1)
-                bs_h[e, :] = np.where(exists, md8(p, q).astype(int), 0)
+                bs_h[e, :] = np.where(exists, md4(p, q).astype(int), 0)
         if split_map is not None:
             mark_split_edges(bs_v, bs_h, split_map)
         return bs_v, bs_h

@@ -115,7 +115,8 @@ def analyse_p_frame_tiles(y, u, v, refs, sps, qp: int,
         return _p_core(oy_s, rys_s, rus_s, rvs_s, wq, wo,
                        avail_b.reshape(-1, avail_b.shape[-1]), lam_b,
                        wpat, search_range, block, bd,
-                       sps.log2_ctu_size, False, subme, rect_eff, band)
+                       sps.log2_ctu_size, False, subme, rect_eff,
+                       False, band)
 
     rows = P(axis)
     # check_rep off: fori_loop carries inside the ME kernels start as
