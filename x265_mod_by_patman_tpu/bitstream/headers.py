@@ -141,7 +141,16 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
     s.max_dec_pic_buffering = min(p.max_num_references + 1 + p.bframes, 16)
     s.num_reorder_pics = min(p.bframes, s.max_dec_pic_buffering - 1)
     s.ptl.profile_idc = 2 if p.internal_bit_depth > 8 else 1
-    s.ptl.level_idc = p.level_idc if p.level_idc else _auto_level(p)
+    from .level import determine_level
+    forced = p.level_idc
+    if forced and forced < 100:
+        forced *= 3                # x265 CLI convention: 51 -> idc 153
+    idc, high, dpb = determine_level(
+        p.source_width, p.source_height,
+        p.fps_num / max(1, p.fps_denom), p.vbv_maxrate, p.vbv_bufsize,
+        min(p.max_num_references, 4), forced)
+    s.ptl.level_idc = idc
+    s.ptl.tier_flag = high
     return s
 
 
@@ -161,26 +170,9 @@ def build_pps_info(p: EncoderParams) -> PPSInfo:
     q.deblock_beta_offset_div2 = p.deblock_beta_offset
     q.num_ref_idx_l0_default = max(1, p.max_num_references)
     q.weighted_pred = p.weightp and p.keyframe_max != 1
+    q.weighted_bipred = getattr(p, "weightb", False) and p.bframes > 0
     q.transquant_bypass = p.lossless
     return q
-
-
-def _auto_level(p: EncoderParams) -> int:
-    """Minimal level determination by luma samples (spec A.4; full table in
-    reference encoder/level.cpp:45).  Values are level*30."""
-    samples = p.source_width * p.source_height
-    sps_per_sec = samples * p.fps_num / max(1, p.fps_denom)
-    for level, max_ls, max_sr in (
-            (30, 36864, 552960), (60, 122880, 3686400),
-            (63, 245760, 7372800), (90, 552960, 16588800),
-            (93, 983040, 33177600), (120, 2228224, 66846720),
-            (123, 2228224, 133693440), (150, 8912896, 267386880),
-            (153, 8912896, 534773760), (156, 8912896, 1069547520),
-            (180, 35651584, 1069547520), (183, 35651584, 2139095040),
-            (186, 35651584, 4278190080)):
-        if samples <= max_ls and sps_per_sec <= max_sr:
-            return level
-    return 186
 
 
 def _write_ptl(bw: BitWriter, ptl: ProfileTierLevel, max_sub_layers_minus1: int = 0) -> None:
@@ -411,8 +403,11 @@ class SliceHeader:
     five_minus_max_num_merge_cand: int = 2
     entry_points: tuple = ()         # WPP substream byte sizes (all but last)
     # explicit weighted prediction (P slices): per-L0-ref (w, o) or None,
-    # luma only, denom fixed at 6 (reference weightPrediction.cpp)
+    # denom fixed at 6 (reference weightPrediction.cpp); wp_l0_chroma
+    # entries are ((w_cb, o_cb), (w_cr, o_cr)) or None per ref
     wp_l0: tuple = ()
+    wp_l0_chroma: tuple = ()
+    wp_l1: tuple = ()                # B slices (x265 --weightb), luma
     luma_log2_weight_denom: int = 6
 
 
@@ -458,7 +453,8 @@ def write_slice_header(sh: SliceHeader, sps: SPSInfo, pps: PPSInfo) -> BitWriter
             col_refs = sh.num_ref_idx[0 if sh.collocated_from_l0 else 1]
             if col_refs > 1:
                 bw.ue(0)                     # collocated_ref_idx
-        if pps.weighted_pred and sh.slice_type == SLICE_P:
+        if (pps.weighted_pred and sh.slice_type == SLICE_P) or \
+                (pps.weighted_bipred and sh.slice_type == SLICE_B):
             _write_pred_weight_table(bw, sh)
         bw.ue(sh.five_minus_max_num_merge_cand)
     bw.se(sh.qp - pps.init_qp)
@@ -482,19 +478,37 @@ def write_slice_header(sh: SliceHeader, sps: SPSInfo, pps: PPSInfo) -> BitWriter
 
 
 def _write_pred_weight_table(bw: BitWriter, sh: SliceHeader) -> None:
-    """pred_weight_table (spec 7.3.6.3), luma-only explicit weights."""
+    """pred_weight_table (spec 7.3.6.3) with luma and chroma explicit
+    weights (chroma offset coded as the spec's prediction-compensated
+    delta, 7.4.7.3; matches x265 entropy.cpp codePredWeightTable)."""
     denom = sh.luma_log2_weight_denom
     bw.ue(denom)
     bw.se(0)                                 # delta_chroma_log2_weight_denom
     wps = sh.wp_l0 or (None,) * sh.num_ref_idx[0]
+    cps = sh.wp_l0_chroma or (None,) * len(wps)
     for wp in wps:
         bw.flag(wp is not None)              # luma_weight_l0_flag
-    for _ in wps:
-        bw.flag(0)                           # chroma_weight_l0_flag
-    for wp in wps:
+    for cp in cps:
+        bw.flag(cp is not None)              # chroma_weight_l0_flag
+    for wp, cp in zip(wps, cps):
         if wp is not None:
             bw.se(wp[0] - (1 << denom))      # delta_luma_weight_l0
             bw.se(wp[1])                     # luma_offset_l0
+        if cp is not None:
+            for (w, o) in cp:
+                bw.se(w - (1 << denom))      # delta_chroma_weight_l0
+                # delta_chroma_offset_l0 = o - (128 - ((128*w)>>denom))
+                bw.se(o - (128 - ((128 * w) >> denom)))
+    if sh.slice_type == SLICE_B:
+        wps1 = sh.wp_l1 or (None,) * sh.num_ref_idx[1]
+        for wp in wps1:
+            bw.flag(wp is not None)          # luma_weight_l1_flag
+        for _ in wps1:
+            bw.flag(0)                       # chroma_weight_l1_flag
+        for wp in wps1:
+            if wp is not None:
+                bw.se(wp[0] - (1 << denom))
+                bw.se(wp[1])
 
 
 def _write_st_rps(bw: BitWriter, sh: SliceHeader) -> None:

@@ -16,6 +16,7 @@ from .bitreader import BitReader
 
 SEI_RECOVERY_POINT = 6
 SEI_USER_DATA_UNREGISTERED = 5
+SEI_FILM_GRAIN_CHARACTERISTICS = 19
 SEI_DECODED_PICTURE_HASH = 132
 SEI_MASTERING_DISPLAY = 137
 SEI_CONTENT_LIGHT_LEVEL = 144
@@ -81,6 +82,101 @@ def write_user_data_info(text: str) -> bytes:
     """Encoder-info user data (x265 writes its param2string here)."""
     return _sei_rbsp(SEI_USER_DATA_UNREGISTERED,
                      X265_USER_DATA_UUID + text.encode())
+
+
+def parse_film_grain_json(path: str) -> dict:
+    """Load a film-grain characteristics description (JSON).
+
+    The reference feeds this SEI from a packed binary side-file
+    (frameencoder.h:120 FilmGrain + ColourDescription + per-component
+    intensity intervals, --film-grain); here the same fields arrive as
+    JSON — documented deviation, same SEI on the wire.  Schema:
+    {"model_id":0, "blending_mode_id":0, "log2_scale_factor":4,
+     "comp_models": [  # up to 3 entries (Y, Cb, Cr); null = absent
+        {"num_model_values":1, "intervals": [
+            {"lower":0, "upper":255, "values":[64]} ]} , null, null]}
+    """
+    import json
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_film_grain(fg: dict) -> bytes:
+    """film_grain_characteristics SEI (spec D.2.21 / D.3.21; reference
+    sei.h:77 FilmGrainCharacteristics::writeSEI field-for-field)."""
+    bw = BitWriter()
+    cancel = bool(fg.get("cancel", False))
+    bw.flag(cancel)
+    if not cancel:
+        bw.u(int(fg.get("model_id", 0)), 2)
+        sep = "bit_depth_luma" in fg
+        bw.flag(sep)
+        if sep:
+            bw.u(int(fg.get("bit_depth_luma", 8)) - 8, 3)
+            bw.u(int(fg.get("bit_depth_chroma", 8)) - 8, 3)
+            bw.flag(bool(fg.get("full_range", False)))
+            bw.u(int(fg.get("colour_primaries", 2)), 8)
+            bw.u(int(fg.get("transfer_characteristics", 2)), 8)
+            bw.u(int(fg.get("matrix_coeffs", 2)), 8)
+        bw.u(int(fg.get("blending_mode_id", 0)), 2)
+        bw.u(int(fg.get("log2_scale_factor", 0)), 4)
+        comps = list(fg.get("comp_models", []))[:3]
+        comps += [None] * (3 - len(comps))
+        for c in comps:
+            bw.flag(bool(c and c.get("intervals")))
+        for c in comps:
+            if not (c and c.get("intervals")):
+                continue
+            iv = c["intervals"]
+            nmv = int(c.get("num_model_values",
+                            len(iv[0]["values"]) if iv else 1))
+            bw.u(len(iv) - 1, 8)     # num_intensity_intervals_minus1
+            bw.u(nmv - 1, 3)         # num_model_values_minus1
+            for it in iv:
+                bw.u(int(it["lower"]), 8)
+                bw.u(int(it["upper"]), 8)
+                vals = list(it["values"])[:nmv]
+                vals += [0] * (nmv - len(vals))
+                for v in vals:
+                    bw.se(int(v))
+        bw.flag(bool(fg.get("persistence", True)))
+    bw.rbsp_trailing_bits()      # sei payload byte alignment (D.3.21)
+    return _sei_rbsp(SEI_FILM_GRAIN_CHARACTERISTICS, bw.get_bytes())
+
+
+def parse_film_grain(payload: bytes) -> dict:
+    """Round-trip parser for the validation side."""
+    br = BitReader(payload)
+    out: dict = {"cancel": bool(br.flag())}
+    if out["cancel"]:
+        return out
+    out["model_id"] = br.u(2)
+    if br.flag():
+        out["bit_depth_luma"] = br.u(3) + 8
+        out["bit_depth_chroma"] = br.u(3) + 8
+        out["full_range"] = bool(br.flag())
+        out["colour_primaries"] = br.u(8)
+        out["transfer_characteristics"] = br.u(8)
+        out["matrix_coeffs"] = br.u(8)
+    out["blending_mode_id"] = br.u(2)
+    out["log2_scale_factor"] = br.u(4)
+    present = [bool(br.flag()) for _ in range(3)]
+    comps = []
+    for pr in present:
+        if not pr:
+            comps.append(None)
+            continue
+        n_iv = br.u(8) + 1
+        nmv = br.u(3) + 1
+        ivs = []
+        for _ in range(n_iv):
+            lo, hi = br.u(8), br.u(8)
+            vals = [br.se() for _ in range(nmv)]
+            ivs.append({"lower": lo, "upper": hi, "values": vals})
+        comps.append({"num_model_values": nmv, "intervals": ivs})
+    out["comp_models"] = comps
+    out["persistence"] = bool(br.flag())
+    return out
 
 
 def write_recovery_point(recovery_poc_cnt: int = 0,

@@ -87,6 +87,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ssim", action="store_true",
                     help="compute/report SSIM")
     ap.add_argument("--csv", default=None, help="per-frame CSV log")
+    ap.add_argument("--csv-log-level", type=int, default=1,
+                    help="1 = summary columns, 2 = + CU/MV/VBV frame "
+                         "stats (x265 --csv-log-level analog)")
     ap.add_argument("params", nargs="*", help="extra key=value options")
     args = ap.parse_args(argv)
 
@@ -115,8 +118,14 @@ def main(argv=None) -> int:
     out = open(args.output, "wb")
     recon_w = Y4MWriter(args.recon, info) if args.recon else None
     csv = open(args.csv, "w") if args.csv else None
+    _STATS2 = ("cu_intra_pct", "cu_inter_pct", "cu_skip_pct",
+               "cu_rect_pct", "cu_amp_pct", "avg_mv", "max_mv",
+               "vbv_fill_pct")
     if csv:
-        csv.write("poc,type,qp,bits,psnr_y,psnr_u,psnr_v,ssim,md5\n")
+        hdr = "poc,type,qp,bits,psnr_y,psnr_u,psnr_v,ssim,md5"
+        if args.csv_log_level >= 2:
+            hdr += "," + ",".join(_STATS2)
+        csv.write(hdr + "\n")
 
     total = args.frames or info.total_frames
     t0 = time.time()
@@ -163,9 +172,13 @@ def main(argv=None) -> int:
                 sv = ssim_fn(sy, ry, bd)
                 ssim_sum += sv
             if csv:
-                csv.write(f"{f.poc},{f.slice_type},{f.qp},{f.bits},"
-                          f"{py:.4f},{pu:.4f},{pv:.4f},{sv:.6f},"
-                          f"{f.md5.hex()}\n")
+                row = (f"{f.poc},{f.slice_type},{f.qp},{f.bits},"
+                       f"{py:.4f},{pu:.4f},{pv:.4f},{sv:.6f},"
+                       f"{f.md5.hex()}")
+                if args.csv_log_level >= 2:
+                    row += "," + ",".join(
+                        str(f.stats.get(k, "")) for k in _STATS2)
+                csv.write(row + "\n")
             done += 1
             if not args.no_progress:
                 sys.stderr.write("\r" + progress_line(
