@@ -70,7 +70,7 @@ _MERGE_IDX_BINS = (1, 2, 2)
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     weights=None, subme: int = 2, rect: bool = False,
-                    amp: bool = False):
+                    amp: bool = False, chroma_weights=None):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -89,9 +89,15 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     bd = sps.bit_depth
     if weights is None:
         weights = [None] * len(refs)
+    if chroma_weights is None:
+        chroma_weights = [None] * len(refs)
     wpat = tuple(wp is not None for wp in weights)
+    cpat = tuple(cw is not None for cw in chroma_weights)
     wq = jnp.asarray([wp[0] if wp else 64 for wp in weights], jnp.int32)
     wo = jnp.asarray([wp[1] if wp else 0 for wp in weights], jnp.int32)
+    wc = jnp.asarray([[cw[0][0], cw[0][1], cw[1][0], cw[1][1]]
+                      if cw else [64, 0, 64, 0]
+                      for cw in chroma_weights], jnp.int32)
     oy = jnp.asarray(np.asarray(y, np.int32))
     rys = jnp.stack([jnp.asarray(np.asarray(r[0], np.int32))
                      for r in refs])
@@ -111,7 +117,7 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), wpat, search_range, block, bd,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
-                  amp_eff)
+                  amp_eff, wc=wc, cpat=cpat)
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -122,11 +128,11 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
 @functools.partial(
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
                               "log2_ctu", "use_pallas", "subme", "rect",
-                              "amp", "band"))
+                              "amp", "band", "cpat"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
             use_pallas: bool, subme: int = 2, rect: bool = False,
-            amp: bool = False, band=None):
+            amp: bool = False, band=None, wc=None, cpat=None):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -477,6 +483,14 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
                 p14 = mc_batch_14(rp, bx_, by_, mvx, mvy, sz, c_idx, bd,
                                   use_pallas=use_pallas)
                 preds.append(wp_apply_batch(p14, wp[0], wp[1], 6, bd))
+            elif pi != 0 and cpat is not None and cpat[ridx]:
+                # chroma explicit weights (spec 8.5.4.3.2 chroma arm;
+                # wc row = [w_cb, o_cb, w_cr, o_cr])
+                p14 = mc_batch_14(rp, bx_, by_, mvx, mvy, sz, c_idx,
+                                  bd, use_pallas=False)
+                preds.append(wp_apply_batch(
+                    p14, wc[ridx, 2 * (pi - 1)],
+                    wc[ridx, 2 * (pi - 1) + 1], 6, bd))
             else:
                 preds.append(mc_batch(rp, bx_, by_, mvx, mvy, sz,
                                       c_idx, bd, use_pallas=use_pallas))
@@ -560,13 +574,17 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
 
 def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                     search_range: int = 16, block: int = 16,
-                    subme: int = 2):
+                    subme: int = 2, weights_b=None):
     """B-frame analysis: ME against both anchors + bi-prediction test +
     intra fallback (the batched analog of x265 checkBidir2Nx2N,
     analysis.cpp:4007); ONE jitted program like analyse_p_frame.
 
     ref0/ref1: (y, u, v) plane tuples of the L0 (past) and L1 (future)
-    anchors.  Returns (intra_modes, inter_mask, dirs, mv_l0, mv_l1,
+    anchors.  weights_b: optional ((w0, o0)-or-None, (w1, o1)-or-None)
+    explicit luma weights per list (x265 --weightb); predictions then
+    use the spec 8.5.4.3.2 weighted uni/bi formulas (defaults for an
+    unweighted list degrade exactly to the plain combine).
+    Returns (intra_modes, inter_mask, dirs, mv_l0, mv_l1,
     (mc_y, mc_u, mc_v))."""
     from ..ops.me import _on_tpu
     bd = sps.bit_depth
@@ -575,6 +593,11 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     avail = frame_avail_masks(sps.width, sps.height, block,
                               sps.log2_ctu_size, 0)
     oy = jnp.asarray(np.asarray(y, np.int32))
+    if weights_b is None:
+        weights_b = (None, None)
+    wb = tuple(wp is not None for wp in weights_b)
+    wv = jnp.asarray([[wp[0] if wp else 64, wp[1] if wp else 0]
+                      for wp in weights_b], jnp.int32)
     out = _b_core(oy,
                   jnp.asarray(np.asarray(ref0[0], np.int32)),
                   jnp.asarray(np.asarray(ref0[1], np.int32)),
@@ -584,7 +607,7 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.asarray(np.asarray(ref1[2], np.int32)),
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), search_range, block, bd,
-                  _on_tpu(oy), subme)
+                  _on_tpu(oy), subme, wb, wv)
     modes, inter, dirs, mv0, mv1, mcy, mcu, mcv = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
             np.asarray(mv0), np.asarray(mv1),
@@ -593,10 +616,10 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
 
 @functools.partial(
     jax.jit, static_argnames=("search_range", "block", "bd",
-                              "use_pallas", "subme"))
+                              "use_pallas", "subme", "wb"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             search_range: int, block: int, bd: int, use_pallas: bool,
-            subme: int = 2):
+            subme: int = 2, wb=(False, False), wv=None):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -606,10 +629,22 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
     by = jnp.asarray((bys.ravel() * n).astype(np.int32))
 
-    mv0x, mv0y, cost0, org = _me_one_ref(oy, r0y, bx, by, n, lam256,
+    use_w = any(wb)
+    r0y_me, r1y_me = r0y, r1y
+    if use_w:
+        # ME searches pre-weighted planes (analysis approximation, as
+        # in the P path); MC applies the exact 14-bit weighting below
+        from .weightp import weighted_plane_jnp
+        if wb[0]:
+            r0y_me = weighted_plane_jnp(r0y, wv[0, 0], wv[0, 1],
+                                        bit_depth=bd)
+        if wb[1]:
+            r1y_me = weighted_plane_jnp(r1y, wv[1, 0], wv[1, 1],
+                                        bit_depth=bd)
+    mv0x, mv0y, cost0, org = _me_one_ref(oy, r0y_me, bx, by, n, lam256,
                                          search_range, bd, use_pallas,
                                          subme)
-    mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y, bx, by, n, lam256,
+    mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y_me, bx, by, n, lam256,
                                        search_range, bd, use_pallas,
                                        subme)
     satd0 = cost0 - ((lam256 * mv_bits(mv0x, mv0y)) >> 8)
@@ -618,16 +653,25 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
     off2 = 1 << (13 - bd)
     sh2 = 14 - bd
     maxv = (1 << bd) - 1
+    from ..ops.interp import wp_apply_batch, wp_bi_combine
 
-    def uni_of(p14):
+    def uni_of(p14, lst: int = 0):
+        if use_w:
+            return wp_apply_batch(p14, wv[lst, 0], wv[lst, 1], 6, bd)
         return jnp.clip((p14 + off2) >> sh2, 0, maxv)
+
+    def bi_of(p0, p1):
+        if use_w:
+            return wp_bi_combine(p0, p1, wv[0, 0], wv[0, 1],
+                                 wv[1, 0], wv[1, 1], 6, bd)
+        return bi_combine(p0, p1, bd)
 
     # bi-prediction of the two best uni MVs (x265 checkBidir2Nx2N)
     p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0, bd,
                         use_pallas=use_pallas)
     p1_14 = mc_batch_14(r1y, bx, by, mv1x, mv1y, n, 0, bd,
                         use_pallas=use_pallas)
-    satd_bi = satd_batch(org, bi_combine(p0_14, p1_14, bd))
+    satd_bi = satd_batch(org, bi_of(p0_14, p1_14))
 
     # merge/AMVP-true selection over full (dir, mv0, mv1) motion
     # (batched mergeEstimation/selectMVP analog, search.cpp:2237/2347):
@@ -685,9 +729,9 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             q1 = mc_batch_14(r1y, bx, by, n1x, n1y, n, 0, bd,
                              use_pallas=use_pallas)
             pred = jnp.where((nd == 3)[:, None, None],
-                             bi_combine(q0, q1, bd),
+                             bi_of(q0, q1),
                              jnp.where((nd == 1)[:, None, None],
-                                       uni_of(q0), uni_of(q1)))
+                                       uni_of(q0, 0), uni_of(q1, 1)))
             sc_satd = satd_batch(org, pred)
             sc = sc_satd + ((lam256 * (2 + _MERGE_IDX_BINS[k])) >> 8)
             sc = jnp.where(ok & (nd > 0), sc, 1 << 30)
@@ -731,15 +775,20 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             (r0y, r1y, 0, n, bx, by),
             (ru0, ru1, 1, nc, bx // 2, by // 2),
             (rv0, rv1, 2, nc, bx // 2, by // 2)):
-        u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd,
-                      use_pallas=use_pallas)
-        u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd,
-                      use_pallas=use_pallas)
         b0 = mc_batch_14(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd,
                          use_pallas=use_pallas)
         b1 = mc_batch_14(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd,
                          use_pallas=use_pallas)
-        bi = bi_combine(b0, b1, bd)
+        if c_idx == 0 and use_w:
+            # weightB is luma-only (chroma flags stay 0 in the table)
+            u0, u1 = uni_of(b0, 0), uni_of(b1, 1)
+            bi = bi_of(b0, b1)
+        else:
+            u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd,
+                          use_pallas=use_pallas)
+            u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd,
+                          use_pallas=use_pallas)
+            bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))
         mc.append(sel.reshape(nby, nbx, sz, sz))

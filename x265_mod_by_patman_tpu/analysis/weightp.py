@@ -91,3 +91,39 @@ def weighted_plane_jnp(ref, w, o, denom: int = LUMA_DENOM,
     r = ref.astype(jnp.int32)
     return jnp.clip(((r * w + (1 << (denom - 1))) >> denom) + o,
                     0, maxv).astype(jnp.int32)
+
+
+def analyse_weightp_chroma(cur_u: np.ndarray, ref_u: np.ndarray,
+                           cur_v: np.ndarray, ref_v: np.ndarray,
+                           denom: int = LUMA_DENOM):
+    """Chroma (weight, offset) fit per component (reference
+    weightAnalyse's chroma planes loop, weightPrediction.cpp:268
+    plane 1/2 with the same guessScale estimator).  Returns
+    ((w_cb, o_cb), (w_cr, o_cr)) or None when both are identity."""
+    out = []
+    nontrivial = False
+    for cur, ref in ((cur_u, ref_u), (cur_v, ref_v)):
+        a = cur.astype(np.float64)
+        b = ref.astype(np.float64)
+        var = b.var()
+        if var < 1e-3:
+            # flat plane: offset-only fit (DC shift fades)
+            w = 1.0
+        else:
+            w = float(np.sqrt(a.var() / var))
+        if abs(a.mean() - b.mean()) < 0.5 and abs(1.0 - w) < 0.01:
+            out.append(((1 << denom), 0))
+            continue
+        wq = int(np.clip(round(w * (1 << denom)), -128, 127))
+        o = int(np.clip(round(a.mean() - (wq / (1 << denom)) * b.mean()),
+                        -128, 127))
+        if wq == (1 << denom) and o == 0:
+            out.append((wq, 0))
+            continue
+        bw = np.clip((b * wq / (1 << denom)) + o, 0, 255)
+        if np.abs(a - bw).mean() >= np.abs(a - b).mean() * 0.95:
+            out.append(((1 << denom), 0))
+            continue
+        out.append((wq, o))
+        nontrivial = True
+    return tuple(out) if nontrivial else None

@@ -245,22 +245,47 @@ class Decoder:
                 raise NotImplementedError(f"nal type {nal_type}")
         return self.pictures
 
-    def _parse_pred_weight_table(self, br: BitReader, n_l0: int):
-        """pred_weight_table (7.3.6.3), luma-only explicit weights."""
+    def _parse_pred_weight_table(self, br: BitReader, n_l0: int,
+                                 n_l1: int = 0):
+        """pred_weight_table (7.3.6.3) with luma and chroma explicit
+        weights (+ L1 luma for B slices).  Returns
+        (denom, luma_wps, chroma_wps, luma_wps_l1)."""
         denom = br.ue()
-        br.se()                               # delta_chroma_log2_weight_denom
+        cdenom = denom + br.se()              # delta_chroma_log2_weight_denom
         lflags = [br.flag() for _ in range(n_l0)]
         cflags = [br.flag() for _ in range(n_l0)]
-        assert not any(cflags), "chroma weights unsupported"
         wps = []
-        for lf in lflags:
+        cps = []
+        for lf, cf in zip(lflags, cflags):
             if lf:
                 w = br.se() + (1 << denom)
                 o = br.se()
                 wps.append((w, o))
             else:
                 wps.append(None)
-        return (denom, wps)
+            if cf:
+                pair = []
+                for _ in range(2):
+                    cw = br.se() + (1 << cdenom)
+                    # spec 7.4.7.3: o = delta + 128 - ((128*w)>>denom)
+                    co = br.se() + 128 - ((128 * cw) >> cdenom)
+                    pair.append((cw, max(-128, min(127, co))))
+                cps.append(tuple(pair))
+            else:
+                cps.append(None)
+        wps1 = []
+        if n_l1:
+            lflags1 = [br.flag() for _ in range(n_l1)]
+            cflags1 = [br.flag() for _ in range(n_l1)]
+            assert not any(cflags1), "L1 chroma weights unsupported"
+            for lf in lflags1:
+                if lf:
+                    w = br.se() + (1 << denom)
+                    o = br.se()
+                    wps1.append((w, o))
+                else:
+                    wps1.append(None)
+        return (denom, wps, cps, wps1)
 
     # -- slice ----------------------------------------------------------------
     def _decode_slice(self, nal_type: int, rbsp: bytes) -> DecodedPicture:
@@ -313,6 +338,9 @@ class Decoder:
             self._cur_wp = None
             if pps.weighted_pred and slice_type == 1:
                 self._cur_wp = self._parse_pred_weight_table(br, n_l0)
+            elif pps.weighted_bipred and slice_type == 0:
+                self._cur_wp = self._parse_pred_weight_table(br, n_l0,
+                                                             n_l1)
             max_merge = 5 - br.ue()
         qp = br.se() + pps.init_qp
         if pps.loop_filter_across_slices and \
@@ -623,16 +651,37 @@ class Decoder:
                 if d & 1 else None
             r1 = self._ref_l1[mot.ref1][c_idx].astype(np.int32) \
                 if d & 2 else None
+            def lw(lst, ridx):
+                if self._cur_wp is None:
+                    return None
+                tab = self._cur_wp[1] if lst == 0 else \
+                    (self._cur_wp[3] if len(self._cur_wp) > 3 else [])
+                return tab[ridx] if ridx < len(tab) else None
+
             if d == 3:
                 p0 = mc_block_ref_14(r0, sx, sy, mot.mv0[0], mot.mv0[1],
                                      sw, sh, c_idx, bd)
                 p1 = mc_block_ref_14(r1, sx, sy, mot.mv1[0], mot.mv1[1],
                                      sw, sh, c_idx, bd)
+                if c_idx == 0 and self._cur_wp is not None:
+                    # weighted bipred (8.5.4.3.2 explicit bi arm);
+                    # unflagged lists take the default weight, which
+                    # degrades exactly to the plain combine
+                    from ..ops.interp import wp_bi_combine_ref
+                    dn = self._cur_wp[0]
+                    w0, o0 = lw(0, mot.ref0) or ((1 << dn), 0)
+                    w1, o1 = lw(1, mot.ref1) or ((1 << dn), 0)
+                    return wp_bi_combine_ref(p0, p1, w0, o0, w1, o1,
+                                             dn, bd)
                 return bi_combine_ref(p0, p1, bd)
             if d == 1:
                 wp = None
-                if c_idx == 0 and self._cur_wp is not None:
-                    wp = self._cur_wp[1][mot.ref0]
+                if self._cur_wp is not None:
+                    if c_idx == 0:
+                        wp = lw(0, mot.ref0)
+                    else:
+                        cp = self._cur_wp[2][mot.ref0]
+                        wp = cp[c_idx - 1] if cp is not None else None
                 if wp is not None:
                     from ..ops.interp import wp_apply_ref
                     p14 = mc_block_ref_14(r0, sx, sy, mot.mv0[0],
@@ -641,6 +690,13 @@ class Decoder:
                                         self._cur_wp[0], bd)
                 return mc_block_ref(r0, sx, sy, mot.mv0[0], mot.mv0[1],
                                     sw, sh, c_idx, bd)
+            wp = lw(1, mot.ref1) if c_idx == 0 else None
+            if wp is not None:
+                from ..ops.interp import wp_apply_ref
+                p14 = mc_block_ref_14(r1, sx, sy, mot.mv1[0],
+                                      mot.mv1[1], sw, sh, c_idx, bd)
+                return wp_apply_ref(p14, wp[0], wp[1],
+                                    self._cur_wp[0], bd)
             return mc_block_ref(r1, sx, sy, mot.mv1[0], mot.mv1[1],
                                 sw, sh, c_idx, bd)
 

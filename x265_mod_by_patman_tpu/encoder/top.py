@@ -17,6 +17,7 @@ SAO/WPP/SBH off, 1 reference per list.
 """
 from __future__ import annotations
 
+import dataclasses
 from collections import deque
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -60,6 +61,9 @@ class EncodedFrame:
     slice_type: str = "I"
     qp: int = 0
     disp: int = 0                 # global display index
+    stats: dict = dataclasses.field(default_factory=dict)
+    # per-frame encoder stats (x265 FrameStats / --csv-log-level 2
+    # analog): CU-type distribution, MV stats, VBV fullness
 
 
 class Encoder:
@@ -322,6 +326,11 @@ class Encoder:
         if self.p.max_cll or self.p.max_fall:
             out += annexb(NAL_PREFIX_SEI, write_content_light_level(
                 self.p.max_cll, self.p.max_fall))
+        if self.p.film_grain:
+            from ..bitstream.sei import (parse_film_grain_json,
+                                         write_film_grain)
+            out += annexb(NAL_PREFIX_SEI, write_film_grain(
+                parse_film_grain_json(self.p.film_grain)))
         return out
 
     # -- streaming API ---------------------------------------------------------
@@ -802,6 +811,8 @@ class Encoder:
         mvs1 = None
         ref_sel = None
         wp_l0 = None
+        wp_chroma = None              # per-ref ((wcb,ocb),(wcr,ocr))
+        wp_b_l1 = None                # B-slice L1 luma weights
         rect_info = None          # (part_map, mvs_b) when rect PUs used
         keep_pocs: tuple = ()
         b_is_ref = False
@@ -841,9 +852,21 @@ class Encoder:
             assert self._anchors
             refs = [a[0] for a in self._anchors]
             if p.weightp:
-                from ..analysis.weightp import analyse_weightp
+                from ..analysis.weightp import (analyse_weightp,
+                                                analyse_weightp_chroma)
                 cand = [analyse_weightp(y, rf[0]) for rf in refs]
                 wp_l0 = cand if any(c is not None for c in cand) else None
+                # chroma weights only on refs that carry luma weights
+                # (the reference's common case; keeps one weighted set);
+                # analysis-reuse and tile-sharded paths stay luma-only
+                if wp_l0 is not None and rec_a is None \
+                        and p.mesh_tile_rows <= 1:
+                    wp_chroma = [
+                        analyse_weightp_chroma(u, rf[1], v, rf[2])
+                        if wp_l0[i] is not None else None
+                        for i, rf in enumerate(refs)]
+                    if not any(c is not None for c in wp_chroma):
+                        wp_chroma = None
             if rec_a is not None:
                 from ..analysis.reuse import mc_for_p
                 modes = rec_a["modes"]
@@ -876,7 +899,7 @@ class Encoder:
                             y, u, v, refs, self.sps, qp,
                             search_range=self._me_range, weights=wp_l0,
                             subme=p.subpel_refine, rect=use_rect,
-                            amp=p.amp)
+                            amp=p.amp, chroma_weights=wp_chroma)
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
             recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
@@ -895,10 +918,19 @@ class Encoder:
                 mc = mc_for_b(ref0[0], ref1[0], dirs, mvs, mvs1,
                               self.sps)
             else:
+                wpb = None
+                if getattr(p, "weightb", False):
+                    from ..analysis.weightp import analyse_weightp
+                    c0 = analyse_weightp(y, ref0[0][0])
+                    c1 = analyse_weightp(y, ref1[0][0])
+                    if c0 is not None or c1 is not None:
+                        wpb = (c0, c1)
+                        wp_l0 = (c0,)
+                        wp_b_l1 = (c1,)
                 modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
                     y, u, v, ref0[0], ref1[0],
                     self.sps, qp, search_range=self._me_range,
-                    subme=p.subpel_refine)
+                    subme=p.subpel_refine, weights_b=wpb)
             recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
                                              inter_mask, qp=qpm,
                                              init_type=0)
@@ -925,7 +957,8 @@ class Encoder:
                                           ref_pocs, sao_maps, ref_sel,
                                           keep_pocs, qpm, wp_l0,
                                           split_map, modes8,
-                                          split32, mode32, rect_info)
+                                          split32, mode32, rect_info,
+                                          wp_chroma, wp_b_l1)
             return r, sao_maps, rbsp
 
         r, sao_maps, slice_rbsp = run_pipeline(qp_map)
@@ -1008,7 +1041,9 @@ class Encoder:
         frame = EncodedFrame(poc, out,
                              (r["recon_y"], r["recon_u"], r["recon_v"]),
                              bits=len(out) * 8, md5=md5, slice_type=ftype,
-                             qp=qp, disp=self._idr_base + poc)
+                             qp=qp, disp=self._idr_base + poc,
+                             stats=self._frame_stats(r, inter_mask, mvs,
+                                                     rect_info))
         self.rc.update(rc_type, qp, frame.bits, complexity)
         if self.sps.temporal_mvp and (ftype in ("I", "P") or b_is_ref):
             self._col_store[poc] = self._build_col_motion(
@@ -1022,6 +1057,52 @@ class Encoder:
             self._col_store = {k: v for k, v in self._col_store.items()
                                if k == poc}
         return frame
+
+    def _frame_stats(self, r, inter_mask, mvs, rect_info) -> dict:
+        """Per-frame CU/MV/VBV stats (the x265 FrameStats subset the
+        --csv-log-level 2 CSV reports, encoder.cpp writeLog)."""
+        st: dict = {}
+        rc = self.rc
+        if getattr(rc, "vbv_buffer", 0):
+            st["vbv_fill_pct"] = round(
+                100.0 * rc.vbv_fullness / rc.vbv_buffer, 2)
+        try:
+            lv_any = ((r["lev_y"].reshape(r["lev_y"].shape[0],
+                                          r["lev_y"].shape[1], -1)
+                       != 0).any(-1) |
+                      (r["lev_u"].reshape(r["lev_u"].shape[0],
+                                          r["lev_u"].shape[1], -1)
+                       != 0).any(-1) |
+                      (r["lev_v"].reshape(r["lev_v"].shape[0],
+                                          r["lev_v"].shape[1], -1)
+                       != 0).any(-1))
+        except Exception:
+            lv_any = None
+        if inter_mask is None or not inter_mask.any():
+            st["cu_intra_pct"] = 100.0
+            st["cu_inter_pct"] = st["cu_skip_pct"] = 0.0
+        else:
+            nb = inter_mask.size
+            st["cu_intra_pct"] = round(
+                100.0 * (~inter_mask).sum() / nb, 2)
+            st["cu_inter_pct"] = round(
+                100.0 * inter_mask.sum() / nb, 2)
+            if lv_any is not None and lv_any.shape == inter_mask.shape:
+                st["cu_skip_pct"] = round(
+                    100.0 * (inter_mask & ~lv_any).sum() / nb, 2)
+            if rect_info is not None:
+                pm = rect_info[0]
+                st["cu_rect_pct"] = round(
+                    100.0 * ((pm > 0) & (pm < 4) & inter_mask).sum()
+                    / nb, 2)
+                st["cu_amp_pct"] = round(
+                    100.0 * ((pm >= 4) & inter_mask).sum() / nb, 2)
+            if mvs is not None:
+                m = np.abs(mvs[inter_mask]).astype(np.float64) / 4.0
+                if m.size:
+                    st["avg_mv"] = round(float(m.mean()), 2)
+                    st["max_mv"] = round(float(m.max()), 2)
+        return st
 
     def _build_col_motion(self, poc, inter_mask, dirs, mvs, mvs1,
                           ref_sel, ref_pocs):
@@ -1188,7 +1269,8 @@ class Encoder:
                       keep_pocs: tuple = (), qp_map=None,
                       wp_l0=None, split_map=None, modes8=None,
                       split32=None, mode32=None,
-                      rect_info=None) -> bytes:
+                      rect_info=None, wp_chroma=None,
+                      wp_b_l1=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -1207,9 +1289,16 @@ class Encoder:
             sh.st_rps_neg = tuple((rp - poc, True) for rp in ref_pocs[0])
             if wp_l0 is not None:
                 sh.wp_l0 = tuple(wp_l0)
+                if wp_chroma is not None:
+                    sh.wp_l0_chroma = tuple(wp_chroma)
         elif ftype == "B":
             num_refs = (1, 1)
             sh.num_ref_idx = (1, 1)
+            if self.pps.weighted_bipred:
+                if wp_l0 is not None:
+                    sh.wp_l0 = tuple(wp_l0)
+                if wp_b_l1 is not None:
+                    sh.wp_l1 = tuple(wp_b_l1)
             # RPS: the two used refs plus pictures kept for later frames
             # of the mini-GOP (used_by_curr = 0), sorted per spec order
             neg = [(ref_pocs[0][0] - poc, True)] + \

@@ -332,3 +332,25 @@ def wp_apply_batch(pred14, w, o, denom: int, bit_depth: int = 8):
     maxv = (1 << bit_depth) - 1
     v = (pred14.astype(jnp.int32) * w + rnd) >> log2wd
     return jnp.clip(v + o, 0, maxv).astype(jnp.int32)
+
+
+def wp_bi_combine_ref(p0_14, p1_14, w0: int, o0: int, w1: int, o1: int,
+                      denom: int, bit_depth: int = 8):
+    """Golden weighted bidir combine (spec 8.5.4.3.2 explicit bi arm):
+    ((p0*w0 + p1*w1 + ((o0+o1+1) << log2Wd)) >> (log2Wd + 1))."""
+    import numpy as np
+    log2wd = denom + 14 - bit_depth
+    maxv = (1 << bit_depth) - 1
+    acc = (p0_14.astype(np.int64) * w0 + p1_14.astype(np.int64) * w1 +
+           ((o0 + o1 + 1) << log2wd))
+    return np.clip(acc >> (log2wd + 1), 0, maxv).astype(np.int32)
+
+
+def wp_bi_combine(p0_14, p1_14, w0, o0, w1, o1, denom: int,
+                  bit_depth: int = 8):
+    """Batched weighted bidir combine (traced weights)."""
+    log2wd = denom + 14 - bit_depth
+    maxv = (1 << bit_depth) - 1
+    acc = (p0_14.astype(jnp.int32) * w0 + p1_14.astype(jnp.int32) * w1 +
+           ((o0 + o1 + 1) << log2wd))
+    return jnp.clip(acc >> (log2wd + 1), 0, maxv).astype(jnp.int32)

@@ -92,11 +92,13 @@ class EncoderParams:
     # SEI / HDR signalling
     master_display: str = ""        # G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)
     dhdr10_info: str = ""           # HDR10+ JSON metadata file
+    film_grain: str = ""            # film-grain characteristics JSON
     max_cll: int = 0
     max_fall: int = 0
     info_sei: bool = True           # x265 user-data encoder-info SEI
 
     weightp: bool = True            # x265 --weightp (default on)
+    weightb: bool = False           # x265 --weightb (default off)
     temporal_mvp: bool = True       # x265 --tmvp analog (TMVP on)
 
     scaling_list: str = "off"       # off | default
