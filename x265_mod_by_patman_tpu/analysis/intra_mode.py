@@ -337,6 +337,70 @@ def decide_modes_tree(y: np.ndarray, sps, qp: int, nxn: bool = False):
     return modes16, split_map, modes8, split32, mode32
 
 
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def _tu4_costs(orig, avail, bx, by, modes, qp, bit_depth: int = 8):
+    """TU8(DCT) vs 4xTU4(DST) level-units RD per 8x8 sub-PU (orig
+    neighbors, shared 8x8 prediction — an estimate of the reference's
+    per-TB codeIntraLumaQT recursion, search.cpp:646).  Returns
+    (rd8, rd4) float32 (B,) pairs; rd4 excludes the split syntax
+    charge (the caller adds it)."""
+    from ..ops.rdoq import tu_rd_levels
+    from ..ops.transform import dct_batch
+    h, w = orig.shape
+    n = 8
+    x0 = bx * n
+    y0 = by * n
+    ks = np.arange(4 * n + 1)
+    k_x = np.where(ks <= 2 * n, -1, ks - (2 * n + 1))
+    k_y = np.where(ks < 2 * n, 2 * n - 1 - ks, -1)
+    xs = jnp.clip(x0[:, None] + jnp.asarray(k_x)[None, :], 0, w - 1)
+    ys = jnp.clip(y0[:, None] + jnp.asarray(k_y)[None, :], 0, h - 1)
+    s_sub, s_filt = substitute_filter_batch(orig[ys, xs], avail, 3,
+                                            bit_depth)
+    from ..ops.intra import intra_pred_select_batch
+    pred = intra_pred_select_batch(s_sub, s_filt, modes, 3, 0,
+                                   bit_depth)
+    gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+    resi = orig[gy, gx].astype(jnp.int32) - pred
+    coef8 = dct_batch(resi, 3, bit_depth)
+    rd8 = tu_rd_levels(coef8, qp, 3, bit_depth)
+    q = resi.reshape(-1, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(-1, 4, 4)
+    coef4 = dct_batch(q, 2, bit_depth, dst=True)
+    rd4 = tu_rd_levels(coef4, qp, 2, bit_depth).reshape(-1, 4).sum(-1)
+    return rd8, rd4
+
+
+def decide_tu4_split(y: np.ndarray, sps, qp: int, modes8: np.ndarray,
+                     split_map: np.ndarray) -> np.ndarray:
+    """Per-NxN-quad TU4(DST) split decision (nby, nbx, 4) bool: split
+    the 8x8 luma TU into four DST 4x4 TBs when the level-units RD
+    (tu_rd_levels) plus the split syntax charge wins."""
+    h, w = sps.height, sps.width
+    nbx, nby = w // 16, h // 16
+    avail8 = frame_avail_masks(w, h, 8, sps.log2_ctu_size, 0)
+    bys, bxs = np.mgrid[0:2 * nby, 0:2 * nbx]
+    orig = jnp.asarray(np.asarray(y, dtype=np.int32))
+    m8 = np.empty((2 * nby, 2 * nbx), np.int32)
+    m8[0::2, 0::2] = modes8[..., 0]
+    m8[0::2, 1::2] = modes8[..., 1]
+    m8[1::2, 0::2] = modes8[..., 2]
+    m8[1::2, 1::2] = modes8[..., 3]
+    rd8, rd4 = _tu4_costs(
+        orig, jnp.asarray(avail8.reshape(-1, avail8.shape[-1])),
+        jnp.asarray(bxs.ravel().astype(np.int32)),
+        jnp.asarray(bys.ravel().astype(np.int32)),
+        jnp.asarray(m8.ravel()), jnp.int32(qp), sps.bit_depth)
+    # split charge: split_transform_flag + 3 extra cbf/last overheads
+    # ~ 8 bins at K=0.134 level units
+    win = (np.asarray(rd4) + 0.134 * 8.0 <
+           np.asarray(rd8)).reshape(2 * nby, 2 * nbx)
+    tu4 = np.stack([win[0::2, 0::2], win[0::2, 1::2],
+                    win[1::2, 0::2], win[1::2, 1::2]], axis=-1)
+    return tu4 & split_map[..., None]
+
+
 def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16):
     """Mode decision with the NxN (4x 8x8 PU) candidate per block: the
     batched analog of the reference comparing the 2Nx2N intra cost with

@@ -591,12 +591,26 @@ class Decoder:
             return
         if cu.part_nxn:
             half = 1 << (cu.log2_size - 1)
-            for k, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
-                                          (half, half))):
-                self._recon_tb(y, cu.x0 + dx, cu.y0 + dy, cu.log2_size - 1,
-                               cu.luma_modes[k], 0, qp,
-                               cu.coeffs.get((0, cu.x0 + dx, cu.y0 + dy,
-                                              cu.log2_size - 1)))
+            if cu.tu_leaves:
+                # follow the parsed TU tree (8x8 TUs, or 4x4 DST
+                # leaves under a depth-1 split_transform_flag); each
+                # TB re-predicts from recon with its covering PU's
+                # mode (spec 8.4.4.2)
+                for (tx, ty, tl, _blk) in cu.tu_leaves:
+                    pu = (1 if (tx - cu.x0) & half else 0) + \
+                        (2 if (ty - cu.y0) & half else 0)
+                    self._recon_tb(y, tx, ty, tl, cu.luma_modes[pu],
+                                   0, qp, cu.coeffs.get((0, tx, ty,
+                                                         tl)))
+            else:
+                for k, (dx, dy) in enumerate(((0, 0), (half, 0),
+                                              (0, half), (half, half))):
+                    self._recon_tb(y, cu.x0 + dx, cu.y0 + dy,
+                                   cu.log2_size - 1,
+                                   cu.luma_modes[k], 0, qp,
+                                   cu.coeffs.get((0, cu.x0 + dx,
+                                                  cu.y0 + dy,
+                                                  cu.log2_size - 1)))
             # chroma follows the forced TU split: 4 z-order TBs at
             # half the luma TB size, all with the CU's chroma mode
             cmode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])

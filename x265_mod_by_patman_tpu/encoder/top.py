@@ -120,7 +120,9 @@ class Encoder:
                                         self.p.lossless,
                                         tree=self.p.var_cu_tree,
                                         psy_rd=self.p.psy_rd,
-                                        psy_rdoq=self.p.psy_rdoq)
+                                        psy_rdoq=self.p.psy_rdoq,
+                                        tu4=self.p.nxn_intra and
+                                        self.p.tu_intra_depth >= 2)
         self.frame_count = 0          # display index, global
         self._disp_since_idr = 0
         self._queue: List[tuple] = []  # (padded planes, poc)
@@ -819,7 +821,7 @@ class Encoder:
         disp = self._idr_base + poc
         trace.instant("picture", poc=poc, type=ftype, qp=qp)
         rec_a = self._ana_load.get(disp, ftype) if self._ana_load else None
-        split_map = modes8 = split32 = mode32 = None
+        split_map = modes8 = split32 = mode32 = tu4_map = None
         if ftype == "I":
             if rec_a is not None:
                 modes = rec_a["modes"]
@@ -832,9 +834,15 @@ class Encoder:
                 modes, split_map, modes8, split32, mode32 = \
                     decide_modes_tree(y, self.sps, qp, nxn=p.nxn_intra)
             elif p.nxn_intra:
-                from ..analysis.intra_mode import decide_modes_split
+                from ..analysis.intra_mode import (decide_modes_split,
+                                                   decide_tu4_split)
                 modes, split_map, modes8 = decide_modes_split(
                     y, self.sps, qp, block=16)
+                if p.tu_intra_depth >= 2 and np.any(split_map):
+                    tu4_map = decide_tu4_split(y, self.sps, qp, modes8,
+                                               split_map)
+                    if not tu4_map.any():
+                        tu4_map = None
             else:
                 modes = decide_modes_rd(y, self.sps, qp, block=16)
             if split32 is not None:
@@ -844,7 +852,7 @@ class Encoder:
             else:
                 recon_fn = lambda qpm: recon.run(
                     y, u, v, modes, qp=qpm, split_map=split_map,
-                    modes8=modes8)
+                    modes8=modes8, tu4_map=tu4_map)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -958,7 +966,7 @@ class Encoder:
                                           keep_pocs, qpm, wp_l0,
                                           split_map, modes8,
                                           split32, mode32, rect_info,
-                                          wp_chroma, wp_b_l1)
+                                          wp_chroma, wp_b_l1, tu4_map)
             return r, sao_maps, rbsp
 
         r, sao_maps, slice_rbsp = run_pipeline(qp_map)
@@ -1270,7 +1278,7 @@ class Encoder:
                       wp_l0=None, split_map=None, modes8=None,
                       split32=None, mode32=None,
                       rect_info=None, wp_chroma=None,
-                      wp_b_l1=None) -> bytes:
+                      wp_b_l1=None, tu4_map=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -1349,14 +1357,26 @@ class Encoder:
                     cu.inter_dir_b = d
             elif split_map is not None and split_map[by, bx]:
                 # NxN intra: 4 PUs + forced TU8 split; the luma
-                # level store holds the 4 TU8s as quadrants
+                # level store holds the 4 TU8s as quadrants (or, with
+                # a voluntary TU4 split, four 4x4 DST TBs as
+                # sub-quadrants)
                 cu = CodedCU(x0, y0, 4,
                              tuple(int(m) for m in modes8[by, bx]), 4)
+                if tu4_map is not None:
+                    cu.tu_split8 = tuple(bool(t)
+                                         for t in tu4_map[by, bx])
                 lvq = r["lev_y"][by, bx]
                 for k, (dx8, dy8) in enumerate(
                         ((0, 0), (8, 0), (0, 8), (8, 8))):
                     sub = lvq[dy8:dy8 + 8, dx8:dx8 + 8]
-                    if np.any(sub):
+                    if cu.tu_split8 is not None and cu.tu_split8[k]:
+                        for (dx4, dy4) in ((0, 0), (4, 0), (0, 4),
+                                           (4, 4)):
+                            s4 = sub[dy4:dy4 + 4, dx4:dx4 + 4]
+                            if np.any(s4):
+                                cu.coeffs[(0, x0 + dx8 + dx4,
+                                           y0 + dy8 + dy4, 2)] = s4
+                    elif np.any(sub):
                         cu.coeffs[(0, x0 + dx8, y0 + dy8, 3)] = sub
                 for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
                     lvc = r[key][by, bx]

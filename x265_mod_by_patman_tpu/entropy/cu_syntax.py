@@ -48,6 +48,7 @@ class CodedCU:
     is_inter: bool = False
     tq_bypass: bool = False              # cu_transquant_bypass_flag
     tu_split: bool = False               # voluntary depth-0 TU split
+    tu_split8: Tuple = None              # NxN: per-quad TU4(DST) split
     tu_leaves: list = field(default_factory=list)  # decoder: (x, y, log2)
     mv: Tuple[int, int] = (0, 0)         # qpel, list 0 (PU 0)
     ref_idx: int = 0
@@ -582,7 +583,10 @@ class SliceSyntaxEncoder:
                           not (intra_split and trafo_depth == 0))
         split = (log2 > sps.log2_max_tu_size or
                  (intra_split and trafo_depth == 0) or
-                 (cu.tu_split and trafo_depth == 0 and can_code_split))
+                 (cu.tu_split and trafo_depth == 0 and can_code_split) or
+                 (cu.tu_split8 is not None and intra_split and
+                  trafo_depth == 1 and can_code_split and
+                  bool(cu.tu_split8[blk_idx])))
         if can_code_split:
             ir.cbin(1 if split else 0,
                     OFF["TRANS_SUBDIV"] + 5 - log2)

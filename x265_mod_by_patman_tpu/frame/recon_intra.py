@@ -39,7 +39,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   skip_in=None, rdoq: bool = False, qmats=None,
                   dmats=None, split_map=None, modes8=None, av8=None,
                   m8=(None, None), lossless: bool = False,
-                  init_type=None, psy256=None, psy_rdoq=None):
+                  init_type=None, psy256=None, psy_rdoq=None,
+                  tu4_map=None, av4y=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -199,8 +200,65 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             rec8 = jnp.clip(pred8 + idct_batch(deq8, l2s, bit_depth),
                             0, maxval)
             keep = plane8[jnp.clip(gy8, 0, hp - 1), gx8]
-            plane8 = plane8.at[jnp.clip(gy8, 0, hp - 1), gx8].set(
-                jnp.where(split[:, None, None], rec8, keep))
+            if c_idx == 0 and tu4_map is not None:
+                # voluntary TU4(DST) split of this 8x8 luma TU (spec
+                # 7.3.8.8 split_transform_flag at trafoDepth 1 under
+                # PART_NxN; reference codeIntraLumaQT recursion,
+                # search.cpp:646): the four 4x4 TBs re-predict from
+                # recon neighbors sequentially, with the DST transform
+                t4 = tu4_map[jnp.clip(by, 0, levels.shape[0] - 2),
+                             jnp.clip(bx, 0, levels.shape[1] - 1),
+                             k] & split
+                plane8 = plane8.at[jnp.clip(gy8, 0, hp - 1), gx8].set(
+                    jnp.where((split & ~t4)[:, None, None], rec8, keep))
+                lev4 = jnp.zeros_like(lv8)
+                ks4 = np.arange(17)
+                k4x = np.where(ks4 <= 8, -1, ks4 - 9)
+                k4y = np.where(ks4 < 8, 7 - ks4, -1)
+                for j, (dxq, dyq) in enumerate(((0, 0), (1, 0),
+                                                (0, 1), (1, 1))):
+                    x4 = x8 + dxq * 4
+                    y4 = y8 + dyq * 4
+                    xs4 = jnp.clip(x4[:, None] +
+                                   jnp.asarray(k4x)[None, :], 0, wp - 1)
+                    ys4 = jnp.clip(y4[:, None] +
+                                   jnp.asarray(k4y)[None, :], 0, hp - 1)
+                    ss4, sf4 = substitute_filter_batch(
+                        plane8[ys4, xs4], av4y[:, k, j], 2, bit_depth)
+                    pred4 = intra_pred_select_batch(ss4, sf4, md8, 2,
+                                                    0, bit_depth)
+                    gy4 = y4[:, None, None] + jnp.arange(4)[None, :,
+                                                            None]
+                    gx4 = x4[:, None, None] + jnp.arange(4)[None, None,
+                                                            :]
+                    org4 = orig[jnp.clip(gy4, 0, orig.shape[0] - 1),
+                                jnp.clip(gx4, 0, orig.shape[1] - 1)] \
+                        .astype(jnp.int32)
+                    coef4 = dct_batch(org4 - pred4, 2, bit_depth,
+                                      dst=True)
+                    lv4 = rdoq_levels(coef4, ones, qp, 2, bit_depth, 0,
+                                      init_type, psy_rdoq=psy_rdoq) \
+                        if rdoq \
+                        else quant_dyn(coef4, ones, qp, 2, bit_depth,
+                                       None)
+                    if sign_hide:
+                        lv4 = sbh_adjust(lv4, coef4, ones, qp, 2,
+                                         bit_depth)
+                    deq4 = dequant_dyn(lv4, qp, 2, bit_depth, None,
+                                       ones)
+                    rec4 = jnp.clip(
+                        pred4 + idct_batch(deq4, 2, bit_depth,
+                                           dst=True), 0, maxval)
+                    keep4 = plane8[jnp.clip(gy4, 0, hp - 1), gx4]
+                    plane8 = plane8.at[
+                        jnp.clip(gy4, 0, hp - 1), gx4].set(
+                        jnp.where(t4[:, None, None], rec4, keep4))
+                    lev4 = lev4.at[:, dyq * 4:dyq * 4 + 4,
+                                   dxq * 4:dxq * 4 + 4].set(lv4)
+                lv8 = jnp.where(t4[:, None, None], lev4, lv8)
+            else:
+                plane8 = plane8.at[jnp.clip(gy8, 0, hp - 1), gx8].set(
+                    jnp.where(split[:, None, None], rec8, keep))
             lev8 = lev8.at[:, dys * ns:dys * ns + ns,
                            dxs * ns:dxs * ns + ns].set(lv8)
         rec_split = plane8[jnp.clip(gy, 0, hp - 1), gx]
@@ -393,7 +451,8 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     sign_hide: bool = False, rdoq: bool = False,
                     mats=None, split_map=None, modes8=None, sb_av8=None,
                     sb_av4c=None, lossless: bool = False,
-                    init_type=None, psy256=None, psy_rdoq=None):
+                    init_type=None, psy256=None, psy_rdoq=None,
+                    tu4_map=None, sb_av4y=None):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -432,7 +491,9 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             split_map, modes8,
             sb_av8[s] if sb_av8 is not None else None,
             (mats[2] if mats else None, mats[3] if mats else None),
-            lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq)
+            lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
+            tu4_map=tu4_map,
+            av4y=sb_av4y[s] if sb_av4y is not None else None)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         m4 = (None, None)                    # 4x4 lists are flat
@@ -502,7 +563,8 @@ class IntraReconstructor:
                  rdoq: bool = False, slice_tops: tuple = (),
                  nxn: bool = False, lossless: bool = False,
                  tree: bool = False, psy_rd: float = 0.0,
-                 psy_rdoq: float = 0.0) -> None:
+                 psy_rdoq: float = 0.0, tu4: bool = False) -> None:
+        self.tu4 = bool(tu4)
         self.sps = sps
         self.cb_qp_offset = cb_qp_offset
         self.cr_qp_offset = cr_qp_offset
@@ -690,15 +752,19 @@ class IntraReconstructor:
                                     self.slice_tops)
         avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, 1,
                                     self.slice_tops)
-        av8_full = av4c_full = None
+        av8_full = av4c_full = av4y_full = None
         if self.nxn:
             av8_full = frame_avail_masks(w, h, 8, self.log2_ctu, 0,
                                          self.slice_tops)
             av4c_full = frame_avail_masks(w, h, 4, self.log2_ctu, 1,
                                           self.slice_tops)
+            if self.tu4:
+                av4y_full = frame_avail_masks(w, h, 4, self.log2_ctu,
+                                              0, self.slice_tops)
         waves = ctu_wavefront_order(self.n_ctu_x, self.n_ctu_y)
         B = max(len(wv[0]) for wv in waves)
         bxs, bys, avys, avcs, av8s, av4cs = [], [], [], [], [], []
+        av4ys = []
         for (cxs, cys) in waves:
             nb = len(cxs)
             for z in range(self.bpc * self.bpc):
@@ -730,6 +796,8 @@ class IntraReconstructor:
                     if av8_full is not None:
                         a8 = np.zeros((len(bxp), 4, 33), bool)
                         a4 = np.zeros((len(bxp), 4, 17), bool)
+                        a4y = np.zeros((len(bxp), 4, 4, 17), bool) \
+                            if av4y_full is not None else None
                         for k, (dx8, dy8) in enumerate(
                                 ((0, 0), (1, 0), (0, 1), (1, 1))):
                             a8[:, k] = av8_full[
@@ -740,8 +808,20 @@ class IntraReconstructor:
                                 np.where(valid, 2 * byp + dy8, 0),
                                 np.where(valid, 2 * bxp + dx8, 0)] \
                                 & valid[:, None]
+                            if a4y is not None:
+                                for j, (dxq, dyq) in enumerate(
+                                        ((0, 0), (1, 0), (0, 1),
+                                         (1, 1))):
+                                    a4y[:, k, j] = av4y_full[
+                                        np.where(valid, 4 * byp +
+                                                 2 * dy8 + dyq, 0),
+                                        np.where(valid, 4 * bxp +
+                                                 2 * dx8 + dxq, 0)] \
+                                        & valid[:, None]
                         av8s.append(a8)
                         av4cs.append(a4)
+                        if a4y is not None:
+                            av4ys.append(a4y)
         self.sb_bx = jnp.asarray(np.stack(bxs))
         self.sb_by = jnp.asarray(np.stack(bys))
         self.sb_avy = jnp.asarray(np.stack(avys))
@@ -750,6 +830,7 @@ class IntraReconstructor:
             else None
         self.sb_av4c = jnp.asarray(np.stack(av4cs)) \
             if av8_full is not None else None
+        self.sb_av4y = jnp.asarray(np.stack(av4ys)) if av4ys else None
 
     def _qp_maps(self, qp):
         """(luma, cb, cr) per-CTU QP maps from a scalar or a
@@ -812,7 +893,7 @@ class IntraReconstructor:
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
             modes: np.ndarray, mc_pred=None, inter_mask=None,
             qp=32, materialize: bool = True, split_map=None,
-            modes8=None, init_type: int = 2):
+            modes8=None, init_type: int = 2, tu4_map=None):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
@@ -845,10 +926,12 @@ class IntraReconstructor:
             mc_y, mc_u, mc_v = (padb(jnp.asarray(a)) for a in mc_pred)
             imask = padb(jnp.asarray(inter_mask))
 
-        sm = m8j = None
+        sm = m8j = t4j = None
         if split_map is not None:
             sm = padb(jnp.asarray(np.asarray(split_map, bool)))
             m8j = jnp.asarray(np.asarray(modes8, np.int32))
+            if tu4_map is not None and self.tu4:
+                t4j = jnp.asarray(np.asarray(tu4_map, bool))
         yp, up, vp, lev_y, lev_u, lev_v = _wavefront_run(
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
@@ -858,7 +941,8 @@ class IntraReconstructor:
             self.sb_av8 if split_map is not None else None,
             self.sb_av4c if split_map is not None else None,
             self.lossless, jnp.int32(init_type), self.psy256,
-            self.psy_rdoq)
+            self.psy_rdoq, t4j,
+            self.sb_av4y if t4j is not None else None)
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller

@@ -229,3 +229,24 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
 
     lv = jnp.clip(lv, 0, 32767).astype(jnp.int32)
     return jnp.sign(c) * lv
+
+
+def tu_rd_levels(coef: jnp.ndarray, qp, log2_size: int,
+                 bit_depth: int = 8, k: float = 0.134) -> jnp.ndarray:
+    """Level-units RD estimate of coding a TU's coefficients:
+    sum((cs - round(cs))^2 + K * bits(level)) per block (B,).  Used by
+    TU-split decisions (estimateResidualQT / codeIntraLumaQT cost
+    compare, reference search.cpp:5437/646) — same working domain as
+    rdoq_levels above."""
+    qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        qp = jnp.broadcast_to(qp, coef.shape[:1])
+    per, rem6 = qp // 6, qp % 6
+    tshift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
+    qbits = (QUANT_SHIFT + per + tshift)[:, None, None]
+    scale = jnp.asarray(QUANT_SCALES)[rem6][:, None, None]
+    cs = jnp.abs(coef).astype(jnp.float32) * scale.astype(jnp.float32) \
+        / jnp.exp2(qbits.astype(jnp.float32))
+    lv = jnp.round(cs)
+    rd = (cs - lv) ** 2 + k * _level_bits(lv)
+    return jnp.sum(rd, axis=(-2, -1))
