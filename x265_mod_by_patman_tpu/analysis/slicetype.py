@@ -117,6 +117,7 @@ class SlicetypeLookahead:
         self._low: Dict[int, jnp.ndarray] = {}
         self._intra: Dict[int, np.ndarray] = {}
         self._cost: Dict[Tuple[int, int, int], float] = {}
+        self._dc: Dict[int, float] = {}
 
     def push(self, disp: int, y_padded: np.ndarray) -> None:
         low = jnp.asarray(lowres_plane(y_padded))
@@ -124,11 +125,32 @@ class SlicetypeLookahead:
         self._intra[disp] = np.asarray(
             _intra_frame_cost(low, self.nby, self.nbx, self._avail),
             dtype=np.int32)
+        self._dc[disp] = float(jnp.mean(low))
+
+    def fade_state(self, disp: int) -> int:
+        """+1 fade-in / -1 fade-out / 0 none, from the lowres luma DC
+        trend over the trailing 4 frames (reference x265 --fades
+        detection, slicetype.cpp:917 lowres DC walk): a sustained
+        monotonic brightness ramp is a fade, not a scene change, so
+        scenecut must hold fire until the ramp ends (and weightP picks
+        up the luminance shift)."""
+        ds = [d for d in (disp - 3, disp - 2, disp - 1, disp)
+              if d in self._dc]
+        if len(ds) < 3:
+            return 0
+        means = [self._dc[d] for d in ds]
+        deltas = [b - a for a, b in zip(means, means[1:])]
+        if all(d > 0.7 for d in deltas) and means[-1] - means[0] > 3.5:
+            return 1
+        if all(d < -0.7 for d in deltas) and means[0] - means[-1] > 3.5:
+            return -1
+        return 0
 
     def drop_before(self, disp: int) -> None:
         for d in [d for d in self._low if d < disp]:
             del self._low[d]
             del self._intra[d]
+            self._dc.pop(d, None)
         self._cost = {k: v for k, v in self._cost.items()
                       if min(k) >= disp}
 

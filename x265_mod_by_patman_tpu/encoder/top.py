@@ -88,14 +88,26 @@ class Encoder:
         # under CQP (param.cpp x265_check_params analog)
         self._cutree = None
         self._la_buf: deque = deque()
-        if (self.p.cu_tree and self.p.rc_mode != "cqp"
+        self._ctshare_w = self._ctshare_r = None
+        if getattr(self.p, "cutree_share_read", ""):
+            # consume the master rung's published offsets instead of
+            # running our own lookahead (ratecontrol.cpp:380 analog)
+            from ..analysis.cutree_share import CuTreeShareReader
+            self._ctshare_r = CuTreeShareReader(self.p.cutree_share_read)
+        elif (self.p.cu_tree and self.p.rc_mode != "cqp"
                 and self.p.keyframe_max > 1 and self.p.rc_lookahead > 0):
             self._cutree = CuTreeLookahead(
                 self.p.pic_width_in_ctus * self.p.ctu_size,
                 self.p.pic_height_in_ctus * self.p.ctu_size,
                 self.p.ctu_size, self.p.qcomp)
+            if getattr(self.p, "cutree_share_write", ""):
+                from ..analysis.cutree_share import CuTreeShareWriter
+                self._ctshare_w = CuTreeShareWriter(
+                    self.p.cutree_share_write,
+                    self.p.pic_height_in_ctus, self.p.pic_width_in_ctus)
         self.pps.cu_qp_delta_enabled = (self.p.aq_mode > 0
-                                        or self._cutree is not None)
+                                        or self._cutree is not None
+                                        or self._ctshare_r is not None)
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = bool(self.p.sao)
         self.sps.temporal_mvp = bool(self.p.temporal_mvp) and \
@@ -365,6 +377,19 @@ class Encoder:
         return self._post_filter_frame(*center)
 
     def _post_filter_frame(self, y, u, v) -> List[EncodedFrame]:
+        if self._ctshare_r is not None:
+            # slave rung: mirror the master's lookahead delay so its
+            # published record for this display index exists by the
+            # time we ingest (the ladder drives rungs master-first)
+            self._la_buf.append((y, u, v))
+            out: List[EncodedFrame] = []
+            while len(self._la_buf) > self.p.rc_lookahead:
+                fy, fu, fv = self._la_buf.popleft()
+                off = self._ctshare_r.get(self.frame_count,
+                                          self.p.pic_height_in_ctus,
+                                          self.p.pic_width_in_ctus)
+                out.extend(self._ingest(fy, fu, fv, off))
+            return out
         if self._cutree is None:
             return self._ingest(y, u, v)
         self._la_buf.append((y, u, v))
@@ -372,8 +397,15 @@ class Encoder:
         out: List[EncodedFrame] = []
         while len(self._la_buf) > self.p.rc_lookahead:
             fy, fu, fv = self._la_buf.popleft()
-            out.extend(self._ingest(fy, fu, fv, self._cutree.pop()))
+            out.extend(self._ingest(fy, fu, fv, self._cutree_pop()))
         return out
+
+    def _cutree_pop(self):
+        off = self._cutree.pop()
+        if self._ctshare_w is not None:
+            # keyed by the display index the popped frame will take
+            self._ctshare_w.publish(self.frame_count, off)
+        return off
 
     def _ingest(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                 qp_off=None) -> List[EncodedFrame]:
@@ -417,6 +449,13 @@ class Encoder:
                     self.frame_count, self.frame_count - 1,
                     self._disp_since_idr, self._keyint_min,
                     p.keyframe_max)
+                if force_idr and p.fades and \
+                        st.fade_state(self.frame_count) != 0:
+                    # mid-fade brightness ramps read as scene changes
+                    # to the cost-ratio test; hold the cut until the
+                    # ramp ends (x265 --fades; weightP carries the
+                    # luminance shift instead)
+                    force_idr = False
             elif self._cplx_avg > 0 and cplx > 4.0 * self._cplx_avg \
                     and cplx > 0.1 * self.sps.width * self.sps.height:
                 force_idr = True
@@ -479,7 +518,14 @@ class Encoder:
         if self._cutree is not None:
             while self._la_buf:
                 fy, fu, fv = self._la_buf.popleft()
-                out.extend(self._ingest(fy, fu, fv, self._cutree.pop()))
+                out.extend(self._ingest(fy, fu, fv, self._cutree_pop()))
+        elif self._ctshare_r is not None:
+            while self._la_buf:
+                fy, fu, fv = self._la_buf.popleft()
+                off = self._ctshare_r.get(self.frame_count,
+                                          self.p.pic_height_in_ctus,
+                                          self.p.pic_width_in_ctus)
+                out.extend(self._ingest(fy, fu, fv, off))
         while self._queue:
             out.extend(self._emit_minigop(self._next_gop_len()))
         return out
@@ -799,7 +845,11 @@ class Encoder:
         rc_type = ftype
         if ftype == "B" and b_refs is not None and not b_refs[3]:
             rc_type = "b"                 # non-referenced B
-        qp = self.rc.frame_qp(rc_type, complexity)
+        # VBV lookahead: complexities of the frames already queued
+        # behind this one (mini-GOP queue + lookahead buffer)
+        upcoming = [q[2] for q in self._queue][:16] \
+            if self.rc.vbv_buffer > 0 else None
+        qp = self.rc.frame_qp(rc_type, complexity, upcoming)
         qp = self._zone_qp(self._idr_base + poc, qp)
         self._slice_qp_for_derivation = qp
         qp_map = self._aq_map(y, qp)          # scalar when AQ off

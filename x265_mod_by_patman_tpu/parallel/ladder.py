@@ -48,15 +48,28 @@ class AbrLadder:
     decode-order EncodedFrames."""
 
     def __init__(self, rungs: Sequence[Rung],
-                 base: Optional[EncoderParams] = None, **kw) -> None:
+                 base: Optional[EncoderParams] = None,
+                 share_cutree: bool = False, **kw) -> None:
+        """share_cutree: rung 0 (drive it at the top quality/resolution)
+        computes the lookahead once and publishes its cuTree offsets
+        over a RingMem shm ring; the other rungs consume them instead
+        of running their own lowres lookahead (the reference ABR-ladder
+        cuTree share, ratecontrol.cpp:380)."""
+        import os
         self.rungs = list(rungs)
         self.encoders: List[Encoder] = []
-        for r in self.rungs:
+        ring = f"x265tpu_ct_{os.getpid()}" if share_cutree else ""
+        for i, r in enumerate(self.rungs):
             p = default_params(r.width, r.height, qp=r.qp,
                                rc_mode=r.rc_mode,
                                bitrate_kbps=r.bitrate_kbps, **kw)
             if base is not None:
                 p.fps_num, p.fps_denom = base.fps_num, base.fps_denom
+            if ring:
+                if i == 0:
+                    p.cutree_share_write = ring
+                else:
+                    p.cutree_share_read = ring
             self.encoders.append(Encoder(p))
 
     def encode_frame(self, y, u, v) -> List[List[EncodedFrame]]:

@@ -80,6 +80,9 @@ class EncoderParams:
 
     analysis_save: str = ""
     analysis_load: str = ""
+    # cross-process cuTree share (ABR ladder; ratecontrol.cpp:380 RingMem)
+    cutree_share_write: str = ""    # shm ring name to publish offsets to
+    cutree_share_read: str = ""     # shm ring name to consume offsets from
 
     # VUI
     sar: str = ""                   # "num:den" or "num/den"
@@ -132,6 +135,7 @@ class EncoderParams:
     wpp: bool = True
     repeat_headers: bool = False
     decoded_picture_hash: int = 1   # 0 none, 1 md5 (SEI)
+    fades: bool = False             # x265 --fades: fade-aware scenecut
     scenecut: bool = True           # lookahead cost-ratio IDR promotion
     scenecut_threshold: int = 40    # x265 --scenecut (cost-ratio %)
     scenecut_bias: float = 5.0      # x265 --scenecut-bias (%)

@@ -183,7 +183,33 @@ class RateControl:
         self._plan_scale = num / max(target_total, 1.0)
 
     # -- per-frame decision ----------------------------------------------------
-    def frame_qp(self, ftype: str, complexity: float) -> int:
+    def _vbv_lookahead_clip(self, qs: float, cplx_pow: float,
+                            upcoming) -> float:
+        """VBV lookahead (reference ratecontrol.cpp:2739): project the
+        CPB over this frame plus the lookahead window's frames at the
+        candidate qscale; raise qscale until no projected underflow
+        (keeping >= 0.3 buffer of headroom).  upcoming: raw complexity
+        estimates of the queued future frames."""
+        if self.vbv_buffer <= 0 or not upcoming:
+            return qs
+        pows = [cplx_pow] + [max(c, 1.0) ** (1.0 - QCOMPRESS)
+                             for c in upcoming]
+        for _ in range(10):
+            fill = self.vbv_fullness
+            ok = True
+            for cp in pows:
+                fill += self.vbv_rate - self._predict_bits(qs, cp)
+                if fill < 0.3 * self.vbv_buffer:
+                    ok = False
+                    break
+                fill = min(fill, self.vbv_buffer)
+            if ok:
+                break
+            qs *= 1.1
+        return qs
+
+    def frame_qp(self, ftype: str, complexity: float,
+                 upcoming=None) -> int:
         if self.mode == "cqp":
             q = self.base_qp + TYPE_OFFSET[ftype]
             return int(min(max(round(q), self.qp_min), self.qp_max))
@@ -198,6 +224,7 @@ class RateControl:
                 err = self._plan_actual / self._plan_spent
                 qs *= min(max(err, 0.7), 1.4)
             qs = self._clip_qscale_vbv(qs, cpow)
+            qs = self._vbv_lookahead_clip(qs, cpow, upcoming)
             qp = qscale_to_qp(qs) + TYPE_OFFSET.get(st.ftype, 0.0)
             qp = min(max(qp, self.qp_min), self.qp_max)
             return int(round(qp))
@@ -217,6 +244,7 @@ class RateControl:
                     / buffer_bits
                 qs *= min(max(overflow, 0.5), 2.0)
         qs = self._clip_qscale_vbv(qs, cplx)
+        qs = self._vbv_lookahead_clip(qs, cplx, upcoming)
         # frame-type modulation + swing clamp (free swing while the bits
         # model is still cold)
         qp = qscale_to_qp(qs) + TYPE_OFFSET[ftype]
