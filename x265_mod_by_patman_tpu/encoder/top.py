@@ -76,7 +76,7 @@ class Encoder:
     def __init__(self, params: EncoderParams) -> None:
         self.p = params.validate()
         assert self.p.internal_csp == 1, "v1: 4:2:0 only"
-        assert self.p.internal_bit_depth in (8, 10), "8/10-bit"
+        assert self.p.internal_bit_depth in (8, 10, 12), "8/10/12-bit"
         self.pix_dtype = np.uint8 if self.p.internal_bit_depth == 8 \
             else np.uint16
         self.sps = build_sps_info(self.p)
