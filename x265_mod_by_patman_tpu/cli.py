@@ -90,6 +90,12 @@ def main(argv=None) -> int:
     ap.add_argument("--csv-log-level", type=int, default=1,
                     help="1 = summary columns, 2 = + CU/MV/VBV frame "
                          "stats (x265 --csv-log-level analog)")
+    ap.add_argument("--recon-play", default=None, metavar="CMD",
+                    help="pipe display-order recon as y4m into this "
+                         "player command (reference reconplay)")
+    ap.add_argument("--vmaf", action="store_true",
+                    help="compute VMAF of recon vs source (needs a "
+                         "vmaf binary on PATH)")
     ap.add_argument("params", nargs="*", help="extra key=value options")
     args = ap.parse_args(argv)
 
@@ -115,8 +121,24 @@ def main(argv=None) -> int:
         p.parse(k, v or "1")
 
     enc = Encoder(p)
-    out = open(args.output, "wb")
+    gop_out = None
+    out = None
+    if args.output.endswith(".gop"):
+        # gop+ chunked output (reference output/gop.h): segment files
+        # per IDR + index; headers go to their own side file
+        from .io.gop_output import GOPOutput
+        gop_out = GOPOutput(args.output, p)
+        gop_out.write_headers(enc.headers())
+        enc._headers_sent = True
+    else:
+        out = open(args.output, "wb")
     recon_w = Y4MWriter(args.recon, info) if args.recon else None
+    rplay = None
+    if args.recon_play:
+        from .io.reconplay import ReconPlay
+        rplay = ReconPlay(args.recon_play, info.width, info.height,
+                          info.fps_num, info.fps_denom,
+                          p.internal_bit_depth)
     csv = open(args.csv, "w") if args.csv else None
     _STATS2 = ("cu_intra_pct", "cu_inter_pct", "cu_skip_pct",
                "cu_rect_pct", "cu_amp_pct", "avg_mv", "max_mv",
@@ -131,7 +153,8 @@ def main(argv=None) -> int:
     t0 = time.time()
     done = 0
     out_bytes = 0
-    want_metrics = args.psnr or args.ssim or csv
+    want_metrics = args.psnr or args.ssim or csv or args.vmaf
+    vmaf_pairs = {} if args.vmaf else None     # disp -> (src, rec)
     srcs = {}                      # disp idx -> (y, u, v) until encoded
     mses = [0.0, 0.0, 0.0]
     npix = [0, 0, 0]
@@ -147,8 +170,17 @@ def main(argv=None) -> int:
     def emit(frames):
         nonlocal done, out_bytes, ssim_sum, qp_sum
         for f in frames:
-            out.write(f.bitstream)
+            if gop_out is not None:
+                gop_out.write_frame(f.bitstream,
+                                    f.slice_type == "I",
+                                    pts=f.disp, dts=done)
+            else:
+                out.write(f.bitstream)
             out_bytes += len(f.bitstream)
+            if rplay is not None:
+                rplay.write_picture(f.disp, f.recon)
+            if vmaf_pairs is not None and f.disp in srcs:
+                vmaf_pairs[f.disp] = (srcs[f.disp], f.recon)
             if recon_w:
                 # recon file is display-ordered (reference x265 --recon)
                 recon_buf[f.disp] = f.recon
@@ -215,8 +247,21 @@ def main(argv=None) -> int:
         ms = ssim_sum / done
         db = -10.0 * math.log10(max(1.0 - ms, 1e-10))
         line += f", SSIM Mean Y: {ms:.7f} ({db:.3f} dB)"
+    if vmaf_pairs:
+        from .utils.vmaf import compute_vmaf
+        pairs = [vmaf_pairs[d] for d in sorted(vmaf_pairs)]
+        score = compute_vmaf([s for s, _ in pairs],
+                             [r for _, r in pairs],
+                             info.width, info.height,
+                             p.internal_bit_depth)
+        line += f", VMAF: {score:.4f}"
     sys.stderr.write(line + "\n")
-    out.close()
+    if gop_out is not None:
+        gop_out.close()
+    else:
+        out.close()
+    if rplay is not None:
+        rplay.close()
     src.close()
     if recon_w:
         recon_w.close()

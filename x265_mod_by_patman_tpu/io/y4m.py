@@ -141,5 +141,11 @@ def open_input(path: str, width: int = 0, height: int = 0,
                fps: Tuple[int, int] = (25, 1)):
     if path.endswith(".y4m"):
         return Y4MReader(path)
+    if path.endswith(".vpy"):
+        from .script_input import VPYReader
+        return VPYReader(path)
+    if path.endswith(".avs"):
+        from .script_input import AVSReader
+        return AVSReader(path)
     assert width and height, "--input-res required for raw yuv"
     return YUVReader(path, width, height, fps)
