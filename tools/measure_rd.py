@@ -97,7 +97,11 @@ def encode_ours(frames, w, h, fps, q, args_str):
     dt = time.time() - t0
     recs.sort(key=lambda t: t[0])
     kbps = nbits * fps / len(frames) / 1000.0
-    return kbps, [r[1] for r in recs], dt
+    # crop the padded coded geometry back to source dims (the
+    # conformance window the decoder would apply)
+    out = [(r[1][0][:h, :w], r[1][1][:h // 2, :w // 2],
+            r[1][2][:h // 2, :w // 2]) for r in recs]
+    return kbps, out, dt
 
 
 def encode_x265(clip, frames_n, w, h, fps, q, binary, extra):
