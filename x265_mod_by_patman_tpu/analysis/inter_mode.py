@@ -113,11 +113,12 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     # where rect rarely helps; keeps the weighted 14-bit path simple)
     rect_eff = rect and not any(wpat) and block == 16
     amp_eff = amp and rect_eff
+    cshift = 1 if getattr(sps, "chroma_format_idc", 1) == 1 else 0
     out = _p_core(oy, rys, rus, rvs, wq, wo,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), wpat, search_range, block, bd,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
-                  amp_eff, wc=wc, cpat=cpat)
+                  amp_eff, wc=wc, cpat=cpat, cshift=cshift)
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -128,11 +129,12 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
 @functools.partial(
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
                               "log2_ctu", "use_pallas", "subme", "rect",
-                              "amp", "band", "cpat"))
+                              "amp", "band", "cpat", "cshift"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
             use_pallas: bool, subme: int = 2, rect: bool = False,
-            amp: bool = False, band=None, wc=None, cpat=None):
+            amp: bool = False, band=None, wc=None, cpat=None,
+            cshift: int = 1):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -447,7 +449,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     # 5. MC predictions of the chosen (ref, mv) per block; weighted refs
     # take the exact 14-bit path for luma (chroma stays unweighted)
     from ..ops.interp import mc_batch_14, wp_apply_batch
-    nc = n // 2
+    nc = n >> cshift
     if rect:
         # per-sub-block final MVs: PU1 covers the bottom row (2NxN) or
         # the right column (Nx2N) of the 2x2 sub-block grid
@@ -473,8 +475,12 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     for pi in range(3):
         c_idx = 0 if pi == 0 else pi
         sz = n if pi == 0 else nc
-        bx_ = bx if pi == 0 else bx // 2
-        by_ = by if pi == 0 else by // 2
+        bx_ = bx if pi == 0 else bx >> cshift
+        by_ = by if pi == 0 else by >> cshift
+        # 4:4:4 chroma: quarter-pel MVs on the full grid -> double into
+        # the chroma MC path's eighth-pel convention
+        mvs_x = mvx if (pi == 0 or cshift) else mvx * 2
+        mvs_y = mvy if (pi == 0 or cshift) else mvy * 2
         preds = []
         for ridx in range(nref):
             rp = refs[ridx][pi]
@@ -486,13 +492,13 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             elif pi != 0 and cpat is not None and cpat[ridx]:
                 # chroma explicit weights (spec 8.5.4.3.2 chroma arm;
                 # wc row = [w_cb, o_cb, w_cr, o_cr])
-                p14 = mc_batch_14(rp, bx_, by_, mvx, mvy, sz, c_idx,
+                p14 = mc_batch_14(rp, bx_, by_, mvs_x, mvs_y, sz, c_idx,
                                   bd, use_pallas=False)
                 preds.append(wp_apply_batch(
                     p14, wc[ridx, 2 * (pi - 1)],
                     wc[ridx, 2 * (pi - 1) + 1], 6, bd))
             else:
-                preds.append(mc_batch(rp, bx_, by_, mvx, mvy, sz,
+                preds.append(mc_batch(rp, bx_, by_, mvs_x, mvs_y, sz,
                                       c_idx, bd, use_pallas=use_pallas))
         sel = preds[0]
         for ridx in range(1, nref):
@@ -607,7 +613,8 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.asarray(np.asarray(ref1[2], np.int32)),
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), search_range, block, bd,
-                  _on_tpu(oy), subme, wb, wv)
+                  _on_tpu(oy), subme, wb, wv,
+                  1 if getattr(sps, "chroma_format_idc", 1) == 1 else 0)
     modes, inter, dirs, mv0, mv1, mcy, mcu, mcv = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
             np.asarray(mv0), np.asarray(mv1),
@@ -616,10 +623,11 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
 
 @functools.partial(
     jax.jit, static_argnames=("search_range", "block", "bd",
-                              "use_pallas", "subme", "wb"))
+                              "use_pallas", "subme", "wb", "cshift"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             search_range: int, block: int, bd: int, use_pallas: bool,
-            subme: int = 2, wb=(False, False), wv=None):
+            subme: int = 2, wb=(False, False), wv=None,
+            cshift: int = 1):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -767,27 +775,28 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
     dirs = jnp.where(use_inter, dirs, 0)
 
     # MC predictions of the chosen mode per block
-    nc = n // 2
+    nc = n >> cshift
     is_bi = (dirs == 3)
     use_l0 = (dirs == 1) | is_bi
     mc = []
     for (r0p, r1p, c_idx, sz, bx_, by_) in (
             (r0y, r1y, 0, n, bx, by),
-            (ru0, ru1, 1, nc, bx // 2, by // 2),
-            (rv0, rv1, 2, nc, bx // 2, by // 2)):
-        b0 = mc_batch_14(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd,
-                         use_pallas=use_pallas)
-        b1 = mc_batch_14(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd,
-                         use_pallas=use_pallas)
+            (ru0, ru1, 1, nc, bx >> cshift, by >> cshift),
+            (rv0, rv1, 2, nc, bx >> cshift, by >> cshift)):
+        mvsc = 2 if (c_idx and not cshift) else 1   # 4:4:4 chroma MVs
+        b0 = mc_batch_14(r0p, bx_, by_, mv0x * mvsc, mv0y * mvsc, sz,
+                         c_idx, bd, use_pallas=use_pallas)
+        b1 = mc_batch_14(r1p, bx_, by_, mv1x * mvsc, mv1y * mvsc, sz,
+                         c_idx, bd, use_pallas=use_pallas)
         if c_idx == 0 and use_w:
             # weightB is luma-only (chroma flags stay 0 in the table)
             u0, u1 = uni_of(b0, 0), uni_of(b1, 1)
             bi = bi_of(b0, b1)
         else:
-            u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd,
-                          use_pallas=use_pallas)
-            u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd,
-                          use_pallas=use_pallas)
+            u0 = mc_batch(r0p, bx_, by_, mv0x * mvsc, mv0y * mvsc, sz,
+                          c_idx, bd, use_pallas=use_pallas)
+            u1 = mc_batch(r1p, bx_, by_, mv1x * mvsc, mv1y * mvsc, sz,
+                          c_idx, bd, use_pallas=use_pallas)
             bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))

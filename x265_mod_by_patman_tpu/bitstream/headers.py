@@ -140,10 +140,12 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
     s.strong_intra_smoothing = p.strong_intra_smoothing
     s.max_dec_pic_buffering = min(p.max_num_references + 1 + p.bframes, 16)
     s.num_reorder_pics = min(p.bframes, s.max_dec_pic_buffering - 1)
-    # profile: 1 Main, 2 Main10, 4 RExt (Main12 — constraint flags
-    # stay zero = unconstrained, spec A.3.5)
-    s.ptl.profile_idc = 1 if p.internal_bit_depth == 8 else \
-        (2 if p.internal_bit_depth == 10 else 4)
+    # profile: 1 Main, 2 Main10, 4 RExt (Main12 / Main 4:4:4 —
+    # constraint flags stay zero = unconstrained, spec A.3.5)
+    if p.internal_csp != CHROMA_420 or p.internal_bit_depth > 10:
+        s.ptl.profile_idc = 4
+    else:
+        s.ptl.profile_idc = 2 if p.internal_bit_depth == 10 else 1
     from .level import determine_level
     forced = p.level_idc
     if forced and forced < 100:

@@ -110,6 +110,10 @@ def main(argv=None) -> int:
     p = default_params(info.width, info.height)
     p.fps_num, p.fps_denom = info.fps_num, info.fps_denom
     p.total_frames = info.total_frames
+    if getattr(info, "csp", "420") == "444":
+        p.internal_csp = 3
+    if getattr(info, "bit_depth", 8) > 8:
+        p.internal_bit_depth = info.bit_depth
     if args.preset:
         p.apply_preset(args.preset)
     if args.tune:

@@ -376,13 +376,15 @@ class Decoder:
                                  ref_pocs, poc, col_motion=col)
 
         h, w = sps.height, sps.width
+        cs = 1 if sps.chroma_format_idc == 1 else 0
+        self._cs = cs
         n_ctu_x = sps.pic_width_in_ctus
         n_ctu_y = sps.pic_height_in_ctus
         if first_slice:
             self._pic = {
                 "y": np.zeros((h, w), np.int32),
-                "u": np.zeros((h >> 1, w >> 1), np.int32),
-                "v": np.zeros((h >> 1, w >> 1), np.int32),
+                "u": np.zeros((h >> cs, w >> cs), np.int32),
+                "v": np.zeros((h >> cs, w >> cs), np.int32),
                 "all_cus": [],
                 "sao_grid": [[None] * n_ctu_x for _ in range(n_ctu_y)],
                 "qp_grid": np.full((n_ctu_y, n_ctu_x), qp, np.int32),
@@ -392,8 +394,8 @@ class Decoder:
         all_cus = st_pic["all_cus"]
         sao_grid = st_pic["sao_grid"]
         qp_grid = st_pic["qp_grid"]
-        qp_cb = chroma_qp(qp, pps.cb_qp_offset)
-        qp_cr = chroma_qp(qp, pps.cr_qp_offset)
+        qp_cb = chroma_qp(qp, pps.cb_qp_offset, sps.chroma_format_idc)
+        qp_cr = chroma_qp(qp, pps.cr_qp_offset, sps.chroma_format_idc)
         # intra prediction must not cross the slice's top boundary
         self._slice_top = (seg_addr // n_ctu_x) << sps.log2_ctu_size
         # SAO merge-up is not signalable across a slice boundary
@@ -423,8 +425,10 @@ class Decoder:
                 for cu in cus:
                     cqp = cu.qp if cu.qp >= 0 else qp
                     self._recon_cu(cu, y, u, v, cqp,
-                                   chroma_qp(cqp, pps.cb_qp_offset),
-                                   chroma_qp(cqp, pps.cr_qp_offset))
+                                   chroma_qp(cqp, pps.cb_qp_offset,
+                                             sps.chroma_format_idc),
+                                   chroma_qp(cqp, pps.cr_qp_offset,
+                                             sps.chroma_format_idc))
                 if use_wpp and cx == min(1, n_ctu_x - 1):
                     sync_states = syn.states.copy()
                 if use_wpp and cx == n_ctu_x - 1 and not end:
@@ -505,7 +509,8 @@ class Decoder:
             else:
                 bs_v, bs_h = intra_bs_maps(w, h, 16, split_grid,
                                            merge32_grid)
-            on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> 1, w >> 1)
+            on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> cs, w >> cs,
+                                        csp=sps.chroma_format_idc)
             qarg = qp_grid if pps.cu_qp_delta_enabled else qp
             y = deblock_luma_ref(y, bs_v, bs_h, qarg,
                                  pps.deblock_beta_offset_div2,
@@ -515,11 +520,13 @@ class Decoder:
             u = deblock_chroma_ref(u, on_v, on_h, qp_cb,
                                    pps.deblock_tc_offset_div2,
                                    sps.bit_depth, qmap,
-                                   pps.cb_qp_offset, sps.log2_ctu_size)
+                                   pps.cb_qp_offset, sps.log2_ctu_size,
+                                   csp=sps.chroma_format_idc)
             v = deblock_chroma_ref(v, on_v, on_h, qp_cr,
                                    pps.deblock_tc_offset_div2,
                                    sps.bit_depth, qmap,
-                                   pps.cr_qp_offset, sps.log2_ctu_size)
+                                   pps.cr_qp_offset, sps.log2_ctu_size,
+                                   csp=sps.chroma_format_idc)
         if sao_luma or sao_chroma:
             from ..ops.sao import sao_apply_ref
             ctu = 1 << sps.log2_ctu_size
@@ -532,8 +539,8 @@ class Decoder:
             if sao_luma:
                 y = sao_apply_ref(y, py, ctu, sps.bit_depth)
             if sao_chroma:
-                u = sao_apply_ref(u, pb, ctu // 2, sps.bit_depth)
-                v = sao_apply_ref(v, pr, ctu // 2, sps.bit_depth)
+                u = sao_apply_ref(u, pb, ctu >> cs, sps.bit_depth)
+                v = sao_apply_ref(v, pr, ctu >> cs, sps.bit_depth)
         dt = np.uint8 if sps.bit_depth == 8 else np.uint16
         pic = DecodedPicture(poc, y.astype(dt), u.astype(dt),
                              v.astype(dt))
@@ -632,11 +639,12 @@ class Decoder:
             # (spec 8.4.4.2: prediction per transform block when split);
             # tu_leaves was recorded by the syntax parser
             cmode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
+            cs = getattr(self, "_cs", 1)
             for (tx, ty, tl, blk) in cu.tu_leaves:
                 self._recon_tb(y, tx, ty, tl, cu.luma_modes[0], 0, qp,
                                cu.coeffs.get((0, tx, ty, tl)))
-                if tl > 2:
-                    ccx, ccy, cl = tx >> 1, ty >> 1, tl - 1
+                if tl > 2 or cs == 0:
+                    ccx, ccy, cl = tx >> cs, ty >> cs, tl - cs
                 elif blk == 3:
                     ccx, ccy, cl = (tx - 4) >> 1, (ty - 4) >> 1, 2
                 else:
@@ -661,6 +669,14 @@ class Decoder:
             d = mot.dir
             sx, sy, sw, sh = (px >> refs_shift, py >> refs_shift,
                               pw >> refs_shift, ph >> refs_shift)
+            # 4:4:4 chroma: quarter-pel MVs on the full-size grid, so
+            # scale into the chroma MC path's eighth-pel convention
+            mvscale = 2 if (c_idx > 0 and
+                            getattr(self, "_cs", 1) == 0) else 1
+            mot = mot if mvscale == 1 else type(mot)(
+                mot.dir,
+                (mot.mv0[0] * 2, mot.mv0[1] * 2), mot.ref0,
+                (mot.mv1[0] * 2, mot.mv1[1] * 2), mot.ref1)
             r0 = self._ref_l0[mot.ref0][c_idx].astype(np.int32) \
                 if d & 1 else None
             r1 = self._ref_l1[mot.ref1][c_idx].astype(np.int32) \
@@ -714,12 +730,15 @@ class Decoder:
             return mc_block_ref(r1, sx, sy, mot.mv1[0], mot.mv1[1],
                                 sw, sh, c_idx, bd)
 
+        cs = getattr(self, "_cs", 1)
         for (plane, c_idx, qpc, cx, cy, clog2) in (
                 (y, 0, qp, cu.x0, cu.y0, cu.log2_size),
-                (u, 1, qp_cb, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1),
-                (v, 2, qp_cr, cu.x0 >> 1, cu.y0 >> 1, cu.log2_size - 1)):
+                (u, 1, qp_cb, cu.x0 >> cs, cu.y0 >> cs,
+                 cu.log2_size - cs),
+                (v, 2, qp_cr, cu.x0 >> cs, cu.y0 >> cs,
+                 cu.log2_size - cs)):
             cn = 1 << clog2
-            shift = 0 if c_idx == 0 else 1
+            shift = 0 if c_idx == 0 else cs
             pred = np.zeros((cn, cn), np.int32)
             for pi_pu, (px, py, pw, ph, _rule) in enumerate(pus):
                 blk = pu_pred(pi_pu, px, py, pw, ph, c_idx, shift)
@@ -732,9 +751,9 @@ class Decoder:
             for (lx, ly, ll, blk) in cu.tu_leaves:
                 if c_idx == 0:
                     tl, tx, ty = ll, lx - cu.x0, ly - cu.y0
-                elif ll > 2:
-                    tl = ll - 1
-                    tx, ty = (lx >> 1) - cx, (ly >> 1) - cy
+                elif ll > 2 or cs == 0:
+                    tl = ll - cs
+                    tx, ty = (lx >> cs) - cx, (ly >> cs) - cy
                 elif blk == 3:
                     tl = 2
                     tx, ty = ((lx - 4) >> 1) - cx, ((ly - 4) >> 1) - cy
@@ -765,7 +784,7 @@ class Decoder:
         bd = sps.bit_depth
         n = 1 << log2
         ph, pw = plane.shape
-        comp_shift = 1 if c_idx else 0
+        comp_shift = getattr(self, "_cs", 1) if c_idx else 0
         xs, ys = s_vector_coords(x0, y0, n)
         inside = (xs >= 0) & (ys >= 0) & (xs < pw) & (ys < ph)
         w_ctus = sps.pic_width_in_ctus
@@ -782,7 +801,8 @@ class Decoder:
         s = substitute_refs(s_raw, avail, bd)
         pred = predict_block_ref(
             mode, s, log2, c_idx, bd,
-            strong_smoothing=sps.strong_intra_smoothing)
+            strong_smoothing=sps.strong_intra_smoothing,
+            filt_chroma=(c_idx > 0 and getattr(self, "_cs", 1) == 0))
         if levels is not None and np.any(levels):
             if self._tq_bypass:
                 resi = levels.astype(np.int32)

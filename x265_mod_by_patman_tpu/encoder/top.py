@@ -75,10 +75,12 @@ class Encoder:
 
     def __init__(self, params: EncoderParams) -> None:
         self.p = params.validate()
-        assert self.p.internal_csp == 1, "v1: 4:2:0 only"
+        assert self.p.internal_csp in (1, 3), "4:2:0 / 4:4:4 only"
         assert self.p.internal_bit_depth in (8, 10, 12), "8/10/12-bit"
         self.pix_dtype = np.uint8 if self.p.internal_bit_depth == 8 \
             else np.uint16
+        # chroma geometry shift: 1 for 4:2:0, 0 for 4:4:4
+        self.cshift = 1 if self.p.internal_csp == 1 else 0
         self.sps = build_sps_info(self.p)
         self.pps = build_pps_info(self.p)
         # v1 restrictions: no SBH, no TMVP
@@ -410,7 +412,7 @@ class Encoder:
     def _ingest(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                 qp_off=None) -> List[EncodedFrame]:
         p = self.p
-        planes = (self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+        planes = (self._pad(y, 0), self._pad(u, self.cshift), self._pad(v, self.cshift))
         cplx = frame_complexity(planes[0], self._prev_src_y)
         self._prev_src_y = planes[0]
         st = self._slicetype
@@ -537,8 +539,9 @@ class Encoder:
         Host entropy still runs per frame."""
         from ..analysis.intra_mode import decide_modes_batch
         assert self.p.keyframe_max == 1, "batched path is all-intra"
+        assert self.p.internal_csp == 1, "batched path: 4:2:0 only (v1)"
         p = self.p
-        padded = [(self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+        padded = [(self._pad(y, 0), self._pad(u, self.cshift), self._pad(v, self.cshift))
                   for (y, u, v) in frames]
         ys = np.stack([f[0] for f in padded])
         us = np.stack([f[1] for f in padded])
@@ -614,7 +617,7 @@ class Encoder:
         assert self.p.keyframe_max == 1
         p = self.p
         qp = self.rc.frame_qp("I", 0.0)
-        padded = [(self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+        padded = [(self._pad(y, 0), self._pad(u, self.cshift), self._pad(v, self.cshift))
                   for (y, u, v) in frames]
         w, h = self.sps.width, self.sps.height
         bs = intra_bs_maps(w, h, 16)
@@ -707,7 +710,7 @@ class Encoder:
             _merge_tables()      # build shared tables before threading
 
         def dispatch(fr_batch):
-            padded = [(self._pad(y, 0), self._pad(u, 1), self._pad(v, 1))
+            padded = [(self._pad(y, 0), self._pad(u, self.cshift), self._pad(v, self.cshift))
                       for (y, u, v) in fr_batch]
             ys = np.stack([f[0] for f in padded])
             us = np.stack([f[1] for f in padded])
@@ -1231,7 +1234,9 @@ class Encoder:
         else:
             merge32 = ~split32 if split32 is not None else None
             bs_v, bs_h = intra_bs_maps(w, h, 16, split_map, merge32)
-        on_v, on_h = chroma_on_maps(bs_v, bs_h, h // 2, w // 2)
+        csp = p.internal_csp
+        on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> self.cshift,
+                                    w >> self.cshift, csp=csp)
         dy, du, dv = deblock_frame_batch(
             jnp.asarray(r["recon_y"].astype(np.int32)),
             jnp.asarray(r["recon_u"].astype(np.int32)),
@@ -1240,11 +1245,11 @@ class Encoder:
             jnp.asarray(on_v), jnp.asarray(on_h),
             jnp.asarray(qp, jnp.int32),
             p.cb_qp_offset if not np.isscalar(qp)
-            else chroma_qp(qp, p.cb_qp_offset),
+            else chroma_qp(qp, p.cb_qp_offset, csp),
             p.cr_qp_offset if not np.isscalar(qp)
-            else chroma_qp(qp, p.cr_qp_offset),
+            else chroma_qp(qp, p.cr_qp_offset, csp),
             p.deblock_beta_offset, p.deblock_tc_offset,
-            self.sps.bit_depth)
+            self.sps.bit_depth, csp)
         r["recon_y"] = np.asarray(dy).astype(self.pix_dtype)
         r["recon_u"] = np.asarray(du).astype(self.pix_dtype)
         r["recon_v"] = np.asarray(dv).astype(self.pix_dtype)
@@ -1259,7 +1264,7 @@ class Encoder:
                                sao_merge_pass)
         sps = self.sps
         ctu = 1 << sps.log2_ctu_size
-        cctu = ctu // 2
+        cctu = ctu >> self.cshift
         lam2 = lambda_qp(qp)[1]
 
         def padded(pl, tile):
@@ -1273,7 +1278,7 @@ class Encoder:
             return jnp.asarray(out)
 
         h, w = sps.height, sps.width
-        hc, wc = h // 2, w // 2
+        hc, wc = h >> self.cshift, w >> self.cshift
         bd = sps.bit_depth
         st_y = sao_stats_batch(padded(np.asarray(oy), ctu),
                                padded(r["recon_y"], ctu), ctu, h, w, bd)
@@ -1441,12 +1446,12 @@ class Encoder:
             else:
                 cu = CodedCU(x0, y0, 4, (int(modes[by, bx]),), 4)
             for c_idx, key, clog2 in ((0, "lev_y", 4),
-                                      (1, "lev_u", 3),
-                                      (2, "lev_v", 3)):
+                                      (1, "lev_u", 4 - self.cshift),
+                                      (2, "lev_v", 4 - self.cshift)):
                 lv = r[key][by, bx]
                 if np.any(lv):
-                    cx0 = x0 >> (1 if c_idx else 0)
-                    cy0 = y0 >> (1 if c_idx else 0)
+                    cx0 = x0 >> (self.cshift if c_idx else 0)
+                    cy0 = y0 >> (self.cshift if c_idx else 0)
                     cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
             cu.tq_bypass = tqb
             return cu

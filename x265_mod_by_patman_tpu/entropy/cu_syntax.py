@@ -212,6 +212,8 @@ class SliceSyntaxEncoder:
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
         self.log2_ctu = sps.log2_ctu_size
+        # chroma geometry shift: 1 for 4:2:0, 0 for 4:4:4
+        self.c_shift = 1 if getattr(sps, 'chroma_format_idc', 1) == 1 else 0
         # cu_qp_delta state (QG == CTB with diff_cu_qp_delta_depth 0)
         self._qp_prev = slice_qp
         self._qg_pred = slice_qp
@@ -590,9 +592,10 @@ class SliceSyntaxEncoder:
         if can_code_split:
             ir.cbin(1 if split else 0,
                     OFF["TRANS_SUBDIV"] + 5 - log2)
-        cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1   # 4:2:0 chroma geometry
+        cs = self.c_shift
+        cx, cy, clog2 = x0 >> cs, y0 >> cs, log2 - cs
         cbf_cb = cbf_cr = False
-        if log2 > 2:
+        if log2 > 2 or cs == 0:          # 4:4:4 codes chroma cbf always
             cbf_cb = self._cbf_region(cu, 1, cx, cy, clog2)
             cbf_cr = self._cbf_region(cu, 2, cx, cy, clog2)
             if parent_cbf_cb:
@@ -661,9 +664,11 @@ class SliceSyntaxEncoder:
                 intra_scan_idx(luma_mode, log2, 0)
             encode_residual(ir, cu.coeffs[(0, x0, y0, log2)], log2, 0,
                             scan, self.pps.sign_hide)
-        # chroma TBs: at log2>2 alongside; at log2==2 only on blk_idx 3
-        if log2 > 2:
-            cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1
+        # chroma TBs: at log2>2 (or any size in 4:4:4) alongside; in
+        # 4:2:0 at log2==2 only on blk_idx 3 (the shared 4x4 chroma)
+        cs = self.c_shift
+        if log2 > 2 or cs == 0:
+            cx, cy, clog2 = x0 >> cs, y0 >> cs, log2 - cs
         elif blk_idx == 3:
             cx, cy, clog2 = (x0 - 4) >> 1, (y0 - 4) >> 1, 2
         else:
@@ -707,6 +712,8 @@ class SliceSyntaxDecoder:
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
         self.log2_ctu = sps.log2_ctu_size
+        # chroma geometry shift: 1 for 4:2:0, 0 for 4:4:4
+        self.c_shift = 1 if getattr(sps, 'chroma_format_idc', 1) == 1 else 0
         # cu_qp_delta state (mirrors SliceSyntaxEncoder)
         self._qp_prev = slice_qp
         self._qg_pred = slice_qp
@@ -1100,7 +1107,7 @@ class SliceSyntaxDecoder:
         if trafo_depth == 0:
             cu.tu_split = bool(split)
         cbf_cb = cbf_cr = False
-        if log2 > 2:
+        if log2 > 2 or self.c_shift == 0:
             if parent_cbf_cb:
                 cbf_cb = bool(self.dec.decode_bin(
                     self.states, OFF["QT_CBF"] + 2 + trafo_depth))
@@ -1168,8 +1175,9 @@ class SliceSyntaxDecoder:
                 intra_scan_idx(luma_mode, log2, 0)
             cu.coeffs[(0, x0, y0, log2)] = decode_residual(
                 self.dec, self.states, log2, 0, scan, self.pps.sign_hide)
-        if log2 > 2:
-            cx, cy, clog2 = x0 >> 1, y0 >> 1, log2 - 1
+        cs = self.c_shift
+        if log2 > 2 or cs == 0:
+            cx, cy, clog2 = x0 >> cs, y0 >> cs, log2 - cs
         elif blk_idx == 3:
             cx, cy, clog2 = (x0 - 4) >> 1, (y0 - 4) >> 1, 2
         else:

@@ -29,8 +29,12 @@ from ..ops.rdoq import rdoq_levels
 from .zscan import frame_avail_masks, ctu_wavefront_order
 
 
-def chroma_qp(qp: int, offset: int = 0) -> int:
-    return int(CHROMA_QP_TABLE[min(max(qp + offset, 0), 69)])
+def chroma_qp(qp: int, offset: int = 0, csp: int = 1) -> int:
+    """QpC derivation (spec 8.6.1): the Table 8-10 remap applies only
+    for ChromaArrayType == 1 (4:2:0); 4:2:2/4:4:4 clip qPi at 51."""
+    if csp == 1:
+        return int(CHROMA_QP_TABLE[min(max(qp + offset, 0), 69)])
+    return int(min(max(qp + offset, 0), 51))
 
 
 def _substep_body(plane, levels, orig, bx, by, modes, avail,
@@ -40,7 +44,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   dmats=None, split_map=None, modes8=None, av8=None,
                   m8=(None, None), lossless: bool = False,
                   init_type=None, psy256=None, psy_rdoq=None,
-                  tu4_map=None, av4y=None):
+                  tu4_map=None, av4y=None, fchroma: bool = False):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -67,7 +71,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     s_sub, s_filt = substitute_filter_batch(s_raw, avail, log2n, bit_depth)
 
     pred = intra_pred_select_batch(s_sub, s_filt, modes, log2n, c_idx,
-                                   bit_depth)
+                                   bit_depth,
+                                   filt_chroma=fchroma and c_idx > 0)
     if mc_pred is not None:
         is_inter = inter_mask[by, bx]                       # (B,)
         pred = jnp.where(is_inter[:, None, None], mc_pred[by, bx], pred)
@@ -452,7 +457,8 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     mats=None, split_map=None, modes8=None, sb_av8=None,
                     sb_av4c=None, lossless: bool = False,
                     init_type=None, psy256=None, psy_rdoq=None,
-                    tu4_map=None, sb_av4y=None):
+                    tu4_map=None, sb_av4y=None, clog2: int = 3,
+                    fchroma: bool = False):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -499,20 +505,20 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
         m4 = (None, None)                    # 4x4 lists are flat
         up, lev_u, _ = _substep_body(
             up, lev_u, ou, bx, by, md, sb_avc[s],
-            3, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
+            clog2, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
             skip_map, rdoq, mats[2] if mats else None,
             mats[3] if mats else None,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
-            init_type)
+            init_type, fchroma=fchroma)
         vp, lev_v, _ = _substep_body(
             vp, lev_v, ov, bx, by, md, sb_avc[s],
-            3, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
+            clog2, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
             skip_map, rdoq, mats[2] if mats else None,
             mats[3] if mats else None,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
-            init_type)
+            init_type, fchroma=fchroma)
         return yp, up, vp, lev_y, lev_u, lev_v, skip_map
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map)
@@ -522,13 +528,15 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
 
 _wavefront_run = jax.jit(
     _wavefront_body,
-    static_argnames=("bit_depth", "sign_hide", "rdoq", "lossless"),
+    static_argnames=("bit_depth", "sign_hide", "rdoq", "lossless",
+                     "clog2", "fchroma"),
     donate_argnums=(0, 1, 2, 3, 4, 5),
 )
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bit_depth", "sign_hide", "rdoq"),
+                   static_argnames=("bit_depth", "sign_hide", "rdoq",
+                                    "clog2", "fchroma"),
                    donate_argnums=(0, 1, 2, 3, 4, 5))
 def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          modes, sb_bx, sb_by, sb_avy, sb_avc,
@@ -536,7 +544,8 @@ def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          qp, qp_cb, qp_cr, init_type=None,
                          bit_depth: int = 8,
                          sign_hide: bool = False, rdoq: bool = False,
-                         mats=None, psy_rdoq=None):
+                         mats=None, psy_rdoq=None, clog2: int = 3,
+                         fchroma: bool = False):
     """Multi-frame wavefront: every per-frame arg carries a leading F
     axis; the schedule and QPs are shared.  All frames' wavefronts advance
     in lockstep — the multi-frame batching lever from SURVEY.md §7
@@ -545,7 +554,8 @@ def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
         return _wavefront_body(*args, init_type=init_type,
                                bit_depth=bit_depth,
                                sign_hide=sign_hide, rdoq=rdoq, mats=mats,
-                               psy_rdoq=psy_rdoq)
+                               psy_rdoq=psy_rdoq, clog2=clog2,
+                               fchroma=fchroma)
     return jax.vmap(fn, in_axes=(0,) * 10 + (None,) * 4 + (0,) * 4 +
                     (None,) * 3)(
         yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
@@ -599,8 +609,10 @@ class IntraReconstructor:
                               default_matrix(4, False)])))
         self.bd = sps.bit_depth
         self.log2_ctu = sps.log2_ctu_size
+        self.csp = getattr(sps, "chroma_format_idc", 1)
+        self.cshift = 1 if self.csp == 1 else 0   # 4:2:0 vs 4:4:4
         self.nl = 16                       # luma block size (v1 uniform)
-        self.nc = 8                        # chroma block size (4:2:0)
+        self.nc = self.nl >> self.cshift   # chroma block size
         w, h = sps.width, sps.height
         assert w % self.nl == 0 and h % self.nl == 0, \
             "v1 requires 16-aligned dimensions"
@@ -750,7 +762,7 @@ class IntraReconstructor:
         w, h = self.sps.width, self.sps.height
         avail_y = frame_avail_masks(w, h, self.nl, self.log2_ctu, 0,
                                     self.slice_tops)
-        avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, 1,
+        avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, self.cshift,
                                     self.slice_tops)
         av8_full = av4c_full = av4y_full = None
         if self.nxn:
@@ -839,9 +851,13 @@ class IntraReconstructor:
             qy = np.full((self.n_ctu_y, self.n_ctu_x), qp, np.int32)
         else:
             qy = np.asarray(qp, np.int32)
-        tab = CHROMA_QP_TABLE
-        qcb = tab[np.clip(qy + self.cb_qp_offset, 0, 69)]
-        qcr = tab[np.clip(qy + self.cr_qp_offset, 0, 69)]
+        if self.csp == 1:
+            tab = CHROMA_QP_TABLE
+            qcb = tab[np.clip(qy + self.cb_qp_offset, 0, 69)]
+            qcr = tab[np.clip(qy + self.cr_qp_offset, 0, 69)]
+        else:                        # 4:4:4: qPi clipped, no remap
+            qcb = np.clip(qy + self.cb_qp_offset, 0, 51)
+            qcr = np.clip(qy + self.cr_qp_offset, 0, 51)
         return (jnp.asarray(qy), jnp.asarray(qcb.astype(np.int32)),
                 jnp.asarray(qcr.astype(np.int32)))
 
@@ -901,7 +917,7 @@ class IntraReconstructor:
         qp_map = self._qp_maps(qp)
         nl, nc = self.nl, self.nc
         w, h = self.sps.width, self.sps.height
-        wc, hc = w // 2, h // 2
+        wc, hc = w >> self.cshift, h >> self.cshift
         yp = jnp.zeros((h + nl, w), jnp.int32)
         up = jnp.zeros((hc + nc, wc), jnp.int32)
         vp = jnp.zeros((hc + nc, wc), jnp.int32)
@@ -942,7 +958,8 @@ class IntraReconstructor:
             self.sb_av4c if split_map is not None else None,
             self.lossless, jnp.int32(init_type), self.psy256,
             self.psy_rdoq, t4j,
-            self.sb_av4y if t4j is not None else None)
+            self.sb_av4y if t4j is not None else None,
+            4 - self.cshift, self.cshift == 0)
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller
@@ -982,7 +999,7 @@ class IntraReconstructor:
         qp_map = self._qp_maps(qp)
         nl, nc = self.nl, self.nc
         w, h = self.sps.width, self.sps.height
-        wc, hc = w // 2, h // 2
+        wc, hc = w >> self.cshift, h >> self.cshift
         f = ys.shape[0]
         yp = jnp.zeros((f, h + nl, w), jnp.int32)
         up = jnp.zeros((f, hc + nc, wc), jnp.int32)
@@ -1004,7 +1021,8 @@ class IntraReconstructor:
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
             qp_map[0], qp_map[1], qp_map[2], jnp.int32(2), self.bd,
-            self.sign_hide, self.rdoq, self.mats, self.psy_rdoq)
+            self.sign_hide, self.rdoq, self.mats, self.psy_rdoq,
+            4 - self.cshift, self.cshift == 0)
 
         if not materialize:
             # device handles only — the batched pipeline materializes a

@@ -57,10 +57,11 @@ class Y4MReader:
             elif tag == "X" and val.startswith("LENGTH="):
                 # Patman mod: XLENGTH frame-count tag
                 self.info.total_frames = int(val[len("LENGTH="):])
-        assert self.info.csp == "420", "v1: 4:2:0 only"
+        assert self.info.csp in ("420", "444"), "4:2:0 / 4:4:4 only"
         w, h = self.info.width, self.info.height
         self._spp = 2 if self.info.bit_depth > 8 else 1  # bytes per sample
-        self._fsize = w * h * 3 // 2 * self._spp
+        self._cden = 4 if self.info.csp == "420" else 1  # chroma_size = y/4
+        self._fsize = (w * h + 2 * (w * h // self._cden)) * self._spp
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         w, h = self.info.width, self.info.height
@@ -78,9 +79,12 @@ class Y4MReader:
             if len(data) < self._fsize:
                 return
             buf = np.frombuffer(data, dt)
+            cs = w * h // self._cden
+            cw = w if self._cden == 1 else w // 2
+            chh = h if self._cden == 1 else h // 2
             y = buf[:w * h].reshape(h, w)
-            u = buf[w * h:w * h * 5 // 4].reshape(h // 2, w // 2)
-            v = buf[w * h * 5 // 4:].reshape(h // 2, w // 2)
+            u = buf[w * h:w * h + cs].reshape(chh, cw)
+            v = buf[w * h + cs:].reshape(chh, cw)
             yield y, u, v
 
     def close(self) -> None:
@@ -120,7 +124,8 @@ class Y4MWriter:
     def __init__(self, path: str, info: VideoInfo) -> None:
         self.f = open(path, "wb")
         self.dt = np.dtype("<u2") if info.bit_depth > 8 else np.uint8
-        csp = "420" if info.bit_depth == 8 else f"420p{info.bit_depth}"
+        base = getattr(info, "csp", "420") or "420"
+        csp = base if info.bit_depth == 8 else f"{base}p{info.bit_depth}"
         hdr = f"YUV4MPEG2 W{info.width} H{info.height} " \
               f"F{info.fps_num}:{info.fps_denom} Ip A1:1 C{csp}"
         if info.total_frames:

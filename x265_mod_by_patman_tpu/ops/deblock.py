@@ -379,30 +379,34 @@ def deblock_luma_ref(plane: np.ndarray, bs_v: np.ndarray, bs_h: np.ndarray,
     return out
 
 
-def chroma_on_maps(bs_v: np.ndarray, bs_h: np.ndarray, hc: int, wc: int):
-    """Map luma BS to per-chroma-sample edge-on masks (4:2:0).
+def chroma_on_maps(bs_v: np.ndarray, bs_h: np.ndarray, hc: int, wc: int,
+                   csp: int = 1):
+    """Map luma BS to per-chroma-sample edge-on masks.
 
-    Chroma vertical edge at chroma x=8c is the luma edge at 16c (luma edge
-    index e=2c-1); chroma row r maps to luma 4-row group (2r)//4 = r//2.
+    4:2:0: chroma vertical edge at chroma x=8c is the luma edge at 16c
+    (luma edge index e=2c-1); chroma row r maps to luma 4-row group
+    (2r)//4 = r//2.  4:4:4: chroma edges coincide with luma edges.
     Returns on_v: (Hc, Wc/8-1) bool, on_h: (Hc/8-1, Wc) bool.
     """
     ev = wc // 8 - 1
     eh = hc // 8 - 1
     on_v = np.zeros((hc, max(ev, 0)), dtype=bool)
     on_h = np.zeros((max(eh, 0), wc), dtype=bool)
+    ss = 1 if csp == 1 else 0
     for c in range(ev):
-        e = 2 * c + 1
-        on_v[:, c] = bs_v[np.arange(hc) // 2, e] == 2
+        e = ((c + 1) << ss) - 1
+        # chroma coord -> luma coord (<< ss) -> 4-sample segment (>> 2)
+        on_v[:, c] = bs_v[(np.arange(hc) << ss) >> 2, e] == 2
     for c in range(eh):
-        e = 2 * c + 1
-        on_h[c, :] = bs_h[e, np.arange(wc) // 2] == 2
+        e = ((c + 1) << ss) - 1
+        on_h[c, :] = bs_h[e, (np.arange(wc) << ss) >> 2] == 2
     return on_v, on_h
 
 
 def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
                        on_h: np.ndarray, qpc: int, tc_off: int = 0,
                        bit_depth: int = 8, qp_map=None, c_off: int = 0,
-                       log2_ctu: int = 5) -> np.ndarray:
+                       log2_ctu: int = 5, csp: int = 1) -> np.ndarray:
     """Golden chroma deblock: per-sample on masks from chroma_on_maps.
     With qp_map given (per-CTU luma QPs), QpC is derived per edge sample
     from the averaged luma QPs + c_off via the chroma table."""
@@ -410,6 +414,12 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
     h, w = out.shape
     maxv = (1 << bit_depth) - 1
     ctu = 1 << log2_ctu
+    ss = 1 if csp == 1 else 0            # chroma -> luma coord shift
+
+    def qc_of(avg):
+        if csp == 1:
+            return int(CHROMA_QP_TABLE[min(max(avg + c_off, 0), 69)])
+        return min(max(avg + c_off, 0), 51)
 
     def tc_of(ly, lxp, lxq):
         if qp_map is None:
@@ -419,8 +429,7 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
                            min(lxp // ctu, qp_map.shape[1] - 1)])
             b = int(qp_map[min(ly // ctu, qp_map.shape[0] - 1),
                            min(lxq // ctu, qp_map.shape[1] - 1)])
-            q = int(CHROMA_QP_TABLE[min(max(((a + b + 1) >> 1) + c_off,
-                                            0), 69)])
+            q = qc_of((a + b + 1) >> 1)
         idx = min(max(q + 2 + (tc_off << 1), 0), 53)
         return int(DEBLOCK_TC[idx]) << (bit_depth - 8)
 
@@ -432,8 +441,7 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
                            min(lx // ctu, qp_map.shape[1] - 1)])
             b = int(qp_map[min(lyq // ctu, qp_map.shape[0] - 1),
                            min(lx // ctu, qp_map.shape[1] - 1)])
-            q = int(CHROMA_QP_TABLE[min(max(((a + b + 1) >> 1) + c_off,
-                                            0), 69)])
+            q = qc_of((a + b + 1) >> 1)
         idx = min(max(q + 2 + (tc_off << 1), 0), 53)
         return int(DEBLOCK_TC[idx]) << (bit_depth - 8)
 
@@ -442,7 +450,7 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
         for y in range(h):
             if not on_v[y, e]:
                 continue
-            tc = tc_of(2 * y, 2 * x - 1, 2 * x)
+            tc = tc_of(y << ss, (x << ss) - 1, x << ss)
             if tc == 0:
                 continue
             p1, p0, q0, q1 = (int(out[y, x - 2]), int(out[y, x - 1]),
@@ -455,7 +463,7 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
         for x in range(w):
             if not on_h[e, x]:
                 continue
-            tc = tc_of_h(2 * y - 1, 2 * y, 2 * x)
+            tc = tc_of_h((y << ss) - 1, y << ss, x << ss)
             if tc == 0:
                 continue
             p1, p0, q0, q1 = (int(out[y - 2, x]), int(out[y - 1, x]),
@@ -602,12 +610,14 @@ def deblock_frame_multi(ys, us, vs, bs_v, bs_h, on_vc, on_hc, qp,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "beta_off", "tc_off", "bit_depth"))
+    "beta_off", "tc_off", "bit_depth", "csp"))
 def deblock_frame_batch(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                         qpc_cb, qpc_cr, beta_off: int = 0,
-                        tc_off: int = 0, bit_depth: int = 8):
+                        tc_off: int = 0, bit_depth: int = 8,
+                        csp: int = 1):
     return _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
-                               qpc_cb, qpc_cr, beta_off, tc_off, bit_depth)
+                               qpc_cb, qpc_cr, beta_off, tc_off,
+                               bit_depth, csp)
 
 
 def _qp_edge_maps(qp, h, w, log2_ctu=5):
@@ -632,38 +642,45 @@ def _qp_edge_maps(qp, h, w, log2_ctu=5):
     return qp_v, qp_h
 
 
-def _chroma_qp_edge_maps(qp, hc, wc, off_cb, off_cr, log2_ctu=5):
+def _chroma_qp_edge_maps(qp, hc, wc, off_cb, off_cr, log2_ctu=5,
+                         csp=1):
     """Per-sample chroma-edge QpC maps from the luma QP map/scalar:
-    QpC = table[clip(avg_luma_qp + offset)] (spec 8.7.2.5.5)."""
+    QpC = table[clip(avg_luma_qp + offset)] for 4:2:0, clip-only for
+    4:4:4 (spec 8.7.2.5.5)."""
     qp = jnp.asarray(qp, jnp.int32)
-    tab = jnp.asarray(CHROMA_QP_TABLE)
+    if csp == 1:
+        tab = jnp.asarray(CHROMA_QP_TABLE)
+
+        def qc(a, off):
+            return tab[jnp.clip(a + off, 0, 69)]
+    else:
+        def qc(a, off):
+            return jnp.clip(a + off, 0, 51)
+    ss = 1 if csp == 1 else 0
     if qp.ndim == 0:
-        return (tab[jnp.clip(qp + off_cb, 0, 69)],
-                tab[jnp.clip(qp + off_cr, 0, 69)],
-                tab[jnp.clip(qp + off_cb, 0, 69)],
-                tab[jnp.clip(qp + off_cr, 0, 69)])
+        return (qc(qp, off_cb), qc(qp, off_cr),
+                qc(qp, off_cb), qc(qp, off_cr))
     ctu = 1 << log2_ctu
-    rows = (jnp.arange(hc) * 2) // ctu
-    exc = (jnp.arange(1, wc // 8)) * 16          # luma x of chroma edges
+    rows = (jnp.arange(hc) << ss) // ctu
+    exc = (jnp.arange(1, wc // 8)) * (8 << ss)   # luma x of chroma edges
     cxp = jnp.clip((exc - 1) // ctu, 0, qp.shape[1] - 1)
     cxq = jnp.clip(exc // ctu, 0, qp.shape[1] - 1)
     avg_v = (qp[rows[:, None], cxp[None, :]] +
              qp[rows[:, None], cxq[None, :]] + 1) >> 1    # (Hc, Ec)
-    cols = (jnp.arange(wc) * 2) // ctu
-    eyc = (jnp.arange(1, hc // 8)) * 16
+    cols = (jnp.arange(wc) << ss) // ctu
+    eyc = (jnp.arange(1, hc // 8)) * (8 << ss)
     cyp = jnp.clip((eyc - 1) // ctu, 0, qp.shape[0] - 1)
     cyq = jnp.clip(eyc // ctu, 0, qp.shape[0] - 1)
     avg_h = (qp[cyp[:, None], cols[None, :]] +
              qp[cyq[:, None], cols[None, :]] + 1) >> 1    # (Eh, Wc)
-    return (tab[jnp.clip(avg_v + off_cb, 0, 69)],
-            tab[jnp.clip(avg_v + off_cr, 0, 69)],
-            tab[jnp.clip(avg_h + off_cb, 0, 69)],
-            tab[jnp.clip(avg_h + off_cr, 0, 69)])
+    return (qc(avg_v, off_cb), qc(avg_v, off_cr),
+            qc(avg_h, off_cb), qc(avg_h, off_cr))
 
 
 def _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                         qpc_cb, qpc_cr, beta_off: int = 0,
-                        tc_off: int = 0, bit_depth: int = 8):
+                        tc_off: int = 0, bit_depth: int = 8,
+                        csp: int = 1):
     """Deblock a full 4:2:0 frame: luma + chroma, V edges then H edges.
 
     y: (H, W) int32; u/v: (H/2, W/2) int32
@@ -688,7 +705,8 @@ def _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
     ehc = jnp.arange(1, hc // 8) * 8
     if qp_j.ndim:
         cbv, crv, cbh, crh = _chroma_qp_edge_maps(qp, hc, wc,
-                                                  qpc_cb, qpc_cr)
+                                                  qpc_cb, qpc_cr,
+                                                  csp=csp)
         chroma_qps = ((cbv, cbh), (crv, crh))
     else:
         chroma_qps = ((qpc_cb, qpc_cb), (qpc_cr, qpc_cr))

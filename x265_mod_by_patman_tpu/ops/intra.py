@@ -148,10 +148,14 @@ def intra_pred_ref(mode: int, s: np.ndarray, log2_size: int, c_idx: int = 0,
 
 def predict_block_ref(mode: int, s_unfilt: np.ndarray, log2_size: int,
                       c_idx: int = 0, bit_depth: int = 8,
-                      strong_smoothing: bool = False) -> np.ndarray:
+                      strong_smoothing: bool = False,
+                      filt_chroma: bool = False) -> np.ndarray:
     """Golden full path: choose filtered/unfiltered refs per spec, then
-    predict."""
-    use_filter = c_idx == 0 and intra_filter_flag(mode, log2_size)
+    predict.  filt_chroma: 4:4:4 chroma filters its reference samples
+    like luma (spec 8.4.4.2.3: cIdx==0 || ChromaArrayType==3); the
+    luma-only DC/edge post-filters stay off for chroma either way."""
+    use_filter = (c_idx == 0 or filt_chroma) and \
+        intra_filter_flag(mode, log2_size)
     if use_filter:
         strong = strong_smoothing and \
             strong_smoothing_condition(s_unfilt, log2_size, bit_depth)
@@ -297,20 +301,23 @@ def intra_pred_all_batch(s_unfilt: jnp.ndarray, s_filt: jnp.ndarray,
     return jnp.concatenate([planar[:, None], dcp[:, None], ang], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("log2_size", "c_idx", "bit_depth"))
+@functools.partial(jax.jit, static_argnames=("log2_size", "c_idx",
+                                             "bit_depth", "filt_chroma"))
 def intra_pred_select_batch(s_unfilt: jnp.ndarray, s_filt: jnp.ndarray,
                             modes: jnp.ndarray, log2_size: int,
                             c_idx: int = 0,
-                            bit_depth: int = 8) -> jnp.ndarray:
+                            bit_depth: int = 8,
+                            filt_chroma: bool = False) -> jnp.ndarray:
     """Predict ONE selected mode per block (recon path).
 
     s_unfilt/s_filt: (B, 4N+1) int32 substituted S vectors; modes: (B,)
     int32.  Returns (B, N, N) int32, bit-exact to intra_pred_ref.
-    """
+    filt_chroma: 4:4:4 chroma reference filtering (8.4.4.2.3)."""
     n = 1 << log2_size
     maxval = (1 << bit_depth) - 1
     gather, pix_idx, pix_fact, vert = _angular_tables(log2_size)
-    filt_sel = np.array([intra_filter_flag(m, log2_size) and c_idx == 0
+    use_f = c_idx == 0 or filt_chroma
+    filt_sel = np.array([intra_filter_flag(m, log2_size) and use_f
                          for m in range(35)])
 
     su = s_unfilt.astype(jnp.int32)
@@ -347,7 +354,7 @@ def intra_pred_select_batch(s_unfilt: jnp.ndarray, s_filt: jnp.ndarray,
                         ang.at[:, 0, :].set(row0), ang)
 
     # planar
-    s_pl = sf if (c_idx == 0 and intra_filter_flag(0, log2_size)) else su
+    s_pl = sf if (use_f and intra_filter_flag(0, log2_size)) else su
     left_p = s_pl[:, 2 * n - 1::-1]
     top_p = s_pl[:, 2 * n + 1:]
     x = jnp.arange(n)[None, None, :]

@@ -168,6 +168,16 @@ class EncoderParams:
             # x265_check_params rejects odd dims for 4:2:0 likewise)
             assert p.source_width % 2 == 0 and p.source_height % 2 == 0, \
                 "4:2:0 requires even source dimensions"
+        if p.internal_csp == CHROMA_444:
+            # 4:4:4 v1 restrictions (tools whose chroma geometry is
+            # still 4:2:0-coupled); asserts raise rather than silently
+            # encoding something else
+            assert not p.nxn_intra, "--nxn-intra requires 4:2:0 (v1)"
+            assert not p.mcstf, "--mcstf requires 4:2:0 (v1)"
+            assert not (p.analysis_save or p.analysis_load), \
+                "analysis reuse requires 4:2:0 (v1)"
+            p.rect = False
+            p.amp = False
         assert p.ctu_size in (16, 32, 64)
         assert p.min_cu_size in (8, 16, 32) and p.min_cu_size <= p.ctu_size
         assert p.internal_bit_depth in (8, 10, 12)
@@ -204,6 +214,7 @@ class EncoderParams:
         # log2_max_tu 5; inter CUs keep TU16 quads via a voluntary split
         p.var_cu_tree = (p.rd_level >= 3 and not p.lossless
                          and p.ctu_size >= 32
+                         and p.internal_csp == CHROMA_420
                          and p.source_width >= 32 and p.source_height >= 32)
         if p.var_cu_tree:
             p.max_tu_size = 32
