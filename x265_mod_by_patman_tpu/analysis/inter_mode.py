@@ -113,12 +113,14 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     # where rect rarely helps; keeps the weighted 14-bit path simple)
     rect_eff = rect and not any(wpat) and block == 16
     amp_eff = amp and rect_eff
-    cshift = 1 if getattr(sps, "chroma_format_idc", 1) == 1 else 0
+    idc = getattr(sps, "chroma_format_idc", 1)
+    cshift = 0 if idc == 3 else 1
     out = _p_core(oy, rys, rus, rvs, wq, wo,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), wpat, search_range, block, bd,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
-                  amp_eff, wc=wc, cpat=cpat, cshift=cshift)
+                  amp_eff, wc=wc, cpat=cpat, cshift=cshift,
+                  is422=idc == 2)
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -129,12 +131,13 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
 @functools.partial(
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
                               "log2_ctu", "use_pallas", "subme", "rect",
-                              "amp", "band", "cpat", "cshift"))
+                              "amp", "band", "cpat", "cshift",
+                              "is422"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
             use_pallas: bool, subme: int = 2, rect: bool = False,
             amp: bool = False, band=None, wc=None, cpat=None,
-            cshift: int = 1):
+            cshift: int = 1, is422: bool = False):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -474,6 +477,23 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     mc = []
     for pi in range(3):
         c_idx = 0 if pi == 0 else pi
+        if is422 and pi != 0:
+            # 4:2:2 chroma: two stacked 8x8 TBs per block; vertical
+            # MV component doubles into the eighth-pel chroma path
+            halves = []
+            for j in (0, 1):
+                preds = [mc_batch(refs[ridx][pi], bx >> 1,
+                                  by + 8 * j, mvx, mvy * 2, 8, c_idx,
+                                  bd, use_pallas=use_pallas)
+                         for ridx in range(nref)]
+                sel_j = preds[0]
+                for ridx in range(1, nref):
+                    sel_j = jnp.where((ref_sel == ridx)[:, None, None],
+                                      preds[ridx], sel_j)
+                halves.append(sel_j)
+            sel = jnp.concatenate(halves, axis=1)
+            mc.append(sel.reshape(nby, nbx, 2 * nc, nc))
+            continue
         sz = n if pi == 0 else nc
         bx_ = bx if pi == 0 else bx >> cshift
         by_ = by if pi == 0 else by >> cshift
@@ -614,7 +634,8 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
-                  1 if getattr(sps, "chroma_format_idc", 1) == 1 else 0)
+                  0 if getattr(sps, "chroma_format_idc", 1) == 3 else 1,
+                  getattr(sps, "chroma_format_idc", 1) == 2)
     modes, inter, dirs, mv0, mv1, mcy, mcu, mcv = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
             np.asarray(mv0), np.asarray(mv1),
@@ -623,11 +644,12 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
 
 @functools.partial(
     jax.jit, static_argnames=("search_range", "block", "bd",
-                              "use_pallas", "subme", "wb", "cshift"))
+                              "use_pallas", "subme", "wb", "cshift",
+                              "is422"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             search_range: int, block: int, bd: int, use_pallas: bool,
             subme: int = 2, wb=(False, False), wv=None,
-            cshift: int = 1):
+            cshift: int = 1, is422: bool = False):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -783,6 +805,29 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             (r0y, r1y, 0, n, bx, by),
             (ru0, ru1, 1, nc, bx >> cshift, by >> cshift),
             (rv0, rv1, 2, nc, bx >> cshift, by >> cshift)):
+        if is422 and c_idx:
+            halves = []
+            for j in (0, 1):
+                b0j = mc_batch_14(r0p, bx >> 1, by + 8 * j, mv0x,
+                                  mv0y * 2, 8, c_idx, bd,
+                                  use_pallas=use_pallas)
+                b1j = mc_batch_14(r1p, bx >> 1, by + 8 * j, mv1x,
+                                  mv1y * 2, 8, c_idx, bd,
+                                  use_pallas=use_pallas)
+                u0j = mc_batch(r0p, bx >> 1, by + 8 * j, mv0x,
+                               mv0y * 2, 8, c_idx, bd,
+                               use_pallas=use_pallas)
+                u1j = mc_batch(r1p, bx >> 1, by + 8 * j, mv1x,
+                               mv1y * 2, 8, c_idx, bd,
+                               use_pallas=use_pallas)
+                bij = bi_combine(b0j, b1j, bd)
+                halves.append(jnp.where(is_bi[:, None, None], bij,
+                                        jnp.where(use_l0[:, None,
+                                                         None],
+                                                  u0j, u1j)))
+            mc.append(jnp.concatenate(halves, axis=1)
+                      .reshape(nby, nbx, 2 * nc, nc))
+            continue
         mvsc = 2 if (c_idx and not cshift) else 1   # 4:4:4 chroma MVs
         b0 = mc_batch_14(r0p, bx_, by_, mv0x * mvsc, mv0y * mvsc, sz,
                          c_idx, bd, use_pallas=use_pallas)

@@ -104,9 +104,10 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
     cu = max(16, p.min_cu_size)
     s.width = -(-p.source_width // cu) * cu
     s.height = -(-p.source_height // cu) * cu
-    sub = 2 if p.internal_csp == CHROMA_420 else 1
-    s.conf_win_right = (s.width - p.source_width) // sub
-    s.conf_win_bottom = (s.height - p.source_height) // sub
+    sub_x = 1 if p.internal_csp == 3 else 2    # SubWidthC
+    sub_y = 2 if p.internal_csp == CHROMA_420 else 1   # SubHeightC
+    s.conf_win_right = (s.width - p.source_width) // sub_x
+    s.conf_win_bottom = (s.height - p.source_height) // sub_y
     s.chroma_format_idc = p.internal_csp
     s.bit_depth = p.internal_bit_depth
     s.log2_ctu_size = p.log2_ctu_size

@@ -112,6 +112,8 @@ def main(argv=None) -> int:
     p.total_frames = info.total_frames
     if getattr(info, "csp", "420") == "444":
         p.internal_csp = 3
+    elif getattr(info, "csp", "420") == "422":
+        p.internal_csp = 2
     if getattr(info, "bit_depth", 8) > 8:
         p.internal_bit_depth = info.bit_depth
     if args.preset:

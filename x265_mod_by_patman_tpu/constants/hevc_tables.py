@@ -326,3 +326,13 @@ DEBLOCK_BETA = np.array([
 # sig_coeff_flag context map for 4x4 TBs (spec 9.3.4.2.5 ctxIdxMap)
 SIG_CTX_MAP_4x4 = np.array(
     [0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8], dtype=np.int32)
+
+
+# 4:2:2 chroma intra mode remap (spec 8.4.4.2.3 Table 8-3,
+# process for ChromaArrayType == 2: the half-width sampling grid
+# changes the effective prediction angle; indexed by the DERIVED
+# chroma mode 0..34)
+CHROMA_422_ANGLE_MAP = (
+    0, 1, 2, 2, 2, 2, 3, 5, 7, 8, 10, 12, 13, 15, 17, 18, 19, 20,
+    21, 22, 23, 23, 24, 24, 25, 25, 26, 27, 27, 28, 28, 29, 29, 30,
+    31)

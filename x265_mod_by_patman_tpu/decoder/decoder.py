@@ -376,15 +376,20 @@ class Decoder:
                                  ref_pocs, poc, col_motion=col)
 
         h, w = sps.height, sps.width
-        cs = 1 if sps.chroma_format_idc == 1 else 0
-        self._cs = cs
+        idc = sps.chroma_format_idc
+        csx = 0 if idc == 3 else 1           # horizontal chroma shift
+        csy = 1 if idc == 1 else 0           # vertical chroma shift
+        cs = csx
+        self._cs = csx
+        self._csy = csy
+        self._is422 = idc == 2
         n_ctu_x = sps.pic_width_in_ctus
         n_ctu_y = sps.pic_height_in_ctus
         if first_slice:
             self._pic = {
                 "y": np.zeros((h, w), np.int32),
-                "u": np.zeros((h >> cs, w >> cs), np.int32),
-                "v": np.zeros((h >> cs, w >> cs), np.int32),
+                "u": np.zeros((h >> csy, w >> csx), np.int32),
+                "v": np.zeros((h >> csy, w >> csx), np.int32),
                 "all_cus": [],
                 "sao_grid": [[None] * n_ctu_x for _ in range(n_ctu_y)],
                 "qp_grid": np.full((n_ctu_y, n_ctu_x), qp, np.int32),
@@ -509,7 +514,7 @@ class Decoder:
             else:
                 bs_v, bs_h = intra_bs_maps(w, h, 16, split_grid,
                                            merge32_grid)
-            on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> cs, w >> cs,
+            on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> csy, w >> csx,
                                         csp=sps.chroma_format_idc)
             qarg = qp_grid if pps.cu_qp_delta_enabled else qp
             y = deblock_luma_ref(y, bs_v, bs_h, qarg,
@@ -643,6 +648,19 @@ class Decoder:
             for (tx, ty, tl, blk) in cu.tu_leaves:
                 self._recon_tb(y, tx, ty, tl, cu.luma_modes[0], 0, qp,
                                cu.coeffs.get((0, tx, ty, tl)))
+                if getattr(self, "_is422", False):
+                    ccx, cl = tx >> 1, tl - 1
+                    half = 1 << cl
+                    for ccy in (ty, ty + half):
+                        self._recon_tb(u, ccx, ccy, cl, cmode, 1,
+                                       qp_cb,
+                                       cu.coeffs.get((1, ccx, ccy,
+                                                      cl)))
+                        self._recon_tb(v, ccx, ccy, cl, cmode, 2,
+                                       qp_cr,
+                                       cu.coeffs.get((2, ccx, ccy,
+                                                      cl)))
+                    continue
                 if tl > 2 or cs == 0:
                     ccx, ccy, cl = tx >> cs, ty >> cs, tl - cs
                 elif blk == 3:
@@ -664,19 +682,24 @@ class Decoder:
         nbs = 1 << cu.log2_size
         pus = pu_partitions(cu.x0, cu.y0, nbs, getattr(cu, "part_mode", 0))
 
-        def pu_pred(pi_pu, px, py, pw, ph, c_idx, refs_shift):
+        def pu_pred(pi_pu, px, py, pw, ph, c_idx, rsx, rsy=None):
+            if rsy is None:
+                rsy = rsx
             mot = cu.motion(pi_pu)
             d = mot.dir
-            sx, sy, sw, sh = (px >> refs_shift, py >> refs_shift,
-                              pw >> refs_shift, ph >> refs_shift)
-            # 4:4:4 chroma: quarter-pel MVs on the full-size grid, so
-            # scale into the chroma MC path's eighth-pel convention
-            mvscale = 2 if (c_idx > 0 and
-                            getattr(self, "_cs", 1) == 0) else 1
-            mot = mot if mvscale == 1 else type(mot)(
-                mot.dir,
-                (mot.mv0[0] * 2, mot.mv0[1] * 2), mot.ref0,
-                (mot.mv1[0] * 2, mot.mv1[1] * 2), mot.ref1)
+            sx, sy, sw, sh = (px >> rsx, py >> rsy,
+                              pw >> rsx, ph >> rsy)
+            # chroma MV phase conventions: 4:4:4 doubles both axes
+            # into the eighth-pel chroma path; 4:2:2 doubles only the
+            # vertical component (SubHeightC == 1)
+            if c_idx > 0:
+                mx = 1 if getattr(self, "_cs", 1) else 2
+                my = 1 if getattr(self, "_csy", 1) else 2
+                if mx != 1 or my != 1:
+                    mot = type(mot)(
+                        mot.dir,
+                        (mot.mv0[0] * mx, mot.mv0[1] * my), mot.ref0,
+                        (mot.mv1[0] * mx, mot.mv1[1] * my), mot.ref1)
             r0 = self._ref_l0[mot.ref0][c_idx].astype(np.int32) \
                 if d & 1 else None
             r1 = self._ref_l1[mot.ref1][c_idx].astype(np.int32) \
@@ -731,46 +754,55 @@ class Decoder:
                                 sw, sh, c_idx, bd)
 
         cs = getattr(self, "_cs", 1)
-        for (plane, c_idx, qpc, cx, cy, clog2) in (
-                (y, 0, qp, cu.x0, cu.y0, cu.log2_size),
-                (u, 1, qp_cb, cu.x0 >> cs, cu.y0 >> cs,
-                 cu.log2_size - cs),
-                (v, 2, qp_cr, cu.x0 >> cs, cu.y0 >> cs,
-                 cu.log2_size - cs)):
-            cn = 1 << clog2
-            shift = 0 if c_idx == 0 else cs
-            pred = np.zeros((cn, cn), np.int32)
+        csy = getattr(self, "_csy", cs)
+        is422 = getattr(self, "_is422", False)
+        for (plane, c_idx, qpc, cx, cy, lgx, lgy) in (
+                (y, 0, qp, cu.x0, cu.y0, cu.log2_size, cu.log2_size),
+                (u, 1, qp_cb, cu.x0 >> cs, cu.y0 >> csy,
+                 cu.log2_size - cs, cu.log2_size - csy),
+                (v, 2, qp_cr, cu.x0 >> cs, cu.y0 >> csy,
+                 cu.log2_size - cs, cu.log2_size - csy)):
+            cw_, ch_ = 1 << lgx, 1 << lgy
+            sx_ = 0 if c_idx == 0 else cs
+            sy_ = 0 if c_idx == 0 else csy
+            pred = np.zeros((ch_, cw_), np.int32)
             for pi_pu, (px, py, pw, ph, _rule) in enumerate(pus):
-                blk = pu_pred(pi_pu, px, py, pw, ph, c_idx, shift)
-                oy0 = (py - cu.y0) >> shift
-                ox0 = (px - cu.x0) >> shift
-                pred[oy0:oy0 + (ph >> shift),
-                     ox0:ox0 + (pw >> shift)] = blk
+                blk = pu_pred(pi_pu, px, py, pw, ph, c_idx, sx_, sy_)
+                oy0 = (py - cu.y0) >> sy_
+                ox0 = (px - cu.x0) >> sx_
+                pred[oy0:oy0 + (ph >> sy_),
+                     ox0:ox0 + (pw >> sx_)] = blk
             # residual applies per leaf of the PARSED TU tree
             rec = pred.astype(np.int32)
             for (lx, ly, ll, blk) in cu.tu_leaves:
+                tbs = []
                 if c_idx == 0:
-                    tl, tx, ty = ll, lx - cu.x0, ly - cu.y0
+                    tbs = [(ll, lx - cu.x0, ly - cu.y0)]
+                elif is422:
+                    tl = ll - 1
+                    half = 1 << tl
+                    tbs = [(tl, (lx >> 1) - cx, ly - cy),
+                           (tl, (lx >> 1) - cx, ly + half - cy)]
                 elif ll > 2 or cs == 0:
-                    tl = ll - cs
-                    tx, ty = (lx >> cs) - cx, (ly >> cs) - cy
+                    tbs = [(ll - cs, (lx >> cs) - cx, (ly >> cs) - cy)]
                 elif blk == 3:
-                    tl = 2
-                    tx, ty = ((lx - 4) >> 1) - cx, ((ly - 4) >> 1) - cy
-                else:
-                    continue
-                tn = 1 << tl
-                levels = cu.coeffs.get((c_idx, cx + tx, cy + ty, tl))
-                if levels is not None and np.any(levels):
-                    if getattr(cu, "tq_bypass", False):
-                        resi = levels.astype(np.int32)
-                    else:
-                        coef = dequant_ref(levels.astype(np.int16),
-                                           qpc, tl, bd,
-                                           self._scal_mat(tl, False))
-                        resi = idct_ref(coef, bd, dst=False)
-                    rec[ty:ty + tn, tx:tx + tn] += resi
-            plane[cy:cy + cn, cx:cx + cn] = np.clip(rec, 0, maxv)
+                    tbs = [(2, ((lx - 4) >> 1) - cx,
+                            ((ly - 4) >> 1) - cy)]
+                for (tl, tx, ty) in tbs:
+                    tn = 1 << tl
+                    levels = cu.coeffs.get((c_idx, cx + tx, cy + ty,
+                                            tl))
+                    if levels is not None and np.any(levels):
+                        if getattr(cu, "tq_bypass", False):
+                            resi = levels.astype(np.int32)
+                        else:
+                            coef = dequant_ref(levels.astype(np.int16),
+                                               qpc, tl, bd,
+                                               self._scal_mat(tl,
+                                                              False))
+                            resi = idct_ref(coef, bd, dst=False)
+                        rec[ty:ty + tn, tx:tx + tn] += resi
+            plane[cy:cy + ch_, cx:cx + cw_] = np.clip(rec, 0, maxv)
 
     def _scal_mat(self, log2: int, intra: bool):
         if not getattr(self.sps, "scaling_list_enabled", False):
@@ -784,19 +816,24 @@ class Decoder:
         bd = sps.bit_depth
         n = 1 << log2
         ph, pw = plane.shape
-        comp_shift = getattr(self, "_cs", 1) if c_idx else 0
+        sxs = getattr(self, "_cs", 1) if c_idx else 0
+        sys_ = getattr(self, "_csy", sxs) if c_idx else 0
+        if c_idx and getattr(self, "_is422", False):
+            # 4:2:2 chroma prediction uses the Table 8-3 remapped angle
+            from ..constants.hevc_tables import CHROMA_422_ANGLE_MAP
+            mode = CHROMA_422_ANGLE_MAP[mode]
         xs, ys = s_vector_coords(x0, y0, n)
         inside = (xs >= 0) & (ys >= 0) & (xs < pw) & (ys < ph)
         w_ctus = sps.pic_width_in_ctus
-        z = zscan_index(np.clip(xs, 0, pw - 1) << comp_shift,
-                        np.clip(ys, 0, ph - 1) << comp_shift,
+        z = zscan_index(np.clip(xs, 0, pw - 1) << sxs,
+                        np.clip(ys, 0, ph - 1) << sys_,
                         sps.log2_ctu_size, w_ctus)
-        z0 = zscan_index(np.array(x0 << comp_shift),
-                         np.array(y0 << comp_shift),
+        z0 = zscan_index(np.array(x0 << sxs),
+                         np.array(y0 << sys_),
                          sps.log2_ctu_size, w_ctus)
         avail = inside & (z < z0)
         if getattr(self, "_slice_top", 0):
-            avail &= (ys << comp_shift) >= self._slice_top
+            avail &= (ys << sys_) >= self._slice_top
         s_raw = plane[np.clip(ys, 0, ph - 1), np.clip(xs, 0, pw - 1)]
         s = substitute_refs(s_raw, avail, bd)
         pred = predict_block_ref(

@@ -75,12 +75,15 @@ class Encoder:
 
     def __init__(self, params: EncoderParams) -> None:
         self.p = params.validate()
-        assert self.p.internal_csp in (1, 3), "4:2:0 / 4:4:4 only"
+        assert self.p.internal_csp in (1, 2, 3), "4:2:0/4:2:2/4:4:4"
         assert self.p.internal_bit_depth in (8, 10, 12), "8/10/12-bit"
         self.pix_dtype = np.uint8 if self.p.internal_bit_depth == 8 \
             else np.uint16
-        # chroma geometry shift: 1 for 4:2:0, 0 for 4:4:4
-        self.cshift = 1 if self.p.internal_csp == 1 else 0
+        # chroma geometry shifts: x halves except 4:4:4; y halves
+        # only for 4:2:0 (4:2:2 keeps full-height chroma)
+        self.cshift = 0 if self.p.internal_csp == 3 else 1
+        self.cshift_y = 1 if self.p.internal_csp == 1 else 0
+        self.is422 = self.p.internal_csp == 2
         self.sps = build_sps_info(self.p)
         self.pps = build_pps_info(self.p)
         # v1 restrictions: no SBH, no TMVP
@@ -921,7 +924,8 @@ class Encoder:
                 # (the reference's common case; keeps one weighted set);
                 # analysis-reuse and tile-sharded paths stay luma-only
                 if wp_l0 is not None and rec_a is None \
-                        and p.mesh_tile_rows <= 1:
+                        and p.mesh_tile_rows <= 1 \
+                        and p.internal_csp == 1:
                     wp_chroma = [
                         analyse_weightp_chroma(u, rf[1], v, rf[2])
                         if wp_l0[i] is not None else None
@@ -1235,7 +1239,7 @@ class Encoder:
             merge32 = ~split32 if split32 is not None else None
             bs_v, bs_h = intra_bs_maps(w, h, 16, split_map, merge32)
         csp = p.internal_csp
-        on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> self.cshift,
+        on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> self.cshift_y,
                                     w >> self.cshift, csp=csp)
         dy, du, dv = deblock_frame_batch(
             jnp.asarray(r["recon_y"].astype(np.int32)),
@@ -1315,7 +1319,8 @@ class Encoder:
     def _pad(self, plane: np.ndarray, comp_shift: int) -> np.ndarray:
         """Pad a source plane to the coded (min-CU aligned) size by edge
         replication (reference PicYuv padding, picyuv.cpp)."""
-        th = self.sps.height >> comp_shift
+        sy = comp_shift if not self.is422 else 0
+        th = self.sps.height >> sy
         tw = self.sps.width >> comp_shift
         h, w = plane.shape
         if (h, w) == (th, tw):
@@ -1445,14 +1450,25 @@ class Encoder:
                 return cu
             else:
                 cu = CodedCU(x0, y0, 4, (int(modes[by, bx]),), 4)
-            for c_idx, key, clog2 in ((0, "lev_y", 4),
-                                      (1, "lev_u", 4 - self.cshift),
-                                      (2, "lev_v", 4 - self.cshift)):
-                lv = r[key][by, bx]
+            if self.is422:
+                lv = r["lev_y"][by, bx]
                 if np.any(lv):
-                    cx0 = x0 >> (self.cshift if c_idx else 0)
-                    cy0 = y0 >> (self.cshift if c_idx else 0)
-                    cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
+                    cu.coeffs[(0, x0, y0, 4)] = lv
+                for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
+                    for j in (0, 1):
+                        lv = r[key][2 * by + j, bx]
+                        if np.any(lv):
+                            cu.coeffs[(c_idx, x0 >> 1,
+                                       y0 + 8 * j, 3)] = lv
+            else:
+                for c_idx, key, clog2 in ((0, "lev_y", 4),
+                                          (1, "lev_u", 4 - self.cshift),
+                                          (2, "lev_v", 4 - self.cshift)):
+                    lv = r[key][by, bx]
+                    if np.any(lv):
+                        cx0 = x0 >> (self.cshift if c_idx else 0)
+                        cy0 = y0 >> (self.cshift if c_idx else 0)
+                        cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
             cu.tq_bypass = tqb
             return cu
 
@@ -1490,7 +1506,7 @@ class Encoder:
             # merge 4 identical-motion inter CUs into one 32x32 CU
             # (TU16 residual quads; with log2_max_tu 5 this needs the
             # voluntary TU split)
-            if (full and len(cus) == 4 and
+            if (self.p.internal_csp == 1 and full and len(cus) == 4 and
                     all(c.is_inter and c.part_mode == 0 for c in cus) and
                     len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
                           c.ref_idx1) for c in cus}) == 1):
@@ -1507,7 +1523,8 @@ class Encoder:
             # merge 4 same-mode intra CUs into one 32x32 intra CU
             # (legacy max_tu=16 forced-split form; superseded by true
             # TU32 CUs in tree mode)
-            if (not tree and full and len(cus) == 4 and
+            if (not tree and self.p.internal_csp == 1 and full and
+                    len(cus) == 4 and
                     all((not c.is_inter) and not c.part_nxn
                         for c in cus) and
                     len({(c.luma_modes[0], c.chroma_idx)

@@ -212,8 +212,11 @@ class SliceSyntaxEncoder:
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
         self.log2_ctu = sps.log2_ctu_size
-        # chroma geometry shift: 1 for 4:2:0, 0 for 4:4:4
-        self.c_shift = 1 if getattr(sps, 'chroma_format_idc', 1) == 1 else 0
+        # chroma geometry shift: 1 for 4:2:0, 0 for 4:4:4;
+        # 4:2:2 keeps x-shift 1 with two stacked TBs per TU
+        _csp = getattr(sps, 'chroma_format_idc', 1)
+        self.c_shift = 0 if _csp == 3 else 1
+        self.is422 = _csp == 2
         # cu_qp_delta state (QG == CTB with diff_cu_qp_delta_depth 0)
         self._qp_prev = slice_qp
         self._qg_pred = slice_qp
@@ -593,17 +596,36 @@ class SliceSyntaxEncoder:
             ir.cbin(1 if split else 0,
                     OFF["TRANS_SUBDIV"] + 5 - log2)
         cs = self.c_shift
-        cx, cy, clog2 = x0 >> cs, y0 >> cs, log2 - cs
-        cbf_cb = cbf_cr = False
-        if log2 > 2 or cs == 0:          # 4:4:4 codes chroma cbf always
-            cbf_cb = self._cbf_region(cu, 1, cx, cy, clog2)
-            cbf_cr = self._cbf_region(cu, 2, cx, cy, clog2)
-            if parent_cbf_cb:
-                ir.cbin(1 if cbf_cb else 0, OFF["QT_CBF"] + 2 + trafo_depth)
-            if parent_cbf_cr:
-                ir.cbin(1 if cbf_cr else 0, OFF["QT_CBF"] + 2 + trafo_depth)
+        if self.is422:
+            # 4:2:2: two stacked square chroma TBs per TU; cbf_cb /
+            # cbf_cr are each coded twice (spec 7.3.8.8
+            # ChromaArrayType == 2)
+            cx, cy, clog2 = x0 >> 1, y0, log2 - 1
+            half = 1 << clog2
+            cbf_cb = (self._cbf_region(cu, 1, cx, cy, clog2),
+                      self._cbf_region(cu, 1, cx, cy + half, clog2))
+            cbf_cr = (self._cbf_region(cu, 2, cx, cy, clog2),
+                      self._cbf_region(cu, 2, cx, cy + half, clog2))
+            for b in cbf_cb:
+                ir.cbin(1 if b else 0, OFF["QT_CBF"] + 2 + trafo_depth)
+            for b in cbf_cr:
+                ir.cbin(1 if b else 0, OFF["QT_CBF"] + 2 + trafo_depth)
+            cbf_cb = any(cbf_cb)
+            cbf_cr = any(cbf_cr)
         else:
-            cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+            cx, cy, clog2 = x0 >> cs, y0 >> cs, log2 - cs
+            cbf_cb = cbf_cr = False
+            if log2 > 2 or cs == 0:      # 4:4:4 codes chroma cbf always
+                cbf_cb = self._cbf_region(cu, 1, cx, cy, clog2)
+                cbf_cr = self._cbf_region(cu, 2, cx, cy, clog2)
+                if parent_cbf_cb:
+                    ir.cbin(1 if cbf_cb else 0,
+                            OFF["QT_CBF"] + 2 + trafo_depth)
+                if parent_cbf_cr:
+                    ir.cbin(1 if cbf_cr else 0,
+                            OFF["QT_CBF"] + 2 + trafo_depth)
+            else:
+                cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
         if split:
             half = 1 << (log2 - 1)
             for k, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half),
@@ -665,8 +687,20 @@ class SliceSyntaxEncoder:
             encode_residual(ir, cu.coeffs[(0, x0, y0, log2)], log2, 0,
                             scan, self.pps.sign_hide)
         # chroma TBs: at log2>2 (or any size in 4:4:4) alongside; in
-        # 4:2:0 at log2==2 only on blk_idx 3 (the shared 4x4 chroma)
+        # 4:2:0 at log2==2 only on blk_idx 3 (the shared 4x4 chroma);
+        # 4:2:2 codes TWO stacked square TBs per component
         cs = self.c_shift
+        if self.is422:
+            cx, clog2 = x0 >> 1, log2 - 1
+            half = 1 << clog2
+            for c_idx in (1, 2):
+                for cy2 in (y0, y0 + half):
+                    lv = cu.coeffs.get((c_idx, cx, cy2, clog2))
+                    if lv is not None and np.any(lv):
+                        encode_residual(ir, lv, clog2, c_idx,
+                                        SCAN_DIAG,
+                                        self.pps.sign_hide)
+            return
         if log2 > 2 or cs == 0:
             cx, cy, clog2 = x0 >> cs, y0 >> cs, log2 - cs
         elif blk_idx == 3:
@@ -712,8 +746,11 @@ class SliceSyntaxDecoder:
         self.imaps = InterMaps(sps.width, sps.height, sps.log2_ctu_size)
         self.min_log2_cu = sps.log2_min_cu_size
         self.log2_ctu = sps.log2_ctu_size
-        # chroma geometry shift: 1 for 4:2:0, 0 for 4:4:4
-        self.c_shift = 1 if getattr(sps, 'chroma_format_idc', 1) == 1 else 0
+        # chroma geometry shift: 1 for 4:2:0, 0 for 4:4:4;
+        # 4:2:2 keeps x-shift 1 with two stacked TBs per TU
+        _csp = getattr(sps, 'chroma_format_idc', 1)
+        self.c_shift = 0 if _csp == 3 else 1
+        self.is422 = _csp == 2
         # cu_qp_delta state (mirrors SliceSyntaxEncoder)
         self._qp_prev = slice_qp
         self._qg_pred = slice_qp
@@ -1107,7 +1144,14 @@ class SliceSyntaxDecoder:
         if trafo_depth == 0:
             cu.tu_split = bool(split)
         cbf_cb = cbf_cr = False
-        if log2 > 2 or self.c_shift == 0:
+        if self.is422:
+            cbf_cb = tuple(bool(self.dec.decode_bin(
+                self.states, OFF["QT_CBF"] + 2 + trafo_depth))
+                for _ in range(2))
+            cbf_cr = tuple(bool(self.dec.decode_bin(
+                self.states, OFF["QT_CBF"] + 2 + trafo_depth))
+                for _ in range(2))
+        elif log2 > 2 or self.c_shift == 0:
             if parent_cbf_cb:
                 cbf_cb = bool(self.dec.decode_bin(
                     self.states, OFF["QT_CBF"] + 2 + trafo_depth))
@@ -1123,7 +1167,9 @@ class SliceSyntaxDecoder:
                 self._transform_tree(cu, x0 + dx, y0 + dy, log2 - 1,
                                      trafo_depth + 1, k, cbf_cb, cbf_cr)
             return
-        if (not cu.is_inter) or trafo_depth != 0 or cbf_cb or cbf_cr:
+        has_cb = any(cbf_cb) if isinstance(cbf_cb, tuple) else cbf_cb
+        has_cr = any(cbf_cr) if isinstance(cbf_cr, tuple) else cbf_cr
+        if (not cu.is_inter) or trafo_depth != 0 or has_cb or has_cr:
             cbf_luma = bool(self.dec.decode_bin(
                 self.states,
                 OFF["QT_CBF"] + (1 if trafo_depth == 0 else 0)))
@@ -1160,7 +1206,9 @@ class SliceSyntaxDecoder:
 
     def _transform_unit(self, cu, x0, y0, log2, trafo_depth, blk_idx,
                         cbf_luma, cbf_cb, cbf_cr):
-        if not (cbf_luma or cbf_cb or cbf_cr):
+        has_cb = any(cbf_cb) if isinstance(cbf_cb, tuple) else cbf_cb
+        has_cr = any(cbf_cr) if isinstance(cbf_cr, tuple) else cbf_cr
+        if not (cbf_luma or has_cb or has_cr):
             return
         if self.pps.cu_qp_delta_enabled and not self._dqp_coded:
             self._dqp_dec()
@@ -1176,6 +1224,17 @@ class SliceSyntaxDecoder:
             cu.coeffs[(0, x0, y0, log2)] = decode_residual(
                 self.dec, self.states, log2, 0, scan, self.pps.sign_hide)
         cs = self.c_shift
+        if self.is422:
+            cx, clog2 = x0 >> 1, log2 - 1
+            half = 1 << clog2
+            for c_idx, pair in ((1, cbf_cb), (2, cbf_cr)):
+                for j, cy2 in enumerate((y0, y0 + half)):
+                    if pair[j]:
+                        cu.coeffs[(c_idx, cx, cy2, clog2)] = \
+                            decode_residual(self.dec, self.states,
+                                            clog2, c_idx, SCAN_DIAG,
+                                            self.pps.sign_hide)
+            return
         if log2 > 2 or cs == 0:
             cx, cy, clog2 = x0 >> cs, y0 >> cs, log2 - cs
         elif blk_idx == 3:

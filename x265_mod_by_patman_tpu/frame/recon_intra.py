@@ -458,7 +458,8 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     sb_av4c=None, lossless: bool = False,
                     init_type=None, psy256=None, psy_rdoq=None,
                     tu4_map=None, sb_av4y=None, clog2: int = 3,
-                    fchroma: bool = False):
+                    fchroma: bool = False, csp422: bool = False,
+                    imask_c=None):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -503,6 +504,32 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         m4 = (None, None)                    # 4x4 lists are flat
+        if csp422:
+            # 4:2:2: each 16x16 luma block carries TWO stacked 8x8
+            # chroma TBs (spec 7.3.8.10 ChromaArrayType==2); the
+            # chroma level/pred stores use a row-doubled block grid,
+            # and prediction uses the Table 8-3 remapped mode
+            from ..constants.hevc_tables import CHROMA_422_ANGLE_MAP
+            md_c = jnp.asarray(np.asarray(CHROMA_422_ANGLE_MAP,
+                                          np.int32))[jnp.clip(md, 0,
+                                                              34)]
+            for j in (0, 1):
+                byc = by * 2 + j
+                up, lev_u, _ = _substep_body(
+                    up, lev_u, ou, bx, byc, md_c, sb_avc[s][:, j],
+                    clog2, qpcb_b, 1, bit_depth, mc_u, imask_c,
+                    sign_hide, skip_map, rdoq,
+                    mats[2] if mats else None,
+                    mats[3] if mats else None, None, None, None, m4,
+                    lossless, init_type)
+                vp, lev_v, _ = _substep_body(
+                    vp, lev_v, ov, bx, byc, md_c, sb_avc[s][:, j],
+                    clog2, qpcr_b, 2, bit_depth, mc_v, imask_c,
+                    sign_hide, skip_map, rdoq,
+                    mats[2] if mats else None,
+                    mats[3] if mats else None, None, None, None, m4,
+                    lossless, init_type)
+            return yp, up, vp, lev_y, lev_u, lev_v, skip_map
         up, lev_u, _ = _substep_body(
             up, lev_u, ou, bx, by, md, sb_avc[s],
             clog2, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
@@ -529,7 +556,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
 _wavefront_run = jax.jit(
     _wavefront_body,
     static_argnames=("bit_depth", "sign_hide", "rdoq", "lossless",
-                     "clog2", "fchroma"),
+                     "clog2", "fchroma", "csp422"),
     donate_argnums=(0, 1, 2, 3, 4, 5),
 )
 
@@ -610,7 +637,10 @@ class IntraReconstructor:
         self.bd = sps.bit_depth
         self.log2_ctu = sps.log2_ctu_size
         self.csp = getattr(sps, "chroma_format_idc", 1)
-        self.cshift = 1 if self.csp == 1 else 0   # 4:2:0 vs 4:4:4
+        # horizontal chroma shift (0 only for 4:4:4); 4:2:2 halves x
+        # but keeps full-height chroma on a row-doubled 8x8 block grid
+        self.cshift = 0 if self.csp == 3 else 1
+        self.is422 = self.csp == 2
         self.nl = 16                       # luma block size (v1 uniform)
         self.nc = self.nl >> self.cshift   # chroma block size
         w, h = sps.width, sps.height
@@ -764,6 +794,11 @@ class IntraReconstructor:
                                     self.slice_tops)
         avail_c = frame_avail_masks(w, h, self.nc, self.log2_ctu, self.cshift,
                                     self.slice_tops)
+        if self.is422:
+            # 4:2:2 chroma availability on the row-doubled 8x8 grid
+            avail_c = frame_avail_masks(w, h, 8, self.log2_ctu, 1,
+                                        self.slice_tops,
+                                        comp_shift_y=0)
         av8_full = av4c_full = av4y_full = None
         if self.nxn:
             av8_full = frame_avail_masks(w, h, 8, self.log2_ctu, 0,
@@ -799,8 +834,16 @@ class IntraReconstructor:
                         continue
                     avy = avail_y[np.where(valid, byp, 0),
                                   np.where(valid, bxp, 0)] & valid[:, None]
-                    avc = avail_c[np.where(valid, byp, 0),
-                                  np.where(valid, bxp, 0)] & valid[:, None]
+                    if self.is422:
+                        # both stacked 8x8 chroma TBs' masks (B, 2, 33)
+                        avc = np.stack(
+                            [avail_c[np.where(valid, 2 * byp + j, 0),
+                                     np.where(valid, bxp, 0)]
+                             & valid[:, None] for j in (0, 1)], axis=1)
+                    else:
+                        avc = avail_c[np.where(valid, byp, 0),
+                                      np.where(valid, bxp, 0)] \
+                            & valid[:, None]
                     bxs.append(bxp)
                     bys.append(byp)
                     avys.append(avy)
@@ -917,30 +960,54 @@ class IntraReconstructor:
         qp_map = self._qp_maps(qp)
         nl, nc = self.nl, self.nc
         w, h = self.sps.width, self.sps.height
-        wc, hc = w >> self.cshift, h >> self.cshift
+        wc = w >> self.cshift
+        hc = h if self.is422 else h >> self.cshift
+        # 4:2:2: chroma stores live on a row-doubled 8x8 block grid
+        nbc = 2 * self.nby if self.is422 else self.nby
+        cdump = 2 if self.is422 else 1
         yp = jnp.zeros((h + nl, w), jnp.int32)
-        up = jnp.zeros((hc + nc, wc), jnp.int32)
-        vp = jnp.zeros((hc + nc, wc), jnp.int32)
+        up = jnp.zeros((hc + cdump * nc, wc), jnp.int32)
+        vp = jnp.zeros((hc + cdump * nc, wc), jnp.int32)
         lev_y = jnp.zeros((self.nby + 1, self.nbx, nl, nl), jnp.int32)
-        lev_u = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
-        lev_v = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
+        lev_u = jnp.zeros((nbc + cdump, self.nbx, nc, nc), jnp.int32)
+        lev_v = jnp.zeros((nbc + cdump, self.nbx, nc, nc), jnp.int32)
         oy = jnp.asarray(np.asarray(y, dtype=np.int32))
         ou = jnp.asarray(np.asarray(u, dtype=np.int32))
         ov = jnp.asarray(np.asarray(v, dtype=np.int32))
         modes_j = jnp.asarray(modes.astype(np.int32))
 
-        def padb(a):                      # add the dump block row
+        def padb(a, k=1):                 # add dump block row(s)
             return jnp.concatenate(
-                [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+                [a, jnp.zeros((k,) + a.shape[1:], a.dtype)], axis=0)
 
+        def chroma_blocks(a):
+            """(nby, nbx, 16, 8) 4:2:2 chroma preds -> row-doubled
+            (2*nby + 2, nbx, 8, 8) block store."""
+            a = jnp.asarray(a)
+            t = a.reshape(self.nby, self.nbx, 2, nc, nc) \
+                .transpose(0, 2, 1, 3, 4) \
+                .reshape(2 * self.nby, self.nbx, nc, nc)
+            return padb(t, 2)
+
+        imask_c = None
         if mc_pred is None:
             mc_y = jnp.zeros((self.nby + 1, self.nbx, nl, nl), jnp.int32)
-            mc_u = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
-            mc_v = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
+            mc_u = jnp.zeros((nbc + cdump, self.nbx, nc, nc), jnp.int32)
+            mc_v = jnp.zeros((nbc + cdump, self.nbx, nc, nc), jnp.int32)
             imask = jnp.zeros((self.nby + 1, self.nbx), bool)
+            if self.is422:
+                imask_c = jnp.zeros((nbc + cdump, self.nbx), bool)
         else:
-            mc_y, mc_u, mc_v = (padb(jnp.asarray(a)) for a in mc_pred)
+            mc_y = padb(jnp.asarray(mc_pred[0]))
             imask = padb(jnp.asarray(inter_mask))
+            if self.is422:
+                mc_u = chroma_blocks(mc_pred[1])
+                mc_v = chroma_blocks(mc_pred[2])
+                imask_c = padb(jnp.repeat(jnp.asarray(inter_mask), 2,
+                                          axis=0), 2)
+            else:
+                mc_u = padb(jnp.asarray(mc_pred[1]))
+                mc_v = padb(jnp.asarray(mc_pred[2]))
 
         sm = m8j = t4j = None
         if split_map is not None:
@@ -959,7 +1026,7 @@ class IntraReconstructor:
             self.lossless, jnp.int32(init_type), self.psy256,
             self.psy_rdoq, t4j,
             self.sb_av4y if t4j is not None else None,
-            4 - self.cshift, self.cshift == 0)
+            4 - self.cshift, self.cshift == 0, self.is422, imask_c)
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller
@@ -967,15 +1034,15 @@ class IntraReconstructor:
             # (the device/host pipeline lever, SURVEY.md §7)
             return {"recon_y": yp[:h], "recon_u": up[:hc],
                     "recon_v": vp[:hc], "lev_y": lev_y[:self.nby],
-                    "lev_u": lev_u[:self.nby], "lev_v": lev_v[:self.nby]}
+                    "lev_u": lev_u[:nbc], "lev_v": lev_v[:nbc]}
         dt = np.uint8 if self.bd == 8 else np.uint16
         return {
             "recon_y": np.asarray(yp[:h]).astype(dt),
             "recon_u": np.asarray(up[:hc]).astype(dt),
             "recon_v": np.asarray(vp[:hc]).astype(dt),
             "lev_y": np.asarray(lev_y[:self.nby]),
-            "lev_u": np.asarray(lev_u[:self.nby]),
-            "lev_v": np.asarray(lev_v[:self.nby]),
+            "lev_u": np.asarray(lev_u[:nbc]),
+            "lev_v": np.asarray(lev_v[:nbc]),
         }
 
     def materialize(self, rd: dict) -> dict:

@@ -62,44 +62,46 @@ def s_vector_coords(x0: int, y0: int, n: int):
 
 @functools.lru_cache(maxsize=None)
 def frame_avail_masks(width: int, height: int, block: int, log2_ctu: int,
-                      comp_shift: int = 0, slice_tops: tuple = ()):
+                      comp_shift: int = 0, slice_tops: tuple = (),
+                      comp_shift_y: int = None):
     """Availability masks of the S vector for every block of a frame.
 
     width/height: LUMA picture dimensions; block: block size in THIS
     component's samples; comp_shift: 1 for 4:2:0 chroma (coords scale x2 to
-    luma for the z-scan test); slice_tops: LUMA rows where slices start —
-    samples in an earlier slice are unavailable for prediction
-    (spec 6.4.1 same-slice condition).
+    luma for the z-scan test); comp_shift_y: vertical shift when it
+    differs (4:2:2 chroma: x shift 1, y shift 0); slice_tops: LUMA rows
+    where slices start — samples in an earlier slice are unavailable for
+    prediction (spec 6.4.1 same-slice condition).
 
     Returns (blocks_y, blocks_x, 4*block+1) bool array.
     """
-    cw = width >> comp_shift
-    ch = height >> comp_shift
+    sx = comp_shift
+    sy = comp_shift if comp_shift_y is None else comp_shift_y
+    cw = width >> sx
+    ch = height >> sy
     bx = cw // block
     by = ch // block
     w_ctus = -(-width // (1 << log2_ctu))
     n = block
     masks = np.zeros((by, bx, 4 * n + 1), dtype=bool)
-    ks = np.arange(4 * n + 1)
     for j in range(by):
         for i in range(bx):
             x0, y0 = i * n, j * n
             xs, ys = s_vector_coords(x0, y0, n)
             inside = (xs >= 0) & (ys >= 0) & (xs < cw) & (ys < ch)
             # z-scan comparison in luma coordinates
-            lx = np.clip(xs, 0, cw - 1) << comp_shift
-            ly = np.clip(ys, 0, ch - 1) << comp_shift
+            lx = np.clip(xs, 0, cw - 1) << sx
+            ly = np.clip(ys, 0, ch - 1) << sy
             z = zscan_index(lx, ly, log2_ctu, w_ctus)
-            z0 = zscan_index(np.array(x0 << comp_shift),
-                             np.array(y0 << comp_shift), log2_ctu, w_ctus)
+            z0 = zscan_index(np.array(x0 << sx),
+                             np.array(y0 << sy), log2_ctu, w_ctus)
             avail = inside & (z < z0)
             if slice_tops:
                 tops = np.asarray(slice_tops)
-                top = tops[np.searchsorted(tops, y0 << comp_shift,
+                top = tops[np.searchsorted(tops, y0 << sy,
                                            "right") - 1]
                 avail &= ly >= top
             masks[j, i] = avail
-    del ks
     return masks
 
 

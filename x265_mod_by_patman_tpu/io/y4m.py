@@ -57,10 +57,11 @@ class Y4MReader:
             elif tag == "X" and val.startswith("LENGTH="):
                 # Patman mod: XLENGTH frame-count tag
                 self.info.total_frames = int(val[len("LENGTH="):])
-        assert self.info.csp in ("420", "444"), "4:2:0 / 4:4:4 only"
+        assert self.info.csp in ("420", "422", "444"), \
+            "4:2:0 / 4:2:2 / 4:4:4 only"
         w, h = self.info.width, self.info.height
         self._spp = 2 if self.info.bit_depth > 8 else 1  # bytes per sample
-        self._cden = 4 if self.info.csp == "420" else 1  # chroma_size = y/4
+        self._cden = {"420": 4, "422": 2, "444": 1}[self.info.csp]
         self._fsize = (w * h + 2 * (w * h // self._cden)) * self._spp
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -81,7 +82,7 @@ class Y4MReader:
             buf = np.frombuffer(data, dt)
             cs = w * h // self._cden
             cw = w if self._cden == 1 else w // 2
-            chh = h if self._cden == 1 else h // 2
+            chh = h // 2 if self._cden == 4 else h
             y = buf[:w * h].reshape(h, w)
             u = buf[w * h:w * h + cs].reshape(chh, cw)
             v = buf[w * h + cs:].reshape(chh, cw)

@@ -392,14 +392,15 @@ def chroma_on_maps(bs_v: np.ndarray, bs_h: np.ndarray, hc: int, wc: int,
     eh = hc // 8 - 1
     on_v = np.zeros((hc, max(ev, 0)), dtype=bool)
     on_h = np.zeros((max(eh, 0), wc), dtype=bool)
-    ss = 1 if csp == 1 else 0
+    ssx = 0 if csp == 3 else 1
+    ssy = 1 if csp == 1 else 0
     for c in range(ev):
-        e = ((c + 1) << ss) - 1
-        # chroma coord -> luma coord (<< ss) -> 4-sample segment (>> 2)
-        on_v[:, c] = bs_v[(np.arange(hc) << ss) >> 2, e] == 2
+        e = ((c + 1) << ssx) - 1
+        # chroma coord -> luma coord (<< shift) -> 4-sample seg (>> 2)
+        on_v[:, c] = bs_v[(np.arange(hc) << ssy) >> 2, e] == 2
     for c in range(eh):
-        e = ((c + 1) << ss) - 1
-        on_h[c, :] = bs_h[e, (np.arange(wc) << ss) >> 2] == 2
+        e = ((c + 1) << ssy) - 1
+        on_h[c, :] = bs_h[e, (np.arange(wc) << ssx) >> 2] == 2
     return on_v, on_h
 
 
@@ -414,7 +415,8 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
     h, w = out.shape
     maxv = (1 << bit_depth) - 1
     ctu = 1 << log2_ctu
-    ss = 1 if csp == 1 else 0            # chroma -> luma coord shift
+    ssx = 0 if csp == 3 else 1           # chroma -> luma coord shifts
+    ssy = 1 if csp == 1 else 0
 
     def qc_of(avg):
         if csp == 1:
@@ -450,7 +452,7 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
         for y in range(h):
             if not on_v[y, e]:
                 continue
-            tc = tc_of(y << ss, (x << ss) - 1, x << ss)
+            tc = tc_of(y << ssy, (x << ssx) - 1, x << ssx)
             if tc == 0:
                 continue
             p1, p0, q0, q1 = (int(out[y, x - 2]), int(out[y, x - 1]),
@@ -463,7 +465,7 @@ def deblock_chroma_ref(plane: np.ndarray, on_v: np.ndarray,
         for x in range(w):
             if not on_h[e, x]:
                 continue
-            tc = tc_of_h((y << ss) - 1, y << ss, x << ss)
+            tc = tc_of_h((y << ssy) - 1, y << ssy, x << ssx)
             if tc == 0:
                 continue
             p1, p0, q0, q1 = (int(out[y - 2, x]), int(out[y - 1, x]),
@@ -656,19 +658,20 @@ def _chroma_qp_edge_maps(qp, hc, wc, off_cb, off_cr, log2_ctu=5,
     else:
         def qc(a, off):
             return jnp.clip(a + off, 0, 51)
-    ss = 1 if csp == 1 else 0
+    ssx = 0 if csp == 3 else 1
+    ssy = 1 if csp == 1 else 0
     if qp.ndim == 0:
         return (qc(qp, off_cb), qc(qp, off_cr),
                 qc(qp, off_cb), qc(qp, off_cr))
     ctu = 1 << log2_ctu
-    rows = (jnp.arange(hc) << ss) // ctu
-    exc = (jnp.arange(1, wc // 8)) * (8 << ss)   # luma x of chroma edges
+    rows = (jnp.arange(hc) << ssy) // ctu
+    exc = (jnp.arange(1, wc // 8)) * (8 << ssx)  # luma x of chroma edges
     cxp = jnp.clip((exc - 1) // ctu, 0, qp.shape[1] - 1)
     cxq = jnp.clip(exc // ctu, 0, qp.shape[1] - 1)
     avg_v = (qp[rows[:, None], cxp[None, :]] +
              qp[rows[:, None], cxq[None, :]] + 1) >> 1    # (Hc, Ec)
-    cols = (jnp.arange(wc) << ss) // ctu
-    eyc = (jnp.arange(1, hc // 8)) * (8 << ss)
+    cols = (jnp.arange(wc) << ssx) // ctu
+    eyc = (jnp.arange(1, hc // 8)) * (8 << ssy)
     cyp = jnp.clip((eyc - 1) // ctu, 0, qp.shape[0] - 1)
     cyq = jnp.clip(eyc // ctu, 0, qp.shape[0] - 1)
     avg_h = (qp[cyp[:, None], cols[None, :]] +

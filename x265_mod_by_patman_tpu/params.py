@@ -168,16 +168,21 @@ class EncoderParams:
             # x265_check_params rejects odd dims for 4:2:0 likewise)
             assert p.source_width % 2 == 0 and p.source_height % 2 == 0, \
                 "4:2:0 requires even source dimensions"
-        if p.internal_csp == CHROMA_444:
-            # 4:4:4 v1 restrictions (tools whose chroma geometry is
-            # still 4:2:0-coupled); asserts raise rather than silently
-            # encoding something else
+        if p.internal_csp in (CHROMA_422, CHROMA_444):
+            # 4:2:2/4:4:4 v1 restrictions (tools whose chroma geometry
+            # is still 4:2:0-coupled); asserts raise rather than
+            # silently encoding something else
             assert not p.nxn_intra, "--nxn-intra requires 4:2:0 (v1)"
             assert not p.mcstf, "--mcstf requires 4:2:0 (v1)"
             assert not (p.analysis_save or p.analysis_load), \
                 "analysis reuse requires 4:2:0 (v1)"
             p.rect = False
             p.amp = False
+        if p.internal_csp == CHROMA_422:
+            # SAO tiles are square per-CTU; 4:2:2 chroma CTUs are not
+            p.sao = False
+            assert p.source_width % 2 == 0, \
+                "4:2:2 requires even source width"
         assert p.ctu_size in (16, 32, 64)
         assert p.min_cu_size in (8, 16, 32) and p.min_cu_size <= p.ctu_size
         assert p.internal_bit_depth in (8, 10, 12)
