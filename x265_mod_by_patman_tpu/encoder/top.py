@@ -165,7 +165,9 @@ class Encoder:
                               self.p.bitrate_kbps,
                               self.p.fps_num / max(1, self.p.fps_denom),
                               self.sps.width, self.sps.height,
-                              self.p.qp_min, self.p.qp_max)
+                              self.p.qp_min, self.p.qp_max,
+                              cu_tree=self._cutree is not None
+                              or self._ctshare_r is not None)
         if self.p.vbv_bufsize > 0 and self.p.vbv_maxrate > 0:
             self.rc.set_vbv(self.p.vbv_bufsize, self.p.vbv_maxrate,
                             self.p.vbv_init)

@@ -69,10 +69,12 @@ class RateControl:
 
     def __init__(self, mode: str, qp: int, crf: float, bitrate_kbps: int,
                  fps: float, width: int, height: int,
-                 qp_min: int = 0, qp_max: int = 51) -> None:
+                 qp_min: int = 0, qp_max: int = 51,
+                 cu_tree: bool = False) -> None:
         self.mode = mode
         self.base_qp = qp
         self.crf = crf
+        self.cu_tree = bool(cu_tree)
         self.fps = max(fps, 1e-3)
         self.target_bpf = bitrate_kbps * 1000.0 / self.fps
         self.qp_min, self.qp_max = qp_min, qp_max
@@ -229,9 +231,18 @@ class RateControl:
             qp = min(max(qp, self.qp_min), self.qp_max)
             return int(round(qp))
         if self.mode == "crf":
-            base = qp_to_qscale(self.crf)
-            ref = max(self.crf_cplx0, 1.0) ** (1.0 - QCOMPRESS)
-            qs = base * cplx / ref
+            if self.cu_tree:
+                # reference CRF + cuTree calibration (ratecontrol.cpp:
+                # 223/2119): the rate factor shifts by the mbtree
+                # offset (1 - qcomp) * 13.5 QP and the frame-level
+                # complexity term goes ~flat (qComp 0.99) — the
+                # lookahead's per-CTU offsets do the distribution,
+                # always downward from this raised base.
+                qs = qp_to_qscale(self.crf + (1.0 - QCOMPRESS) * 13.5)
+            else:
+                base = qp_to_qscale(self.crf)
+                ref = max(self.crf_cplx0, 1.0) ** (1.0 - QCOMPRESS)
+                qs = base * cplx / ref
         else:                                   # abr
             if self.frames == 0:
                 qs = qp_to_qscale(self.base_qp)
