@@ -217,6 +217,7 @@ class Decoder:
         self._tq_bypass = False
         self._col_store = {}                  # poc -> ColMotion
         self.prefix_seis: List[tuple] = []    # (payload_type, bytes)
+        self.unspecified_nals: List[tuple] = []   # (nal_type, bytes)
         self._cur_wp = None                   # (denom, per-L0-ref (w,o))
 
     def decode(self, stream: bytes) -> List[DecodedPicture]:
@@ -241,6 +242,10 @@ class Decoder:
                     if ptype == SEI_DECODED_PICTURE_HASH and \
                             payload[0] == 0 and self.pictures:
                         self.pictures[-1].sei_md5 = payload[1:49]
+            elif nal_type >= 48:
+                # UNSPECIFIED range (Dolby Vision RPU rides as 62):
+                # record and continue, as any conforming decoder must
+                self.unspecified_nals.append((nal_type, bytes(nal)))
             else:
                 raise NotImplementedError(f"nal type {nal_type}")
         return self.pictures

@@ -216,6 +216,25 @@ class Encoder:
                 elif k == "b":
                     bf = float(vv)
             self._zones.append((s0, e0, qov, bf))
+        # Dolby Vision RPU passthrough (reference frameencoder.cpp:1281
+        # emits each picture's RPU as an UNSPECIFIED(62) NAL after the
+        # slice): the side file is concatenated Annex-B RPU NALs, one
+        # per display-order picture
+        self._rpus: List[bytes] = []
+        if getattr(self.p, "dolby_vision_rpu", ""):
+            data = open(self.p.dolby_vision_rpu, "rb").read()
+            starts = []
+            i = 0
+            while i < len(data) - 3:
+                if data[i:i + 3] == b"\x00\x00\x01":
+                    starts.append(i)
+                    i += 3
+                else:
+                    i += 1
+            for k, st in enumerate(starts):
+                e = starts[k + 1] if k + 1 < len(starts) else len(data)
+                s0 = st - 1 if st > 0 and data[st - 1] == 0 else st
+                self._rpus.append(data[s0:e])
         # qpfile: display idx -> (ftype, qp)
         self._qpfile: Dict[int, tuple] = {}
         if self.p.qpfile:
@@ -1105,6 +1124,9 @@ class Encoder:
             out += annexb(nal, slice_rbsp)
         if p.decoded_picture_hash:
             out += annexb(NAL_SUFFIX_SEI, write_decoded_picture_hash(md5))
+        if self._rpus:
+            disp_i = self._idr_base + poc
+            out += self._rpus[min(disp_i, len(self._rpus) - 1)]
         frame = EncodedFrame(poc, out,
                              (r["recon_y"], r["recon_u"], r["recon_v"]),
                              bits=len(out) * 8, md5=md5, slice_type=ftype,

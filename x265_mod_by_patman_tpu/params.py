@@ -96,6 +96,8 @@ class EncoderParams:
     master_display: str = ""        # G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)
     dhdr10_info: str = ""           # HDR10+ JSON metadata file
     film_grain: str = ""            # film-grain characteristics JSON
+    dolby_vision_rpu: str = ""      # per-frame RPU NALs (Annex-B file)
+    dolby_vision_profile: int = 0   # 0 off; 50/81/82/84 (x265 values)
     max_cll: int = 0
     max_fall: int = 0
     info_sei: bool = True           # x265 user-data encoder-info SEI
@@ -214,6 +216,17 @@ class EncoderParams:
         if p.hrd:
             assert p.vbv_bufsize > 0 and p.vbv_maxrate > 0, \
                 "--hrd requires --vbv-bufsize and --vbv-maxrate"
+        if p.dolby_vision_profile:
+            # reference param.cpp:1939 profile gate; profile 8.1
+            # additionally pins the HDR10 colour description
+            # (encoder.cpp configure DolbyVision handling)
+            assert p.dolby_vision_profile in (50, 81, 82, 84), \
+                "--dolby-vision-profile must be 5.0/8.1/8.2/8.4"
+            assert p.dolby_vision_rpu, \
+                "--dolby-vision-profile requires --dolby-vision-rpu"
+            if p.dolby_vision_profile == 81:
+                p.colorprim, p.transfer, p.colormatrix = 9, 16, 9
+                p.video_full_range = False
         # variable CU-tree RDO (rd >= 3, reference rd-levels
         # doc/reST/presets.rst): true 32x32 intra CUs with TU32 need
         # log2_max_tu 5; inter CUs keep TU16 quads via a voluntary split
@@ -337,6 +350,11 @@ class EncoderParams:
             return self
         if key == "colormatrix":
             self.colormatrix = _MATRIX_NAMES.get(value, None) or int(value)
+            return self
+        if key == "dolby_vision_profile":
+            v = float(value)
+            self.dolby_vision_profile = int(round(v * 10)) if v < 10 \
+                else int(round(v))
             return self
         if key == "max_cll":
             cll, _, fall = value.partition(",")
