@@ -56,6 +56,7 @@ class SPSInfo:
     hrd_bitrate: int = 0                 # bps (signaled, >= actual)
     hrd_cpb_size: int = 0                # bits (signaled, >= actual)
     hrd_cbr: bool = False
+    interlace_mode: int = 0              # VUI field signaling
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     sao_enabled: bool = False
@@ -130,10 +131,14 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
                      and p.vbv_maxrate == p.bitrate_kbps)
     if p.vui_timing_info or s.hrd:
         s.fps = (p.fps_num, p.fps_denom)
-    s.vui_present = s.hrd or bool(s.sar[0] or s.video_full_range or
-                         s.colour_primaries != 2 or
-                         s.transfer_characteristics != 2 or
-                         s.matrix_coeffs != 2 or s.fps[0] > 0)
+    s.interlace_mode = getattr(p, "interlace", 0)
+    s.ptl.progressive_source = s.interlace_mode == 0
+    s.ptl.interlaced_source = s.interlace_mode > 0
+    s.vui_present = s.hrd or s.interlace_mode > 0 or bool(
+        s.sar[0] or s.video_full_range or
+        s.colour_primaries != 2 or
+        s.transfer_characteristics != 2 or
+        s.matrix_coeffs != 2 or s.fps[0] > 0)
     s.max_transform_hierarchy_depth_inter = p.tu_inter_depth - 1
     s.sao_enabled = p.sao
     s.amp_enabled = p.amp
@@ -295,8 +300,8 @@ def _write_vui(bw: BitWriter, sps: SPSInfo) -> None:
             bw.u(sps.matrix_coeffs, 8)
     bw.flag(0)                           # chroma_loc_info_present
     bw.flag(0)                           # neutral_chroma_indication
-    bw.flag(0)                           # field_seq_flag
-    bw.flag(0)                           # frame_field_info_present
+    bw.flag(1 if sps.interlace_mode else 0)   # field_seq_flag
+    bw.flag(1 if sps.interlace_mode else 0)   # frame_field_info_present
     bw.flag(0)                           # default_display_window
     has_timing = sps.fps[0] > 0
     bw.flag(has_timing)                  # vui_timing_info_present

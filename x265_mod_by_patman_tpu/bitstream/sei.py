@@ -209,14 +209,22 @@ def write_buffering_period(initial_delay_90k: int,
     return _sei_rbsp(0, bw.get_bytes())
 
 
-def write_pic_timing(au_cpb_removal_delay_minus1: int,
-                     pic_dpb_output_delay: int) -> bytes:
+def write_pic_timing(au_cpb_removal_delay_minus1: int = None,
+                     pic_dpb_output_delay: int = 0,
+                     pic_struct: int = None) -> bytes:
     """Picture-timing SEI (D.2.3; reference SEIPictureTiming,
-    sei.h:830): CpbDpbDelays only (frame_field_info not signaled)."""
-    from .headers import HRD_AU_LEN, HRD_DPB_LEN
+    sei.h:830): the frame_field_info block (pic_struct /
+    source_scan_type / duplicate_flag — interlace signaling) and/or
+    the CpbDpbDelays block, per what the VUI declared."""
     bw = BitWriter()
-    bw.u(au_cpb_removal_delay_minus1, HRD_AU_LEN)
-    bw.u(pic_dpb_output_delay, HRD_DPB_LEN)
+    if pic_struct is not None:
+        bw.u(pic_struct, 4)
+        bw.u(0, 2)                    # source_scan_type: interlaced
+        bw.flag(0)                    # duplicate_flag
+    if au_cpb_removal_delay_minus1 is not None:
+        from .headers import HRD_AU_LEN, HRD_DPB_LEN
+        bw.u(au_cpb_removal_delay_minus1, HRD_AU_LEN)
+        bw.u(pic_dpb_output_delay, HRD_DPB_LEN)
     bw.rbsp_trailing_bits()
     return _sei_rbsp(1, bw.get_bytes())
 

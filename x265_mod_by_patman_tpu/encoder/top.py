@@ -1089,6 +1089,15 @@ class Encoder:
         if not self._headers_sent or (p.repeat_headers and ftype == "I"):
             out += self.headers()
             self._headers_sent = True
+        # interlace signaling (reference frameencoder.cpp:803-830):
+        # pic_struct per AU when the VUI declared frame_field_info
+        pic_struct = None
+        if p.interlace:
+            disp_ix = self._idr_base + poc
+            if p.interlace == 1:                 # tff
+                pic_struct = 2 if (disp_ix & 1) else 1
+            else:                                # bff
+                pic_struct = 1 if (disp_ix & 1) else 2
         if self.sps.hrd:
             # HRD timing SEIs (reference initHRD/hrdFullness,
             # ratecontrol.cpp:934/2694): buffering period on IDR, pic
@@ -1113,7 +1122,13 @@ class Encoder:
                          + (self._idr_base + poc) - self._enc_order)
             out += annexb(NAL_PREFIX_SEI,
                           write_pic_timing(au_delay_m1,
-                                           max(0, dpb_delay)))
+                                           max(0, dpb_delay),
+                                           pic_struct=pic_struct))
+        elif pic_struct is not None:
+            from ..bitstream.sei import write_pic_timing
+            from ..bitstream.nal import NAL_PREFIX_SEI
+            out += annexb(NAL_PREFIX_SEI,
+                          write_pic_timing(pic_struct=pic_struct))
         self._enc_order += 1
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
                "B": NAL_TRAIL_R if b_is_ref else NAL_TRAIL_N}[ftype]

@@ -137,6 +137,8 @@ class EncoderParams:
     wpp: bool = True
     repeat_headers: bool = False
     decoded_picture_hash: int = 1   # 0 none, 1 md5 (SEI)
+    interlace: int = 0              # 0 prog, 1 tff, 2 bff (signaling
+                                    # only, like the reference)
     fades: bool = False             # x265 --fades: fade-aware scenecut
     scenecut: bool = True           # lookahead cost-ratio IDR promotion
     scenecut_threshold: int = 40    # x265 --scenecut (cost-ratio %)
@@ -350,6 +352,12 @@ class EncoderParams:
             return self
         if key == "colormatrix":
             self.colormatrix = _MATRIX_NAMES.get(value, None) or int(value)
+            return self
+        if key == "interlace":
+            self.interlace = {"prog": 0, "tff": 1, "bff": 2}.get(
+                value.lower(), None)
+            if self.interlace is None:
+                self.interlace = int(value)
             return self
         if key == "dolby_vision_profile":
             v = float(value)
