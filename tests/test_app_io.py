@@ -108,3 +108,32 @@ def test_script_input_gating(tmp_path):
     avs.write_text("Version()\n")
     with pytest.raises(RuntimeError, match="AviSynth|frame serving"):
         open_input(str(avs))
+
+
+def test_cli_x265_style_flags(tmp_path):
+    """x265-style '--key value' / '--no-key' flags route through the
+    param parser (x265cli long-option table analog)."""
+    import subprocess
+    import sys
+    clip = tmp_path / "in.y4m"
+    rng = np.random.default_rng(1)
+    with open(clip, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F25:1 Ip A1:1 C420\n")
+        for _ in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(0, 255, 64 * 48, dtype=np.uint8)
+                    .tobytes())
+            f.write(np.full(2 * 24 * 32, 128, np.uint8).tobytes())
+    out = tmp_path / "o.hevc"
+    r = subprocess.run(
+        [sys.executable, "-m", "x265_mod_by_patman_tpu.cli",
+         "--input", str(clip), "-o", str(out), "--frames", "2",
+         "--no-progress", "--bframes", "0", "--ref", "2",
+         "--no-sao", "--qp", "33", "--keyint", "250"],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": os.getcwd(),
+             "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-800:]
+    assert out.stat().st_size > 0
+    pics = Decoder().decode(out.read_bytes())
+    assert len(pics) == 2

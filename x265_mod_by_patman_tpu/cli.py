@@ -96,8 +96,54 @@ def main(argv=None) -> int:
     ap.add_argument("--vmaf", action="store_true",
                     help="compute VMAF of recon vs source (needs a "
                          "vmaf binary on PATH)")
-    ap.add_argument("params", nargs="*", help="extra key=value options")
-    args = ap.parse_args(argv)
+    ap.add_argument("params", nargs="*",
+                    help="extra key=value options; any x265-style "
+                         "'--key value' / '--key=value' / '--no-key' "
+                         "flag is also accepted and routed through "
+                         "the x265-namespace param parser")
+    # x265 CLI compatibility prepass: rewrite x265-style '--key value'
+    # / '--key=value' / '--no-key' flags that argparse doesn't own into
+    # 'key=value' positionals for the x265-namespace param parser
+    # (x265cli.cpp's long-option table collapses onto x265_param_parse
+    # the same way)
+    import sys as _sys
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    known = set()
+    for act in ap._actions:
+        known.update(act.option_strings)
+    from .params import EncoderParams as _EP
+    import dataclasses as _dc
+    _fields = {f.name: f.type for f in _dc.fields(_EP)}
+    _alias_bools = {"signhide", "cutree", "w", "info"}
+    rewritten = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("--") or tok.split("=")[0] in known:
+            rewritten.append(tok)
+            i += 1
+            continue
+        key = tok[2:]
+        if "=" in key:
+            k, _, v = key.partition("=")
+            rewritten.append(f"{k}={v}")
+            i += 1
+            continue
+        if key.startswith("no-"):
+            rewritten.append(f"{key.replace('no-', 'no_', 1)}=1")
+            i += 1
+            continue
+        attr = key.replace("-", "_")
+        is_bool = _fields.get(attr) in (bool, "bool") or \
+            attr in _alias_bools
+        if not is_bool and i + 1 < len(argv) and \
+                not argv[i + 1].startswith("--"):
+            rewritten.append(f"{key}={argv[i + 1]}")
+            i += 2
+        else:
+            rewritten.append(f"{key}=1")
+            i += 1
+    args = ap.parse_args(rewritten)
 
     w = h = 0
     if args.input_res:
