@@ -143,7 +143,7 @@ def main(argv=None) -> int:
         else:
             rewritten.append(f"{key}=1")
             i += 1
-    args = ap.parse_args(rewritten)
+    args = ap.parse_intermixed_args(rewritten)
 
     w = h = 0
     if args.input_res:
