@@ -881,6 +881,17 @@ class Encoder:
         self._slice_qp_for_derivation = qp
         qp_map = self._aq_map(y, qp)          # scalar when AQ off
         if qp_off is not None and np.any(qp_off != 0):
+            if self.p.rc_mode == "crf":
+                # CRF budgets the cuTree pull-down at the mbtree
+                # offset the rate factor was raised by (ratecontrol.cpp
+                # :223): distribute around the mean, with the mean
+                # itself capped at (1-qcomp)*13.5 — otherwise content
+                # whose lookahead saturates propagation (our -7 clip
+                # everywhere) blows straight through the calibration
+                mean_off = float(qp_off.mean())
+                budget = (1.0 - self.p.qcomp) * 13.5
+                shift = mean_off + min(-mean_off, budget)
+                qp_off = np.rint(qp_off - shift).astype(np.int32)
             base = qp_map if not np.isscalar(qp_map) else \
                 np.full(qp_off.shape, qp_map, np.int32)
             qp_map = np.clip(base + qp_off, self.p.qp_min,
