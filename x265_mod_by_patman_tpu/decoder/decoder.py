@@ -549,8 +549,9 @@ class Decoder:
             if sao_luma:
                 y = sao_apply_ref(y, py, ctu, sps.bit_depth)
             if sao_chroma:
-                u = sao_apply_ref(u, pb, ctu >> cs, sps.bit_depth)
-                v = sao_apply_ref(v, pr, ctu >> cs, sps.bit_depth)
+                ctile = (ctu, ctu >> 1) if idc == 2 else ctu >> cs
+                u = sao_apply_ref(u, pb, ctile, sps.bit_depth)
+                v = sao_apply_ref(v, pr, ctile, sps.bit_depth)
         dt = np.uint8 if sps.bit_depth == 8 else np.uint16
         pic = DecodedPicture(poc, y.astype(dt), u.astype(dt),
                              v.astype(dt))

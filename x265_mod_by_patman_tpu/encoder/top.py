@@ -1318,13 +1318,15 @@ class Encoder:
                                sao_merge_pass)
         sps = self.sps
         ctu = 1 << sps.log2_ctu_size
-        cctu = ctu >> self.cshift
+        cctu = ctu >> self.cshift if not self.is422 \
+            else (ctu, ctu >> 1)      # 4:2:2: rectangular chroma tiles
         lam2 = lambda_qp(qp)[1]
 
         def padded(pl, tile):
+            th, tw = (tile, tile) if isinstance(tile, int) else tile
             h, w = pl.shape
-            ph = -(-h // tile) * tile
-            pw = -(-w // tile) * tile
+            ph = -(-h // th) * th
+            pw = -(-w // tw) * tw
             if (ph, pw) == (h, w):
                 return jnp.asarray(pl.astype(np.int32))
             out = np.zeros((ph, pw), np.int32)
@@ -1332,7 +1334,8 @@ class Encoder:
             return jnp.asarray(out)
 
         h, w = sps.height, sps.width
-        hc, wc = h >> self.cshift, w >> self.cshift
+        hc = h >> self.cshift_y
+        wc = w >> self.cshift
         bd = sps.bit_depth
         st_y = sao_stats_batch(padded(np.asarray(oy), ctu),
                                padded(r["recon_y"], ctu), ctu, h, w, bd)

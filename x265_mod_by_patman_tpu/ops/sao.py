@@ -70,11 +70,18 @@ def _eo_categories(plane: jnp.ndarray, pic_h: int, pic_w: int
     return jnp.stack(cats)
 
 
-def _ctu_reduce(arr: jnp.ndarray, ctu: int, h: int, w: int) -> jnp.ndarray:
+def _tile_hw(ctu):
+    """SAO tile size: int (square) or (tile_h, tile_w) — 4:2:2 chroma
+    CTUs are ctu tall x ctu/2 wide."""
+    return (ctu, ctu) if isinstance(ctu, int) else ctu
+
+
+def _ctu_reduce(arr: jnp.ndarray, ctu, h: int, w: int) -> jnp.ndarray:
     """(..., H, W) -> (..., nCtuY, nCtuX) sum over CTU tiles (H/W padded
     to CTU multiples by the caller)."""
+    th, tw = _tile_hw(ctu)
     lead = arr.shape[:-2]
-    a = arr.reshape(*lead, h // ctu, ctu, w // ctu, ctu)
+    a = arr.reshape(*lead, h // th, th, w // tw, tw)
     return a.sum(axis=(-3, -1))
 
 
@@ -120,10 +127,11 @@ def sao_apply_batch(rec: jnp.ndarray, type_map: jnp.ndarray,
     off_map: (nCtuY, nCtuX, 4) int32.  Returns the filtered plane."""
     h, w = rec.shape
     maxv = (1 << bit_depth) - 1
+    th, tw = _tile_hw(ctu)
     p = rec.astype(jnp.int32)
     cats = _eo_categories(rec, pic_h, pic_w)         # (4, H, W)
-    cy = jnp.arange(h)[:, None] // ctu
-    cx = jnp.arange(w)[None, :] // ctu
+    cy = jnp.arange(h)[:, None] // th
+    cx = jnp.arange(w)[None, :] // tw
     t = type_map[cy, cx]                             # (H, W)
     cls = class_map[cy, cx]
     bpos = band_map[cy, cx]
@@ -157,6 +165,7 @@ def sao_apply_ref(rec: np.ndarray, params: List[List[SaoParams]],
     """Scalar reference apply; params indexed [ctu_y][ctu_x]."""
     h, w = rec.shape
     maxv = (1 << bit_depth) - 1
+    th, tw = _tile_hw(ctu)
     src = rec.astype(np.int64)
     out = src.copy()
     for cy in range(len(params)):
@@ -164,10 +173,10 @@ def sao_apply_ref(rec: np.ndarray, params: List[List[SaoParams]],
             pr = params[cy][cx]
             if pr.type_idx == SAO_OFF:
                 continue
-            y1 = min((cy + 1) * ctu, h)
-            x1 = min((cx + 1) * ctu, w)
-            for y in range(cy * ctu, y1):
-                for x in range(cx * ctu, x1):
+            y1 = min((cy + 1) * th, h)
+            x1 = min((cx + 1) * tw, w)
+            for y in range(cy * th, y1):
+                for x in range(cx * tw, x1):
                     v = src[y, x]
                     if pr.type_idx == SAO_BAND:
                         bidx = ((v >> (bit_depth - 5)) - pr.band_pos) % 32

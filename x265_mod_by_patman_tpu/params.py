@@ -183,8 +183,6 @@ class EncoderParams:
             p.rect = False
             p.amp = False
         if p.internal_csp == CHROMA_422:
-            # SAO tiles are square per-CTU; 4:2:2 chroma CTUs are not
-            p.sao = False
             assert p.source_width % 2 == 0, \
                 "4:2:2 requires even source width"
         assert p.ctu_size in (16, 32, 64)
