@@ -18,6 +18,8 @@ def rand_levels(rng, log2, density=0.3):
     mask = rng.random((n, n)) < density
     lv = (mask * rng.integers(1, 20, (n, n)) *
           rng.choice([-1, 1], (n, n))).astype(np.int32)
+    if not lv.any():
+        lv[0, 0] = 1           # coeffs invariant: TBs must be nonzero
     return lv
 
 

@@ -82,7 +82,18 @@ class BitWriter:
 
 def anti_emulation(rbsp: bytes) -> bytes:
     """Insert emulation_prevention_three_byte (spec 7.4.2): any 00 00 0x
-    (x<=3) pattern in the RBSP becomes 00 00 03 0x."""
+    (x<=3) pattern in the RBSP becomes 00 00 03 0x.  Uses the native C
+    kernel when available (slice payloads are the bulk of every AU)."""
+    from ..native import native_entropy
+    ne = native_entropy()
+    if ne.available:
+        import ctypes
+        import numpy as np
+        n = len(rbsp)
+        out = np.empty(n + n // 2 + 8, dtype=np.uint8)
+        m = ne.lib.anti_emulation(rbsp, ctypes.c_long(n),
+                                  out.ctypes.data_as(ctypes.c_void_p))
+        return out[:m].tobytes()
     out = bytearray()
     zeros = 0
     for b in rbsp:

@@ -51,6 +51,22 @@ MAX_MERGE = 3
 QP_OFFSET = {"I": -3, "P": 0, "B": 2}    # x265 CQP ip/pb factor analog
 
 
+class _RawIR:
+    """Finished (bins, ctx) arrays from the native intra walker,
+    presenting the minimal BinIR interface the slice assembler needs."""
+
+    __slots__ = ("_b", "_c", "_m")
+
+    def __init__(self, bins, ctx, mark):
+        self._b, self._c, self._m = bins, ctx, mark
+
+    def arrays(self):
+        return self._b, self._c
+
+    def resolve_mark(self, _mark):
+        return self._m
+
+
 @dataclass
 class EncodedFrame:
     poc: int
@@ -1384,6 +1400,86 @@ class Encoder:
         out[h:, :] = out[h - 1:h, :]
         return out
 
+    def _native_intra_rows(self, lvy, lvu, lvv, nzy, nzu, nzv, modes,
+                           split32, mode32, qp, qp_map, sao_maps,
+                           use_wpp, tree):
+        """Run the native intra walker (one C call per slice / WPP
+        row).  Returns [(bins, ctx, mark), ...] or None when the native
+        library is unavailable."""
+        from ..entropy.residual import _native_setup, _merge_tables
+        from ..entropy.contexts import OFF
+        if not _native_setup():
+            return None
+        nat, blob, offs, roff = _merge_tables()
+        sps, pps = self.sps, self.pps
+        nby, nbx = nzy.shape
+        n_ctu_x, n_ctu_y = sps.pic_width_in_ctus, sps.pic_height_in_ctus
+        coff = np.array(
+            [OFF["SPLIT_FLAG"], OFF["PART_SIZE"], OFF["ADI"],
+             OFF["CHROMA_PRED"], OFF["DELTA_QP"], OFF["QT_CBF"],
+             OFF["TRANS_SUBDIV"], OFF["SAO_MERGE"], OFF["SAO_TYPE"]],
+            np.int32)
+        lvy = np.ascontiguousarray(lvy, np.int32)
+        lvu = np.ascontiguousarray(lvu, np.int32)
+        lvv = np.ascontiguousarray(lvv, np.int32)
+        nzy8 = np.ascontiguousarray(nzy, np.uint8)
+        nzu8 = np.ascontiguousarray(nzu, np.uint8)
+        nzv8 = np.ascontiguousarray(nzv, np.uint8)
+        modes_c = np.ascontiguousarray(modes, np.int32)
+        dqp = pps.cu_qp_delta_enabled
+        qpm = None
+        if dqp and qp_map is not None and not np.isscalar(qp_map):
+            qpm = np.ascontiguousarray(qp_map, np.int32)
+        sao_pack = merge_pack = None
+        if sao_maps is not None:
+            sao_pack = np.zeros((n_ctu_y, n_ctu_x, 3, 7), np.int32)
+            for c, m in enumerate(sao_maps[:3]):
+                sao_pack[:, :, c, 0] = m[0]
+                sao_pack[:, :, c, 1] = m[1]
+                sao_pack[:, :, c, 2] = m[2]
+                sao_pack[:, :, c, 3:] = m[3]
+            merge_pack = np.ascontiguousarray(np.asarray(sao_maps[3]),
+                                              np.int32)
+        s32 = None if split32 is None else \
+            np.ascontiguousarray(np.asarray(split32), np.uint8)
+        m32 = None if mode32 is None else \
+            np.ascontiguousarray(np.asarray(mode32), np.int32)
+        ranges = [(cy, cy + 1) for cy in range(n_ctu_y)] if use_wpp \
+            else [(0, n_ctu_y)]
+        cap = (1 << 20) if use_wpp else max(1 << 21, 256 * nbx * nby)
+        for _attempt in range(4):
+            mode16 = np.full((nby, nbx), -1, np.int8)
+            depth16 = np.full((nby, nbx), -1, np.int8)
+            state = np.array([qp], np.int32)
+            rows = []
+            ok = True
+            for (cy0, cy1) in ranges:
+                out_bins = np.empty(cap, np.uint8)
+                out_ctx = np.empty(cap, np.int32)
+                mark = np.zeros(1, np.int64)
+                prm = np.array(
+                    [sps.width, sps.height, nbx, nby, n_ctu_x, n_ctu_y,
+                     sps.log2_ctu_size, sps.log2_max_tu_size,
+                     sps.max_transform_hierarchy_depth_intra,
+                     1 if tree else 0, 1 if dqp else 0, qp,
+                     1 if pps.entropy_coding_sync else 0, cy0, cy1,
+                     sps.bit_depth, 1 if pps.sign_hide else 0,
+                     0 if tree else 1, 1 if use_wpp else 0,
+                     sps.log2_min_cu_size], np.int32)
+                n = nat.intra_slice_bins(
+                    prm, modes_c, s32, m32, nzy8, nzu8, nzv8, lvy, lvu,
+                    lvv, qpm, sao_pack, merge_pack, blob, offs, roff,
+                    coff, mode16, depth16, state, out_bins, out_ctx,
+                    mark)
+                if n < 0:
+                    ok = False
+                    break
+                rows.append((out_bins[:n], out_ctx[:n], int(mark[0])))
+            if ok:
+                return rows
+            cap *= 2
+        return None
+
     def _encode_slice(self, modes, inter_mask, mvs, mvs1, dirs, r: dict,
                       ftype: str, poc: int, qp: int, ref_pocs,
                       sao_maps=None, ref_sel=None,
@@ -1445,6 +1541,37 @@ class Encoder:
         nbx, nby = rec.nbx, rec.nby
         tree = self.p.var_cu_tree
 
+        # Per-4x4/8x8/TB nonzero maps, one vectorized reduction each:
+        # replaces thousands of tiny per-TB np.any() calls in the CU
+        # builders (the coeffs dicts must only hold nonzero TBs — see
+        # CodedCU invariant).
+        lvy = np.asarray(r["lev_y"])
+        lvu = np.asarray(r["lev_u"])
+        lvv = np.asarray(r["lev_v"])
+        nz4y = lvy.reshape(nby, nbx, 4, 4, 4, 4).any((3, 5))
+        nz8y = nz4y.reshape(nby, nbx, 2, 2, 2, 2).any((3, 5))
+        nz16y = nz8y.any((2, 3))
+        nzu = lvu.any((2, 3))
+        nzv = lvv.any((2, 3))
+        if self.p.internal_csp == 1:
+            nz4u = lvu.reshape(nby, nbx, 2, 4, 2, 4).any((3, 5))
+            nz4v = lvv.reshape(nby, nbx, 2, 4, 2, 4).any((3, 5))
+
+        # native fast path: for the common all-intra configuration the
+        # whole phase-1 walk (quadtree + CU syntax + residual bins) runs
+        # in one C call per slice/WPP row (entropy_kernels.c
+        # intra_slice_bins); parity vs the python walker is enforced by
+        # tests/test_intra_walker.py
+        fast_rows = None
+        if (ftype == "I" and self.p.internal_csp == 1
+                and split_map is None and tu4_map is None
+                and not pps.transquant_bypass
+                and sps.log2_min_cu_size in (3, 4)
+                and (use_wpp or len(self._slice_bands) == 1)):
+            fast_rows = self._native_intra_rows(
+                lvy, lvu, lvv, nz16y, nzu, nzv, modes, split32, mode32,
+                qp, qp_map, sao_maps, use_wpp, tree)
+
         def build16(bx, by, tqb):
             x0, y0 = bx * 16, by * 16
             if inter_mask is not None and inter_mask[by, bx]:
@@ -1478,50 +1605,49 @@ class Encoder:
                 if tu4_map is not None:
                     cu.tu_split8 = tuple(bool(t)
                                          for t in tu4_map[by, bx])
-                lvq = r["lev_y"][by, bx]
+                lvq = lvy[by, bx]
                 for k, (dx8, dy8) in enumerate(
                         ((0, 0), (8, 0), (0, 8), (8, 8))):
                     sub = lvq[dy8:dy8 + 8, dx8:dx8 + 8]
                     if cu.tu_split8 is not None and cu.tu_split8[k]:
                         for (dx4, dy4) in ((0, 0), (4, 0), (0, 4),
                                            (4, 4)):
-                            s4 = sub[dy4:dy4 + 4, dx4:dx4 + 4]
-                            if np.any(s4):
+                            if nz4y[by, bx, (dy8 + dy4) >> 2,
+                                    (dx8 + dx4) >> 2]:
                                 cu.coeffs[(0, x0 + dx8 + dx4,
-                                           y0 + dy8 + dy4, 2)] = s4
-                    elif np.any(sub):
+                                           y0 + dy8 + dy4, 2)] = \
+                                    sub[dy4:dy4 + 4, dx4:dx4 + 4]
+                    elif nz8y[by, bx, dy8 >> 3, dx8 >> 3]:
                         cu.coeffs[(0, x0 + dx8, y0 + dy8, 3)] = sub
-                for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
-                    lvc = r[key][by, bx]
+                for c_idx, lvc_f, nz4c in ((1, lvu, nz4u),
+                                           (2, lvv, nz4v)):
+                    lvc = lvc_f[by, bx]
                     cx0, cy0 = x0 >> 1, y0 >> 1
                     for (dx4, dy4) in ((0, 0), (4, 0), (0, 4), (4, 4)):
-                        sub = lvc[dy4:dy4 + 4, dx4:dx4 + 4]
-                        if np.any(sub):
-                            cu.coeffs[(c_idx, cx0 + dx4,
-                                       cy0 + dy4, 2)] = sub
+                        if nz4c[by, bx, dy4 >> 2, dx4 >> 2]:
+                            cu.coeffs[(c_idx, cx0 + dx4, cy0 + dy4, 2)] \
+                                = lvc[dy4:dy4 + 4, dx4:dx4 + 4]
                 cu.tq_bypass = tqb
                 return cu
             else:
                 cu = CodedCU(x0, y0, 4, (int(modes[by, bx]),), 4)
             if self.is422:
-                lv = r["lev_y"][by, bx]
-                if np.any(lv):
-                    cu.coeffs[(0, x0, y0, 4)] = lv
-                for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
+                if nz16y[by, bx]:
+                    cu.coeffs[(0, x0, y0, 4)] = lvy[by, bx]
+                for c_idx, lvc, nzc in ((1, lvu, nzu), (2, lvv, nzv)):
                     for j in (0, 1):
-                        lv = r[key][2 * by + j, bx]
-                        if np.any(lv):
-                            cu.coeffs[(c_idx, x0 >> 1,
-                                       y0 + 8 * j, 3)] = lv
+                        if nzc[2 * by + j, bx]:
+                            cu.coeffs[(c_idx, x0 >> 1, y0 + 8 * j, 3)] \
+                                = lvc[2 * by + j, bx]
             else:
-                for c_idx, key, clog2 in ((0, "lev_y", 4),
-                                          (1, "lev_u", 4 - self.cshift),
-                                          (2, "lev_v", 4 - self.cshift)):
-                    lv = r[key][by, bx]
-                    if np.any(lv):
+                for c_idx, lvc, nzc, clog2 in (
+                        (0, lvy, nz16y, 4),
+                        (1, lvu, nzu, 4 - self.cshift),
+                        (2, lvv, nzv, 4 - self.cshift)):
+                    if nzc[by, bx]:
                         cx0 = x0 >> (self.cshift if c_idx else 0)
                         cy0 = y0 >> (self.cshift if c_idx else 0)
-                        cu.coeffs[(c_idx, cx0, cy0, clog2)] = lv
+                        cu.coeffs[(c_idx, cx0, cy0, clog2)] = lvc[by, bx]
             cu.tq_bypass = tqb
             return cu
 
@@ -1537,19 +1663,16 @@ class Encoder:
                 # quadrant slots, TU16 chroma likewise
                 cu = CodedCU(x0, y0, 5, (int(mode32[ry, rx]),), 4)
                 by0, bx0 = 2 * ry, 2 * rx
-                lv32 = np.block(
-                    [[r["lev_y"][by0, bx0], r["lev_y"][by0, bx0 + 1]],
-                     [r["lev_y"][by0 + 1, bx0],
-                      r["lev_y"][by0 + 1, bx0 + 1]]])
-                if np.any(lv32):
-                    cu.coeffs[(0, x0, y0, 5)] = lv32
-                for c_idx, key in ((1, "lev_u"), (2, "lev_v")):
-                    lv16 = np.block(
-                        [[r[key][by0, bx0], r[key][by0, bx0 + 1]],
-                         [r[key][by0 + 1, bx0],
-                          r[key][by0 + 1, bx0 + 1]]])
-                    if np.any(lv16):
-                        cu.coeffs[(c_idx, x0 >> 1, y0 >> 1, 4)] = lv16
+                if nz16y[by0:by0 + 2, bx0:bx0 + 2].any():
+                    cu.coeffs[(0, x0, y0, 5)] = np.block(
+                        [[lvy[by0, bx0], lvy[by0, bx0 + 1]],
+                         [lvy[by0 + 1, bx0], lvy[by0 + 1, bx0 + 1]]])
+                for c_idx, lvc, nzc in ((1, lvu, nzu), (2, lvv, nzv)):
+                    if nzc[by0:by0 + 2, bx0:bx0 + 2].any():
+                        cu.coeffs[(c_idx, x0 >> 1, y0 >> 1, 4)] = \
+                            np.block([[lvc[by0, bx0], lvc[by0, bx0 + 1]],
+                                      [lvc[by0 + 1, bx0],
+                                       lvc[by0 + 1, bx0 + 1]]])
                 return [cu]
             cus = []
             for (zy, zx) in ((0, 0), (0, 1), (1, 0), (1, 1)):
@@ -1653,28 +1776,33 @@ class Encoder:
 
         row_irs: List = []
         sync_marks: List = []   # IR mark after the row's 2nd CTU
-        ir = BinIR(1 << 18)
-        for cy in range(n_ctu_y):
-            if use_wpp and cy > 0:
-                row_irs.append(ir)
-                ir = BinIR(1 << 18)
-            for cx in range(n_ctu_x):
-                last = (cy == n_ctu_y - 1) and (cx == n_ctu_x - 1)
-                encode_ctu_at(syn, ir, cx, cy, last)
-                if use_wpp and cx == min(1, n_ctu_x - 1):
-                    # WPP context-sync point: after the 2nd CTU of the row
-                    # (reference CTURow::bufferedEntropy handoff,
-                    # frameencoder.cpp:1666-1685); deferred-TB-safe mark
-                    sync_marks.append(ir.mark())
-                if use_wpp and cx == n_ctu_x - 1 and not last:
-                    ir.term(1)             # end_of_subset_one_bit
-        row_irs.append(ir)
+        if fast_rows is not None:
+            row_irs = [_RawIR(b, c, m) for (b, c, m) in fast_rows]
+            sync_marks = [None] * len(row_irs)
+        else:
+            ir = BinIR(1 << 18)
+            for cy in range(n_ctu_y):
+                if use_wpp and cy > 0:
+                    row_irs.append(ir)
+                    ir = BinIR(1 << 18)
+                for cx in range(n_ctu_x):
+                    last = (cy == n_ctu_y - 1) and (cx == n_ctu_x - 1)
+                    encode_ctu_at(syn, ir, cx, cy, last)
+                    if use_wpp and cx == min(1, n_ctu_x - 1):
+                        # WPP context-sync point: after the 2nd CTU of
+                        # the row (reference CTURow::bufferedEntropy
+                        # handoff, frameencoder.cpp:1666-1685);
+                        # deferred-TB-safe mark
+                        sync_marks.append(ir.mark())
+                    if use_wpp and cx == n_ctu_x - 1 and not last:
+                        ir.term(1)         # end_of_subset_one_bit
+            row_irs.append(ir)
 
         if not use_wpp:
             self._last_row_bits = None
             bw = write_slice_header(sh, sps, pps)
             states = init_states(slice_type, qp)
-            bins, ctx = ir.arrays()
+            bins, ctx = row_irs[0].arrays()
             encode_ir_to_writer(bw, bins, ctx, states)
             bw.rbsp_trailing_bits()
             return bw.get_bytes()

@@ -32,8 +32,10 @@ class CodedCU:
     """One CU's coded decisions + quantized coefficients.
 
     coeffs maps (c_idx, x, y, log2_size) -> (N, N) int level array, with
-    (x, y) in the component's own sample coordinates.  Absent or all-zero
-    entries mean cbf=0.
+    (x, y) in the component's own sample coordinates.  INVARIANT: every
+    entry holds at least one nonzero level; absent entries mean cbf=0
+    (builders must drop all-zero TBs — the syntax walk infers cbf from
+    key presence without re-scanning the arrays).
 
     Inter fields: is_inter selects the prediction type; mv is the final
     motion vector (qpel); skip/merge coding decisions are derived from the
@@ -336,7 +338,7 @@ class SliceSyntaxEncoder:
         x0, y0, log2 = cu.x0, cu.y0, cu.log2_size
         nbs = 1 << log2
         z0 = self._z0(x0, y0)
-        has_resi = any(np.any(v) for v in cu.coeffs.values())
+        has_resi = bool(cu.coeffs)
         if cu.is_inter and cu.part_mode:
             self._inter_rect(ir, cu, has_resi)
             return
@@ -561,16 +563,14 @@ class SliceSyntaxEncoder:
 
     # -- transform_tree / transform_unit (7.3.8.8/7.3.8.10) -------------------
     def _cbf(self, cu: CodedCU, c_idx: int, x: int, y: int, log2: int) -> bool:
-        lv = cu.coeffs.get((c_idx, x, y, log2))
-        return lv is not None and bool(np.any(lv))
+        return (c_idx, x, y, log2) in cu.coeffs
 
     def _cbf_region(self, cu: CodedCU, c_idx: int, x: int, y: int,
                     log2: int) -> bool:
         """cbf over a component region (covers TU-split subtrees)."""
         size = 1 << log2
-        for (ci, cx, cy, _cl), lv in cu.coeffs.items():
-            if ci == c_idx and x <= cx < x + size and y <= cy < y + size \
-                    and np.any(lv):
+        for (ci, cx, cy, _cl) in cu.coeffs:
+            if ci == c_idx and x <= cx < x + size and y <= cy < y + size:
                 return True
         return False
 
@@ -696,7 +696,7 @@ class SliceSyntaxEncoder:
             for c_idx in (1, 2):
                 for cy2 in (y0, y0 + half):
                     lv = cu.coeffs.get((c_idx, cx, cy2, clog2))
-                    if lv is not None and np.any(lv):
+                    if lv is not None:
                         encode_residual(ir, lv, clog2, c_idx,
                                         SCAN_DIAG,
                                         self.pps.sign_hide)

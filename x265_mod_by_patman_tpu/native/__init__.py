@@ -63,6 +63,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.advance_states.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.intra_slice_bins.restype = ctypes.c_long
+    lib.intra_slice_bins.argtypes = [ctypes.c_void_p] * 22 + \
+        [ctypes.c_long, ctypes.c_void_p]
+    lib.anti_emulation.restype = ctypes.c_long
+    lib.anti_emulation.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p]
     lib.merge_residual_ir.restype = ctypes.c_long
     lib.merge_residual_ir.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
@@ -119,6 +125,26 @@ class NativeEntropy:
             _ptr(level), log2_tb, c_idx, scan_idx,
             1 if sign_hide else 0, _ptr(scan_xy), _ptr(cg_xy), _ptr(off),
             _ptr(bins_buf), _ptr(ctx_buf))
+
+    def intra_slice_bins(self, prm, modes, split32, mode32, nzy, nzu,
+                         nzv, lvy, lvu, lvv, qp_map, sao, sao_merge,
+                         scan_blob, scan_offs, roff, coff, mode16,
+                         depth16, state, out_bins, out_ctx,
+                         out_mark) -> int:
+        """Native intra-slice phase-1 walker (entropy_kernels.c
+        intra_slice_bins): emits the complete (bins, ctx) IR for a CTU
+        row range, residual bins inline.  Returns the bin count or -1
+        when out_bins is too small."""
+        def vp(a):
+            return None if a is None else \
+                a.ctypes.data_as(ctypes.c_void_p)
+        return self.lib.intra_slice_bins(
+            vp(prm), vp(modes), vp(split32), vp(mode32), vp(nzy),
+            vp(nzu), vp(nzv), vp(lvy), vp(lvu), vp(lvv), vp(qp_map),
+            vp(sao), vp(sao_merge), vp(scan_blob), vp(scan_offs),
+            vp(roff), vp(coff), vp(mode16), vp(depth16), vp(state),
+            vp(out_bins), vp(out_ctx), ctypes.c_long(len(out_bins)),
+            vp(out_mark))
 
     def merge_residual_ir(self, py_bins: np.ndarray, py_ctx: np.ndarray,
                           n_py: int, tu_desc: np.ndarray, ntu: int,

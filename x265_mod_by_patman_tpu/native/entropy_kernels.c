@@ -453,3 +453,430 @@ long merge_residual_ir(const uint8_t *py_bins, const int32_t *py_ctx,
     }
     return dst;
 }
+
+/* emulation_prevention_three_byte insertion (spec 7.4.2): any
+ * 00 00 0x (x<=3) run in the RBSP becomes 00 00 03 0x.  out must hold
+ * n + n/2 bytes (worst case).  Returns the escaped length. */
+long anti_emulation(const unsigned char *in, long n, unsigned char *out)
+{
+    long o = 0;
+    int zeros = 0;
+    for (long i = 0; i < n; i++) {
+        unsigned char b = in[i];
+        if (zeros >= 2 && b <= 3) {
+            out[o++] = 3;
+            zeros = 0;
+        }
+        out[o++] = b;
+        zeros = (b == 0) ? zeros + 1 : 0;
+    }
+    return o;
+}
+
+/* ------------------------------------------------------- intra walker */
+/* Full intra-slice phase-1 walk in C: coding_quadtree + intra CU syntax
+ * + transform_tree + inline residual bins (the native analog of
+ * entropy/cu_syntax.py SliceSyntaxEncoder for the common all-intra
+ * configuration: 4:2:0, min CU 16, 2Nx2N PUs, chroma DM, optional
+ * 32x32 CUs via the tree (TU32) or legacy same-mode merge, optional
+ * cu_qp_delta and SAO).  Python falls back to the reference walker for
+ * anything else; parity enforced by tests/test_intra_walker.py. */
+
+typedef struct {
+    /* geometry */
+    int width, height, nbx, nby, rbx, n_ctu_x, n_ctu_y, log2_ctu;
+    int log2_max_tu, max_td_intra, tree, legacy_merge, log2_min_cu;
+    int dqp_enabled, sync, wpp_terms, slice_qp, bit_depth, sign_hide;
+    /* inputs */
+    const int32_t *modes;
+    const uint8_t *split32;
+    const int32_t *mode32;
+    const uint8_t *nzy, *nzu, *nzv;
+    const int32_t *lvy, *lvu, *lvv;
+    const int32_t *qp_map;
+    const int32_t *sao;        /* n_ctu*3*7: type,eo,band,o0..o3 */
+    const int32_t *sao_merge;  /* n_ctu */
+    const int32_t *sxy16, *cg16, *sxy8, *cg8, *sxy32, *cg32;
+    const int32_t *roff;       /* residual ctx offsets */
+    const int32_t *coff;       /* CU-level ctx offsets, see CO_* */
+    /* state */
+    int8_t *mode16, *depth16;  /* nby*nbx neighbor maps, -1 = unset */
+    int qp_prev, qg_pred, cur_qp, dqp_coded;
+    IR ir;
+    long cap;
+} IW;
+
+enum { CO_SPLIT, CO_PART, CO_ADI, CO_CHROMA, CO_DQP, CO_QT_CBF,
+       CO_SUBDIV, CO_SAO_MERGE, CO_SAO_TYPE };
+
+static int iw_mode_at(IW *w, int x, int y)
+{
+    if (x < 0 || y < 0 || x >= w->width || y >= w->height)
+        return -1;
+    return w->mode16[(y >> 4) * w->nbx + (x >> 4)];
+}
+
+static int iw_depth_at(IW *w, int x, int y)
+{
+    if (x < 0 || y < 0 || x >= w->width || y >= w->height)
+        return -1;
+    return w->depth16[(y >> 4) * w->nbx + (x >> 4)];
+}
+
+static void iw_set_area(int8_t *map, int nbx, int x0, int y0, int log2,
+                        int v)
+{
+    int n = 1 << (log2 - 4);
+    for (int dy = 0; dy < n; dy++)
+        for (int dx = 0; dx < n; dx++)
+            map[((y0 >> 4) + dy) * nbx + (x0 >> 4) + dx] = (int8_t)v;
+}
+
+static void iw_eg0(IW *w, int v)
+{
+    int k = 0;
+    while (v >= (1 << k)) {
+        bypass(&w->ir, 1);
+        v -= 1 << k;
+        k++;
+    }
+    bypass(&w->ir, 0);
+    bypass_bits(&w->ir, (uint32_t)v, k);
+}
+
+static void iw_dqp(IW *w)
+{
+    int delta = w->cur_qp - w->qg_pred;
+    int a = delta < 0 ? -delta : delta;
+    int prefix = a < 5 ? a : 5;
+    cbin(&w->ir, prefix > 0, w->coff[CO_DQP]);
+    for (int k = 1; k < prefix; k++)
+        cbin(&w->ir, 1, w->coff[CO_DQP] + 1);
+    if (prefix > 0 && prefix < 5)
+        cbin(&w->ir, 0, w->coff[CO_DQP] + 1);
+    if (a >= 5)
+        iw_eg0(w, a - 5);
+    if (a)
+        bypass(&w->ir, delta < 0);
+    w->dqp_coded = 1;
+}
+
+/* cbf over the 16-block grid region of a CU/TU */
+static int iw_nz(const uint8_t *nz, int nbx, int bx, int by, int nb)
+{
+    for (int dy = 0; dy < nb; dy++)
+        for (int dx = 0; dx < nb; dx++)
+            if (nz[(by + dy) * nbx + bx + dx])
+                return 1;
+    return 0;
+}
+
+static void iw_residual(IW *w, const int32_t *level, int log2_tb,
+                        int c_idx)
+{
+    const int32_t *sxy = log2_tb == 3 ? w->sxy8 :
+                         log2_tb == 4 ? w->sxy16 : w->sxy32;
+    const int32_t *cg = log2_tb == 3 ? w->cg8 :
+                        log2_tb == 4 ? w->cg16 : w->cg32;
+    long n = enc_residual(level, log2_tb, c_idx, 0, w->sign_hide, sxy,
+                          cg, w->roff, w->ir.bins + w->ir.n,
+                          w->ir.ctx + w->ir.n);
+    w->ir.n += n;
+}
+
+/* gather a 2x2 group of 16-block TBs into one contiguous TB */
+static void iw_gather4(const int32_t *src, int nbx, int bx, int by,
+                       int bn, int32_t *dst)
+{
+    int sz = bn * bn;
+    for (int q = 0; q < 4; q++) {
+        const int32_t *s = src + (long)((by + (q >> 1)) * nbx + bx +
+                                        (q & 1)) * sz;
+        int32_t *d = dst + (q >> 1) * bn * 2 * bn + (q & 1) * bn;
+        for (int r = 0; r < bn; r++)
+            memcpy(d + r * 2 * bn, s + r * bn, (size_t)bn * 4);
+    }
+}
+
+static void iw_tt(IW *w, int x0, int y0, int log2, int td, int pcb,
+                  int pcr)
+{
+    int bx = x0 >> 4, by = y0 >> 4, nb = 1 << (log2 - 4);
+    int can_split = (log2 <= w->log2_max_tu && log2 > 2 &&
+                     td < w->max_td_intra);
+    int split = log2 > w->log2_max_tu;
+    if (can_split)
+        cbin(&w->ir, split, w->coff[CO_SUBDIV] + 5 - log2);
+    int cbf_cb = iw_nz(w->nzu, w->nbx, bx, by, nb);
+    int cbf_cr = iw_nz(w->nzv, w->nbx, bx, by, nb);
+    if (pcb)
+        cbin(&w->ir, cbf_cb, w->coff[CO_QT_CBF] + 2 + td);
+    if (pcr)
+        cbin(&w->ir, cbf_cr, w->coff[CO_QT_CBF] + 2 + td);
+    if (split) {
+        int half = 1 << (log2 - 1);
+        iw_tt(w, x0, y0, log2 - 1, td + 1, cbf_cb, cbf_cr);
+        iw_tt(w, x0 + half, y0, log2 - 1, td + 1, cbf_cb, cbf_cr);
+        iw_tt(w, x0, y0 + half, log2 - 1, td + 1, cbf_cb, cbf_cr);
+        iw_tt(w, x0 + half, y0 + half, log2 - 1, td + 1, cbf_cb,
+              cbf_cr);
+        return;
+    }
+    int cbf_luma = iw_nz(w->nzy, w->nbx, bx, by, nb);
+    cbin(&w->ir, cbf_luma, w->coff[CO_QT_CBF] + (td == 0 ? 1 : 0));
+    if (!(cbf_luma || cbf_cb || cbf_cr))
+        return;
+    if (w->dqp_enabled && !w->dqp_coded)
+        iw_dqp(w);
+    int32_t tmp[1024];
+    if (cbf_luma) {
+        if (log2 == 4) {
+            iw_residual(w, w->lvy + (long)(by * w->nbx + bx) * 256, 4,
+                        0);
+        } else {
+            iw_gather4(w->lvy, w->nbx, bx, by, 16, tmp);
+            iw_residual(w, tmp, 5, 0);
+        }
+    }
+    const int32_t *lvc[2] = {w->lvu, w->lvv};
+    int cbfc[2] = {cbf_cb, cbf_cr};
+    for (int c = 0; c < 2; c++) {
+        if (!cbfc[c])
+            continue;
+        if (log2 == 4) {
+            iw_residual(w, lvc[c] + (long)(by * w->nbx + bx) * 64, 3,
+                        c + 1);
+        } else {
+            iw_gather4(lvc[c], w->nbx, bx, by, 8, tmp);
+            iw_residual(w, tmp, 4, c + 1);
+        }
+    }
+}
+
+static void iw_cu(IW *w, int x0, int y0, int log2)
+{
+    int mode;
+    if (log2 == 5) {
+        int rx = x0 >> 5, ry = y0 >> 5;
+        mode = w->tree ? w->mode32[ry * w->rbx + rx]
+                       : w->modes[(y0 >> 4) * w->nbx + (x0 >> 4)];
+    } else {
+        mode = w->modes[(y0 >> 4) * w->nbx + (x0 >> 4)];
+    }
+    if (log2 == w->log2_min_cu)
+        cbin(&w->ir, 1, w->coff[CO_PART]);   /* PART_2Nx2N at min CU */
+    int a = iw_mode_at(w, x0 - 1, y0);
+    if (a < 0)
+        a = 1;
+    int b;
+    if (y0 == 0 || ((y0 - 1) >> w->log2_ctu) != (y0 >> w->log2_ctu))
+        b = 1;
+    else {
+        b = iw_mode_at(w, x0, y0 - 1);
+        if (b < 0)
+            b = 1;
+    }
+    int mpm[3];
+    if (a == b) {
+        if (a < 2) {
+            mpm[0] = 0; mpm[1] = 1; mpm[2] = 26;
+        } else {
+            mpm[0] = a;
+            mpm[1] = 2 + ((a + 29) % 32);
+            mpm[2] = 2 + ((a - 1) % 32);
+        }
+    } else {
+        mpm[0] = a;
+        mpm[1] = b;
+        if (a != 0 && b != 0)
+            mpm[2] = 0;
+        else if (a != 1 && b != 1)
+            mpm[2] = 1;
+        else
+            mpm[2] = 26;
+    }
+    int idx = mode == mpm[0] ? 0 : mode == mpm[1] ? 1 :
+              mode == mpm[2] ? 2 : -1;
+    cbin(&w->ir, idx >= 0, w->coff[CO_ADI]);
+    iw_set_area(w->mode16, w->nbx, x0, y0, log2, mode);
+    if (idx >= 0) {
+        bypass(&w->ir, idx != 0);
+        if (idx)
+            bypass(&w->ir, idx - 1);
+    } else {
+        int rem = mode;
+        for (int k = 0; k < 3; k++)
+            if (mode > mpm[k])
+                rem--;
+        bypass_bits(&w->ir, (uint32_t)rem, 5);
+    }
+    cbin(&w->ir, 0, w->coff[CO_CHROMA]);     /* chroma DM */
+    iw_tt(w, x0, y0, log2, 0, 1, 1);
+}
+
+/* does a CU of this size sit at (x0, y0)?  (mirrors build_region) */
+static int iw_cu32_here(IW *w, int x0, int y0)
+{
+    if (x0 + 32 > w->width || y0 + 32 > w->height)
+        return 0;
+    int rx = x0 >> 5, ry = y0 >> 5;
+    if (w->tree)
+        return w->split32 && !w->split32[ry * w->rbx + rx];
+    if (w->legacy_merge) {
+        int bx = 2 * rx, by = 2 * ry;
+        int32_t m = w->modes[by * w->nbx + bx];
+        return w->modes[by * w->nbx + bx + 1] == m &&
+               w->modes[(by + 1) * w->nbx + bx] == m &&
+               w->modes[(by + 1) * w->nbx + bx + 1] == m;
+    }
+    return 0;
+}
+
+static void iw_qt(IW *w, int x0, int y0, int log2, int depth)
+{
+    int size = 1 << log2;
+    int inside = (x0 + size <= w->width && y0 + size <= w->height);
+    int is_cu = inside &&
+        (log2 == 4 || (log2 == 5 && iw_cu32_here(w, x0, y0)));
+    int split = !is_cu;
+    if (inside && log2 > w->log2_min_cu) {
+        int ctx = w->coff[CO_SPLIT] +
+            (iw_depth_at(w, x0 - 1, y0) > depth) +
+            (iw_depth_at(w, x0, y0 - 1) > depth);
+        cbin(&w->ir, split, ctx);
+    }
+    if (split || !inside) {
+        int half = 1 << (log2 - 1);
+        for (int q = 0; q < 4; q++) {
+            int x = x0 + (q & 1) * half, y = y0 + (q >> 1) * half;
+            if (x < w->width && y < w->height)
+                iw_qt(w, x, y, log2 - 1, depth + 1);
+        }
+        return;
+    }
+    iw_set_area(w->depth16, w->nbx, x0, y0, log2, depth);
+    iw_cu(w, x0, y0, log2);
+}
+
+static void iw_sao_offset_abs(IW *w, int v, int cmax)
+{
+    for (int k = 0; k < v; k++)
+        bypass(&w->ir, 1);
+    if (v < cmax)
+        bypass(&w->ir, 0);
+}
+
+static void iw_sao_type(IW *w, int t)
+{
+    cbin(&w->ir, t > 0, w->coff[CO_SAO_TYPE]);
+    if (t > 0)
+        bypass(&w->ir, t == 2);
+}
+
+static void iw_sao(IW *w, int cx, int cy)
+{
+    long ci = (long)(cy * w->n_ctu_x + cx);
+    int merge = w->sao_merge ? w->sao_merge[ci] : 0;
+    if (cx > 0)
+        cbin(&w->ir, merge == 1, w->coff[CO_SAO_MERGE]);
+    if (cy > 0 && merge != 1)
+        cbin(&w->ir, merge == 2, w->coff[CO_SAO_MERGE]);
+    if (merge)
+        return;
+    int bd = w->bit_depth < 10 ? w->bit_depth : 10;
+    int cmax = (1 << (bd - 5)) - 1;
+    for (int c = 0; c < 3; c++) {
+        const int32_t *pr = w->sao + ci * 21 + c * 7;
+        int type = pr[0];
+        if (c == 0)
+            iw_sao_type(w, type);
+        else if (c == 1)
+            iw_sao_type(w, type);
+        if (type == 0)
+            continue;
+        for (int k = 0; k < 4; k++) {
+            int o = pr[3 + k];
+            iw_sao_offset_abs(w, o < 0 ? -o : o, cmax);
+        }
+        if (type == 1) {                     /* band */
+            for (int k = 0; k < 4; k++)
+                if (pr[3 + k] != 0)
+                    bypass(&w->ir, pr[3 + k] < 0);
+            bypass_bits(&w->ir, (uint32_t)pr[2], 5);
+        } else if (c == 0 || c == 1) {
+            bypass_bits(&w->ir, (uint32_t)pr[1], 2);
+        }
+    }
+}
+
+long intra_slice_bins(const int32_t *prm, const int32_t *modes,
+                      const uint8_t *split32, const int32_t *mode32,
+                      const uint8_t *nzy, const uint8_t *nzu,
+                      const uint8_t *nzv, const int32_t *lvy,
+                      const int32_t *lvu, const int32_t *lvv,
+                      const int32_t *qp_map, const int32_t *sao,
+                      const int32_t *sao_merge, const int32_t *scan_blob,
+                      const int32_t *scan_offs, const int32_t *roff,
+                      const int32_t *coff, int8_t *mode16,
+                      int8_t *depth16, int32_t *state,
+                      uint8_t *out_bins, int32_t *out_ctx, long cap,
+                      int64_t *out_mark)
+{
+    IW w;
+    memset(&w, 0, sizeof(w));
+    w.width = prm[0]; w.height = prm[1];
+    w.nbx = prm[2]; w.nby = prm[3];
+    w.n_ctu_x = prm[4]; w.n_ctu_y = prm[5];
+    w.log2_ctu = prm[6]; w.log2_max_tu = prm[7];
+    w.max_td_intra = prm[8]; w.tree = prm[9];
+    w.dqp_enabled = prm[10]; w.slice_qp = prm[11];
+    w.sync = prm[12]; w.bit_depth = prm[15]; w.sign_hide = prm[16];
+    w.legacy_merge = prm[17]; w.wpp_terms = prm[18];
+    w.log2_min_cu = prm[19];
+    int cy0 = prm[13], cy1 = prm[14];
+    w.rbx = (w.nbx + 1) >> 1;
+    w.modes = modes; w.split32 = split32; w.mode32 = mode32;
+    w.nzy = nzy; w.nzu = nzu; w.nzv = nzv;
+    w.lvy = lvy; w.lvu = lvu; w.lvv = lvv;
+    w.qp_map = qp_map; w.sao = sao; w.sao_merge = sao_merge;
+    w.sxy16 = scan_blob + scan_offs[(4 - 2) * 6];
+    w.cg16 = scan_blob + scan_offs[(4 - 2) * 6 + 1];
+    w.sxy8 = scan_blob + scan_offs[(3 - 2) * 6];
+    w.cg8 = scan_blob + scan_offs[(3 - 2) * 6 + 1];
+    w.sxy32 = scan_blob + scan_offs[(5 - 2) * 6];
+    w.cg32 = scan_blob + scan_offs[(5 - 2) * 6 + 1];
+    w.roff = roff; w.coff = coff;
+    w.mode16 = mode16; w.depth16 = depth16;
+    w.qp_prev = state[0];
+    w.ir.bins = out_bins; w.ir.ctx = out_ctx; w.ir.n = 0;
+    w.cap = cap;
+    int mark_cx = w.n_ctu_x - 1 < 1 ? w.n_ctu_x - 1 : 1;
+    for (int cy = cy0; cy < cy1; cy++) {
+        for (int cx = 0; cx < w.n_ctu_x; cx++) {
+            if (w.ir.n > cap - 500000)
+                return -1;
+            if (w.dqp_enabled) {
+                if (w.sync && cx == 0)
+                    w.qp_prev = w.slice_qp;
+                w.qg_pred = w.qp_prev;
+                w.dqp_coded = 0;
+                w.cur_qp = qp_map ? qp_map[cy * w.n_ctu_x + cx]
+                                  : w.slice_qp;
+            }
+            if (sao)
+                iw_sao(&w, cx, cy);
+            iw_qt(&w, cx << w.log2_ctu, cy << w.log2_ctu, w.log2_ctu,
+                  0);
+            int last = (cy == w.n_ctu_y - 1 && cx == w.n_ctu_x - 1);
+            cbin(&w.ir, last, CTX_TERM);
+            if (w.dqp_enabled)
+                w.qp_prev = w.dqp_coded ? w.cur_qp : w.qg_pred;
+            if (w.wpp_terms && cx == mark_cx)
+                out_mark[0] = w.ir.n;
+            if (w.wpp_terms && cx == w.n_ctu_x - 1 && !last)
+                cbin(&w.ir, 1, CTX_TERM);
+        }
+    }
+    state[0] = w.qp_prev;
+    return w.ir.n;
+}
