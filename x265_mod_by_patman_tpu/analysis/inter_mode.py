@@ -600,7 +600,7 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
 
 def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                     search_range: int = 16, block: int = 16,
-                    subme: int = 2, weights_b=None):
+                    subme: int = 2, weights_b=None, rect: bool = False):
     """B-frame analysis: ME against both anchors + bi-prediction test +
     intra fallback (the batched analog of x265 checkBidir2Nx2N,
     analysis.cpp:4007); ONE jitted program like analyse_p_frame.
@@ -610,8 +610,11 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     explicit luma weights per list (x265 --weightb); predictions then
     use the spec 8.5.4.3.2 weighted uni/bi formulas (defaults for an
     unweighted list degrade exactly to the plain combine).
+    rect: evaluate 2NxN/Nx2N PU shapes with a per-PU list choice (the
+    B-slice arm of x265's checkInter rect loop, analysis.cpp:2368 —
+    uni-pred per rect PU; bidir stays 2Nx2N as in checkBidir2Nx2N).
     Returns (intra_modes, inter_mask, dirs, mv_l0, mv_l1,
-    (mc_y, mc_u, mc_v))."""
+    (mc_y, mc_u, mc_v), part, (dirs_b, mv0_b, mv1_b))."""
     from ..ops.me import _on_tpu
     bd = sps.bit_depth
     lam, _ = lambda_qp(qp)
@@ -624,6 +627,10 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     wb = tuple(wp is not None for wp in weights_b)
     wv = jnp.asarray([[wp[0] if wp else 64, wp[1] if wp else 0]
                       for wp in weights_b], jnp.int32)
+    idc = getattr(sps, "chroma_format_idc", 1)
+    # rect searches/combines assume 4:2:0 sub-block chroma geometry and
+    # unweighted planes (same constraint as the P path)
+    rect_eff = rect and not any(wb) and block == 16 and idc == 1
     out = _b_core(oy,
                   jnp.asarray(np.asarray(ref0[0], np.int32)),
                   jnp.asarray(np.asarray(ref0[1], np.int32)),
@@ -634,22 +641,24 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
-                  0 if getattr(sps, "chroma_format_idc", 1) == 3 else 1,
-                  getattr(sps, "chroma_format_idc", 1) == 2)
-    modes, inter, dirs, mv0, mv1, mcy, mcu, mcv = out
+                  0 if idc == 3 else 1, idc == 2, rect_eff)
+    (modes, inter, dirs, mv0, mv1, mcy, mcu, mcv, part, dirs_b,
+     mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
             np.asarray(mv0), np.asarray(mv1),
-            (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)))
+            (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)),
+            np.asarray(part),
+            (np.asarray(dirs_b), np.asarray(mv0_b), np.asarray(mv1_b)))
 
 
 @functools.partial(
     jax.jit, static_argnames=("search_range", "block", "bd",
                               "use_pallas", "subme", "wb", "cshift",
-                              "is422"))
+                              "is422", "rect"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             search_range: int, block: int, bd: int, use_pallas: bool,
             subme: int = 2, wb=(False, False), wv=None,
-            cshift: int = 1, is422: bool = False):
+            cshift: int = 1, is422: bool = False, rect: bool = False):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -784,6 +793,132 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
         dirs, c0x, c0y, c1x, c1y, inter_cost = b_cand_round(
             dirs, c0x, c0y, c1x, c1y)
     mv0x, mv0y, mv1x, mv1y = c0x, c0y, c1x, c1y
+    inter_cost_2n = inter_cost
+
+    # 2b. rect PU candidates (2NxN / Nx2N) with a per-PU list choice:
+    # 8x8 sub-block ME on each list, PU costs from own+partner SATD
+    # pairings per list, then argmin over {L0, L1} per PU (B arm of the
+    # x265 checkInter rect loop, analysis.cpp:2368; uni-pred per rect
+    # PU — bidir stays 2Nx2N as in checkBidir2Nx2N)
+    part = jnp.zeros(nb, jnp.int32)
+    dirs_b = jnp.zeros(nb, jnp.int32)
+    pu1_0x = pu1_0y = pu1_1x = pu1_1y = jnp.zeros(nb, jnp.int32)
+    if rect:
+        offs = ((0, 0), (0, 8), (8, 0), (8, 8))       # (dy, dx), k-order
+        sx4 = (bx[:, None] +
+               jnp.asarray([o[1] for o in offs], jnp.int32)[None, :]) \
+            .reshape(-1)
+        sy4 = (by[:, None] +
+               jnp.asarray([o[0] for o in offs], jnp.int32)[None, :]) \
+            .reshape(-1)
+        pz4 = jnp.zeros(nb * 4, jnp.int32)
+        g8y = jnp.clip(sy4[:, None, None] + jnp.arange(8)[None, :, None],
+                       0, h - 1)
+        g8x = jnp.clip(sx4[:, None, None] + jnp.arange(8)[None, None, :],
+                       0, w - 1)
+        org8 = oy[g8y, g8x].astype(jnp.int32)
+
+        sub = []          # per list: (own, crossH, crossV, m8x, m8y)
+        for rl in (r0y_me, r1y_me):
+            i8x, i8y, _ = full_search_batch(rl, oy, sx4, sy4, pz4, pz4,
+                                            lam256, 8, search_range,
+                                            use_pallas=False)
+            m8x, m8y, c8 = subpel_refine_batch(rl, oy, sx4, sy4, i8x,
+                                               i8y, pz4, pz4, lam256, 8,
+                                               bd, subme)
+            own = (c8 - ((lam256 * mv_bits(m8x, m8y)) >> 8)) \
+                .reshape(nb, 4)
+
+            def cross_satd(perm, m8x=m8x, m8y=m8y, rl=rl):
+                px_ = m8x.reshape(nb, 4)[:, perm].reshape(-1)
+                py_ = m8y.reshape(nb, 4)[:, perm].reshape(-1)
+                pr = mc_batch(rl, sx4, sy4, px_, py_, 8, 0, bd,
+                              use_pallas=False)
+                return satd_batch(org8, pr).reshape(nb, 4)
+
+            sub.append((own, cross_satd((1, 0, 3, 2)),
+                        cross_satd((2, 3, 0, 1)),
+                        m8x.reshape(nb, 4), m8y.reshape(nb, 4)))
+
+        # merge_flag + inter_pred_idc (2) + mvp_idx per uni rect PU
+        pu_bits = (lam256 * 4) >> 8
+
+        def pu_best_l(lst, horiz, first):
+            """Best (cost, mvx, mvy) for one rect PU on one list: the
+            PU's two sub-blocks covered by either sub's MV."""
+            own, crH, crV, m8x, m8y = sub[lst]
+            cr = crH if horiz else crV
+            if horiz:
+                a, b2 = (0, 1) if first else (2, 3)
+            else:
+                a, b2 = (0, 2) if first else (1, 3)
+            cA = own[:, a] + cr[:, b2] + \
+                ((lam256 * mv_bits(m8x[:, a], m8y[:, a])) >> 8) + pu_bits
+            cB = cr[:, a] + own[:, b2] + \
+                ((lam256 * mv_bits(m8x[:, b2], m8y[:, b2])) >> 8) + \
+                pu_bits
+            useA = cA <= cB
+            return (jnp.where(useA, cA, cB),
+                    jnp.where(useA, m8x[:, a], m8x[:, b2]),
+                    jnp.where(useA, m8y[:, a], m8y[:, b2]))
+
+        def pu_best(horiz, first):
+            """argmin over the two lists: (cost, list, mvx, mvy)."""
+            c0, x0_, y0_ = pu_best_l(0, horiz, first)
+            c1, x1_, y1_ = pu_best_l(1, horiz, first)
+            use0 = c0 <= c1
+            return (jnp.where(use0, c0, c1),
+                    jnp.where(use0, 0, 1).astype(jnp.int32),
+                    jnp.where(use0, x0_, x1_),
+                    jnp.where(use0, y0_, y1_))
+
+        part_bins = (lam256 * 2) >> 8
+        cT, lT, xT, yT = pu_best(True, True)
+        cB_, lB, xB, yB = pu_best(True, False)
+        costH = cT + cB_ + part_bins
+        cL, lL, xL, yL = pu_best(False, True)
+        cR, lR, xR, yR = pu_best(False, False)
+        costV = cL + cR + part_bins
+        # degenerate rect (both PUs same list+MV) re-encodes 2Nx2N with
+        # extra bins — never pick it
+        costH = jnp.where((lT == lB) & (xT == xB) & (yT == yB),
+                          1 << 30, costH)
+        costV = jnp.where((lL == lR) & (xL == xR) & (yL == yR),
+                          1 << 30, costV)
+
+        allc = jnp.stack([inter_cost_2n, costH, costV])
+        pidx = jnp.argmin(allc, axis=0)
+        part = pidx.astype(jnp.int32)
+        inter_cost = jnp.min(allc, axis=0)
+        p0l = jnp.where(part == 1, lT, lL)        # PU0 list
+        p0x = jnp.where(part == 1, xT, xL)
+        p0y = jnp.where(part == 1, yT, yL)
+        p1l = jnp.where(part == 1, lB, lR)        # PU1 list
+        p1x = jnp.where(part == 1, xB, xR)
+        p1y = jnp.where(part == 1, yB, yR)
+        # PU0 motion replaces the CU 2Nx2N fields where rect wins
+        rw = part > 0
+        dirs = jnp.where(rw, p0l + 1, dirs)
+        mv0x = jnp.where(rw, jnp.where(p0l == 0, p0x, 0), mv0x)
+        mv0y = jnp.where(rw, jnp.where(p0l == 0, p0y, 0), mv0y)
+        mv1x = jnp.where(rw, jnp.where(p0l == 1, p0x, 0), mv1x)
+        mv1y = jnp.where(rw, jnp.where(p0l == 1, p0y, 0), mv1y)
+        dirs_b = jnp.where(rw, p1l + 1, 0)
+        pu1_0x = jnp.where(rw & (p1l == 0), p1x, 0)
+        pu1_0y = jnp.where(rw & (p1l == 0), p1y, 0)
+        pu1_1x = jnp.where(rw & (p1l == 1), p1x, 0)
+        pu1_1y = jnp.where(rw & (p1l == 1), p1y, 0)
+        # per-sub-block final (list, mv) for the MC composite
+        subB = jnp.where(
+            (part == 1)[:, None], jnp.asarray([0, 0, 1, 1])[None, :],
+            jnp.where((part == 2)[:, None],
+                      jnp.asarray([0, 1, 0, 1])[None, :], 0))
+        s_l = jnp.where(subB == 1, p1l[:, None], p0l[:, None]) \
+            .reshape(-1)
+        s_x = jnp.where(subB == 1, p1x[:, None], p0x[:, None]) \
+            .reshape(-1)
+        s_y = jnp.where(subB == 1, p1y[:, None], p0y[:, None]) \
+            .reshape(-1)
 
     # intra fallback
     icosts = _mode_costs(oy, avail,
@@ -795,6 +930,9 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
 
     use_inter = inter_cost <= intra_best
     dirs = jnp.where(use_inter, dirs, 0)
+    if rect:
+        part = jnp.where(use_inter, part, 0)
+        dirs_b = jnp.where(use_inter, dirs_b, 0)
 
     # MC predictions of the chosen mode per block
     nc = n >> cshift
@@ -845,13 +983,39 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))
+        if rect:
+            # rect winners: per-sub-block uni MC from each sub's chosen
+            # list, reassembled into the full block
+            if c_idx == 0:
+                s0 = mc_batch(r0p, sx4, sy4, s_x, s_y, 8, 0, bd,
+                              use_pallas=False)
+                s1 = mc_batch(r1p, sx4, sy4, s_x, s_y, 8, 0, bd,
+                              use_pallas=False)
+                half = 8
+            else:
+                s0 = mc_batch(r0p, sx4 >> 1, sy4 >> 1, s_x, s_y, 4,
+                              c_idx, bd, use_pallas=False)
+                s1 = mc_batch(r1p, sx4 >> 1, sy4 >> 1, s_x, s_y, 4,
+                              c_idx, bd, use_pallas=False)
+                half = 4
+            s8 = jnp.where((s_l == 0)[:, None, None], s0, s1)
+            ra = s8.reshape(nb, 2, 2, half, half) \
+                .transpose(0, 1, 3, 2, 4).reshape(nb, sz, sz)
+            sel = jnp.where((part > 0)[:, None, None], ra, sel)
         mc.append(sel.reshape(nby, nbx, sz, sz))
 
     mv_l0 = jnp.stack([mv0x, mv0y], -1).reshape(nby, nbx, 2) \
         .astype(jnp.int32)
     mv_l1 = jnp.stack([mv1x, mv1y], -1).reshape(nby, nbx, 2) \
         .astype(jnp.int32)
+    mv0_b = jnp.stack([pu1_0x, pu1_0y], -1).reshape(nby, nbx, 2) \
+        .astype(jnp.int32)
+    mv1_b = jnp.stack([pu1_1x, pu1_1y], -1).reshape(nby, nbx, 2) \
+        .astype(jnp.int32)
     return (intra_modes.reshape(nby, nbx),
             use_inter.reshape(nby, nbx),
             dirs.reshape(nby, nbx).astype(jnp.int32),
-            mv_l0, mv_l1, mc[0], mc[1], mc[2])
+            mv_l0, mv_l1, mc[0], mc[1], mc[2],
+            part.reshape(nby, nbx),
+            dirs_b.reshape(nby, nbx),
+            mv0_b, mv1_b)

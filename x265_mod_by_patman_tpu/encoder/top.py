@@ -1040,10 +1040,17 @@ class Encoder:
                         wpb = (c0, c1)
                         wp_l0 = (c0,)
                         wp_b_l1 = (c1,)
-                modes, inter_mask, dirs, mvs, mvs1, mc = analyse_b_frame(
+                use_rect_b = p.rect and self._ana_store is None
+                (modes, inter_mask, dirs, mvs, mvs1, mc, part_map_b,
+                 pu1_b) = analyse_b_frame(
                     y, u, v, ref0[0], ref1[0],
                     self.sps, qp, search_range=self._me_range,
-                    subme=p.subpel_refine, weights_b=wpb)
+                    subme=p.subpel_refine, weights_b=wpb,
+                    rect=use_rect_b)
+                if np.any(part_map_b):
+                    # B rect: (part, PU1 dirs, PU1 mv L0, PU1 mv L1)
+                    rect_info = (part_map_b, pu1_b[1], pu1_b[2],
+                                 pu1_b[0])
             recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
                                              inter_mask, qp=qpm,
                                              init_type=0)
@@ -1290,14 +1297,23 @@ class Encoder:
                          ref_pocs[1][0] if ref_pocs[1] else 0, np.int64)
             part16 = pu1 = None
             if rect_info is not None:
-                part_map, mvs_b = rect_info
+                part_map, mvs_b = rect_info[0], rect_info[1]
                 part16 = np.where(inter_mask, part_map, 0)
-                # PU1 shares the CU's list-0 ref (analysis constraint)
-                pu1 = (np.where(part16 > 0, 1, 0).astype(np.int32),
-                       mvs_b.astype(np.int32),
-                       np.zeros_like(mvs_b),
-                       np.where(part16 > 0, p0, 0),
-                       np.zeros_like(p0))
+                if len(rect_info) > 2:
+                    # B rect: PU1 has its own list (uni-pred per PU)
+                    d_b = np.where(part16 > 0, rect_info[3],
+                                   0).astype(np.int32)
+                    pu1 = (d_b, mvs_b.astype(np.int32),
+                           rect_info[2].astype(np.int32),
+                           np.where((d_b & 1) > 0, p0, 0),
+                           np.where((d_b & 2) > 0, p1, 0))
+                else:
+                    # P: PU1 shares the CU's list-0 ref
+                    pu1 = (np.where(part16 > 0, 1, 0).astype(np.int32),
+                           mvs_b.astype(np.int32),
+                           np.zeros_like(mvs_b),
+                           np.where(part16 > 0, p0, 0),
+                           np.zeros_like(p0))
             bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16,
                                        dirs_m, mvs1_m, p0, p1, split_map,
                                        part_map=part16, pu1=pu1)
@@ -1594,7 +1610,14 @@ class Encoder:
                     cu.mv_b = (int(rect_info[1][by, bx, 0]),
                                int(rect_info[1][by, bx, 1]))
                     cu.ref_idx_b = rsel
-                    cu.inter_dir_b = d
+                    if len(rect_info) > 2:
+                        # B rect: PU1 carries its own list choice
+                        cu.inter_dir_b = int(rect_info[3][by, bx])
+                        cu.mv1_b = (int(rect_info[2][by, bx, 0]),
+                                    int(rect_info[2][by, bx, 1]))
+                        cu.ref_idx1_b = 0
+                    else:
+                        cu.inter_dir_b = d
             elif split_map is not None and split_map[by, bx]:
                 # NxN intra: 4 PUs + forced TU8 split; the luma
                 # level store holds the 4 TU8s as quadrants (or, with
