@@ -106,11 +106,13 @@ class SlicetypeLookahead:
 
     def __init__(self, pad_w: int, pad_h: int, bframes: int,
                  b_adapt: int = 1, scenecut_bias: float = 0.05,
-                 scenecut_threshold: int = 40) -> None:
+                 scenecut_threshold: int = 40,
+                 b_frame_bias: int = 0) -> None:
         self.w, self.h = pad_w // 2, pad_h // 2
         self.nbx, self.nby = self.w // N, self.h // N
         self.bframes = bframes
         self.b_adapt = b_adapt
+        self.b_frame_bias = b_frame_bias
         self.bias = scenecut_bias
         self.thresh = scenecut_threshold / 100.0
         self._avail = jnp.asarray(_raster_avail(self.h, self.w))
@@ -182,7 +184,16 @@ class SlicetypeLookahead:
                                    self.nby, self.nbx, intra)
             fc = np.asarray(fc)
             for i, key in enumerate(chunk):
-                self._cost[key] = float(fc[i])
+                c = float(fc[i])
+                if is_b[i]:
+                    # B-frame cost discount before any path/GOP
+                    # comparison (reference estimateFrameCost,
+                    # slicetype.cpp:4322: score = score*100/(130+bias)
+                    # when b != p1) — B frames code cheaper per unit
+                    # SATD (higher QP, no propagation), so raw-sum
+                    # paths would otherwise always favor P chains
+                    c = c * 100.0 / (130.0 + self.b_frame_bias)
+                self._cost[key] = c
 
     def frame_cost(self, b: int, p0: int, p1: int) -> float:
         key = (b, p0, p1)

@@ -461,7 +461,8 @@ class Encoder:
             from ..analysis.slicetype import SlicetypeLookahead
             st = self._slicetype = SlicetypeLookahead(
                 planes[0].shape[1], planes[0].shape[0], self.bframes,
-                p.b_adapt, p.scenecut_bias / 100.0, p.scenecut_threshold)
+                p.b_adapt, p.scenecut_bias / 100.0, p.scenecut_threshold,
+                b_frame_bias=getattr(p, "b_frame_bias", 0))
         if st is not None:
             st.push(self.frame_count, planes[0])
         out: List[EncodedFrame] = []

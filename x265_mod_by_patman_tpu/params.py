@@ -44,6 +44,7 @@ class EncoderParams:
     keyframe_min: int = 0
     bframes: int = 4
     b_adapt: int = 2
+    b_frame_bias: int = 0           # x265 --bframe-bias (B-cost discount tilt)
     b_pyramid: bool = True
     open_gop: bool = True
     max_num_references: int = 3
@@ -326,6 +327,7 @@ class EncoderParams:
             "vbv_init_fullness": "vbv_init",
             "signhide": "sign_hide", "cutree": "cu_tree",
             "lookahead_depth": "rc_lookahead",
+            "bframe_bias": "b_frame_bias",
         }
         if key == "input_res":
             w, h = value.lower().split("x")
