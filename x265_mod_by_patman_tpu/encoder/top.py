@@ -1753,6 +1753,25 @@ class Encoder:
                 if rx * 32 >= sps.width or ry * 32 >= sps.height:
                     continue
                 cus.extend(build_region(rx, ry, tqb))
+            # merge 4 identical-motion zero-residual 32x32 inter CUs
+            # into one 64x64 skip CU (pure syntax — a skip CU has no
+            # transform tree, so the 16-grid residual store imposes no
+            # TU constraint; kills the per-16-block skip-flag tax that
+            # dominates low-motion frames at large resolutions)
+            if (bpc == 4 and len(cus) == 4 and
+                    cx * 64 + 64 <= sps.width and
+                    cy * 64 + 64 <= sps.height and
+                    all(c.log2_size == 5 and c.is_inter and
+                        c.part_mode == 0 and not c.coeffs
+                        for c in cus) and
+                    len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
+                          c.ref_idx1) for c in cus}) == 1):
+                c0 = cus[0]
+                return [CodedCU(cx * 64, cy * 64, 6, (1,), 4, {},
+                                is_inter=True, mv=c0.mv,
+                                ref_idx=c0.ref_idx,
+                                inter_dir=c0.inter_dir, mv1=c0.mv1,
+                                ref_idx1=c0.ref_idx1, tq_bypass=tqb)]
             return cus
 
         def encode_ctu_at(syn_, ir_, cx, cy, last, sao_top=0):
