@@ -279,7 +279,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             best_r = jnp.where(upd, crf, best_r)
         return best_x, best_y, best_r, best_cost
 
-    for _ in range(2):
+    for _ in range(3):
         mvx, mvy, ref_sel, cost = cand_round(mvx, mvy, ref_sel)
 
     # 2b. rect PU candidates (2NxN / Nx2N): 8x8 sub-block ME on each
@@ -436,6 +436,72 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
         pu0x, pu0y = pick(1), pick(2)
         mvbx, mvby = pick(3), pick(4)
         mvx, mvy = pu0x, pu0y
+
+    # 2c. motion homogenization: adopt one sub-block's (mv, ref) for a
+    # whole 32 (and, at CTU64, 64) region when the SATD loss is smaller
+    # than the CU-syntax saving — this is what lets build_region's
+    # same-motion merges (and 64x64 skips) actually fire on low-motion
+    # content (the batched analog of x265's large-CU early-skip RDO,
+    # analysis.cpp:1663 rd0-4 2Nx2N/skip at upper depths)
+    def _region_uniform(mvx, mvy, ref_sel, cost, part, g):
+        gh, gw = nby // g, nbx // g
+        if gh == 0 or gw == 0 or n != 16:
+            return mvx, mvy, ref_sel, cost
+        f2 = lambda a: a.reshape(nby, nbx)
+        crop = lambda a: f2(a)[:gh * g, :gw * g]
+        rep2 = lambda a: jnp.repeat(jnp.repeat(a, g, 0), g, 1)
+        gsum = lambda a: a.reshape(gh, g, gw, g).sum((1, 3))
+        ok = (crop(part) == 0).reshape(gh, g, gw, g).all((1, 3))
+        if band is not None:
+            # banded calls: the group must lie fully inside the real
+            # frame rows (padded bands replicate edge rows)
+            gy = jnp.arange(gh)[:, None]
+            ok = ok & ((gby0 + (gy + 1) * g) <= nby_total)
+        indiv = gsum(crop(cost))
+        s = g // 2
+        best = None        # [tot, rmx, rmy, rrf, satd_blocks, gbits]
+        for c in range(4):
+            sy, sx = (c >> 1) * s, (c & 1) * s
+            rmx = crop(mvx)[sy::g, sx::g]
+            rmy = crop(mvy)[sy::g, sx::g]
+            rrf = crop(ref_sel)[sy::g, sx::g]
+            fmx = f2(mvx).at[:gh * g, :gw * g].set(rep2(rmx)).ravel()
+            fmy = f2(mvy).at[:gh * g, :gw * g].set(rep2(rmy)).ravel()
+            frf = f2(ref_sel).at[:gh * g, :gw * g].set(rep2(rrf)) \
+                .ravel()
+            pr = mc_batch(tall, bx, by + frf * strip + m_pad, fmx, fmy,
+                          n, 0, bd, use_pallas=use_pallas)
+            sbc = crop(satd_batch(org, pr))
+            gbits = mv_bits(rmx, rmy) + 6 + rrf
+            tot = gsum(sbc) + ((lam256 * gbits) >> 8)
+            if best is None:
+                best = [tot, rmx, rmy, rrf, sbc, gbits]
+            else:
+                u = tot < best[0]
+                ub = rep2(u)
+                best = [jnp.where(u, tot, best[0]),
+                        jnp.where(u, rmx, best[1]),
+                        jnp.where(u, rmy, best[2]),
+                        jnp.where(u, rrf, best[3]),
+                        jnp.where(ub, sbc, best[4]),
+                        jnp.where(u, gbits, best[5])]
+        tot, rmx, rmy, rrf, sbc, gbits = best
+        acc = ok & (tot < indiv)
+        accb = rep2(acc)
+        pb_bits = rep2(((lam256 * gbits) >> 8) // (g * g))
+        new = []
+        for a, r in ((mvx, rmx), (mvy, rmy), (ref_sel, rrf)):
+            new.append(f2(a).at[:gh * g, :gw * g].set(
+                jnp.where(accb, rep2(r), crop(a))).ravel())
+        new_cost = f2(cost).at[:gh * g, :gw * g].set(
+            jnp.where(accb, sbc + pb_bits, crop(cost))).ravel()
+        return new[0], new[1], new[2], new_cost
+
+    mvx, mvy, ref_sel, cost = _region_uniform(mvx, mvy, ref_sel, cost,
+                                              part, 2)
+    if log2_ctu == 6:
+        mvx, mvy, ref_sel, cost = _region_uniform(mvx, mvy, ref_sel,
+                                                  cost, part, 4)
 
     # 3. intra costs (orig-neighbor batched sweep)
     icosts = _mode_costs(oy, avail,
@@ -641,7 +707,8 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
-                  0 if idc == 3 else 1, idc == 2, rect_eff)
+                  0 if idc == 3 else 1, idc == 2, rect_eff,
+                  sps.log2_ctu_size)
     (modes, inter, dirs, mv0, mv1, mcy, mcu, mcv, part, dirs_b,
      mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
@@ -654,11 +721,12 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
 @functools.partial(
     jax.jit, static_argnames=("search_range", "block", "bd",
                               "use_pallas", "subme", "wb", "cshift",
-                              "is422", "rect"))
+                              "is422", "rect", "log2_ctu"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             search_range: int, block: int, bd: int, use_pallas: bool,
             subme: int = 2, wb=(False, False), wv=None,
-            cshift: int = 1, is422: bool = False, rect: bool = False):
+            cshift: int = 1, is422: bool = False, rect: bool = False,
+            log2_ctu: int = 5):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -789,7 +857,7 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
                       satd_bi + ((lam256 * (me_b0 + me_b1 + 2)) >> 8)], 0)
     dirs = (jnp.argmin(prov, 0) + 1).astype(jnp.int32)
     c0x, c0y, c1x, c1y = mv0x, mv0y, mv1x, mv1y
-    for _ in range(2):
+    for _ in range(3):
         dirs, c0x, c0y, c1x, c1y, inter_cost = b_cand_round(
             dirs, c0x, c0y, c1x, c1y)
     mv0x, mv0y, mv1x, mv1y = c0x, c0y, c1x, c1y
@@ -919,6 +987,78 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             .reshape(-1)
         s_y = jnp.where(subB == 1, p1y[:, None], p0y[:, None]) \
             .reshape(-1)
+
+    # 2c. motion homogenization across 32 (and 64) regions — adopt one
+    # sub-block's (dir, mv0, mv1) for the region when the SATD loss is
+    # smaller than the CU-syntax saving, so build_region's same-motion
+    # merges / 64x64 skips fire on B frames too (where per-block
+    # near-tie direction flips otherwise block every merge)
+    def _b_region_uniform(dirs, m0x, m0y, m1x, m1y, cost, part, g):
+        gh, gw = nby // g, nbx // g
+        if gh == 0 or gw == 0 or n != 16 or use_w:
+            return dirs, m0x, m0y, m1x, m1y, cost
+        f2 = lambda a: a.reshape(nby, nbx)
+        crop = lambda a: f2(a)[:gh * g, :gw * g]
+        rep2 = lambda a: jnp.repeat(jnp.repeat(a, g, 0), g, 1)
+        gsum = lambda a: a.reshape(gh, g, gw, g).sum((1, 3))
+        ok = (crop(part) == 0).reshape(gh, g, gw, g).all((1, 3))
+        indiv = gsum(crop(cost))
+        s = g // 2
+        best = None    # [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits]
+        for c in range(4):
+            sy, sx = (c >> 1) * s, (c & 1) * s
+            rdd = crop(dirs)[sy::g, sx::g]
+            rm0x = crop(m0x)[sy::g, sx::g]
+            rm0y = crop(m0y)[sy::g, sx::g]
+            rm1x = crop(m1x)[sy::g, sx::g]
+            rm1y = crop(m1y)[sy::g, sx::g]
+            fd = f2(dirs).at[:gh * g, :gw * g].set(rep2(rdd)).ravel()
+            f0x = f2(m0x).at[:gh * g, :gw * g].set(rep2(rm0x)).ravel()
+            f0y = f2(m0y).at[:gh * g, :gw * g].set(rep2(rm0y)).ravel()
+            f1x = f2(m1x).at[:gh * g, :gw * g].set(rep2(rm1x)).ravel()
+            f1y = f2(m1y).at[:gh * g, :gw * g].set(rep2(rm1y)).ravel()
+            q0 = mc_batch_14(r0y, bx, by, f0x, f0y, n, 0, bd,
+                             use_pallas=use_pallas)
+            q1 = mc_batch_14(r1y, bx, by, f1x, f1y, n, 0, bd,
+                             use_pallas=use_pallas)
+            pred = jnp.where((fd == 3)[:, None, None], bi_of(q0, q1),
+                             jnp.where((fd == 1)[:, None, None],
+                                       uni_of(q0, 0), uni_of(q1, 1)))
+            sbc = crop(satd_batch(org, pred))
+            gbits = (jnp.where(rdd & 1, mv_bits(rm0x, rm0y), 0) +
+                     jnp.where(rdd & 2, mv_bits(rm1x, rm1y), 0) + 8)
+            tot = gsum(sbc) + ((lam256 * gbits) >> 8)
+            if best is None:
+                best = [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits]
+            else:
+                u = tot < best[0]
+                ub = rep2(u)
+                best = [jnp.where(u, tot, best[0]),
+                        jnp.where(u, rdd, best[1]),
+                        jnp.where(u, rm0x, best[2]),
+                        jnp.where(u, rm0y, best[3]),
+                        jnp.where(u, rm1x, best[4]),
+                        jnp.where(u, rm1y, best[5]),
+                        jnp.where(ub, sbc, best[6]),
+                        jnp.where(u, gbits, best[7])]
+        tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits = best
+        acc = ok & (tot < indiv)
+        accb = rep2(acc)
+        pb_bits = rep2(((lam256 * gbits) >> 8) // (g * g))
+        out = []
+        for a, r in ((dirs, rdd), (m0x, rm0x), (m0y, rm0y),
+                     (m1x, rm1x), (m1y, rm1y)):
+            out.append(f2(a).at[:gh * g, :gw * g].set(
+                jnp.where(accb, rep2(r), crop(a))).ravel())
+        new_cost = f2(cost).at[:gh * g, :gw * g].set(
+            jnp.where(accb, sbc + pb_bits, crop(cost))).ravel()
+        return out[0], out[1], out[2], out[3], out[4], new_cost
+
+    (dirs, mv0x, mv0y, mv1x, mv1y, inter_cost) = _b_region_uniform(
+        dirs, mv0x, mv0y, mv1x, mv1y, inter_cost, part, 2)
+    if log2_ctu == 6:
+        (dirs, mv0x, mv0y, mv1x, mv1y, inter_cost) = _b_region_uniform(
+            dirs, mv0x, mv0y, mv1x, mv1y, inter_cost, part, 4)
 
     # intra fallback
     icosts = _mode_costs(oy, avail,

@@ -72,8 +72,13 @@ def analyse_p_frame_tiles(y, u, v, refs, sps, qp: int,
     h, w = y.shape
     nby = h // n
     # each band must span >= HALO_BLOCKS rows so the one-hop ppermute
-    # halo exchange covers the full read extent
-    nby_pad = nd * max(-(-nby // nd), HALO_BLOCKS)
+    # halo exchange covers the full read extent; bands are padded to a
+    # multiple of 4 block-rows so the in-core motion-homogenization
+    # groups (32/64 regions) align with the global grid on every
+    # device — keeps banded analysis bit-identical to whole-frame
+    per_band = max(-(-nby // nd), HALO_BLOCKS)
+    per_band = -(-per_band // 4) * 4
+    nby_pad = nd * per_band
     pad_rows = (nby_pad - nby) * n
 
     def padr(a, rows):
