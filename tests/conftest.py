@@ -1,6 +1,18 @@
 import os
 import sys
 
+# XLA:CPU JIT-maps two+ regions per compiled executable; the full suite
+# compiles enough programs to blow through a stock vm.max_map_count
+# (65530), which surfaces as a SIGSEGV inside XLA compile around the
+# 90% mark.  Raise it best-effort (root container).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except OSError:
+    pass
+
 # Tests run sharding on a virtual CPU mesh; the real-chip path is exercised
 # by bench.py / the driver.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -46,7 +46,8 @@ def test_tree_emits_32_cus_on_smooth_content():
     p = default_params(w, h, qp=32, keyframe_max=1, ctu_size=32,
                        rd_level=3).validate()
     enc = Encoder(p)
-    modes, sm, m8, split32, mode32 = decide_modes_tree(y, enc.sps, 32)
+    modes, sm, m8, split32, mode32, _c, _cb = decide_modes_tree(
+        y, enc.sps, 32)
     # smooth left half should produce at least one unsplit 32 CU
     assert (~split32[:, : (w // 2) // 32]).any()
     # and the stream still decodes bit-exact with that exact map
@@ -89,3 +90,17 @@ def test_tree_inter_gop_e2e():
     assert len(pics) == len(frames)
     for pic in pics:
         assert pic.md5 == pic.sei_md5
+
+
+def test_tree_odd_16block_width_e2e():
+    """Regression: widths that are an odd multiple of 16 (nbx odd) have
+    n32x = nbx//2 regions per row; the native walker must use that
+    stride for split32/mode32 (a ceil stride mis-read every region row
+    past the first and shipped corrupt streams)."""
+    w, h = 112, 80
+    y, u, v = scene(w, h, seed=3)
+    p = default_params(w, h, qp=30, keyframe_max=1, rd_level=3)
+    enc = Encoder(p)
+    [f] = enc.encode_frame(y, u, v)
+    pics = Decoder().decode(f.bitstream)
+    assert pics[0].md5 == pics[0].sei_md5 == f.md5

@@ -113,7 +113,7 @@ def _mpm_grid(modes: np.ndarray, log2_ctu: int, block: int) -> np.ndarray:
 
 
 def decide_modes_rd(y: np.ndarray, sps, qp: int,
-                    block: int = 16) -> np.ndarray:
+                    block: int = 16, topk: int = 0):
     """Two-pass mode decision: SATD sweep, then re-argmin with MPM-aware
     mode-bit costs derived from pass-1 neighbor modes (the batched
     stand-in for the reference's sequential MPM-bit costing,
@@ -141,6 +141,19 @@ def decide_modes_rd(y: np.ndarray, sps, qp: int,
     total = costs + lam * bits
     modes = np.argmin(total, axis=-1).astype(np.int32)
     _homogenize_ctus(modes, total, lam, sps, block)
+    if topk:
+        # top-K candidate list + per-candidate mode-bin charges for the
+        # in-wavefront RD selection (the sa8d candidate list handed to
+        # estIntraPredQT in the reference, search.cpp:1577/1855); slot
+        # 0 is the SATD winner.  CTU-homogenized blocks keep a single
+        # candidate so RD selection cannot break the 32x32 merge.
+        cand = np.argsort(total, axis=-1)[..., :topk].astype(np.int32)
+        cand[..., 0] = modes
+        hom = modes != np.argmin(total, axis=-1).astype(np.int32)
+        cand[hom] = modes[hom][:, None]
+        cbits = np.take_along_axis(bits, cand, axis=-1) \
+            .astype(np.float32)
+        return modes, cand, cbits
     return modes
 
 
@@ -291,8 +304,10 @@ def decide_modes_tree(y: np.ndarray, sps, qp: int, nxn: bool = False):
     lam = lambda_qp(qp)[0] * (1 << (sps.bit_depth - 8))
     if nxn:
         modes16, split_map, modes8 = decide_modes_split(y, sps, qp, 16)
+        cand16 = cbits16 = None
     else:
-        modes16 = decide_modes_rd(y, sps, qp, 16)
+        modes16, cand16, cbits16 = decide_modes_rd(y, sps, qp, 16,
+                                                   topk=3)
         split_map = modes8 = None
 
     # 16-level totals of the CHOSEN modes (mode-bit charge ~4 bins each)
@@ -334,7 +349,8 @@ def decide_modes_tree(y: np.ndarray, sps, qp: int, nxn: bool = False):
              + best16[1:2 * n32y:2, 0:2 * n32x:2]
              + best16[1:2 * n32y:2, 1:2 * n32x:2])
     split32 = best32 > sum16 + lam * 22.0
-    return modes16, split_map, modes8, split32, mode32
+    return (modes16, split_map, modes8, split32, mode32,
+            cand16, cbits16)
 
 
 @functools.partial(jax.jit, static_argnames=("bit_depth",))

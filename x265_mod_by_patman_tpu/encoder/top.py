@@ -921,6 +921,7 @@ class Encoder:
         wp_chroma = None              # per-ref ((wcb,ocb),(wcr,ocr))
         wp_b_l1 = None                # B-slice L1 luma weights
         rect_info = None          # (part_map, mvs_b) when rect PUs used
+        intra_cand = None         # (cand16, cbits16) in-wavefront RD
         keep_pocs: tuple = ()
         b_is_ref = False
         disp = self._idr_base + poc
@@ -936,8 +937,14 @@ class Encoder:
                 mode32 = rec_a.get("mode32")
             elif p.var_cu_tree:
                 from ..analysis.intra_mode import decide_modes_tree
-                modes, split_map, modes8, split32, mode32 = \
-                    decide_modes_tree(y, self.sps, qp, nxn=p.nxn_intra)
+                (modes, split_map, modes8, split32, mode32, cand16,
+                 cbits16) = decide_modes_tree(y, self.sps, qp,
+                                              nxn=p.nxn_intra)
+                if cand16 is not None and p.rd_level >= 4:
+                    # in-wavefront RD mode selection (checkIntra's RD
+                    # pass over the sa8d candidate list) — the rd>=4
+                    # deep-RDO tier; measured RD-neutral at rd 2/3
+                    intra_cand = (cand16, cbits16)
             elif p.nxn_intra:
                 from ..analysis.intra_mode import (decide_modes_split,
                                                    decide_tu4_split)
@@ -949,15 +956,21 @@ class Encoder:
                     if not tu4_map.any():
                         tu4_map = None
             else:
-                modes = decide_modes_rd(y, self.sps, qp, block=16)
+                if p.rd_level >= 4 and not p.lossless:
+                    modes, c16_, cb16_ = decide_modes_rd(
+                        y, self.sps, qp, block=16, topk=3)
+                    intra_cand = (c16_, cb16_)
+                else:
+                    modes = decide_modes_rd(y, self.sps, qp, block=16)
             if split32 is not None:
                 recon_fn = lambda qpm: recon.run_tree(
                     y, u, v, modes, split32, mode32, qp=qpm,
-                    split_map=split_map, modes8=modes8)
+                    split_map=split_map, modes8=modes8,
+                    cand=intra_cand)
             else:
                 recon_fn = lambda qpm: recon.run(
                     y, u, v, modes, qp=qpm, split_map=split_map,
-                    modes8=modes8, tu4_map=tu4_map)
+                    modes8=modes8, tu4_map=tu4_map, cand=intra_cand)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -1066,6 +1079,8 @@ class Encoder:
         def run_pipeline(qpm):
             with trace.scope("wavefront", type=ftype):
                 r = recon_fn(qpm)
+            # in-wavefront RD mode selection: syntax codes the winners
+            ms = r.get("modes_sel", modes)
             dqp_map = self._derived_qp_map(qpm, r)
             with trace.scope("loopfilter", type=ftype):
                 self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
@@ -1073,7 +1088,7 @@ class Encoder:
                               split32, rect_info)
                 sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
             with trace.scope("entropy", type=ftype):
-                rbsp = self._encode_slice(modes, inter_mask, mvs, mvs1,
+                rbsp = self._encode_slice(ms, inter_mask, mvs, mvs1,
                                           dirs, r, ftype, poc, qp,
                                           ref_pocs, sao_maps, ref_sel,
                                           keep_pocs, qpm, wp_l0,

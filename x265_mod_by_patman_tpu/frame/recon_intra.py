@@ -44,7 +44,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   dmats=None, split_map=None, modes8=None, av8=None,
                   m8=(None, None), lossless: bool = False,
                   init_type=None, psy256=None, psy_rdoq=None,
-                  tu4_map=None, av4y=None, fchroma: bool = False):
+                  tu4_map=None, av4y=None, fchroma: bool = False,
+                  cand_bits=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -69,6 +70,53 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
     ys = jnp.clip(y0[:, None] + jnp.asarray(k_y)[None, :], 0, hp - 1)
     s_raw = plane[ys, xs]
     s_sub, s_filt = substitute_filter_batch(s_raw, avail, log2n, bit_depth)
+
+    md_sel = None
+    if cand_bits is not None:
+        # RD-true mode selection among the analysis' top-K candidates
+        # (modes is (B, K)): full quant/recon per candidate, pick
+        # argmin(SSE + lambda2 * (coeff-rate estimate + mode bins)) —
+        # the batched analog of the reference's checkIntra RD pass at
+        # rd-level 2+ (search.cpp:1577 estIntraPredQT on the sa8d
+        # candidate list).  The winner then takes the normal
+        # RDOQ/sign-hide coding path below.
+        gy0 = y0[:, None, None] + jnp.arange(n)[None, :, None]
+        gx0 = x0[:, None, None] + jnp.arange(n)[None, None, :]
+        org0 = orig[jnp.clip(gy0, 0, orig.shape[0] - 1),
+                    jnp.clip(gx0, 0, orig.shape[1] - 1)] \
+            .astype(jnp.int32)
+        ones = jnp.ones(bx.shape, bool)
+        mv = (1 << bit_depth) - 1
+        lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0) \
+            * (1 << (2 * (bit_depth - 8)))
+        best = None
+        for kk in range(modes.shape[1]):
+            md_k = modes[:, kk]
+            pred_k = intra_pred_select_batch(s_sub, s_filt, md_k,
+                                             log2n, c_idx, bit_depth)
+            coef_k = dct_batch(org0 - pred_k, log2n, bit_depth)
+            lev_k = quant_dyn(coef_k, ones, qp, log2n, bit_depth, qmats)
+            deq_k = dequant_dyn(lev_k, qp, log2n, bit_depth, dmats,
+                                ones)
+            rec_k = jnp.clip(pred_k + idct_batch(deq_k, log2n,
+                                                 bit_depth), 0, mv)
+            sse = jnp.sum((org0 - rec_k) ** 2,
+                          axis=(1, 2)).astype(jnp.float32)
+            # coefficient-rate estimate: ~3 bins per significant coeff
+            # plus ~2 bins per magnitude doubling (EG suffix growth)
+            al = jnp.abs(lev_k).astype(jnp.float32)
+            rate = jnp.sum(jnp.where(al > 0.0,
+                                     3.0 + 2.0 * jnp.log2(al + 1.0),
+                                     0.0), axis=(1, 2))
+            cost = sse + lam2 * (rate + cand_bits[:, kk])
+            if best is None:
+                best = (cost, md_k)
+            else:
+                u = cost < best[0]
+                best = (jnp.where(u, cost, best[0]),
+                        jnp.where(u, md_k, best[1]))
+        md_sel = best[1]
+        modes = md_sel
 
     pred = intra_pred_select_batch(s_sub, s_filt, modes, log2n, c_idx,
                                    bit_depth,
@@ -272,8 +320,9 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
 
     plane = plane.at[jnp.clip(gy, 0, hp - 1), gx].set(recon)
     levels = levels.at[by, bx].set(lev)
+    if cand_bits is not None:
+        return plane, levels, skip, md_sel
     return plane, levels, skip
-
 
 
 
@@ -332,7 +381,7 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                          mats=None, mats32=None, split_map=None,
                          modes8=None, s16_av8=None, s16_av4c=None,
                          strong: bool = False, init_type=None,
-                         psy_rdoq=None):
+                         psy_rdoq=None, cand16=None, cbits16=None):
     """Variable CU-tree wavefront (intra): steps iterate 32x32 regions in
     wavefront + z order; each step evaluates BOTH the four z-ordered
     16x16 CU substeps (with their optional NxN splits) AND the whole
@@ -350,25 +399,49 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
     n32y, n32x = split32.shape
     bpc = (nbx + qp.shape[1] - 1) // qp.shape[1]
     skip_map = jnp.zeros((nby + 1, nbx), bool)
+    # RD mode selection: modes becomes a carry map (dump row nby) that
+    # luma substeps write their winner into; chroma DM reads from it
+    m_map = jnp.concatenate(
+        [modes, jnp.zeros((1, nbx), modes.dtype)], 0)
 
     def step(s, carry):
-        yp, up, vp, lev_y, lev_u, lev_v = carry
+        yp, up, vp, lev_y, lev_u, lev_v, m_map = carry
         # -- the 4 z-ordered 16x16 substeps (identical to the legacy body)
         for z in range(4):
             bx = s16_bx[s, z]
             by = s16_by[s, z]
             cy = jnp.clip(by // bpc, 0, qp.shape[0] - 1)
             cx = jnp.clip(bx // bpc, 0, qp.shape[1] - 1)
-            md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
-            yp, lev_y, _ = _substep_body(
-                yp, lev_y, oy, bx, by, md, s16_avy[s, z],
-                4, qp[cy, cx], 0, bit_depth, None, None, sign_hide,
-                None, rdoq, mats[0] if mats else None,
-                mats[1] if mats else None,
-                split_map, modes8,
-                s16_av8[s, z] if s16_av8 is not None else None,
-                (mats[2] if mats else None, mats[3] if mats else None),
-                init_type=init_type, psy_rdoq=psy_rdoq)
+            if cand16 is not None:
+                md_k = cand16[jnp.clip(by, 0, nby - 1),
+                              jnp.clip(bx, 0, nbx - 1)]
+                cb_k = cbits16[jnp.clip(by, 0, nby - 1),
+                               jnp.clip(bx, 0, nbx - 1)]
+                yp, lev_y, _, md_w = _substep_body(
+                    yp, lev_y, oy, bx, by, md_k, s16_avy[s, z],
+                    4, qp[cy, cx], 0, bit_depth, None, None, sign_hide,
+                    None, rdoq, mats[0] if mats else None,
+                    mats[1] if mats else None,
+                    split_map, modes8,
+                    s16_av8[s, z] if s16_av8 is not None else None,
+                    (mats[2] if mats else None,
+                     mats[3] if mats else None),
+                    init_type=init_type, psy_rdoq=psy_rdoq,
+                    cand_bits=cb_k)
+                m_map = m_map.at[by, bx].set(md_w)
+            md = m_map[jnp.clip(by, 0, nby - 1),
+                       jnp.clip(bx, 0, nbx - 1)]
+            if cand16 is None:
+                yp, lev_y, _ = _substep_body(
+                    yp, lev_y, oy, bx, by, md, s16_avy[s, z],
+                    4, qp[cy, cx], 0, bit_depth, None, None, sign_hide,
+                    None, rdoq, mats[0] if mats else None,
+                    mats[1] if mats else None,
+                    split_map, modes8,
+                    s16_av8[s, z] if s16_av8 is not None else None,
+                    (mats[2] if mats else None,
+                     mats[3] if mats else None),
+                    init_type=init_type, psy_rdoq=psy_rdoq)
             up, lev_u, _ = _substep_body(
                 up, lev_u, ou, bx, by, md, s16_avc[s, z],
                 3, qp_cb[cy, cx], 1, bit_depth, None, None, sign_hide,
@@ -435,9 +508,9 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
             curl = lev_y[bq_y, bq_x]
             lev_y = lev_y.at[bq_y, bq_x].set(
                 jnp.where(commit[:, None, None], q, curl))
-        return yp, up, vp, lev_y, lev_u, lev_v
+        return yp, up, vp, lev_y, lev_u, lev_v, m_map
 
-    carry = (yp, up, vp, lev_y, lev_u, lev_v)
+    carry = (yp, up, vp, lev_y, lev_u, lev_v, m_map)
     carry = jax.lax.fori_loop(0, s16_bx.shape[0], step, carry)
     return carry
 
@@ -459,7 +532,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     init_type=None, psy256=None, psy_rdoq=None,
                     tu4_map=None, sb_av4y=None, clog2: int = 3,
                     fchroma: bool = False, csp422: bool = False,
-                    imask_c=None):
+                    imask_c=None, cand16=None, cbits16=None):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -476,12 +549,16 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
     nby = lev_y.shape[0] - 1
     nbx = lev_y.shape[1]
     skip_map = jnp.zeros((nby + 1, nbx), bool)
+    # RD mode selection: modes becomes a carry map (dump row nby) that
+    # luma substeps write their winner into; chroma DM reads from it
+    m_map = jnp.concatenate(
+        [modes, jnp.zeros((1, nbx), modes.dtype)], 0)
 
     # per-block QP from the CTU-granular maps (uniform when AQ is off)
     bpc = (nbx + qp.shape[1] - 1) // qp.shape[1]   # blocks per CTU axis
 
     def step(s, carry):
-        yp, up, vp, lev_y, lev_u, lev_v, skip_map = carry
+        yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map = carry
         bx = sb_bx[s]
         by = sb_by[s]
         cy = jnp.clip(by // bpc, 0, qp.shape[0] - 1)
@@ -489,18 +566,37 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
         qp_b = qp[cy, cx]
         qpcb_b = qp_cb[cy, cx]
         qpcr_b = qp_cr[cy, cx]
-        md = modes[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
-        yp, lev_y, skip = _substep_body(
-            yp, lev_y, oy, bx, by, md, sb_avy[s],
-            4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide,
-            None, rdoq, mats[0] if mats else None,
-            mats[1] if mats else None,
-            split_map, modes8,
-            sb_av8[s] if sb_av8 is not None else None,
-            (mats[2] if mats else None, mats[3] if mats else None),
-            lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
-            tu4_map=tu4_map,
-            av4y=sb_av4y[s] if sb_av4y is not None else None)
+        if cand16 is not None:
+            md_k = cand16[jnp.clip(by, 0, nby - 1),
+                          jnp.clip(bx, 0, nbx - 1)]
+            cb_k = cbits16[jnp.clip(by, 0, nby - 1),
+                           jnp.clip(bx, 0, nbx - 1)]
+            yp, lev_y, skip, md_w = _substep_body(
+                yp, lev_y, oy, bx, by, md_k, sb_avy[s],
+                4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide,
+                None, rdoq, mats[0] if mats else None,
+                mats[1] if mats else None,
+                split_map, modes8,
+                sb_av8[s] if sb_av8 is not None else None,
+                (mats[2] if mats else None, mats[3] if mats else None),
+                lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
+                tu4_map=tu4_map,
+                av4y=sb_av4y[s] if sb_av4y is not None else None,
+                cand_bits=cb_k)
+            m_map = m_map.at[by, bx].set(md_w)
+        md = m_map[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
+        if cand16 is None:
+            yp, lev_y, skip = _substep_body(
+                yp, lev_y, oy, bx, by, md, sb_avy[s],
+                4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide,
+                None, rdoq, mats[0] if mats else None,
+                mats[1] if mats else None,
+                split_map, modes8,
+                sb_av8[s] if sb_av8 is not None else None,
+                (mats[2] if mats else None, mats[3] if mats else None),
+                lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
+                tu4_map=tu4_map,
+                av4y=sb_av4y[s] if sb_av4y is not None else None)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         m4 = (None, None)                    # 4x4 lists are flat
@@ -529,7 +625,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     mats[2] if mats else None,
                     mats[3] if mats else None, None, None, None, m4,
                     lossless, init_type)
-            return yp, up, vp, lev_y, lev_u, lev_v, skip_map
+            return yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map
         up, lev_u, _ = _substep_body(
             up, lev_u, ou, bx, by, md, sb_avc[s],
             clog2, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
@@ -546,11 +642,11 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
             init_type, fchroma=fchroma)
-        return yp, up, vp, lev_y, lev_u, lev_v, skip_map
+        return yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map
 
-    carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map)
+    carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map)
     carry = jax.lax.fori_loop(0, sb_bx.shape[0], step, carry)
-    return carry[:6]
+    return carry[:6] + (carry[7],)
 
 
 _wavefront_run = jax.jit(
@@ -582,7 +678,7 @@ def _wavefront_run_multi(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
                                bit_depth=bit_depth,
                                sign_hide=sign_hide, rdoq=rdoq, mats=mats,
                                psy_rdoq=psy_rdoq, clog2=clog2,
-                               fchroma=fchroma)
+                               fchroma=fchroma)[:6]
     return jax.vmap(fn, in_axes=(0,) * 10 + (None,) * 4 + (0,) * 4 +
                     (None,) * 3)(
         yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
@@ -906,7 +1002,7 @@ class IntraReconstructor:
 
     def run_tree(self, y, u, v, modes, split32, mode32, qp=32,
                  split_map=None, modes8=None, materialize: bool = True,
-                 init_type: int = 2):
+                 init_type: int = 2, cand=None):
         """Intra variable-CU-tree reconstruction: 32x32 CUs (TU32 luma /
         TU16 chroma) where split32 is False, the 16-grid (with optional
         NxN sub-splits) elsewhere.  Arguments mirror run()."""
@@ -930,7 +1026,11 @@ class IntraReconstructor:
                 [jnp.asarray(np.asarray(split_map, bool)),
                  jnp.zeros((1, self.nbx), bool)], axis=0)
             m8j = jnp.asarray(np.asarray(modes8, np.int32))
-        yp, up, vp, lev_y, lev_u, lev_v = _wavefront_tree_run(
+        c16 = cb16 = None
+        if cand is not None and split_map is None:
+            c16 = jnp.asarray(np.asarray(cand[0], np.int32))
+            cb16 = jnp.asarray(np.asarray(cand[1], np.float32))
+        yp, up, vp, lev_y, lev_u, lev_v, m_map = _wavefront_tree_run(
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
             jnp.asarray(np.asarray(modes, np.int32)),
             self.t_bx, self.t_by, self.t_avy, self.t_avc,
@@ -943,16 +1043,18 @@ class IntraReconstructor:
             self.t_av8 if split_map is not None else None,
             self.t_av4c if split_map is not None else None,
             bool(getattr(self.sps, "strong_intra_smoothing", True)),
-            jnp.int32(init_type), self.psy_rdoq)
+            jnp.int32(init_type), self.psy_rdoq, c16, cb16)
         rd = {"recon_y": yp[:h], "recon_u": up[:hc], "recon_v": vp[:hc],
               "lev_y": lev_y[:self.nby], "lev_u": lev_u[:self.nby],
               "lev_v": lev_v[:self.nby]}
+        if c16 is not None:
+            rd["modes_sel"] = m_map[:self.nby]
         return self.materialize(rd) if materialize else rd
 
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
             modes: np.ndarray, mc_pred=None, inter_mask=None,
             qp=32, materialize: bool = True, split_map=None,
-            modes8=None, init_type: int = 2, tu4_map=None):
+            modes8=None, init_type: int = 2, tu4_map=None, cand=None):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
@@ -1015,7 +1117,11 @@ class IntraReconstructor:
             m8j = jnp.asarray(np.asarray(modes8, np.int32))
             if tu4_map is not None and self.tu4:
                 t4j = jnp.asarray(np.asarray(tu4_map, bool))
-        yp, up, vp, lev_y, lev_u, lev_v = _wavefront_run(
+        c16 = cb16 = None
+        if cand is not None and split_map is None and not self.lossless:
+            c16 = jnp.asarray(np.asarray(cand[0], np.int32))
+            cb16 = jnp.asarray(np.asarray(cand[1], np.float32))
+        yp, up, vp, lev_y, lev_u, lev_v, m_map = _wavefront_run(
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
@@ -1026,17 +1132,21 @@ class IntraReconstructor:
             self.lossless, jnp.int32(init_type), self.psy256,
             self.psy_rdoq, t4j,
             self.sb_av4y if t4j is not None else None,
-            4 - self.cshift, self.cshift == 0, self.is422, imask_c)
+            4 - self.cshift, self.cshift == 0, self.is422, imask_c,
+            c16, cb16)
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller
             # can enqueue the NEXT frame's work before forcing these
             # (the device/host pipeline lever, SURVEY.md §7)
-            return {"recon_y": yp[:h], "recon_u": up[:hc],
-                    "recon_v": vp[:hc], "lev_y": lev_y[:self.nby],
-                    "lev_u": lev_u[:nbc], "lev_v": lev_v[:nbc]}
+            out = {"recon_y": yp[:h], "recon_u": up[:hc],
+                   "recon_v": vp[:hc], "lev_y": lev_y[:self.nby],
+                   "lev_u": lev_u[:nbc], "lev_v": lev_v[:nbc]}
+            if c16 is not None:
+                out["modes_sel"] = m_map[:self.nby]
+            return out
         dt = np.uint8 if self.bd == 8 else np.uint16
-        return {
+        out = {
             "recon_y": np.asarray(yp[:h]).astype(dt),
             "recon_u": np.asarray(up[:hc]).astype(dt),
             "recon_v": np.asarray(vp[:hc]).astype(dt),
@@ -1044,10 +1154,13 @@ class IntraReconstructor:
             "lev_u": np.asarray(lev_u[:nbc]),
             "lev_v": np.asarray(lev_v[:nbc]),
         }
+        if c16 is not None:
+            out["modes_sel"] = np.asarray(m_map[:self.nby])
+        return out
 
     def materialize(self, rd: dict) -> dict:
         dt = np.uint8 if self.bd == 8 else np.uint16
-        return {
+        out = {
             "recon_y": np.asarray(rd["recon_y"]).astype(dt),
             "recon_u": np.asarray(rd["recon_u"]).astype(dt),
             "recon_v": np.asarray(rd["recon_v"]).astype(dt),
@@ -1055,6 +1168,9 @@ class IntraReconstructor:
             "lev_u": np.asarray(rd["lev_u"]),
             "lev_v": np.asarray(rd["lev_v"]),
         }
+        if "modes_sel" in rd:
+            out["modes_sel"] = np.asarray(rd["modes_sel"])
+        return out
 
     def run_batch(self, ys, us, vs, modes, qp=32, materialize: bool = True):
         """Intra-reconstruct F frames in one fused multi-frame program.

@@ -834,7 +834,10 @@ long intra_slice_bins(const int32_t *prm, const int32_t *modes,
     w.legacy_merge = prm[17]; w.wpp_terms = prm[18];
     w.log2_min_cu = prm[19];
     int cy0 = prm[13], cy1 = prm[14];
-    w.rbx = (w.nbx + 1) >> 1;
+    /* split32/mode32 row stride: regions fully inside the picture only
+     * (n32x = floor(nbx/2)); a ceil stride mis-reads every row past the
+     * first when the width is an odd multiple of 16 */
+    w.rbx = w.nbx >> 1;
     w.modes = modes; w.split32 = split32; w.mode32 = mode32;
     w.nzy = nzy; w.nzu = nzu; w.nzv = nzv;
     w.lvy = lvy; w.lvu = lvu; w.lvv = lvv;
