@@ -67,7 +67,7 @@ def test_p_frames_compress_better_than_intra():
 
 def test_idr_interval():
     w, h = 64, 64
-    p = default_params(w, h, qp=32, keyframe_max=2)
+    p = default_params(w, h, qp=32, keyframe_max=2, open_gop=False)
     frames = moving_scene(w, h, 5, seed=3)
     _, encoded = encode_sequence(p, frames)
     assert [f.slice_type for f in encoded] == ["I", "P", "I", "P", "I"]

@@ -70,7 +70,8 @@ _MERGE_IDX_BINS = (1, 2, 2)
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     weights=None, subme: int = 2, rect: bool = False,
-                    amp: bool = False, chroma_weights=None):
+                    amp: bool = False, chroma_weights=None,
+                    me_sea: bool = False):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -120,7 +121,7 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                   jnp.int32(lam256), wpat, search_range, block, bd,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
                   amp_eff, wc=wc, cpat=cpat, cshift=cshift,
-                  is422=idc == 2)
+                  is422=idc == 2, me_sea=me_sea)
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -132,12 +133,13 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
                               "log2_ctu", "use_pallas", "subme", "rect",
                               "amp", "band", "cpat", "cshift",
-                              "is422"))
+                              "is422", "me_sea"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
             use_pallas: bool, subme: int = 2, rect: bool = False,
             amp: bool = False, band=None, wc=None, cpat=None,
-            cshift: int = 1, is422: bool = False):
+            cshift: int = 1, is422: bool = False,
+            me_sea: bool = False):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -184,9 +186,16 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     cands = []
     pz = jnp.zeros(nb, jnp.int32)
     for ridx, ry in enumerate(ry_all):
-        imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256, n,
-                                        search_range,
-                                        use_pallas=use_pallas)
+        if me_sea:
+            # SEA/ADS integral-pruned search (--me sea; ops/sea.py)
+            from ..ops.sea import sea_search_batch
+            imx, imy, _ = sea_search_batch(ry, oy, bx, by, pz, pz,
+                                           lam256, n, search_range,
+                                           k=64)
+        else:
+            imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz,
+                                            lam256, n, search_range,
+                                            use_pallas=use_pallas)
         mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
                                              pz, pz, lam256, n, bd,
                                              subme)
@@ -645,14 +654,19 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
 
 
 def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
-                use_pallas=None, subme=2):
+                use_pallas=None, subme=2, me_sea=False):
     """Full search + subpel + neighbor coherence against one reference.
     Returns (mvx, mvy, cost) device arrays."""
     nb = bx.shape[0]
     pz = jnp.zeros(nb, jnp.int32)
-    imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256,
-                                    n, search_range,
-                                    use_pallas=use_pallas)
+    if me_sea:
+        from ..ops.sea import sea_search_batch
+        imx, imy, _ = sea_search_batch(ry, oy, bx, by, pz, pz, lam256,
+                                       n, search_range, k=64)
+    else:
+        imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256,
+                                        n, search_range,
+                                        use_pallas=use_pallas)
     mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
                                          pz, pz, lam256, n, bit_depth,
                                          subme)
@@ -666,7 +680,8 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
 
 def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                     search_range: int = 16, block: int = 16,
-                    subme: int = 2, weights_b=None, rect: bool = False):
+                    subme: int = 2, weights_b=None, rect: bool = False,
+                    me_sea: bool = False):
     """B-frame analysis: ME against both anchors + bi-prediction test +
     intra fallback (the batched analog of x265 checkBidir2Nx2N,
     analysis.cpp:4007); ONE jitted program like analyse_p_frame.
@@ -708,7 +723,7 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.int32(lam256), search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
                   0 if idc == 3 else 1, idc == 2, rect_eff,
-                  sps.log2_ctu_size)
+                  sps.log2_ctu_size, me_sea)
     (modes, inter, dirs, mv0, mv1, mcy, mcu, mcv, part, dirs_b,
      mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
@@ -721,12 +736,13 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
 @functools.partial(
     jax.jit, static_argnames=("search_range", "block", "bd",
                               "use_pallas", "subme", "wb", "cshift",
-                              "is422", "rect", "log2_ctu"))
+                              "is422", "rect", "log2_ctu",
+                              "me_sea"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             search_range: int, block: int, bd: int, use_pallas: bool,
             subme: int = 2, wb=(False, False), wv=None,
             cshift: int = 1, is422: bool = False, rect: bool = False,
-            log2_ctu: int = 5):
+            log2_ctu: int = 5, me_sea: bool = False):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -750,10 +766,10 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
                                         bit_depth=bd)
     mv0x, mv0y, cost0, org = _me_one_ref(oy, r0y_me, bx, by, n, lam256,
                                          search_range, bd, use_pallas,
-                                         subme)
+                                         subme, me_sea)
     mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y_me, bx, by, n, lam256,
                                        search_range, bd, use_pallas,
-                                       subme)
+                                       subme, me_sea)
     satd0 = cost0 - ((lam256 * mv_bits(mv0x, mv0y)) >> 8)
     satd1 = cost1 - ((lam256 * mv_bits(mv1x, mv1y)) >> 8)
 

@@ -17,8 +17,9 @@ import numpy as np
 
 from ..bitstream.bitreader import BitReader
 from ..bitstream.nal import (
-    NAL_AUD, NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS, NAL_PREFIX_SEI,
-    NAL_SPS, NAL_SUFFIX_SEI, NAL_TRAIL_N, NAL_TRAIL_R, NAL_VPS,
+    NAL_AUD, NAL_CRA_NUT, NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS,
+    NAL_PREFIX_SEI, NAL_RASL_N, NAL_RASL_R, NAL_SPS, NAL_SUFFIX_SEI,
+    NAL_TRAIL_N, NAL_TRAIL_R, NAL_VPS,
     is_idr, remove_emulation, split_annexb)
 from ..ops.interp import mc_block_ref
 from ..bitstream.sei import SEI_DECODED_PICTURE_HASH, parse_sei, plane_md5
@@ -231,7 +232,8 @@ class Decoder:
             elif nal_type == NAL_PPS:
                 self.pps = parse_pps(rbsp)
             elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP,
-                              NAL_TRAIL_R, NAL_TRAIL_N):
+                              NAL_TRAIL_R, NAL_TRAIL_N, NAL_CRA_NUT,
+                              NAL_RASL_R, NAL_RASL_N):
                 pic = self._decode_slice(nal_type, rbsp)
                 if pic is not None:
                     self.pictures.append(pic)
@@ -309,7 +311,22 @@ class Decoder:
         poc = 0
         rps_neg, rps_pos = [], []
         if not is_idr(nal_type):
-            poc = br.u(sps.log2_max_poc_lsb)
+            # PicOrderCntVal derivation (spec 8.3.1): MSB from the lsb
+            # delta against prevTid0Pic (any non-RASL picture here)
+            lsb = br.u(sps.log2_max_poc_lsb)
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            prev = getattr(self, "_prev_poc", 0)
+            prev_lsb = prev & (max_lsb - 1)
+            prev_msb = prev - prev_lsb
+            if lsb < prev_lsb and (prev_lsb - lsb) >= max_lsb // 2:
+                msb = prev_msb + max_lsb
+            elif lsb > prev_lsb and (lsb - prev_lsb) > max_lsb // 2:
+                msb = prev_msb - max_lsb
+            else:
+                msb = prev_msb
+            poc = msb + lsb
+            if nal_type not in (NAL_RASL_R, NAL_RASL_N):
+                self._prev_poc = poc
             assert br.flag() == 0          # short_term_ref_pic_set_sps_flag
             rps_neg, rps_pos = self._parse_st_rps(br)
             sh_tmvp = False
@@ -559,6 +576,7 @@ class Decoder:
         if is_idr(nal_type):
             self._dpb.clear()
             self._col_store.clear()
+            self._prev_poc = 0
         self._dpb[poc] = (pic.y, pic.u, pic.v)
         if sps.temporal_mvp:
             from ..entropy.mv_pred import ColMotion

@@ -467,13 +467,16 @@ class Encoder:
             st.push(self.frame_count, planes[0])
         out: List[EncodedFrame] = []
         force_idr = (self.frame_count % max(1, p.keyframe_max) == 0)
+        self._closed_kf_next = False
         if getattr(self, "_force_idr_next", False):
             # x265_encoder_intra_refresh analog (api.cpp:365): the next
-            # ingested frame opens a fresh IDR
+            # ingested frame opens a fresh IDR (always closed)
             force_idr = True
             self._force_idr_next = False
+            self._closed_kf_next = True
         if self._qpfile.get(self.frame_count, ("", 0))[0] == "I":
             force_idr = True
+            self._closed_kf_next = True
         if not force_idr and p.hist_scenecut and \
                 self._prev_hist is not None:
             hist = self._luma_hist(planes[0])
@@ -506,6 +509,34 @@ class Encoder:
             self._cplx_avg = 0.9 * self._cplx_avg + 0.1 * cplx \
                 if self._cplx_avg else cplx
         if force_idr:
+            open_kf = (p.open_gop and self.frame_count > 0
+                       and p.keyframe_max > 1
+                       and not getattr(self, "_closed_kf_next", False))
+            if open_kf:
+                # open GOP (x265 --open-gop, dpb.cpp getNalUnitType):
+                # the keyframe is a CRA continuing the POC sequence and
+                # the queued frames become its RASL leading pictures,
+                # referencing across the keyframe (prev anchor + CRA)
+                prev_anchor = self._anchors[0] if self._anchors else None
+                kf_poc = self.frame_count - self._idr_base
+                self._disp_since_idr = 0
+                self._last_anchor_disp = self.frame_count
+                cra = self._encode_picture(planes, kf_poc, "I", cplx,
+                                           qp_off=qp_off,
+                                           nal_class="cra")
+                out.append(cra)
+                cra_ref = (cra.recon, kf_poc)
+                leaders, self._queue = self._queue, []
+                for (pl, pc, cx2, qo) in leaders:
+                    out.append(self._encode_picture(
+                        pl, pc, "B", cx2,
+                        b_refs=(prev_anchor, cra_ref, (), False),
+                        qp_off=qo, nal_class="rasl"))
+                if st is not None:
+                    st.drop_before(self.frame_count)
+                self.frame_count += 1
+                self._disp_since_idr = 1
+                return out
             while self._queue:
                 out.extend(self._emit_minigop(self._next_gop_len()))
             self._disp_since_idr = 0
@@ -516,7 +547,11 @@ class Encoder:
             if st is not None:
                 st.drop_before(self.frame_count)
         else:
-            self._queue.append((planes, self._disp_since_idr, cplx,
+            # queue poc is relative to the last IDR (CVS base) — under
+            # open GOP that differs from the distance-to-keyframe
+            # counter (_disp_since_idr resets at CRAs too)
+            self._queue.append((planes,
+                                self.frame_count - self._idr_base, cplx,
                                 qp_off))
             # b-adapt: spike fallback only without the lookahead (the
             # DP's P placement subsumes it)
@@ -880,10 +915,13 @@ class Encoder:
     # -- one picture -----------------------------------------------------------
     def _encode_picture(self, planes, poc: int, ftype: str,
                         complexity: float = 0.0,
-                        b_refs=None, qp_off=None) -> EncodedFrame:
+                        b_refs=None, qp_off=None,
+                        nal_class=None) -> EncodedFrame:
         """b_refs: for B pictures, ((planes, poc) L0 ref, (planes, poc)
         L1 ref, extra POCs to retain in the RPS, is_referenced);
-        qp_off: per-CTU cuTree QP offsets (<= 0) or None."""
+        qp_off: per-CTU cuTree QP offsets (<= 0) or None.
+        nal_class: None (default typing), "cra" (open-GOP keyframe) or
+        "rasl" (leading pictures of a CRA)."""
         p = self.p
         y, u, v = planes
         rc_type = ftype
@@ -1026,7 +1064,8 @@ class Encoder:
                             y, u, v, refs, self.sps, qp,
                             search_range=self._me_range, weights=wp_l0,
                             subme=p.subpel_refine, rect=use_rect,
-                            amp=p.amp, chroma_weights=wp_chroma)
+                            amp=p.amp, chroma_weights=wp_chroma,
+                            me_sea=p.search_method == "sea")
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
             recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
@@ -1060,7 +1099,8 @@ class Encoder:
                     y, u, v, ref0[0], ref1[0],
                     self.sps, qp, search_range=self._me_range,
                     subme=p.subpel_refine, weights_b=wpb,
-                    rect=use_rect_b)
+                    rect=use_rect_b,
+                    me_sea=p.search_method == "sea")
                 if np.any(part_map_b):
                     # B rect: (part, PU1 dirs, PU1 mv L0, PU1 mv L1)
                     rect_info = (part_map_b, pu1_b[1], pu1_b[2],
@@ -1075,6 +1115,16 @@ class Encoder:
                 mvs=mvs, ref_sel=ref_sel, dirs=dirs, mvs1=mvs1,
                 split_map=split_map, modes8=modes8, split32=split32,
                 mode32=mode32)
+
+        from ..bitstream.nal import NAL_CRA_NUT, NAL_RASL_N, NAL_RASL_R
+        if nal_class == "cra":
+            nal_unit = NAL_CRA_NUT
+        elif nal_class == "rasl":
+            nal_unit = NAL_RASL_R if b_is_ref else NAL_RASL_N
+        else:
+            nal_unit = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
+                        "B": NAL_TRAIL_R if b_is_ref else NAL_TRAIL_N
+                        }[ftype]
 
         def run_pipeline(qpm):
             with trace.scope("wavefront", type=ftype):
@@ -1094,7 +1144,8 @@ class Encoder:
                                           keep_pocs, qpm, wp_l0,
                                           split_map, modes8,
                                           split32, mode32, rect_info,
-                                          wp_chroma, wp_b_l1, tu4_map)
+                                          wp_chroma, wp_b_l1, tu4_map,
+                                          nal_override=nal_unit)
             return r, sao_maps, rbsp
 
         r, sao_maps, slice_rbsp = run_pipeline(qp_map)
@@ -1180,8 +1231,7 @@ class Encoder:
             out += annexb(NAL_PREFIX_SEI,
                           write_pic_timing(pic_struct=pic_struct))
         self._enc_order += 1
-        nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
-               "B": NAL_TRAIL_R if b_is_ref else NAL_TRAIL_N}[ftype]
+        nal = nal_unit
         if isinstance(slice_rbsp, list):
             for rb in slice_rbsp:
                 out += annexb(nal, rb)
@@ -1519,11 +1569,14 @@ class Encoder:
                       wp_l0=None, split_map=None, modes8=None,
                       split32=None, mode32=None,
                       rect_info=None, wp_chroma=None,
-                      wp_b_l1=None, tu4_map=None) -> bytes:
+                      wp_b_l1=None, tu4_map=None,
+                      nal_override=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
                "B": NAL_TRAIL_N}[ftype]
+        if nal_override is not None:
+            nal = nal_override
         sh = SliceHeader(slice_type=slice_type, nal_type=nal, poc=poc,
                          qp=qp,
                          deblocking_disabled=pps.deblocking_disabled,
