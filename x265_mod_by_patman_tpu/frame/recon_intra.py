@@ -171,7 +171,12 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0) \
             * (1 << (2 * (bit_depth - 8)))
         base_bits = 6.0 if c_idx == 0 else 2.0
-        bits = base_bits + 3.0 * nz.astype(jnp.float32)
+        nzf = nz.astype(jnp.float32)
+        # sparse inter residuals pay heavy per-TB overhead (cbf +
+        # last_sig_pos + CG flags) before the per-coeff cost; measured
+        # ~8 bits/coeff at typical P-frame densities vs the 3 the old
+        # model charged, which kept far too many coded CUs alive
+        bits = base_bits + jnp.where(nzf > 0.0, 10.0, 0.0) + 4.5 * nzf
         cost_skip = sse_skip.astype(jnp.float32)
         cost_coded = sse_coded.astype(jnp.float32) + lam2 * bits
         if psy256 is not None and c_idx == 0:
