@@ -162,6 +162,15 @@ class Encoder:
         # DPB: anchor reference pictures, newest first: [(planes, poc)..]
         self._anchors: List[tuple] = []
         self._col_store: Dict[int, object] = {}   # poc -> ColMotion
+        # DCT-domain noise reduction running state (x265 --nr-intra/
+        # --nr-inter; quant.h NoiseReduction, frameencoder.cpp:2305
+        # noiseReductionUpdate) — batched deviation: offsets update
+        # once per frame, not per TU (one-frame lag)
+        self._nr = None
+        if self.p.nr_intra or self.p.nr_inter:
+            self._nr = {"sy": np.zeros((2, 256), np.int64),
+                        "sc": np.zeros((2, 64), np.int64),
+                        "cnt": np.zeros(4, np.int64)}
         self.max_refs = max(1, min(self.p.max_num_references, 4))
         # effective dense-search radius: the TPU ME is always a dense
         # full search of a +-r window; --me selects the window budget
@@ -731,7 +740,8 @@ class Encoder:
                 rbsp = self._encode_slice(modes, inter_mask, mvs, None,
                                           None, r, "I", 0, qp, ((), ()),
                                           sao_maps)
-                md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
+                md5 = plane_md5(r["recon_y"], r["recon_u"],
+                                r["recon_v"],
                                 bit_depth=self.sps.bit_depth)
                 nal = b""
                 if not self._headers_sent:
@@ -1008,7 +1018,8 @@ class Encoder:
             else:
                 recon_fn = lambda qpm: recon.run(
                     y, u, v, modes, qp=qpm, split_map=split_map,
-                    modes8=modes8, tu4_map=tu4_map, cand=intra_cand)
+                    modes8=modes8, tu4_map=tu4_map, cand=intra_cand,
+                    nr=self._nr_offsets())
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -1070,7 +1081,8 @@ class Encoder:
                     rect_info = (part_map, mvs_b)
             recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
                                              inter_mask, qp=qpm,
-                                             init_type=1)
+                                             init_type=1,
+                                             nr=self._nr_offsets())
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (ref0, ref1, keep_pocs, b_is_ref) = b_refs
@@ -1107,7 +1119,8 @@ class Encoder:
                                  pu1_b[0])
             recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
                                              inter_mask, qp=qpm,
-                                             init_type=0)
+                                             init_type=0,
+                                             nr=self._nr_offsets())
             ref_pocs = ((ref0[1],), (ref1[1],))
         if self._ana_store is not None:
             self._ana_store.save(
@@ -1170,6 +1183,7 @@ class Encoder:
                                         min(51, self.p.qp_max))
                 qp_map = base
                 r, sao_maps, slice_rbsp = run_pipeline(qp_map)
+        self._nr_update(r)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
@@ -1261,6 +1275,42 @@ class Encoder:
             self._col_store = {k: v for k, v in self._col_store.items()
                                if k == poc}
         return frame
+
+    def _nr_offsets(self):
+        """Current denoise offsets ((2,256) luma, (2,64) chroma int32,
+        [intra, inter] rows) from the running sums (the
+        noiseReductionUpdate formula; DC never denoised)."""
+        if self._nr is None:
+            return None
+        st = self._nr
+        caps = (1 << 14, 1 << 14, 1 << 16, 1 << 16)   # y-i y-p c-i c-p
+        for ci, cap in enumerate(caps):
+            if st["cnt"][ci] > cap:
+                arr = st["sy"] if ci < 2 else st["sc"]
+                arr[ci & 1] >>= 1
+                st["cnt"][ci] >>= 1
+        out = []
+        for arr, ci0 in ((st["sy"], 0), (st["sc"], 2)):
+            offs = np.zeros_like(arr, np.int32)
+            for j in (0, 1):
+                strength = self.p.nr_intra if j == 0 else self.p.nr_inter
+                cnt = st["cnt"][ci0 + j]
+                val = (strength * cnt + arr[j] // 2) // (arr[j] + 1)
+                offs[j] = val.astype(np.int32)
+                offs[j, 0] = 0                     # keep DC intact
+            out.append(offs)
+        return (out[0], out[1])
+
+    def _nr_update(self, r: dict) -> None:
+        if self._nr is None or "nr_stats" not in r:
+            return
+        ys_i, ys_p, cs_i, cs_p, cnt = [np.asarray(a, np.int64)
+                                       for a in r["nr_stats"]]
+        self._nr["sy"][0] += ys_i
+        self._nr["sy"][1] += ys_p
+        self._nr["sc"][0] += cs_i
+        self._nr["sc"][1] += cs_p
+        self._nr["cnt"] += cnt
 
     def _frame_stats(self, r, inter_mask, mvs, rect_info) -> dict:
         """Per-frame CU/MV/VBV stats (the x265 FrameStats subset the

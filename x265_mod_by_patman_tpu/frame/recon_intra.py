@@ -45,7 +45,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   m8=(None, None), lossless: bool = False,
                   init_type=None, psy256=None, psy_rdoq=None,
                   tu4_map=None, av4y=None, fchroma: bool = False,
-                  cand_bits=None):
+                  cand_bits=None, nr=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -147,6 +147,27 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         levels = levels.at[by, bx].set(lev)
         return plane, levels, skip
     coef = dct_batch(resi, log2n, bit_depth)
+    nr_out = None
+    if nr is not None:
+        # noise reduction (x265 --nr-intra/--nr-inter, quant.cpp:449 +
+        # dct.cpp:746 denoiseDct): subtract the running per-position
+        # noise offset from |coef| before quantization and accumulate
+        # this frame's |coef| sums for the next frame's offsets
+        # (batched form: offsets update once per FRAME, not per TU —
+        # a one-frame lag on the running average)
+        off_i, off_p = nr                 # (n*n,) each, intra/inter
+        ac = jnp.abs(coef)
+        acf = ac.reshape(ac.shape[0], -1)
+        lane_ok = (by < levels.shape[0] - 1).astype(jnp.int32)
+        imask_f = (intra_mask.astype(jnp.int32) * lane_ok)[:, None]
+        pmask_f = ((1 - intra_mask.astype(jnp.int32)) * lane_ok)[:, None]
+        nr_out = (jnp.sum(acf * imask_f, axis=0),
+                  jnp.sum(acf * pmask_f, axis=0),
+                  jnp.sum(imask_f[:, 0]),
+                  jnp.sum(pmask_f[:, 0]))
+        off = jnp.where(intra_mask[:, None], off_i[None, :],
+                        off_p[None, :]).reshape(ac.shape)
+        coef = jnp.sign(coef) * jnp.maximum(ac - off, 0)
     lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth, c_idx,
                       init_type, psy_rdoq=psy_rdoq) if rdoq \
         else quant_dyn(coef, intra_mask, qp, log2n, bit_depth, qmats)
@@ -325,9 +346,12 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
 
     plane = plane.at[jnp.clip(gy, 0, hp - 1), gx].set(recon)
     levels = levels.at[by, bx].set(lev)
+    out = (plane, levels, skip)
     if cand_bits is not None:
-        return plane, levels, skip, md_sel
-    return plane, levels, skip
+        out = out + (md_sel,)
+    if nr is not None:
+        out = out + (nr_out,)
+    return out
 
 
 
@@ -537,7 +561,8 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     init_type=None, psy256=None, psy_rdoq=None,
                     tu4_map=None, sb_av4y=None, clog2: int = 3,
                     fchroma: bool = False, csp422: bool = False,
-                    imask_c=None, cand16=None, cbits16=None):
+                    imask_c=None, cand16=None, cbits16=None,
+                    nr_y=None, nr_c=None):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -558,12 +583,35 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
     # luma substeps write their winner into; chroma DM reads from it
     m_map = jnp.concatenate(
         [modes, jnp.zeros((1, nbx), modes.dtype)], 0)
+    have_nr = nr_y is not None
+    nl2 = lev_y.shape[2] * lev_y.shape[3]
+    nc2 = lev_u.shape[2] * lev_u.shape[3]
+    nr_acc0 = (jnp.zeros(nl2, jnp.int32), jnp.zeros(nl2, jnp.int32),
+               jnp.zeros(nc2, jnp.int32), jnp.zeros(nc2, jnp.int32),
+               jnp.zeros(4, jnp.int32)) if have_nr else None
 
     # per-block QP from the CTU-granular maps (uniform when AQ is off)
     bpc = (nbx + qp.shape[1] - 1) // qp.shape[1]   # blocks per CTU axis
 
+    def _nr_add(acc, out, luma):
+        si, sp, ci, cp = out
+        ys_i, ys_p, cs_i, cs_p, cnt = acc
+        if luma:
+            ys_i = ys_i + si
+            ys_p = ys_p + sp
+            cnt = cnt + jnp.stack([ci, cp, 0, 0])
+        else:
+            cs_i = cs_i + si
+            cs_p = cs_p + sp
+            cnt = cnt + jnp.stack([0, 0, ci, cp])
+        return (ys_i, ys_p, cs_i, cs_p, cnt)
+
     def step(s, carry):
-        yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map = carry
+        if have_nr:
+            (yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map,
+             nr_acc) = carry
+        else:
+            yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map = carry
         bx = sb_bx[s]
         by = sb_by[s]
         cy = jnp.clip(by // bpc, 0, qp.shape[0] - 1)
@@ -571,12 +619,14 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
         qp_b = qp[cy, cx]
         qpcb_b = qp_cb[cy, cx]
         qpcr_b = qp_cr[cy, cx]
+        nr_l = (nr_y[0], nr_y[1]) if have_nr else None
+        nr_cc = (nr_c[0], nr_c[1]) if have_nr else None
         if cand16 is not None:
             md_k = cand16[jnp.clip(by, 0, nby - 1),
                           jnp.clip(bx, 0, nbx - 1)]
             cb_k = cbits16[jnp.clip(by, 0, nby - 1),
                            jnp.clip(bx, 0, nbx - 1)]
-            yp, lev_y, skip, md_w = _substep_body(
+            res_l = _substep_body(
                 yp, lev_y, oy, bx, by, md_k, sb_avy[s],
                 4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide,
                 None, rdoq, mats[0] if mats else None,
@@ -587,11 +637,14 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                 lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
                 tu4_map=tu4_map,
                 av4y=sb_av4y[s] if sb_av4y is not None else None,
-                cand_bits=cb_k)
+                cand_bits=cb_k, nr=nr_l)
+            yp, lev_y, skip, md_w = res_l[:4]
+            if have_nr:
+                nr_acc = _nr_add(nr_acc, res_l[4], True)
             m_map = m_map.at[by, bx].set(md_w)
         md = m_map[jnp.clip(by, 0, nby - 1), jnp.clip(bx, 0, nbx - 1)]
         if cand16 is None:
-            yp, lev_y, skip = _substep_body(
+            res_l = _substep_body(
                 yp, lev_y, oy, bx, by, md, sb_avy[s],
                 4, qp_b, 0, bit_depth, mc_y, inter_mask, sign_hide,
                 None, rdoq, mats[0] if mats else None,
@@ -601,7 +654,11 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                 (mats[2] if mats else None, mats[3] if mats else None),
                 lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
                 tu4_map=tu4_map,
-                av4y=sb_av4y[s] if sb_av4y is not None else None)
+                av4y=sb_av4y[s] if sb_av4y is not None else None,
+                nr=nr_l)
+            yp, lev_y, skip = res_l[:3]
+            if have_nr:
+                nr_acc = _nr_add(nr_acc, res_l[3], True)
         if skip is not None:
             skip_map = skip_map.at[by, bx].set(skip)
         m4 = (None, None)                    # 4x4 lists are flat
@@ -631,27 +688,36 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     mats[3] if mats else None, None, None, None, m4,
                     lossless, init_type)
             return yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map
-        up, lev_u, _ = _substep_body(
+        res_u = _substep_body(
             up, lev_u, ou, bx, by, md, sb_avc[s],
             clog2, qpcb_b, 1, bit_depth, mc_u, inter_mask, sign_hide,
             skip_map, rdoq, mats[2] if mats else None,
             mats[3] if mats else None,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
-            init_type, fchroma=fchroma)
-        vp, lev_v, _ = _substep_body(
+            init_type, fchroma=fchroma, nr=nr_cc)
+        up, lev_u = res_u[0], res_u[1]
+        if have_nr:
+            nr_acc = _nr_add(nr_acc, res_u[3], False)
+        res_v = _substep_body(
             vp, lev_v, ov, bx, by, md, sb_avc[s],
             clog2, qpcr_b, 2, bit_depth, mc_v, inter_mask, sign_hide,
             skip_map, rdoq, mats[2] if mats else None,
             mats[3] if mats else None,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
-            init_type, fchroma=fchroma)
-        return yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map
+            init_type, fchroma=fchroma, nr=nr_cc)
+        vp, lev_v = res_v[0], res_v[1]
+        if have_nr:
+            nr_acc = _nr_add(nr_acc, res_v[3], False)
+        out = (yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map)
+        return out + ((nr_acc,) if have_nr else ())
 
     carry = (yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map)
+    carry = carry + ((nr_acc0,) if have_nr else ())
     carry = jax.lax.fori_loop(0, sb_bx.shape[0], step, carry)
-    return carry[:6] + (carry[7],)
+    out = carry[:6] + (carry[7],)
+    return out + ((carry[8],) if have_nr else ())
 
 
 _wavefront_run = jax.jit(
@@ -1059,7 +1125,8 @@ class IntraReconstructor:
     def run(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
             modes: np.ndarray, mc_pred=None, inter_mask=None,
             qp=32, materialize: bool = True, split_map=None,
-            modes8=None, init_type: int = 2, tu4_map=None, cand=None):
+            modes8=None, init_type: int = 2, tu4_map=None, cand=None,
+            nr=None):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
@@ -1126,7 +1193,13 @@ class IntraReconstructor:
         if cand is not None and split_map is None and not self.lossless:
             c16 = jnp.asarray(np.asarray(cand[0], np.int32))
             cb16 = jnp.asarray(np.asarray(cand[1], np.float32))
-        yp, up, vp, lev_y, lev_u, lev_v, m_map = _wavefront_run(
+        nr_y = nr_c = None
+        if nr is not None and not self.is422 and self.cshift == 1 \
+                and not self.lossless:
+            # (2, 256) / (2, 64) int32 [intra, inter] offsets
+            nr_y = jnp.asarray(np.asarray(nr[0], np.int32))
+            nr_c = jnp.asarray(np.asarray(nr[1], np.int32))
+        wf_out = _wavefront_run(
             yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes_j,
             self.sb_bx, self.sb_by, self.sb_avy, self.sb_avc,
             mc_y, mc_u, mc_v, imask,
@@ -1138,7 +1211,9 @@ class IntraReconstructor:
             self.psy_rdoq, t4j,
             self.sb_av4y if t4j is not None else None,
             4 - self.cshift, self.cshift == 0, self.is422, imask_c,
-            c16, cb16)
+            c16, cb16, nr_y, nr_c)
+        yp, up, vp, lev_y, lev_u, lev_v, m_map = wf_out[:7]
+        nr_stats = wf_out[7] if nr_y is not None else None
 
         if not materialize:
             # device handles only — JAX async dispatch means the caller
@@ -1149,6 +1224,8 @@ class IntraReconstructor:
                    "lev_u": lev_u[:nbc], "lev_v": lev_v[:nbc]}
             if c16 is not None:
                 out["modes_sel"] = m_map[:self.nby]
+            if nr_stats is not None:
+                out["nr_stats"] = nr_stats
             return out
         dt = np.uint8 if self.bd == 8 else np.uint16
         out = {
@@ -1161,6 +1238,8 @@ class IntraReconstructor:
         }
         if c16 is not None:
             out["modes_sel"] = np.asarray(m_map[:self.nby])
+        if nr_stats is not None:
+            out["nr_stats"] = tuple(np.asarray(a) for a in nr_stats)
         return out
 
     def materialize(self, rd: dict) -> dict:

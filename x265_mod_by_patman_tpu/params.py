@@ -113,6 +113,8 @@ class EncoderParams:
 
     # analysis / RDO
     rd_level: int = 2
+    nr_intra: int = 0               # x265 --nr-intra (DCT-domain denoise)
+    nr_inter: int = 0               # x265 --nr-inter
     rdoq_level: int = 0
     psy_rd: float = 2.0             # x265 default --psy-rd 2.0
     psy_rdoq: float = 0.0           # active only with rdoq_level > 0
@@ -234,7 +236,11 @@ class EncoderParams:
         p.var_cu_tree = (p.rd_level >= 3 and not p.lossless
                          and p.ctu_size >= 32
                          and p.internal_csp == CHROMA_420
-                         and p.source_width >= 32 and p.source_height >= 32)
+                         and p.source_width >= 32 and p.source_height >= 32
+                         and not (p.nr_intra or p.nr_inter))
+        if (p.nr_intra or p.nr_inter) and p.internal_csp != CHROMA_420:
+            # v1: NR state is shaped for the 4:2:0 TU16/TU8 stores
+            p.nr_intra = p.nr_inter = 0
         if p.var_cu_tree:
             p.max_tu_size = 32
             p.tu_inter_depth = max(p.tu_inter_depth, 2)
