@@ -70,3 +70,42 @@ def test_rect_b_e2e_bitexact_and_used():
     # only come from a B slice (P rect is always (1, 1))
     b_rect = [s for s in seen if s[1] != s[2] or (s[1] | s[2]) & 2]
     assert b_rect, seen
+
+
+def test_amp_b_e2e_bitexact():
+    """B-slice AMP (2NxnU/.../nRx2N) with per-PU list choice: streams
+    decode bit-exact and quarter-shape parts appear in B slices."""
+    from x265_mod_by_patman_tpu.encoder.top import Encoder
+    from x265_mod_by_patman_tpu.decoder import decoder as decmod
+    from tests.test_amp_pu import quarter_strip_scene
+    w, h = 96, 64
+    frames = quarter_strip_scene(w, h, 4, True)
+    p = default_params(w, h, qp=30, keyframe_max=250, bframes=2,
+                       rect=True, amp=True, scenecut=False,
+                       weightp=False, b_adapt=0)
+    enc = Encoder(p)
+    out = []
+    for f in frames:
+        out.extend(enc.encode_frame(*f))
+    out.extend(enc.flush())
+    bs = enc.headers() + b"".join(f.bitstream for f in out)
+
+    seen = []
+    orig = decmod.Decoder._recon_cu
+
+    def patched(self, cu, *a, **k):
+        if cu.is_inter and getattr(cu, "part_mode", 0) >= 4:
+            seen.append((cu.part_mode, cu.inter_dir, cu.inter_dir_b))
+        return orig(self, cu, *a, **k)
+
+    decmod.Decoder._recon_cu = patched
+    try:
+        pics = decmod.Decoder().decode(bs)
+    finally:
+        decmod.Decoder._recon_cu = orig
+    by = {f.disp: f for f in out}
+    for pc in pics:
+        f = by[pc.poc]
+        assert pc.sei_md5 == pc.md5
+        assert np.array_equal(pc.y, f.recon[0])
+    assert seen, "AMP parts should appear"

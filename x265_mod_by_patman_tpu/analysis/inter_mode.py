@@ -681,7 +681,7 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
 def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     subme: int = 2, weights_b=None, rect: bool = False,
-                    me_sea: bool = False):
+                    me_sea: bool = False, amp: bool = False):
     """B-frame analysis: ME against both anchors + bi-prediction test +
     intra fallback (the batched analog of x265 checkBidir2Nx2N,
     analysis.cpp:4007); ONE jitted program like analyse_p_frame.
@@ -712,6 +712,7 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     # rect searches/combines assume 4:2:0 sub-block chroma geometry and
     # unweighted planes (same constraint as the P path)
     rect_eff = rect and not any(wb) and block == 16 and idc == 1
+    amp_eff = amp and rect_eff
     out = _b_core(oy,
                   jnp.asarray(np.asarray(ref0[0], np.int32)),
                   jnp.asarray(np.asarray(ref0[1], np.int32)),
@@ -723,7 +724,7 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.int32(lam256), search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
                   0 if idc == 3 else 1, idc == 2, rect_eff,
-                  sps.log2_ctu_size, me_sea)
+                  sps.log2_ctu_size, me_sea, amp_eff)
     (modes, inter, dirs, mv0, mv1, mcy, mcu, mcv, part, dirs_b,
      mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
@@ -737,12 +738,13 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     jax.jit, static_argnames=("search_range", "block", "bd",
                               "use_pallas", "subme", "wb", "cshift",
                               "is422", "rect", "log2_ctu",
-                              "me_sea"))
+                              "me_sea", "amp"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             search_range: int, block: int, bd: int, use_pallas: bool,
             subme: int = 2, wb=(False, False), wv=None,
             cshift: int = 1, is422: bool = False, rect: bool = False,
-            log2_ctu: int = 5, me_sea: bool = False):
+            log2_ctu: int = 5, me_sea: bool = False,
+            amp: bool = False):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -980,6 +982,73 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
         p1l = jnp.where(part == 1, lB, lR)        # PU1 list
         p1x = jnp.where(part == 1, xB, xR)
         p1y = jnp.where(part == 1, yB, yR)
+        if amp:
+            # AMP shapes for B (B arm of the x265 checkInter AMP loop):
+            # per-strip 4x4-tile SATD over (list, sub-MV) candidates;
+            # each quarter strip and its complementary body pick the
+            # best uni (list, mv) pair independently
+            cl = []                   # (list, mvx, mvy) per candidate
+            for l in range(2):
+                m8x_l, m8y_l = sub[l][3], sub[l][4]
+                for c in range(4):
+                    cl.append((l, m8x_l[:, c], m8y_l[:, c]))
+            planes_me = (r0y_me, r1y_me)
+            from ..ops.cost import H4
+            h4m = jnp.asarray(H4)
+            ts = []
+            for (l, ax, ay) in cl:
+                pr = mc_batch(planes_me[l], bx, by, ax, ay, n, 0, bd,
+                              use_pallas=use_pallas)
+                dd = org.astype(jnp.int32) - pr
+                nt = n // 4
+                t4 = jnp.moveaxis(dd.reshape(nb, nt, 4, nt, 4), -3, -2)
+                ht = jnp.einsum("ij,...jk,kl->...il", h4m, t4, h4m,
+                                preferred_element_type=jnp.int32)
+                ts.append((jnp.sum(jnp.abs(ht), axis=(-2, -1)) + 1)
+                          >> 1)
+            ts = jnp.stack(ts)                       # (C, nb, nt, nt)
+            cax = jnp.stack([c[1] for c in cl])
+            cay = jnp.stack([c[2] for c in cl])
+            clist = jnp.asarray([c[0] for c in cl],
+                                jnp.int32)[:, None]
+            cbits = mv_bits(cax, cay) + 4
+
+            def region_best(rows, cols):
+                rsum = ts[:, :, rows[0]:rows[1], cols[0]:cols[1]] \
+                    .sum(axis=(-2, -1))
+                tot = rsum + ((lam256 * cbits) >> 8)
+                ci = jnp.argmin(tot, axis=0)
+                take = lambda a: jnp.take_along_axis(a, ci[None], 0)[0]
+                return (jnp.min(tot, axis=0), take(clist *
+                        jnp.ones_like(cax)), take(cax), take(cay))
+
+            nt = n // 4
+            part_bins = (lam256 * 4) >> 8
+            amp_cands = []
+            for code, r0_, r1_ in ((4, (0, 1), (1, nt)),
+                                   (5, (0, nt - 1), (nt - 1, nt))):
+                a0 = region_best(r0_, (0, nt))
+                a1 = region_best(r1_, (0, nt))
+                amp_cands.append((code, a0, a1))
+            for code, c0_, c1_ in ((6, (0, 1), (1, nt)),
+                                   (7, (0, nt - 1), (nt - 1, nt))):
+                a0 = region_best((0, nt), c0_)
+                a1 = region_best((0, nt), c1_)
+                amp_cands.append((code, a0, a1))
+            for code, (c0, l0_, x0_, y0_), (c1, l1_, x1_, y1_) \
+                    in amp_cands:
+                cc = c0 + c1 + part_bins
+                cc = jnp.where((l0_ == l1_) & (x0_ == x1_) &
+                               (y0_ == y1_), 1 << 30, cc)
+                u = cc < inter_cost
+                inter_cost = jnp.where(u, cc, inter_cost)
+                part = jnp.where(u, code, part)
+                p0l = jnp.where(u, l0_, p0l)
+                p0x = jnp.where(u, x0_, p0x)
+                p0y = jnp.where(u, y0_, p0y)
+                p1l = jnp.where(u, l1_, p1l)
+                p1x = jnp.where(u, x1_, p1x)
+                p1y = jnp.where(u, y1_, p1y)
         # PU0 motion replaces the CU 2Nx2N fields where rect wins
         rw = part > 0
         dirs = jnp.where(rw, p0l + 1, dirs)
@@ -1157,7 +1226,42 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             s8 = jnp.where((s_l == 0)[:, None, None], s0, s1)
             ra = s8.reshape(nb, 2, 2, half, half) \
                 .transpose(0, 1, 3, 2, 4).reshape(nb, sz, sz)
-            sel = jnp.where((part > 0)[:, None, None], ra, sel)
+            sel = jnp.where(((part > 0) & (part < 4))[:, None, None],
+                            ra, sel)
+            if amp:
+                # AMP winners: quarter-strip combine of the two PUs'
+                # full-block uni MCs (7.4.9.5 geometry, as in P)
+                q_ = sz // 4
+                yy_ = jnp.arange(sz)[None, :, None]
+                xx_ = jnp.arange(sz)[None, None, :]
+                pm = part[:, None, None]
+                mask1 = jnp.where(
+                    pm == 4, yy_ >= q_,
+                    jnp.where(pm == 5, yy_ >= 3 * q_,
+                              jnp.where(pm == 6, xx_ >= q_,
+                                        xx_ >= 3 * q_)))
+                if c_idx == 0:
+                    u0a = mc_batch(r0p, bx_, by_, p0x, p0y, sz, 0, bd,
+                                   use_pallas=use_pallas)
+                    u1a = mc_batch(r1p, bx_, by_, p0x, p0y, sz, 0, bd,
+                                   use_pallas=use_pallas)
+                    v0a = mc_batch(r0p, bx_, by_, p1x, p1y, sz, 0, bd,
+                                   use_pallas=use_pallas)
+                    v1a = mc_batch(r1p, bx_, by_, p1x, p1y, sz, 0, bd,
+                                   use_pallas=use_pallas)
+                else:
+                    u0a = mc_batch(r0p, bx_, by_, p0x, p0y, sz, c_idx,
+                                   bd, use_pallas=False)
+                    u1a = mc_batch(r1p, bx_, by_, p0x, p0y, sz, c_idx,
+                                   bd, use_pallas=False)
+                    v0a = mc_batch(r0p, bx_, by_, p1x, p1y, sz, c_idx,
+                                   bd, use_pallas=False)
+                    v1a = mc_batch(r1p, bx_, by_, p1x, p1y, sz, c_idx,
+                                   bd, use_pallas=False)
+                a0 = jnp.where((p0l == 0)[:, None, None], u0a, u1a)
+                a1 = jnp.where((p1l == 0)[:, None, None], v0a, v1a)
+                ampp = jnp.where(mask1, a1, a0)
+                sel = jnp.where((part >= 4)[:, None, None], ampp, sel)
         mc.append(sel.reshape(nby, nbx, sz, sz))
 
     mv_l0 = jnp.stack([mv0x, mv0y], -1).reshape(nby, nbx, 2) \

@@ -1111,7 +1111,7 @@ class Encoder:
                     y, u, v, ref0[0], ref1[0],
                     self.sps, qp, search_range=self._me_range,
                     subme=p.subpel_refine, weights_b=wpb,
-                    rect=use_rect_b,
+                    rect=use_rect_b, amp=p.amp,
                     me_sea=p.search_method == "sea")
                 if np.any(part_map_b):
                     # B rect: (part, PU1 dirs, PU1 mv L0, PU1 mv L1)
