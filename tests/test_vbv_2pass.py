@@ -73,3 +73,37 @@ def test_two_pass_hits_target_better(tmp_path):
     kbps2 = encode(2)
     assert abs(kbps2 - target) <= abs(kbps1 - target) + 1.0
     assert abs(kbps2 - target) / target < 0.35
+
+
+def test_two_pass_cutree_reuse(tmp_path):
+    """Pass 1 persists its cuTree propagation offsets; pass 2 plays
+    them back instead of re-running the lookahead (cuTreeReadFor2Pass
+    analog) — and the pass-2 stream still decodes bit-exact."""
+    stats = str(tmp_path / "st.log")
+    frames = moving_scene(96, 64, 10, seed=2)
+
+    p1 = default_params(96, 64, rc_mode="abr", bitrate_kbps=400,
+                        keyframe_max=250, bframes=2, b_adapt=0,
+                        scenecut=False, stats_file=stats, pass_num=1,
+                        rc_lookahead=6)
+    e1 = Encoder(p1)
+    for f in frames:
+        e1.encode_frame(*f)
+    e1.flush()
+    e1.write_stats()
+    assert os.path.exists(stats + ".cutree")
+
+    p2 = default_params(96, 64, rc_mode="abr", bitrate_kbps=400,
+                        keyframe_max=250, bframes=2, b_adapt=0,
+                        scenecut=False, stats_file=stats, pass_num=2,
+                        rc_lookahead=6)
+    e2 = Encoder(p2)
+    assert e2._ct2pass is not None and e2._cutree is None
+    out = []
+    for f in frames:
+        out.extend(e2.encode_frame(*f))
+    out.extend(e2.flush())
+    assert len(out) == len(frames)
+    pics = Decoder().decode(b"".join(f.bitstream for f in out))
+    for pc, f in zip(pics, out):
+        assert pc.md5 == pc.sei_md5 == f.md5

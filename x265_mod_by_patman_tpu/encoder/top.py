@@ -110,11 +110,25 @@ class Encoder:
         self._cutree = None
         self._la_buf: deque = deque()
         self._ctshare_w = self._ctshare_r = None
+        self._ct2pass = None          # pass-2 cuTree offsets playback
+        self._ct1_offs = None         # pass-1 offsets to persist
+        import os as _os
+        if (self.p.pass_num == 2 and self.p.cu_tree
+                and _os.path.exists(self.p.stats_file + ".cutree")):
+            # 2-pass cuTree reuse (reference cuTreeReadFor2Pass,
+            # ratecontrol.cpp:1972): pass 2 plays back the pass-1
+            # propagation offsets instead of re-running the lookahead
+            # (simplification: we store final per-CTU QP offsets, not
+            # intra/prop costs — same content, same propagation)
+            self._ct2pass = list(np.load(
+                self.p.stats_file + ".cutree")["offs"])
         if getattr(self.p, "cutree_share_read", ""):
             # consume the master rung's published offsets instead of
             # running our own lookahead (ratecontrol.cpp:380 analog)
             from ..analysis.cutree_share import CuTreeShareReader
             self._ctshare_r = CuTreeShareReader(self.p.cutree_share_read)
+        elif self._ct2pass is not None:
+            pass                      # playback replaces the lookahead
         elif (self.p.cu_tree and self.p.rc_mode != "cqp"
                 and self.p.keyframe_max > 1 and self.p.rc_lookahead > 0):
             self._cutree = CuTreeLookahead(
@@ -126,9 +140,12 @@ class Encoder:
                 self._ctshare_w = CuTreeShareWriter(
                     self.p.cutree_share_write,
                     self.p.pic_height_in_ctus, self.p.pic_width_in_ctus)
+        if self.p.pass_num == 1 and self._cutree is not None:
+            self._ct1_offs = []
         self.pps.cu_qp_delta_enabled = (self.p.aq_mode > 0
                                         or self._cutree is not None
-                                        or self._ctshare_r is not None)
+                                        or self._ctshare_r is not None
+                                        or self._ct2pass is not None)
         self.pps.deblocking_disabled = not self.p.deblock
         self.sps.sao_enabled = bool(self.p.sao)
         self.sps.temporal_mvp = bool(self.p.temporal_mvp) and \
@@ -441,6 +458,9 @@ class Encoder:
                                           self.p.pic_width_in_ctus)
                 out.extend(self._ingest(fy, fu, fv, off))
             return out
+        if self._ct2pass is not None:
+            i = min(self.frame_count, len(self._ct2pass) - 1)
+            return self._ingest(y, u, v, self._ct2pass[i])
         if self._cutree is None:
             return self._ingest(y, u, v)
         self._la_buf.append((y, u, v))
@@ -456,6 +476,8 @@ class Encoder:
         if self._ctshare_w is not None:
             # keyed by the display index the popped frame will take
             self._ctshare_w.publish(self.frame_count, off)
+        if self._ct1_offs is not None:
+            self._ct1_offs.append(np.asarray(off, np.int8))
         return off
 
     def _ingest(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
@@ -594,6 +616,12 @@ class Encoder:
         if self.p.pass_num == 1:
             from ..rc.ratecontrol import write_stats_file
             write_stats_file(self.p.stats_file, self.rc.history)
+            if self._ct1_offs:
+                np.savez(self.p.stats_file + ".cutree",
+                         offs=np.stack(self._ct1_offs))
+                import os as _os
+                _os.replace(self.p.stats_file + ".cutree.npz",
+                            self.p.stats_file + ".cutree")
         if self._ana_store is not None:
             self._ana_store.close()
             self._ana_store = None

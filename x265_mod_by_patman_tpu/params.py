@@ -402,6 +402,13 @@ class EncoderParams:
             setattr(self, key, float(value))
         else:
             setattr(self, key, value)
+        # x265 CLI semantics: --bitrate selects ABR, --crf selects CRF
+        # (x265cli.cpp rate-control mode inference)
+        if key == "bitrate_kbps" and self.bitrate_kbps > 0 \
+                and self.rc_mode == "cqp":
+            self.rc_mode = "abr"
+        elif key == "crf":
+            self.rc_mode = "crf"
         return self
 
     def to_string(self) -> str:
