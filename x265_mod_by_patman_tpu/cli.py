@@ -150,7 +150,15 @@ def main(argv=None) -> int:
         w, h = (int(t) for t in args.input_res.lower().split("x"))
     fps = (int(float(args.fps) * 1000), 1000) if "/" not in args.fps else \
         tuple(int(t) for t in args.fps.split("/"))
-    src = open_input(args.input, w, h, fps)
+    _libs = {"avs_library": "", "vs_library": ""}
+    for kv in args.params:
+        k, _, v = kv.partition("=")
+        k = k.replace("-", "_")
+        if k in _libs:
+            _libs[k] = v
+    src = open_input(args.input, w, h, fps,
+                     avs_library=_libs["avs_library"],
+                     vs_library=_libs["vs_library"])
     info = src.info
 
     p = default_params(info.width, info.height)

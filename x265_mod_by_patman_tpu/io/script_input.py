@@ -20,7 +20,12 @@ class VPYReader:
     """VapourSynth script input (.vpy): evaluates the script and
     iterates the output node's frames."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, library: str = "") -> None:
+        if library:
+            # Patman mod --vs-library: preload a user-specified VSScript
+            # runtime before importing the module (avs.h:92-104 analog)
+            import ctypes
+            ctypes.CDLL(library)
         try:
             import vapoursynth as vs
         except ImportError as exc:
@@ -58,10 +63,12 @@ class AVSReader:
     """AviSynth script input (.avs) via the avisynth C API
     (avs.cpp:78 analog — binds libavisynth when present)."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, library: str = "") -> None:
         import ctypes.util
-        lib = (ctypes.util.find_library("avisynth")
-               or ctypes.util.find_library("AviSynth"))
+        # Patman mod --avs-library: user-specified AVS+ runtime path
+        # takes precedence over system discovery (avs.cpp:78-79)
+        lib = library or (ctypes.util.find_library("avisynth")
+                          or ctypes.util.find_library("AviSynth"))
         if not lib:
             raise RuntimeError(
                 "AviSynth+ library not found — install AVS+ to use "

@@ -144,14 +144,15 @@ class Y4MWriter:
 
 
 def open_input(path: str, width: int = 0, height: int = 0,
-               fps: Tuple[int, int] = (25, 1)):
+               fps: Tuple[int, int] = (25, 1), avs_library: str = "",
+               vs_library: str = ""):
     if path.endswith(".y4m"):
         return Y4MReader(path)
     if path.endswith(".vpy"):
         from .script_input import VPYReader
-        return VPYReader(path)
+        return VPYReader(path, library=vs_library)
     if path.endswith(".avs"):
         from .script_input import AVSReader
-        return AVSReader(path)
+        return AVSReader(path, library=avs_library)
     assert width and height, "--input-res required for raw yuv"
     return YUVReader(path, width, height, fps)

@@ -79,6 +79,8 @@ class EncoderParams:
     aud: bool = False               # access-unit delimiters
     hist_scenecut: bool = False     # histogram-based scenecut
 
+    avs_library: str = ""           # Patman mod: explicit AVS+ runtime path
+    vs_library: str = ""            # Patman mod: explicit VSScript path
     analysis_save: str = ""
     analysis_load: str = ""
     # cross-process cuTree share (ABR ladder; ratecontrol.cpp:380 RingMem)
