@@ -203,6 +203,7 @@ class DecodedPicture:
     v: np.ndarray
     md5: bytes = b""
     sei_md5: Optional[bytes] = None
+    cus: Optional[list] = None        # CodedCU list (analysis tooling)
 
 
 class Decoder:
@@ -337,6 +338,7 @@ class Decoder:
             sao_luma = br.flag()
             sao_chroma = br.flag()
         num_refs = (1, 0)
+        col_l0, col_ref_idx = True, 0
         max_merge = 3
         self._cur_wp = None
         if slice_type != 2:
@@ -355,8 +357,7 @@ class Decoder:
                 if slice_type == 0:
                     col_l0 = bool(br.flag())   # collocated_from_l0
                 ncol = n_l0 if col_l0 else n_l1
-                if ncol > 1:
-                    br.ue()                    # collocated_ref_idx
+                col_ref_idx = br.ue() if ncol > 1 else 0
             self._cur_wp = None
             if pps.weighted_pred and slice_type == 1:
                 self._cur_wp = self._parse_pred_weight_table(br, n_l0)
@@ -391,8 +392,15 @@ class Decoder:
 
         states = init_states(slice_type, qp)
         col = None
-        if not is_idr(nal_type) and sh_tmvp and l0_pocs:
-            col = self._col_store.get(l0_pocs[0])
+        if not is_idr(nal_type) and sh_tmvp:
+            # the signaled collocated picture (list + ref idx), viewed
+            # through this slice's collocated_from_l0_flag (8.5.3.2.9)
+            col_pocs = l0_pocs if col_l0 else l1_pocs
+            if col_ref_idx < len(col_pocs):
+                col = self._col_store.get(col_pocs[col_ref_idx])
+                if col is not None and col.from_l0 != col_l0:
+                    from dataclasses import replace
+                    col = replace(col, from_l0=col_l0)
         syn = SliceSyntaxDecoder(CabacDecoder(data), states, sps, pps, qp,
                                  slice_type, max_merge, num_refs,
                                  ref_pocs, poc, col_motion=col)
@@ -467,75 +475,8 @@ class Decoder:
             return None                   # more slices of this picture
         if not pps.deblocking_disabled:
             from ..ops.deblock import (
-                deblock_luma_ref, deblock_chroma_ref, inter_bs_maps,
-                intra_bs_maps, chroma_on_maps)
-            # NxN CUs add interior TU8 transform edges; unsplit TU32
-            # intra CUs remove their interior 16-px edges
-            split_grid = np.zeros((h // 16, w // 16), bool)
-            merge32_grid = np.zeros((h // 32, w // 32), bool)
-            for cu in all_cus:
-                if not cu.is_inter and cu.part_nxn:
-                    split_grid[cu.y0 // 16, cu.x0 // 16] = True
-                if cu.log2_size == 5 and not cu.is_inter \
-                        and not cu.tu_split:
-                    merge32_grid[cu.y0 // 32, cu.x0 // 32] = True
-            if not split_grid.any():
-                split_grid = None
-            if not merge32_grid.any():
-                merge32_grid = None
-            if slice_type != 2:
-                nbx, nby = w // 16, h // 16
-                intra_mask = np.ones((nby, nbx), bool)
-                mvs = np.zeros((nby, nbx, 2), np.int32)
-                mvs1 = np.zeros((nby, nbx, 2), np.int32)
-                dirs = np.zeros((nby, nbx), np.int32)
-                p0 = np.zeros((nby, nbx), np.int64)
-                p1 = np.zeros((nby, nbx), np.int64)
-                cbf = np.zeros((nby, nbx), bool)
-                part16 = np.zeros((nby, nbx), np.int8)
-                d_b = np.zeros((nby, nbx), np.int32)
-                mv_b = np.zeros((nby, nbx, 2), np.int32)
-                mv1_b = np.zeros((nby, nbx, 2), np.int32)
-                p0_b = np.zeros((nby, nbx), np.int64)
-                p1_b = np.zeros((nby, nbx), np.int64)
-                for cu in all_cus:
-                    n16 = max(1, (1 << cu.log2_size) // 16)
-                    bx0, by0 = cu.x0 // 16, cu.y0 // 16
-                    sl = (slice(by0, by0 + n16), slice(bx0, bx0 + n16))
-                    intra_mask[sl] = not cu.is_inter
-                    if cu.is_inter:
-                        dirs[sl] = cu.inter_dir
-                        mvs[sl] = cu.mv
-                        mvs1[sl] = cu.mv1
-                        if cu.inter_dir & 1:
-                            p0[sl] = ref_pocs[0][cu.ref_idx]
-                        if cu.inter_dir & 2:
-                            p1[sl] = ref_pocs[1][cu.ref_idx1]
-                        if getattr(cu, "part_mode", 0):
-                            part16[sl] = cu.part_mode
-                            mb = cu.motion(1)
-                            d_b[sl] = mb.dir
-                            mv_b[sl] = mb.mv0
-                            mv1_b[sl] = mb.mv1
-                            if mb.dir & 1:
-                                p0_b[sl] = ref_pocs[0][mb.ref0]
-                            if mb.dir & 2:
-                                p1_b[sl] = ref_pocs[1][mb.ref1]
-                    # luma cbf at 16-grid granularity from the actual
-                    # coded TU keys (works for any parsed TU tree)
-                    for (ci, kx, ky, kl), lv in cu.coeffs.items():
-                        if ci != 0 or not np.any(lv):
-                            continue
-                        t16 = max(1, (1 << kl) // 16)
-                        cbf[ky // 16:ky // 16 + t16,
-                            kx // 16:kx // 16 + t16] = True
-                bs_v, bs_h = inter_bs_maps(
-                    intra_mask, mvs, cbf, w, h, 16, dirs, mvs1, p0, p1,
-                    split_grid, part_map=part16,
-                    pu1=(d_b, mv_b, mv1_b, p0_b, p1_b))
-            else:
-                bs_v, bs_h = intra_bs_maps(w, h, 16, split_grid,
-                                           merge32_grid)
+                deblock_luma_ref, deblock_chroma_ref, chroma_on_maps)
+            bs_v, bs_h = self._bs_maps_exact(all_cus, w, h, ref_pocs)
             on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> csy, w >> csx,
                                         csp=sps.chroma_format_idc)
             qarg = qp_grid if pps.cu_qp_delta_enabled else qp
@@ -573,6 +514,7 @@ class Decoder:
         pic = DecodedPicture(poc, y.astype(dt), u.astype(dt),
                              v.astype(dt))
         pic.md5 = plane_md5(pic.y, pic.u, pic.v, bit_depth=sps.bit_depth)
+        pic.cus = all_cus
         if is_idr(nal_type):
             self._dpb.clear()
             self._col_store.clear()
@@ -587,18 +529,164 @@ class Decoder:
             for cu in all_cus:
                 if not cu.is_inter:
                     continue
-                n16 = max(1, (1 << cu.log2_size) // 16)
-                sl = (slice(cu.y0 // 16, cu.y0 // 16 + n16),
-                      slice(cu.x0 // 16, cu.x0 // 16 + n16))
-                d[sl] = cu.inter_dir
-                mv[sl + (0,)] = cu.mv
-                mv[sl + (1,)] = cu.mv1
-                if cu.inter_dir & 1:
-                    rp[sl + (0,)] = ref_pocs[0][cu.ref_idx]
-                if cu.inter_dir & 2:
-                    rp[sl + (1,)] = ref_pocs[1][cu.ref_idx1]
+                # motion compression (spec 8.5.3.2.8): each 16x16 cell
+                # samples the PU covering its TOP-LEFT 4x4 — per-PU
+                # geometry, and sub-16 CUs off the corner don't clobber
+                for (gx, gy, gw, gh, m) in self._pu_geometry(cu):
+                    px, py = cu.x0 + gx, cu.y0 + gy
+                    cx0 = -(-px // 16)         # first cell whose corner
+                    cy0 = -(-py // 16)         # falls inside this PU
+                    cx1 = (px + gw - 1) // 16
+                    cy1 = (py + gh - 1) // 16
+                    if cx1 < cx0 or cy1 < cy0:
+                        continue
+                    sl = (slice(cy0, cy1 + 1), slice(cx0, cx1 + 1))
+                    d[sl] = m.dir
+                    mv[sl + (0,)] = m.mv0
+                    mv[sl + (1,)] = m.mv1
+                    if m.dir & 1:
+                        rp[sl + (0,)] = ref_pocs[0][m.ref0]
+                    if m.dir & 2:
+                        rp[sl + (1,)] = ref_pocs[1][m.ref1]
             self._col_store[poc] = ColMotion(poc, d, mv, rp)
         return pic
+
+    @staticmethod
+    def _pu_geometry(cu):
+        """(dx, dy, w, h, Motion) per PU of an inter CU (7.4.9.4
+        partition geometry; AMP quarters at n/4)."""
+        n = 1 << cu.log2_size
+        pm = getattr(cu, "part_mode", 0)
+        if pm == 0:
+            return [(0, 0, n, n, cu.motion(0))]
+        q = n // 4
+        geo = {1: [(0, 0, n, n // 2), (0, n // 2, n, n // 2)],
+               2: [(0, 0, n // 2, n), (n // 2, 0, n // 2, n)],
+               4: [(0, 0, n, q), (0, q, n, n - q)],
+               5: [(0, 0, n, n - q), (0, n - q, n, q)],
+               6: [(0, 0, q, n), (q, 0, n - q, n)],
+               7: [(0, 0, n - q, n), (n - q, 0, q, n)]}[pm]
+        return [(gx, gy, gw, gh, cu.motion(i))
+                for i, (gx, gy, gw, gh) in enumerate(geo)]
+
+    def _bs_maps_exact(self, all_cus, w, h, ref_pocs):
+        """Boundary-strength maps painted directly from the parsed
+        CU/TU/PU geometry at 4x4 granularity (spec 8.7.2.4) — exact for
+        any CU size (incl. 8x8 min CUs of external streams), rect/AMP
+        PUs and arbitrary TU trees.  Returns (bs_v, bs_h) in the
+        deblock_luma_ref layout: bs_v (H/4, W/8-1), bs_h (H/8-1, W/4)."""
+        w4, h4 = w // 4, h // 4
+        intra4 = np.ones((h4, w4), bool)
+        dir4 = np.zeros((h4, w4), np.int32)
+        mv04 = np.zeros((h4, w4, 2), np.int64)
+        mv14 = np.zeros((h4, w4, 2), np.int64)
+        poc04 = np.zeros((h4, w4), np.int64)
+        poc14 = np.zeros((h4, w4), np.int64)
+        cbf4 = np.zeros((h4, w4), bool)
+        tedge_v = np.zeros((h4, w4), bool)   # transform edge at x=4*x4
+        tedge_h = np.zeros((h4, w4), bool)
+        pedge_v = np.zeros((h4, w4), bool)   # prediction edge at x=4*x4
+        pedge_h = np.zeros((h4, w4), bool)
+
+        pu_geometry = self._pu_geometry
+        for cu in all_cus:
+            n = 1 << cu.log2_size
+            x4a, y4a = cu.x0 // 4, cu.y0 // 4
+            n4 = n // 4
+            sl = (slice(y4a, y4a + n4), slice(x4a, x4a + n4))
+            intra4[sl] = not cu.is_inter
+            # transform edges from the parsed TU leaves; a skip CU
+            # (no transform tree) is still one cbf=0 TB whose boundary
+            # is a transform edge for the neighbor-cbf term
+            for (tx, ty, tl, _b) in (cu.tu_leaves or
+                                     ((cu.x0, cu.y0, cu.log2_size, 0),)):
+                tn4 = (1 << tl) // 4
+                tedge_v[ty // 4:ty // 4 + tn4, tx // 4] = True
+                tedge_h[ty // 4, tx // 4:tx // 4 + tn4] = True
+            if cu.is_inter:
+                for (gx, gy, gw, gh, m) in pu_geometry(cu):
+                    px4 = (cu.x0 + gx) // 4
+                    py4 = (cu.y0 + gy) // 4
+                    psl = (slice(py4, py4 + gh // 4),
+                           slice(px4, px4 + gw // 4))
+                    dir4[psl] = m.dir
+                    if m.dir & 1:
+                        mv04[psl] = m.mv0
+                        poc04[psl] = ref_pocs[0][m.ref0]
+                    if m.dir & 2:
+                        mv14[psl] = m.mv1
+                        poc14[psl] = ref_pocs[1][m.ref1]
+                    pedge_v[py4:py4 + gh // 4, px4] = True
+                    pedge_h[py4, px4:px4 + gw // 4] = True
+            else:
+                pedge_v[sl[0], x4a] = True
+                pedge_h[y4a, sl[1]] = True
+            for (ci, kx, ky, kl), lv in cu.coeffs.items():
+                if ci != 0 or not np.any(lv):
+                    continue
+                kn4 = max(1, (1 << kl) // 4)
+                cbf4[ky // 4:ky // 4 + kn4, kx // 4:kx // 4 + kn4] = True
+
+        def motion_differs(p, q):
+            dp, dq = dir4[p], dir4[q]
+            np_ = (dp & 1) + ((dp >> 1) & 1)
+            nq_ = (dq & 1) + ((dq >> 1) & 1)
+            diff = np_ != nq_
+            ap = np.where(dp == 2, poc14[p], poc04[p])
+            amvp = np.where((dp == 2)[..., None], mv14[p], mv04[p])
+            aq = np.where(dq == 2, poc14[q], poc04[q])
+            amvq = np.where((dq == 2)[..., None], mv14[q], mv04[q])
+            uni = (np_ == 1) & (nq_ == 1)
+            uni_diff = (ap != aq) | \
+                (np.abs(amvp - amvq).max(axis=-1) >= 4)
+            bi = (np_ == 2) & (nq_ == 2)
+            pair_p = np.stack([np.minimum(poc04[p], poc14[p]),
+                               np.maximum(poc04[p], poc14[p])], -1)
+            pair_q = np.stack([np.minimum(poc04[q], poc14[q]),
+                               np.maximum(poc04[q], poc14[q])], -1)
+            pair_diff = np.any(pair_p != pair_q, axis=-1)
+            d00 = np.abs(mv04[p] - mv04[q]).max(axis=-1)
+            d11 = np.abs(mv14[p] - mv14[q]).max(axis=-1)
+            d01 = np.abs(mv04[p] - mv14[q]).max(axis=-1)
+            d10 = np.abs(mv14[p] - mv04[q]).max(axis=-1)
+            straight = (d00 < 4) & (d11 < 4)
+            swapped = (d01 < 4) & (d10 < 4)
+            same_refs = poc04[p] == poc14[p]
+            l0_matches = poc04[p] == poc04[q]
+            bi_diff = pair_diff | np.where(
+                same_refs, ~(straight | swapped),
+                np.where(l0_matches, ~straight, ~swapped))
+            return np.where(diff, True,
+                            np.where(uni, uni_diff,
+                                     np.where(bi, bi_diff, True)))
+
+        ev = w // 8 - 1
+        eh = h // 8 - 1
+        bs_v = np.zeros((h4, max(ev, 0)), dtype=np.int32)
+        bs_h = np.zeros((max(eh, 0), w4), dtype=np.int32)
+        segs = np.arange(h4)
+        for e in range(ev):
+            xe = (e + 1) * 8 // 4
+            p = (segs, np.full_like(segs, xe - 1))
+            q = (segs, np.full_like(segs, xe))
+            te = tedge_v[:, xe]
+            exists = te | pedge_v[:, xe]
+            two = intra4[p] | intra4[q]
+            one = (te & (cbf4[p] | cbf4[q])) | motion_differs(p, q)
+            bs_v[:, e] = np.where(exists, np.where(two, 2,
+                                  np.where(one, 1, 0)), 0)
+        segs = np.arange(w4)
+        for e in range(eh):
+            ye = (e + 1) * 8 // 4
+            p = (np.full_like(segs, ye - 1), segs)
+            q = (np.full_like(segs, ye), segs)
+            te = tedge_h[ye, :]
+            exists = te | pedge_h[ye, :]
+            two = intra4[p] | intra4[q]
+            one = (te & (cbf4[p] | cbf4[q])) | motion_differs(p, q)
+            bs_h[e, :] = np.where(exists, np.where(two, 2,
+                                  np.where(one, 1, 0)), 0)
+        return bs_v, bs_h
 
     def _parse_st_rps(self, br: BitReader):
         """Returns ([(delta_poc, used)...neg], [...pos])."""
@@ -647,11 +735,20 @@ class Decoder:
                                    cu.coeffs.get((0, cu.x0 + dx,
                                                   cu.y0 + dy,
                                                   cu.log2_size - 1)))
-            # chroma follows the forced TU split: 4 z-order TBs at
-            # half the luma TB size, all with the CU's chroma mode
+            # chroma under IntraSplitFlag (spec 7.3.8.8 / 8.4.4.2):
+            # the split follows luma only while the chroma TB stays
+            # >= 4x4.  16x16 NxN -> four 4x4 chroma TBs; 8x8 NxN (the
+            # min-CU-8 case, e.g. x265 streams) keeps ONE 4x4 chroma
+            # TB predicted and coded at the CU root.
             cmode = chroma_mode_from_idx(cu.chroma_idx, cu.luma_modes[0])
-            ch = half >> 1
             ccx, ccy = cu.x0 >> 1, cu.y0 >> 1
+            if cu.log2_size == 3:
+                self._recon_tb(u, ccx, ccy, 2, cmode, 1, qp_cb,
+                               cu.coeffs.get((1, ccx, ccy, 2)))
+                self._recon_tb(v, ccx, ccy, 2, cmode, 2, qp_cr,
+                               cu.coeffs.get((2, ccx, ccy, 2)))
+                return
+            ch = half >> 1
             cl = cu.log2_size - 2
             for (dx, dy) in ((0, 0), (ch, 0), (0, ch), (ch, ch)):
                 self._recon_tb(u, ccx + dx, ccy + dy, cl, cmode, 1,

@@ -48,6 +48,10 @@ class ColMotion:
     dir: "np.ndarray"                  # (nby, nbx) int8 (0 = intra)
     mv: "np.ndarray"                   # (nby, nbx, 2, 2) int32 qpel
     ref_poc: "np.ndarray"              # (nby, nbx, 2) int64
+    # the CURRENT slice's collocated_from_l0_flag view of this picture
+    # (spec 8.5.3.2.9 listCol selection; our encoder always collocates
+    # from L0 so the default matches its written flag)
+    from_l0: bool = True
 
 
 def temporal_candidate(col: ColMotion, x0: int, y0: int, nbw: int,
@@ -79,8 +83,10 @@ def temporal_candidate(col: ColMotion, x0: int, y0: int, nbw: int,
             l = 1
         else:
             # bi col block: low-delay streams take the target list,
-            # otherwise the backward list (collocated_from_l0 == 1)
-            l = lst if low_delay else 1
+            # otherwise listCol = RefPicList(collocated_from_l0_flag)
+            # (spec 8.5.3.2.9 / HM xGetColMVP: crossing rule — col pic
+            # in L0 -> take its L1 motion, and vice versa)
+            l = lst if low_delay else (1 if col.from_l0 else 0)
         col_ref = int(col.ref_poc[by, bx, l])
         td = col.poc - col_ref
         tb = cur_poc - target_poc
