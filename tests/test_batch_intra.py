@@ -10,7 +10,10 @@ from tests.test_e2e_intra import synth_frame
 def test_batch_matches_streaming():
     w, h = 96, 64
     frames = [synth_frame(w, h, seed=i, motion=i) for i in range(3)]
-    p = default_params(w, h, qp=32, keyframe_max=1, rc_mode="cqp")
+    # rd 2: the batched paths run the fixed-grid analysis; the serial
+    # side must match that grade for bitstream equality
+    p = default_params(w, h, qp=32, keyframe_max=1, rc_mode="cqp",
+                       rd_level=2)
 
     enc_a = Encoder(p)
     serial = []
@@ -18,7 +21,7 @@ def test_batch_matches_streaming():
         serial += enc_a.encode_frame(*f)
 
     enc_b = Encoder(default_params(w, h, qp=32, keyframe_max=1,
-                                   rc_mode="cqp"))
+                                   rc_mode="cqp", rd_level=2))
     batched = enc_b.encode_batch(frames)
 
     assert len(serial) == len(batched)
@@ -43,7 +46,7 @@ def test_pipelined_matches_streaming():
                rng.integers(0, 256, (32, 48)).astype(np.uint8),
                rng.integers(0, 256, (32, 48)).astype(np.uint8))
               for _ in range(3)]
-    p = default_params(96, 64, qp=32, keyframe_max=1)
+    p = default_params(96, 64, qp=32, keyframe_max=1, rd_level=2)
     e1 = Encoder(p)
     serial = [e1.encode_frame(*f)[0] for f in frames]
     e2 = Encoder(p)
@@ -63,7 +66,8 @@ def test_intra_batched_pipeline_matches_and_decodes():
     from x265_mod_by_patman_tpu.decoder.decoder import Decoder
     w, h = 96, 64
     frames = [synth_frame(w, h, seed=i, motion=i) for i in range(5)]
-    kw = dict(qp=32, keyframe_max=1, rc_mode="cqp", sao=False)
+    kw = dict(qp=32, keyframe_max=1, rc_mode="cqp", sao=False,
+              rd_level=2)
 
     ref = Encoder(default_params(w, h, **kw)).encode_intra_pipelined(frames)
     got = Encoder(default_params(w, h, **kw)).encode_intra_batched(

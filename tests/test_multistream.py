@@ -17,7 +17,7 @@ pytestmark = pytest.mark.skipif(
 def test_sharded_streams_match_single():
     w, h = 64, 64
     n = 4
-    p = default_params(w, h, qp=32, keyframe_max=1)
+    p = default_params(w, h, qp=32, keyframe_max=1, rd_level=2)
     streams = [[synth_frame(w, h, seed=s * 7 + t, motion=t)
                 for t in range(2)] for s in range(n)]
 
@@ -26,7 +26,8 @@ def test_sharded_streams_match_single():
                for t in range(2)]
 
     for s in range(n):
-        enc = Encoder(default_params(w, h, qp=32, keyframe_max=1))
+        enc = Encoder(default_params(w, h, qp=32, keyframe_max=1,
+                                     rd_level=2))
         for t in range(2):
             [f] = enc.encode_frame(*streams[s][t])
             assert f.bitstream == sharded[t][s].bitstream, (s, t)

@@ -16,7 +16,10 @@ def test_slices_intra(ns):
     y = rng.integers(0, 256, (h, w)).astype(np.uint8)
     u = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
     v = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
-    p = default_params(w, h, qp=30, keyframe_max=1, slices=ns, wpp=False)
+    # ctu 32 so 96 rows give >= 3 CTU rows (slices are CTU-row bands;
+    # at the ctu-64 default this clip has only 2 rows)
+    p = default_params(w, h, qp=30, keyframe_max=1, slices=ns, wpp=False,
+                       ctu_size=32)
     enc = Encoder(p)
     [f] = enc.encode_frame(y, u, v)
     vcl = [n for n in split_annexb(f.bitstream)

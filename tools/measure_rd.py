@@ -89,10 +89,10 @@ def encode_ours(frames, w, h, fps, q, args_str):
     recs = []
     for (y, u, v) in frames:
         for f in enc.encode_frame(y, u, v):
-            nbits += f.bits
+            nbits += vcl_bits(f.bitstream)
             recs.append((f.disp, f.recon))
     for f in enc.flush():
-        nbits += f.bits
+        nbits += vcl_bits(f.bitstream)
         recs.append((f.disp, f.recon))
     dt = time.time() - t0
     recs.sort(key=lambda t: t[0])
@@ -102,6 +102,23 @@ def encode_ours(frames, w, h, fps, q, args_str):
     out = [(r[1][0][:h, :w], r[1][1][:h // 2, :w // 2],
             r[1][2][:h // 2, :w // 2]) for r in recs]
     return kbps, out, dt
+
+
+def vcl_bits(stream: bytes) -> int:
+    """Bits of VCL NALs (incl. their start codes) in an Annex-B chunk.
+
+    BD comparisons must exclude the informational SEIs both encoders
+    emit (x265 writes a ~2.3 KB encoder-settings user-data SEI, ours a
+    ~1.7 KB analog) — at small test-clip sizes those dominated every
+    prior measurement (~10% of a 416p I-frame)."""
+    import re
+    pos = [m.start() for m in re.finditer(b"\x00\x00\x01", stream)]
+    bits = 0
+    for i, s in enumerate(pos):
+        e = pos[i + 1] if i + 1 < len(pos) else len(stream)
+        if ((stream[s + 3] >> 1) & 0x3F) <= 31:
+            bits += (e - s) * 8
+    return bits
 
 
 def encode_x265(clip, frames_n, w, h, fps, q, binary, extra):
@@ -116,7 +133,7 @@ def encode_x265(clip, frames_n, w, h, fps, q, binary, extra):
             (["--crf", str(q)] if use_crf else ["--qp", str(q)])
         subprocess.run(cmd, check=True, capture_output=True)
         _, _, recs = read_y4m(rec)
-        kbps = os.path.getsize(out) * 8 * fps / frames_n / 1000.0
+        kbps = vcl_bits(open(out, "rb").read()) * fps / frames_n / 1000.0
         return kbps, recs
 
 

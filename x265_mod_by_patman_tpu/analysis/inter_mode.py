@@ -481,7 +481,13 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             pr = mc_batch(tall, bx, by + frf * strip + m_pad, fmx, fmy,
                           n, 0, bd, use_pallas=use_pallas)
             sbc = crop(satd_batch(org, pr))
-            gbits = mv_bits(rmx, rmy) + 6 + rrf
+            # region-CU syntax estimate: the merged CU codes its motion
+            # via merge/skip (a few bins) or AMVP with a well-predicted
+            # mvd, NOT a full unpredicted mv — charging mv_bits here
+            # made tot > indiv for near-identical motion and blocked
+            # nearly every large-CU merge (x265's analysis reaches skip
+            # first for the same reason, analysis.cpp:1663)
+            gbits = 8 + rrf
             tot = gsum(sbc) + ((lam256 * gbits) >> 8)
             if best is None:
                 best = [tot, rmx, rmy, rrf, sbc, gbits]
@@ -495,7 +501,10 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
                         jnp.where(ub, sbc, best[4]),
                         jnp.where(u, gbits, best[5])]
         tot, rmx, rmy, rrf, sbc, gbits = best
-        acc = ok & (tot < indiv)
+        # merging also saves the sub-CUs' own skip/merge syntax (~4
+        # bins each); without this slack an already-uniform region ties
+        # tot == indiv and the strict compare blocks the larger merge
+        acc = ok & (tot <= indiv + ((lam256 * 4) >> 8))
         accb = rep2(acc)
         pb_bits = rep2(((lam256 * gbits) >> 8) // (g * g))
         new = []
@@ -1110,8 +1119,9 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
                              jnp.where((fd == 1)[:, None, None],
                                        uni_of(q0, 0), uni_of(q1, 1)))
             sbc = crop(satd_batch(org, pred))
-            gbits = (jnp.where(rdd & 1, mv_bits(rm0x, rm0y), 0) +
-                     jnp.where(rdd & 2, mv_bits(rm1x, rm1y), 0) + 8)
+            # merge/skip-realistic region syntax charge (see the P-side
+            # _region_uniform note): full mv_bits blocked the merges
+            gbits = jnp.full_like(rm0x, 10)
             tot = gsum(sbc) + ((lam256 * gbits) >> 8)
             if best is None:
                 best = [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits]
@@ -1127,7 +1137,9 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
                         jnp.where(ub, sbc, best[6]),
                         jnp.where(u, gbits, best[7])]
         tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits = best
-        acc = ok & (tot < indiv)
+        # tie-accepting compare with sub-CU syntax slack (see the
+        # P-side note)
+        acc = ok & (tot <= indiv + ((lam256 * 4) >> 8))
         accb = rep2(acc)
         pb_bits = rep2(((lam256 * gbits) >> 8) // (g * g))
         out = []

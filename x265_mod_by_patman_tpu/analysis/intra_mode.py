@@ -44,6 +44,36 @@ def _mode_costs(orig, avail, bx, by, log2n: int, bit_depth: int = 8):
 
 
 @functools.partial(jax.jit, static_argnames=("log2n", "bit_depth"))
+def _tu_rd_for_modes(orig, avail, bx, by, modes, qp, log2n: int,
+                     bit_depth: int = 8):
+    """Level-units transform+quant RD (tu_rd_levels) of coding each
+    block with its GIVEN mode, predictions from original neighbors.
+    The real-RD replacement for SATD in CU-split decisions (the
+    reference's compressIntraCU rd-cost compare, analysis.cpp:878)."""
+    from ..ops.rdoq import tu_rd_levels
+    from ..ops.transform import dct_batch
+    from ..ops.intra import intra_pred_select_batch
+    n = 1 << log2n
+    h, w = orig.shape
+    x0 = bx * n
+    y0 = by * n
+    ks = np.arange(4 * n + 1)
+    k_x = np.where(ks <= 2 * n, -1, ks - (2 * n + 1))
+    k_y = np.where(ks < 2 * n, 2 * n - 1 - ks, -1)
+    xs = jnp.clip(x0[:, None] + jnp.asarray(k_x)[None, :], 0, w - 1)
+    ys = jnp.clip(y0[:, None] + jnp.asarray(k_y)[None, :], 0, h - 1)
+    s_sub, s_filt = substitute_filter_batch(orig[ys, xs], avail, log2n,
+                                            bit_depth)
+    pred = intra_pred_select_batch(s_sub, s_filt, modes, log2n, 0,
+                                   bit_depth)
+    gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+    gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+    resi = orig[gy, gx].astype(jnp.int32) - pred
+    return tu_rd_levels(dct_batch(resi, log2n, bit_depth), qp, log2n,
+                        bit_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("log2n", "bit_depth"))
 def _mode_costs_multi(origs, avail, bx, by, log2n: int, bit_depth: int = 8):
     """_mode_costs vmapped over a leading frame axis of origs."""
     def fn(o):
@@ -341,14 +371,48 @@ def decide_modes_tree(y: np.ndarray, sps, qp: int, nxn: bool = False):
     mode32 = np.argmin(t32, axis=-1).astype(np.int32)
     best32 = t32.min(axis=-1)
 
-    # bottom-up DP: unsplit saves 3 extra per-CU syntax sets (mode
-    # prev_flag + mpm/rem bins ~3.5, chroma_pred ~1, cbf flags ~3 each
-    # ~= 22 bins total); boundary regions must split
-    sum16 = (best16[0:2 * n32y:2, 0:2 * n32x:2]
-             + best16[0:2 * n32y:2, 1:2 * n32x:2]
-             + best16[1:2 * n32y:2, 0:2 * n32x:2]
-             + best16[1:2 * n32y:2, 1:2 * n32x:2])
-    split32 = best32 > sum16 + lam * 22.0
+    # bottom-up DP on REAL transform+quant RD (tu_rd_levels, level
+    # units — the rd-cost compare of compressIntraCU, analysis.cpp:878;
+    # SATD over-merged to 32 by ~3.5% BD on detailed content): unsplit
+    # saves 3 per-CU syntax sets (~22 bins); boundary regions split
+    K = 0.134
+    rd16 = np.asarray(_tu_rd_for_modes(
+        orig, jnp.asarray(avail.reshape(-1, avail.shape[-1])),
+        jnp.asarray(bxs.ravel().astype(np.int32)),
+        jnp.asarray(bys.ravel().astype(np.int32)),
+        jnp.asarray(modes16.ravel().astype(np.int32)),
+        qp, 4, sps.bit_depth)).reshape(nby, nbx)
+    rd32 = np.asarray(_tu_rd_for_modes(
+        orig, jnp.asarray(avail32.reshape(-1, avail32.shape[-1])),
+        jnp.asarray(b32x.ravel().astype(np.int32)),
+        jnp.asarray(b32y.ravel().astype(np.int32)),
+        jnp.asarray(mode32.ravel().astype(np.int32)),
+        qp, 5, sps.bit_depth)).reshape(n32y, n32x)
+    if cbits16 is not None:
+        chosen_bits16 = cbits16[..., 0]
+    else:
+        chosen_bits16 = np.full((nby, nbx), 4.0)
+    bits32_chosen = np.take_along_axis(
+        bits32, mode32[..., None], axis=-1)[..., 0]
+
+    def q16(a):
+        return (a[0:2 * n32y:2, 0:2 * n32x:2]
+                + a[0:2 * n32y:2, 1:2 * n32x:2]
+                + a[1:2 * n32y:2, 0:2 * n32x:2]
+                + a[1:2 * n32y:2, 1:2 * n32x:2])
+
+    cost32 = rd32 + K * bits32_chosen
+    cost16 = q16(rd16) + K * (q16(chosen_bits16) + 22.0)
+    split32 = cost32 > cost16
+    if split_map is not None:
+        # a 16-block that chose NxN carries TU8/TU4 levels in its slot;
+        # the unsplit-32 assembly can't represent that — and NxN means
+        # detail where a TU32 CU loses anyway
+        nxn_any = (split_map[0:2 * n32y:2, 0:2 * n32x:2]
+                   | split_map[0:2 * n32y:2, 1:2 * n32x:2]
+                   | split_map[1:2 * n32y:2, 0:2 * n32x:2]
+                   | split_map[1:2 * n32y:2, 1:2 * n32x:2])
+        split32 = split32 | nxn_any
     return (modes16, split_map, modes8, split32, mode32,
             cand16, cbits16)
 

@@ -51,6 +51,16 @@ MAX_MERGE = 3
 QP_OFFSET = {"I": -3, "P": 0, "B": 2}    # x265 CQP ip/pb factor analog
 
 
+def _motion_key(c):
+    """Canonical motion identity of an inter CU: the unused list's
+    mv/ref are don't-cares and must not block same-motion merges (the
+    decoder normalizes them to 0, so stale ME values here would make
+    visibly-identical CUs compare unequal)."""
+    l0 = (c.mv, c.ref_idx) if c.inter_dir & 1 else ((0, 0), -1)
+    l1 = (c.mv1, c.ref_idx1) if c.inter_dir & 2 else ((0, 0), -1)
+    return (c.inter_dir, l0, l1)
+
+
 class _RawIR:
     """Finished (bins, ctx) arrays from the native intra walker,
     presenting the minimal BinIR interface the slice assembler needs."""
@@ -649,7 +659,11 @@ class Encoder:
     def encode_batch(self, frames) -> List[EncodedFrame]:
         """Encode a list of (y, u, v) frames as IDRs in ONE fused
         multi-frame analysis + wavefront program (keyframe_max must be 1).
-        Host entropy still runs per frame."""
+        Host entropy still runs per frame.
+
+        Analysis grade: the fixed 16-grid (rd-2 equivalent) — the
+        multi-frame wavefront has no variable-tree variant yet, so
+        rd >= 3 streaming output differs from this path."""
         from ..analysis.intra_mode import decide_modes_batch
         assert self.p.keyframe_max == 1, "batched path is all-intra"
         assert self.p.internal_csp == 1, "batched path: 4:2:0 only (v1)"
@@ -1479,7 +1493,7 @@ class Encoder:
             p.cr_qp_offset if not np.isscalar(qp)
             else chroma_qp(qp, p.cr_qp_offset, csp),
             p.deblock_beta_offset, p.deblock_tc_offset,
-            self.sps.bit_depth, csp)
+            self.sps.bit_depth, csp, self.sps.log2_ctu_size)
         r["recon_y"] = np.asarray(dy).astype(self.pix_dtype)
         r["recon_u"] = np.asarray(du).astype(self.pix_dtype)
         r["recon_v"] = np.asarray(dv).astype(self.pix_dtype)
@@ -1854,8 +1868,7 @@ class Encoder:
             # voluntary TU split)
             if (self.p.internal_csp == 1 and full and len(cus) == 4 and
                     all(c.is_inter and c.part_mode == 0 for c in cus) and
-                    len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
-                          c.ref_idx1) for c in cus}) == 1):
+                    len({_motion_key(c) for c in cus}) == 1):
                 c0 = cus[0]
                 merged = {}
                 for c in cus:
@@ -1910,8 +1923,7 @@ class Encoder:
                     all(c.log2_size == 5 and c.is_inter and
                         c.part_mode == 0 and not c.coeffs
                         for c in cus) and
-                    len({(c.inter_dir, c.mv, c.mv1, c.ref_idx,
-                          c.ref_idx1) for c in cus}) == 1):
+                    len({_motion_key(c) for c in cus}) == 1):
                 c0 = cus[0]
                 return [CodedCU(cx * 64, cy * 64, 6, (1,), 4, {},
                                 is_inter=True, mv=c0.mv,

@@ -426,7 +426,6 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
     nby = lev_y.shape[0] - 1
     nbx = lev_y.shape[1]
     n32y, n32x = split32.shape
-    bpc = (nbx + qp.shape[1] - 1) // qp.shape[1]
     skip_map = jnp.zeros((nby + 1, nbx), bool)
     # RD mode selection: modes becomes a carry map (dump row nby) that
     # luma substeps write their winner into; chroma DM reads from it
@@ -439,8 +438,8 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
         for z in range(4):
             bx = s16_bx[s, z]
             by = s16_by[s, z]
-            cy = jnp.clip(by // bpc, 0, qp.shape[0] - 1)
-            cx = jnp.clip(bx // bpc, 0, qp.shape[1] - 1)
+            cy = jnp.clip(by, 0, qp.shape[0] - 1)
+            cx = jnp.clip(bx, 0, qp.shape[1] - 1)
             if cand16 is not None:
                 md_k = cand16[jnp.clip(by, 0, nby - 1),
                               jnp.clip(bx, 0, nbx - 1)]
@@ -496,8 +495,8 @@ def _wavefront_tree_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov,
         r32y = jnp.clip(py >> 5, 0, n32y - 1)
         commit = valid & ~split32[r32y, r32x]
         md32 = mode32[r32y, r32x]
-        cy = jnp.clip((py >> 4) // bpc, 0, qp.shape[0] - 1)
-        cx = jnp.clip((px >> 4) // bpc, 0, qp.shape[1] - 1)
+        cy = jnp.clip(py >> 4, 0, qp.shape[0] - 1)
+        cx = jnp.clip(px >> 4, 0, qp.shape[1] - 1)
         rec32, lv32, gy, gx = _intra_tb_whole(
             yp, oy, px, py, md32, r_avy[s], 5, qp[cy, cx], 0,
             bit_depth, sign_hide, rdoq,
@@ -590,8 +589,6 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                jnp.zeros(nc2, jnp.int32), jnp.zeros(nc2, jnp.int32),
                jnp.zeros(4, jnp.int32)) if have_nr else None
 
-    # per-block QP from the CTU-granular maps (uniform when AQ is off)
-    bpc = (nbx + qp.shape[1] - 1) // qp.shape[1]   # blocks per CTU axis
 
     def _nr_add(acc, out, luma):
         si, sp, ci, cp = out
@@ -614,8 +611,8 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map = carry
         bx = sb_bx[s]
         by = sb_by[s]
-        cy = jnp.clip(by // bpc, 0, qp.shape[0] - 1)
-        cx = jnp.clip(bx // bpc, 0, qp.shape[1] - 1)
+        cy = jnp.clip(by, 0, qp.shape[0] - 1)
+        cx = jnp.clip(bx, 0, qp.shape[1] - 1)
         qp_b = qp[cy, cx]
         qpcb_b = qp_cb[cy, cx]
         qpcr_b = qp_cr[cy, cx]
@@ -1055,12 +1052,17 @@ class IntraReconstructor:
         self.sb_av4y = jnp.asarray(np.stack(av4ys)) if av4ys else None
 
     def _qp_maps(self, qp):
-        """(luma, cb, cr) per-CTU QP maps from a scalar or a
-        (nCtuY, nCtuX) array."""
+        """(luma, cb, cr) per-16-BLOCK QP maps from a scalar or a
+        (nCtuY, nCtuX) array.  Expanded here (not in the jitted bodies)
+        so partial edge CTUs can't skew a blocks-per-CTU guess — the
+        old ceil-div inference broke at CTU64 on non-multiple widths."""
         if np.isscalar(qp):
-            qy = np.full((self.n_ctu_y, self.n_ctu_x), qp, np.int32)
+            qy = np.full((self.nby, self.nbx), qp, np.int32)
         else:
-            qy = np.asarray(qp, np.int32)
+            qc = np.asarray(qp, np.int32)
+            bpc = self.bpc
+            qy = np.repeat(np.repeat(qc, bpc, 0), bpc, 1)[
+                :self.nby, :self.nbx]
         if self.csp == 1:
             tab = CHROMA_QP_TABLE
             qcb = tab[np.clip(qy + self.cb_qp_offset, 0, 69)]

@@ -598,16 +598,17 @@ def _chroma_edges_pass(plane, on, edge_x, qpc, tc_off: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "beta_off", "tc_off", "bit_depth"))
+    "beta_off", "tc_off", "bit_depth", "log2_ctu"))
 def deblock_frame_multi(ys, us, vs, bs_v, bs_h, on_vc, on_hc, qp,
                         qpc_cb, qpc_cr, beta_off: int = 0,
-                        tc_off: int = 0, bit_depth: int = 8):
+                        tc_off: int = 0, bit_depth: int = 8,
+                        log2_ctu: int = 5):
     """Deblock F frames in one dispatch (shared BS maps — the all-intra
     uniform-grid case)."""
     def fn(y, u, v):
         return _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                                    qpc_cb, qpc_cr, beta_off, tc_off,
-                                   bit_depth)
+                                   bit_depth, log2_ctu=log2_ctu)
     return jax.vmap(fn)(ys, us, vs)
 
 
@@ -616,10 +617,10 @@ def deblock_frame_multi(ys, us, vs, bs_v, bs_h, on_vc, on_hc, qp,
 def deblock_frame_batch(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                         qpc_cb, qpc_cr, beta_off: int = 0,
                         tc_off: int = 0, bit_depth: int = 8,
-                        csp: int = 1):
+                        csp: int = 1, log2_ctu: int = 5):
     return _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                                qpc_cb, qpc_cr, beta_off, tc_off,
-                               bit_depth, csp)
+                               bit_depth, csp, log2_ctu)
 
 
 def _qp_edge_maps(qp, h, w, log2_ctu=5):
@@ -683,7 +684,7 @@ def _chroma_qp_edge_maps(qp, hc, wc, off_cb, off_cr, log2_ctu=5,
 def _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
                         qpc_cb, qpc_cr, beta_off: int = 0,
                         tc_off: int = 0, bit_depth: int = 8,
-                        csp: int = 1):
+                        csp: int = 1, log2_ctu: int = 5):
     """Deblock a full 4:2:0 frame: luma + chroma, V edges then H edges.
 
     y: (H, W) int32; u/v: (H/2, W/2) int32
@@ -697,7 +698,7 @@ def _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
     ev = jnp.arange(1, w // 8) * 8
     eh = jnp.arange(1, h // 8) * 8
     qp_j = jnp.asarray(qp, jnp.int32)
-    qp_v, qp_h = _qp_edge_maps(qp, h, w)
+    qp_v, qp_h = _qp_edge_maps(qp, h, w, log2_ctu)
     y = _luma_edges_pass(y, bs_v, ev, qp_v, beta_off, tc_off, bit_depth)
     y = _luma_edges_pass(y.T, bs_h.T, eh,
                          qp_h.T if qp_j.ndim else qp_h,
@@ -709,7 +710,7 @@ def _deblock_frame_body(y, u, v, bs_v, bs_h, on_vc, on_hc, qp,
     if qp_j.ndim:
         cbv, crv, cbh, crh = _chroma_qp_edge_maps(qp, hc, wc,
                                                   qpc_cb, qpc_cr,
-                                                  csp=csp)
+                                                  log2_ctu, csp=csp)
         chroma_qps = ((cbv, cbh), (crv, crh))
     else:
         chroma_qps = ((qpc_cb, qpc_cb), (qpc_cr, qpc_cr))

@@ -44,7 +44,11 @@ class MultiStreamIntraEncoder:
         self.encoders = [Encoder(default_params(
             params.source_width, params.source_height, qp=params.qp,
             keyframe_max=1, sao=params.sao, deblock=params.deblock,
-            wpp=params.wpp)) for _ in range(n_streams)]
+            wpp=params.wpp, ctu_size=params.ctu_size,
+            # the batched wavefront is the fixed-grid (rd-2) analysis;
+            # pin it so headers match a rd-2 streaming encoder
+            rd_level=min(params.rd_level, 2)))
+            for _ in range(n_streams)]
         self.sharding = NamedSharding(self.mesh, P("stream"))
 
     def encode_step(self, frames: Sequence[tuple]) -> List[EncodedFrame]:

@@ -32,7 +32,7 @@ class EncoderParams:
     total_frames: int = 0
 
     # coding tools / structure (x265: maxCUSize, minCUSize, tuQTMax*Depth)
-    ctu_size: int = 32
+    ctu_size: int = 64              # x265 default --ctu 64
     min_cu_size: int = 8
     max_tu_size: int = 16        # TU16 = wavefront granularity; 32x32
                                  # CUs use the forced TU-quadtree split
@@ -114,7 +114,7 @@ class EncoderParams:
     lossless: bool = False          # transquant bypass everywhere
 
     # analysis / RDO
-    rd_level: int = 2
+    rd_level: int = 3               # x265 default preset (medium) rd 3
     nr_intra: int = 0               # x265 --nr-intra (DCT-domain denoise)
     nr_inter: int = 0               # x265 --nr-inter
     rdoq_level: int = 0
@@ -177,6 +177,11 @@ class EncoderParams:
             # x265_check_params rejects odd dims for 4:2:0 likewise)
             assert p.source_width % 2 == 0 and p.source_height % 2 == 0, \
                 "4:2:0 requires even source dimensions"
+        if p.slices > 1:
+            # slices are CTU-row bands; clamp like x265's configure()
+            # warning path rather than silently emitting fewer
+            rows = -(-p.source_height // p.ctu_size)
+            p.slices = max(1, min(p.slices, rows))
         if p.internal_csp in (CHROMA_422, CHROMA_444):
             # 4:2:2/4:4:4 v1 restrictions (tools whose chroma geometry
             # is still 4:2:0-coupled); asserts raise rather than
@@ -239,7 +244,10 @@ class EncoderParams:
                          and p.ctu_size >= 32
                          and p.internal_csp == CHROMA_420
                          and p.source_width >= 32 and p.source_height >= 32
-                         and not (p.nr_intra or p.nr_inter))
+                         and not (p.nr_intra or p.nr_inter)
+                         # TU4 DST splits (--tu-intra-depth 2) ride the
+                         # fixed-grid wavefront only (v1)
+                         and p.tu_intra_depth < 2)
         if (p.nr_intra or p.nr_inter) and p.internal_csp != CHROMA_420:
             # v1: NR state is shaped for the 4:2:0 TU16/TU8 stores
             p.nr_intra = p.nr_inter = 0
