@@ -13,12 +13,33 @@ measured.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The axon tunnel hangs jax.devices() forever (nanosleep retry loop)
+# when the relay's claim leg is dead.  Probe device init in a THROWAWAY
+# SUBPROCESS with a deadline before importing jax here; on timeout,
+# re-exec ourselves without the axon plugin (CPU backend) so the
+# driver's bench run always terminates.
+if os.environ.get("X265TPU_BENCH_CPU") != "1":
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=150, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, check=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        env = dict(os.environ)
+        env["X265TPU_BENCH_CPU"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        sys.stderr.write("bench: TPU tunnel unreachable, "
+                         "falling back to CPU backend\n")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 import jax  # noqa: E402
 
@@ -60,7 +81,11 @@ def main():
     # batched mode decision + vmapped wavefront + batched deblock chained
     # on device (8 frames/dispatch), device->host transfers packed +
     # async, host entropy overlapping device compute.
-    p = default_params(W, H, qp=QP, keyframe_max=1, sao=False)
+    # ultrafast-equivalent, matching the x265 baseline command (ctu 32,
+    # fixed-grid analysis) — the repo DEFAULTS are medium-equivalent
+    # (ctu 64, rd 3) and would benchmark a different operating point
+    p = default_params(W, H, qp=QP, keyframe_max=1, sao=False,
+                       ctu_size=32, rd_level=2)
     enc = Encoder(p)
     enc.encode_intra_batched(frames[:batch], batch=batch)  # jit compiles
 
@@ -100,6 +125,7 @@ def main():
         "device_s_per_frame": round(dev_s, 4),
         "device_only_fps": round(1.0 / dev_s, 2) if dev_s else 0.0,
         "kbps": round(nbytes * 8 * 25.0 / n_bench / 1000.0, 1),
+        "backend": jax.devices()[0].platform,
     }))
 
 

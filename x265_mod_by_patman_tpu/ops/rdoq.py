@@ -41,6 +41,16 @@ _GT2_0, _GT2_1 = 0.7, 1.4
 _SIGN = 1.0
 _CG_FLAG = 1.0                      # coded_sub_block_flag saving
 
+# level-units bit weights.  The lambda-consistent derivation gives
+# K = lambda2/step^2 ~= 0.134 (module docstring), but measured against
+# the real CABAC cost of the chosen levels the static bit model
+# overestimates ~2x: at K=0.134 RDOQ output lands ~2 QP down-curve
+# from the requested point (verified by transplant calibration against
+# x265 anchors on park: K=0.06 reproduces the deadzone operating point
+# with a slight quality edge at matched bits).
+K_INTRA = 0.06
+K_INTER = 0.12
+
 
 def _level_bits(lv: jnp.ndarray) -> jnp.ndarray:
     """Approximate bits to code absolute level lv >= 0 (float)."""
@@ -97,9 +107,9 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     cs = jnp.abs(c).astype(jnp.float32) * scale.astype(jnp.float32) \
         / jnp.exp2(qbits.astype(jnp.float32))
     if intra_mask is None:
-        k = jnp.full(coef.shape[:1], 0.134, jnp.float32)
+        k = jnp.full(coef.shape[:1], K_INTRA, jnp.float32)
     else:
-        k = jnp.where(jnp.asarray(intra_mask), 0.134, 0.26) \
+        k = jnp.where(jnp.asarray(intra_mask), K_INTRA, K_INTER) \
             .astype(jnp.float32)
     k = k[:, None, None]
 
