@@ -192,12 +192,25 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0) \
             * (1 << (2 * (bit_depth - 8)))
         base_bits = 6.0 if c_idx == 0 else 2.0
-        nzf = nz.astype(jnp.float32)
-        # sparse inter residuals pay heavy per-TB overhead (cbf +
-        # last_sig_pos + CG flags) before the per-coeff cost; measured
-        # ~8 bits/coeff at typical P-frame densities vs the 3 the old
-        # model charged, which kept far too many coded CUs alive
-        bits = base_bits + jnp.where(nzf > 0.0, 10.0, 0.0) + 4.5 * nzf
+        if init_type is not None and c_idx != 0:
+            # chroma: rate-true residual bits from the EstBitsSbac
+            # tables over the actual chosen levels (last_pos + CG flags
+            # + sig/gt1/gt2/sign/remaining on the coded scan region).
+            # Measured on the park clip this is worth ~5 BD points
+            # global (the linear model, calibrated on luma statistics,
+            # overcharged sparse chroma TBs and skipped too much).
+            # LUMA keeps the density-calibrated linear model: the
+            # frozen slice-start states undercharge sig=1 in the
+            # sparse-grain regime where real adapted contexts have
+            # drifted toward all-zero (measured +4.7 BD-rate Y when
+            # the table estimate drives the luma decision too).
+            from ..ops.rdoq import tb_bits_est
+            bits = base_bits + tb_bits_est(lev, qp, log2n, c_idx,
+                                           init_type)
+        else:
+            nzf = nz.astype(jnp.float32)
+            bits = base_bits + jnp.where(nzf > 0.0, 10.0, 0.0) \
+                + 4.5 * nzf
         cost_skip = sse_skip.astype(jnp.float32)
         cost_coded = sse_coded.astype(jnp.float32) + lam2 * bits
         if psy256 is not None and c_idx == 0:

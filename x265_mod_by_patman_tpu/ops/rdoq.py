@@ -241,6 +241,114 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     return jnp.sign(c) * lv
 
 
+@functools.lru_cache(maxsize=None)
+def _scan_idx_map(log2_size: int) -> np.ndarray:
+    """(n, n) map raster position -> diagonal scan index (CG-major)."""
+    from ..constants.hevc_tables import scan_order, SCAN_DIAG
+    s = scan_order(log2_size, SCAN_DIAG)
+    n = 1 << log2_size
+    m = np.zeros((n, n), np.int32)
+    m[s[:, 1], s[:, 0]] = np.arange(s.shape[0], dtype=np.int32)
+    return m
+
+
+# last_sig_coeff_{x,y}_prefix group index per coordinate (spec 9.3.3.1.2)
+_LAST_GROUP_IDX = np.array(
+    [0, 1, 2, 3, 4, 4, 5, 5] + [6] * 4 + [7] * 4 + [8] * 8 + [9] * 8,
+    np.int32)
+# prefix ctx bins at ~0.9 bit (slice-start states are near-uniform) plus
+# exact bypass suffix length
+_LAST_BITS_LUT = ((_LAST_GROUP_IDX + 1).astype(np.float32) * 0.9
+                  + np.maximum(0, (_LAST_GROUP_IDX >> 1) - 1)
+                  .astype(np.float32))
+
+
+def tb_bits_est(lev: jnp.ndarray, qp, log2_size: int, c_idx: int = 0,
+                init_type=None) -> jnp.ndarray:
+    """Rate-true estimate (float32 bits, (B,)) of coding a TB's chosen
+    levels: last_sig_pos + coded_sub_block_flags + sig/gt1/gt2/sign/
+    remaining over the coded scan region only — the counting-mode
+    Entropy walk (reference entropy.h:107-133 EstBitsSbac, used by
+    analysis.cpp:3485 merge/skip preference) collapsed to slice-start
+    context states (entropy/est_bits.py tables) so it stays one fused
+    gather per batch.  Returns 0 for all-zero TBs (cbf=0)."""
+    from ..entropy.est_bits import (BITS_TABLE, sig_ctx_map,
+                                    residual_ctx_scalars)
+    from ..constants.hevc_tables import scan_order
+    qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:
+        qp = jnp.broadcast_to(qp, lev.shape[:1])
+    it = init_type if init_type is not None else 2
+    tbl = jnp.asarray(BITS_TABLE)
+    bt = tbl[it, jnp.clip(qp, 0, 51)]               # (B, C, 2)
+    smap = jnp.asarray(sig_ctx_map(log2_size, c_idx))
+    sig0 = bt[:, smap, 0]                           # (B, n, n)
+    sig1 = bt[:, smap, 1]
+    g1c, g2c, cgc = residual_ctx_scalars(log2_size, c_idx)
+    g1_0 = bt[:, g1c, 0][:, None, None]
+    g1_1 = bt[:, g1c, 1][:, None, None]
+    g2_0 = bt[:, g2c, 0][:, None, None]
+    g2_1 = bt[:, g2c, 1][:, None, None]
+
+    n = 1 << log2_size
+    al = jnp.abs(lev).astype(jnp.float32)
+    S = jnp.asarray(_scan_idx_map(log2_size))       # (n, n)
+    nz = al > 0
+    any_nz = jnp.any(nz, axis=(1, 2))
+    last = jnp.max(jnp.where(nz, S[None], -1), axis=(1, 2))     # (B,)
+    region = S[None] <= last[:, None, None]
+
+    # per-coefficient bits inside coded CGs of the scan region
+    v = jnp.maximum(al - 3.0, 0.0)
+    rem = jnp.where(v < 3.0, v + 1.0,
+                    4.0 + 2.0 * jnp.floor(
+                        jnp.log2(jnp.maximum(v - 2.0, 1.0))))
+    lb = jnp.where(
+        al == 0, sig0,
+        sig1 + _SIGN + jnp.where(
+            al == 1, g1_0,
+            g1_1 + jnp.where(al == 2, g2_0, g2_1 + rem)))
+
+    if n > 4:
+        g = n // 4
+        cg_nz = jnp.any(nz.reshape(-1, g, 4, g, 4), axis=(2, 4))
+        cg_reg = jnp.any(region.reshape(-1, g, 4, g, 4), axis=(2, 4))
+        cg_nz_b = jnp.repeat(jnp.repeat(cg_nz, 4, axis=1), 4, axis=2)
+        coeff_bits = jnp.sum(
+            jnp.where(region & cg_nz_b, lb, 0.0), axis=(1, 2))
+        # coded_sub_block_flag per in-region CG; DC CG and the last CG
+        # are inferred (spec 7.4.9.11)
+        cg0b = bt[:, cgc, 0][:, None, None]
+        cg1b = bt[:, cgc, 1][:, None, None]
+        pos = jnp.asarray(
+            np.stack(np.meshgrid(np.arange(g), np.arange(g),
+                                 indexing="ij"), -1))   # (g, g, 2) y,x
+        dc_cg = (pos[..., 0] == 0) & (pos[..., 1] == 0)
+        sc = jnp.asarray(scan_order(log2_size, 0))
+        lxy = sc[jnp.clip(last, 0, n * n - 1)]          # (B, 2) x,y
+        last_cg = ((pos[None, ..., 0] == (lxy[:, 1] >> 2)[:, None, None])
+                   & (pos[None, ..., 1] == (lxy[:, 0] >> 2)[:, None, None]))
+        cg_mask = cg_reg & ~dc_cg[None] & ~last_cg
+        cg_bits = jnp.sum(
+            jnp.where(cg_mask, jnp.where(cg_nz, cg1b, cg0b), 0.0),
+            axis=(1, 2))
+    else:
+        coeff_bits = jnp.sum(jnp.where(region, lb, 0.0), axis=(1, 2))
+        cg_bits = 0.0
+        sc = jnp.asarray(scan_order(log2_size, 0))
+        lxy = sc[jnp.clip(last, 0, n * n - 1)]
+
+    # the last coefficient's significance is implied by last_sig_pos
+    bidx = jnp.arange(lev.shape[0])
+    sig1_last = sig1[bidx, jnp.clip(lxy[:, 1], 0, n - 1),
+                     jnp.clip(lxy[:, 0], 0, n - 1)]
+    lut = jnp.asarray(_LAST_BITS_LUT)
+    last_bits = lut[jnp.clip(lxy[:, 0], 0, 31)] + \
+        lut[jnp.clip(lxy[:, 1], 0, 31)]
+    total = coeff_bits + cg_bits + last_bits - sig1_last + 0.8  # + cbf
+    return jnp.where(any_nz, total, 0.0)
+
+
 def tu_rd_levels(coef: jnp.ndarray, qp, log2_size: int,
                  bit_depth: int = 8, k: float = 0.134) -> jnp.ndarray:
     """Level-units RD estimate of coding a TU's coefficients:
