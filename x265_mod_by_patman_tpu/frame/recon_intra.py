@@ -207,6 +207,17 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             from ..ops.rdoq import tb_bits_est
             bits = base_bits + tb_bits_est(lev, qp, log2n, c_idx,
                                            init_type)
+        elif init_type is not None:
+            # luma hybrid: the calibrated linear floor guards against
+            # the frozen-state undercharge, the structural estimate
+            # adds position-awareness (a lone high-frequency coeff
+            # costs its full last_sig_pos, which the density model
+            # averages away)
+            from ..ops.rdoq import tb_bits_est
+            nzf = nz.astype(jnp.float32)
+            lin = jnp.where(nzf > 0.0, 10.0, 0.0) + 4.5 * nzf
+            est = tb_bits_est(lev, qp, log2n, c_idx, init_type)
+            bits = base_bits + jnp.maximum(lin, est)
         else:
             nzf = nz.astype(jnp.float32)
             bits = base_bits + jnp.where(nzf > 0.0, 10.0, 0.0) \

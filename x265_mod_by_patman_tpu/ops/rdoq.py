@@ -93,8 +93,7 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     each candidate's cost in transform-coefficient units; divided by
     step^2 (-> level units, like K above) that is exactly
     psyRdoq * sqrt(K) * L — qp-independent, like K itself.  The SBH
-    flip pass below ignores the psy term (its +-1 deltas are second
-    order)."""
+    flip pass sees the same psy term in its +-1 candidate costs."""
     qp = jnp.asarray(qp, jnp.int32)
     if qp.ndim == 0:
         qp = jnp.broadcast_to(qp, coef.shape[:1])
@@ -214,11 +213,22 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
         mismatch = hide & (parity != want)
 
         kt = k[:, 0, 0][:, None, None, None]
+        if psy_rdoq is not None and c_idx == 0:
+            # psy bias in the flip deltas too (reference quant.cpp:318
+            # applies psyValue inside signBitHidingHDQ's deltaU): a
+            # +-1 flip on an AC coefficient changes the retained
+            # energy, so the candidate costs must see the same
+            # psy term as the level decision above
+            psy_t = tiles(jnp.broadcast_to(psy_k, lv.shape))
+        else:
+            psy_t = jnp.float32(0.0)
         bits_t = (lambda q: tiles(level_bits(q)))
-        cost_cur = (cs_t - lv_t) ** 2 + kt * bits_t(lv)
-        cost_up = (cs_t - (lv_t + 1)) ** 2 + kt * tiles(level_bits(lv + 1))
+        cost_cur = (cs_t - lv_t) ** 2 + kt * bits_t(lv) - psy_t * lv_t
+        cost_up = (cs_t - (lv_t + 1)) ** 2 + \
+            kt * tiles(level_bits(lv + 1)) - psy_t * (lv_t + 1)
         cost_dn = (cs_t - (lv_t - 1)) ** 2 + \
-            kt * tiles(level_bits(jnp.maximum(lv - 1, 0)))
+            kt * tiles(level_bits(jnp.maximum(lv - 1, 0))) - \
+            psy_t * jnp.maximum(lv_t - 1, 0)
         in_win = (pos >= first[..., None]) & (pos <= last[..., None])
         edge = (pos == first[..., None]) | (pos == last[..., None])
         big = jnp.float32(1e30)
