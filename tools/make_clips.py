@@ -76,13 +76,20 @@ def make_park(w, h, n, seed=7):
     # varying pan velocity (px/frame), quarter-ish positions via rounding
     xs = np.cumsum(2.0 + 1.5 * np.sin(np.arange(n) / 4.0))
     for i in range(n):
-        ox, oy = int(round(xs[i])) + 8, 16
+        # clamp the pan so long clips can't walk off the 2w+64 world
+        # (no-op at the default 12-frame / 416x240 geometry)
+        ox, oy = min(int(round(xs[i])) + 8, ww - w), 16
         y = world[oy:oy + h, ox:ox + w].copy()
         u = wu[oy // 2:oy // 2 + h // 2, ox // 2:ox // 2 + w // 2].copy()
         v = wv[oy // 2:oy // 2 + h // 2, ox // 2:ox // 2 + w // 2].copy()
         # two occluders moving against the pan
         for k, (spd, y0, sz, val) in enumerate(
                 ((-3, h // 2, 40, 60), (5, h // 4, 24, 200))):
+            # clamp occluder geometry to the frame for small --w/--h
+            # (no-op at the default 416x240)
+            sz = min(sz, h - y0, w - 1)
+            if sz < 2:
+                continue
             x0 = (40 + 120 * k + spd * i) % (w - sz)
             yy, xx = np.mgrid[0:sz, 0:sz]
             mask = ((yy - sz / 2) ** 2 + (xx - sz / 2) ** 2) < (sz / 2) ** 2
@@ -132,6 +139,7 @@ def main():
     ap.add_argument("--out-dir", default="/tmp")
     ap.add_argument("--clips", default="park,nat,bench")
     a = ap.parse_args()
+    os.makedirs(a.out_dir, exist_ok=True)
     gen = {"park": make_park, "nat": make_nat, "bench": make_bench}
     for name in a.clips.split(","):
         frames = gen[name](a.w, a.h, a.frames)

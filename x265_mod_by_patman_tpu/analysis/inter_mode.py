@@ -62,6 +62,28 @@ def _stack_refs(planes, m: int):
 # (A1 left, B1 top, B0 top-right; spec 8.5.3.2.3)
 _MERGE_NEIGH = ((0, 1), (1, 0), (1, -1))
 
+
+def _rd_resid_cost(org, pred, qp_b, log2n: int, bd: int, lam2):
+    """Transform-domain RD of one motion option's luma residual (the
+    encodeResAndCalcRdInterCU / rd-skip arbitration of x265
+    analysis.cpp:3485 checkMerge2Nx2N, collapsed to one TU): returns
+    (coded_cost_sans_syntax, zero_residual_sse) per block.  Uses the
+    same linear luma rate model as the wavefront's zero-residual test
+    (frame/recon_intra.py) so analysis and recon agree on when a
+    residual is worth coding."""
+    from ..ops.transform import (dct_batch, quant_dyn, dequant_dyn,
+                                 idct_batch)
+    imask = jnp.zeros(org.shape[:1], bool)
+    coef = dct_batch(org - pred, log2n, bd)
+    lev = quant_dyn(coef, imask, qp_b, log2n, bd)
+    deq = dequant_dyn(lev, qp_b, log2n, bd)
+    rec = jnp.clip(pred + idct_batch(deq, log2n, bd), 0, (1 << bd) - 1)
+    sse_c = jnp.sum((org - rec).astype(jnp.float32) ** 2, (1, 2))
+    sse_z = jnp.sum((org - pred).astype(jnp.float32) ** 2, (1, 2))
+    nz = jnp.sum(lev != 0, (1, 2)).astype(jnp.float32)
+    bits = jnp.where(nz > 0, 10.0 + 4.5 * nz, 0.0)
+    return sse_c + lam2 * bits, sse_z
+
 # merge_idx TR bin count per list position (cu_syntax._merge_idx with
 # cmax = max_merge - 1 = 2): idx0 -> 1, idx1 -> 2, idx2 -> 2
 _MERGE_IDX_BINS = (1, 2, 2)
@@ -118,7 +140,8 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     cshift = 0 if idc == 3 else 1
     out = _p_core(oy, rys, rus, rvs, wq, wo,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
-                  jnp.int32(lam256), wpat, search_range, block, bd,
+                  jnp.int32(lam256), jnp.int32(qp), wpat,
+                  search_range, block, bd,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
                   amp_eff, wc=wc, cpat=cpat, cshift=cshift,
                   is422=idc == 2, me_sea=me_sea)
@@ -134,7 +157,7 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                               "log2_ctu", "use_pallas", "subme", "rect",
                               "amp", "band", "cpat", "cshift",
                               "is422", "me_sea"))
-def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
+def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
             use_pallas: bool, subme: int = 2, rect: bool = False,
             amp: bool = False, band=None, wc=None, cpat=None,
@@ -248,7 +271,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
         return jax.lax.ppermute(f2d[-1:], axis,
                                 [(i, i + 1) for i in range(nd - 1)])
 
-    def cand_round(mvx, mvy, rsel):
+    def cand_round(mvx, mvy, rsel, rd: bool = False):
         f2x = mvx.reshape(nby, nbx)
         f2y = mvy.reshape(nby, nbx)
         f2r = rsel.reshape(nby, nbx)
@@ -269,6 +292,25 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
         cost_me = satd_me + ((lam256 * (mvd_bits_best + 3 + me_ref)) >> 8)
         best_cost = cost_me
         best_x, best_y, best_r = me_mvx, me_mvy, me_ref
+        if rd:
+            # final round decides with transform-domain RD instead of
+            # SATD (x265 checkMerge2Nx2N + encodeResAndCalcRdSkipCU,
+            # analysis.cpp:3485): a unique AMVP mv whose residual
+            # quantizes to ~zero pays mvd+ref+mvp syntax for nothing —
+            # a coding-order neighbor's mv rides merge/skip for 2-4
+            # bins.  The satd rounds can't see this because the rate
+            # difference is small in satd units while the RATE share
+            # of a zero-residual CU's cost is total.
+            lam2 = (lam256.astype(jnp.float32) / 256.0) ** 2
+            qp_b = jnp.broadcast_to(qp32, (nb,))
+            pr_me = mc_batch(tall, bx, by + me_ref * strip + m_pad,
+                             me_mvx, me_mvy, n, 0, bd,
+                             use_pallas=use_pallas)
+            cc, sz = _rd_resid_cost(org, pr_me, qp_b,
+                                    n.bit_length() - 1, bd, lam2)
+            syn_me = (mvd_bits_best + 3 + me_ref).astype(jnp.float32)
+            best_rd = jnp.minimum(cc + lam2 * syn_me,
+                                  sz + lam2 * (syn_me + 1.0))
         for k, (cmx2, cmy2, crf2, ok2) in enumerate(nfs):
             cmx = cmx2.ravel()
             cmy = cmy2.ravel()
@@ -281,15 +323,28 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             # skip/merge_flag + merge_idx TR bins
             sc = sc_satd + ((lam256 * (2 + _MERGE_IDX_BINS[k])) >> 8)
             sc = jnp.where(ok, sc, 1 << 30)
-            upd = sc < best_cost
+            if rd:
+                cc, sz = _rd_resid_cost(org, pr, qp_b,
+                                        n.bit_length() - 1, bd, lam2)
+                mb = float(2 + _MERGE_IDX_BINS[k])
+                rdk = jnp.minimum(cc + lam2 * (mb + 4.0),
+                                  sz + lam2 * mb)
+                rdk = jnp.where(ok, rdk, jnp.float32(3e38))
+                upd = rdk < best_rd
+                best_rd = jnp.where(upd, rdk, best_rd)
+            else:
+                upd = sc < best_cost
             best_cost = jnp.where(upd, sc, best_cost)
             best_x = jnp.where(upd, cmx, best_x)
             best_y = jnp.where(upd, cmy, best_y)
             best_r = jnp.where(upd, crf, best_r)
-        return best_x, best_y, best_r, best_cost
+        return (best_x, best_y, best_r, best_cost,
+                best_rd if rd else None)
 
-    for _ in range(3):
-        mvx, mvy, ref_sel, cost = cand_round(mvx, mvy, ref_sel)
+    for _ in range(2):
+        mvx, mvy, ref_sel, cost, _ = cand_round(mvx, mvy, ref_sel)
+    mvx, mvy, ref_sel, cost, cost_rd = cand_round(mvx, mvy, ref_sel,
+                                                  rd=True)
 
     # 2b. rect PU candidates (2NxN / Nx2N): 8x8 sub-block ME on each
     # block's chosen reference, then PU costs from own+partner SATD
@@ -452,10 +507,10 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
     # same-motion merges (and 64x64 skips) actually fire on low-motion
     # content (the batched analog of x265's large-CU early-skip RDO,
     # analysis.cpp:1663 rd0-4 2Nx2N/skip at upper depths)
-    def _region_uniform(mvx, mvy, ref_sel, cost, part, g):
+    def _region_uniform(mvx, mvy, ref_sel, cost, cost_rd, part, g):
         gh, gw = nby // g, nbx // g
         if gh == 0 or gw == 0 or n != 16:
-            return mvx, mvy, ref_sel, cost
+            return mvx, mvy, ref_sel, cost, cost_rd
         f2 = lambda a: a.reshape(nby, nbx)
         crop = lambda a: f2(a)[:gh * g, :gw * g]
         rep2 = lambda a: jnp.repeat(jnp.repeat(a, g, 0), g, 1)
@@ -466,14 +521,21 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             # frame rows (padded bands replicate edge rows)
             gy = jnp.arange(gh)[:, None]
             ok = ok & ((gby0 + (gy + 1) * g) <= nby_total)
-        indiv = gsum(crop(cost))
+        # region decisions compare TRANSFORM-DOMAIN RD (SSE + lam2 *
+        # bits), not satd + lam*bits: at medium/high QP the rate share
+        # of a zero-residual region's cost dominates, and the satd
+        # scale undervalues it — exactly why x265's merge-first RDO
+        # (analysis.cpp:3485 checkMerge2Nx2N, :1663 upper-depth skip)
+        # accepts a slightly worse merge prediction for a whole-region
+        # SKIP.  indiv comes from the rd cand_round (per-block min of
+        # coded/zero cost incl. each block's own syntax bins).
+        indiv_rd = gsum(crop(cost_rd))
+        lam2 = (lam256.astype(jnp.float32) / 256.0) ** 2
+        qp_b = jnp.broadcast_to(qp32, (nb,))
+        log2n = n.bit_length() - 1
         s = g // 2
-        best = None        # [tot, rmx, rmy, rrf, satd_blocks, gbits]
-        for c in range(4):
-            sy, sx = (c >> 1) * s, (c & 1) * s
-            rmx = crop(mvx)[sy::g, sx::g]
-            rmy = crop(mvy)[sy::g, sx::g]
-            rrf = crop(ref_sel)[sy::g, sx::g]
+
+        def eval_cand(rmx, rmy, rrf, gbits, valid=None):
             fmx = f2(mvx).at[:gh * g, :gw * g].set(rep2(rmx)).ravel()
             fmy = f2(mvy).at[:gh * g, :gw * g].set(rep2(rmy)).ravel()
             frf = f2(ref_sel).at[:gh * g, :gw * g].set(rep2(rrf)) \
@@ -481,30 +543,77 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
             pr = mc_batch(tall, bx, by + frf * strip + m_pad, fmx, fmy,
                           n, 0, bd, use_pallas=use_pallas)
             sbc = crop(satd_batch(org, pr))
+            cc, sz = _rd_resid_cost(org, pr, qp_b, log2n, bd, lam2)
+            blk_rd = crop(f2(jnp.minimum(cc, sz)))
+            tot = gsum(blk_rd) + lam2 * gbits.astype(jnp.float32)
+            if valid is not None:
+                tot = jnp.where(valid, tot, jnp.float32(3e38))
+            return [tot, rmx, rmy, rrf, sbc, gbits, blk_rd]
+
+        def merge_best(best, cand):
+            if best is None:
+                return cand
+            u = cand[0] < best[0]
+            ub = rep2(u)
+            return [jnp.where(u, cand[0], best[0]),
+                    jnp.where(u, cand[1], best[1]),
+                    jnp.where(u, cand[2], best[2]),
+                    jnp.where(u, cand[3], best[3]),
+                    jnp.where(ub, cand[4], best[4]),
+                    jnp.where(u, cand[5], best[5]),
+                    jnp.where(ub, cand[6], best[6])]
+
+        best = None   # [tot, rmx, rmy, rrf, satd_blocks, gbits, blk_rd]
+        for c in range(4):
+            sy, sx = (c >> 1) * s, (c & 1) * s
+            rmx = crop(mvx)[sy::g, sx::g]
+            rmy = crop(mvy)[sy::g, sx::g]
+            rrf = crop(ref_sel)[sy::g, sx::g]
             # region-CU syntax estimate: the merged CU codes its motion
             # via merge/skip (a few bins) or AMVP with a well-predicted
             # mvd, NOT a full unpredicted mv — charging mv_bits here
             # made tot > indiv for near-identical motion and blocked
             # nearly every large-CU merge (x265's analysis reaches skip
             # first for the same reason, analysis.cpp:1663)
-            gbits = 8 + rrf
-            tot = gsum(sbc) + ((lam256 * gbits) >> 8)
-            if best is None:
-                best = [tot, rmx, rmy, rrf, sbc, gbits]
-            else:
-                u = tot < best[0]
-                ub = rep2(u)
-                best = [jnp.where(u, tot, best[0]),
-                        jnp.where(u, rmx, best[1]),
-                        jnp.where(u, rmy, best[2]),
-                        jnp.where(u, rrf, best[3]),
-                        jnp.where(ub, sbc, best[4]),
-                        jnp.where(u, gbits, best[5])]
-        tot, rmx, rmy, rrf, sbc, gbits = best
-        # merging also saves the sub-CUs' own skip/merge syntax (~4
-        # bins each); without this slack an already-uniform region ties
-        # tot == indiv and the strict compare blocks the larger merge
-        acc = ok & (tot <= indiv + ((lam256 * 4) >> 8))
+            best = merge_best(best, eval_cand(rmx, rmy, rrf, 8 + rrf))
+        # A1/B1 merge-aligned candidates: the motion of the block left
+        # of the region's bottom-left / above its top-right IS the
+        # region CU's spatial merge candidate at syntax time (spec
+        # 8.5.3.2.3) — adopting it lets the whole region code as
+        # merge/SKIP (2-4 bins) where a corner mv that differs from
+        # every candidate pays AMVP mvd+ref+mvp syntax for a region
+        # whose residual is usually zero (the mz32/mz64 waste vs x265,
+        # analysis.cpp:3485 checkMerge2Nx2N-first ordering)
+        ry_i = jnp.arange(gh) * g
+        rx_i = jnp.arange(gw) * g
+        fx2, fy2, fr2 = f2(mvx), f2(mvy), f2(ref_sel)
+        a1_r = ry_i + (g - 1)
+        a1_c = rx_i - 1
+        va1 = jnp.broadcast_to((a1_c >= 0)[None, :], (gh, gw))
+        ac = jnp.clip(a1_c, 0, nbx - 1)
+        mb3 = jnp.full((gh, gw), 3, jnp.int32)
+        best = merge_best(best, eval_cand(
+            fx2[a1_r[:, None], ac[None, :]],
+            fy2[a1_r[:, None], ac[None, :]],
+            fr2[a1_r[:, None], ac[None, :]], mb3, va1))
+        b1_r = ry_i - 1
+        b1_c = rx_i + (g - 1)
+        vb1 = jnp.broadcast_to((b1_r >= 0)[:, None], (gh, gw))
+        br = jnp.clip(b1_r, 0, nby - 1)
+        best = merge_best(best, eval_cand(
+            fx2[br[:, None], b1_c[None, :]],
+            fy2[br[:, None], b1_c[None, :]],
+            fr2[br[:, None], b1_c[None, :]], mb3, vb1))
+        # zero-mv candidate: the spec merge list's zero-fill entry
+        # (8.5.3.2.3 step 5) — catches static regions whose spatial
+        # neighbors carry a different list/ref and would otherwise
+        # code AMVP syntax for (0,0)
+        zz = jnp.zeros((gh, gw), jnp.int32)
+        best = merge_best(best, eval_cand(zz, zz, zz, mb3 + 1))
+        tot, rmx, rmy, rrf, sbc, gbits, blk_rd = best
+        # merging also saves the sub-CUs' own split syntax; small slack
+        # so an already-uniform region doesn't tie-block the merge
+        acc = ok & (tot <= indiv_rd + lam2 * 4.0)
         accb = rep2(acc)
         pb_bits = rep2(((lam256 * gbits) >> 8) // (g * g))
         new = []
@@ -513,13 +622,18 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, wpat,
                 jnp.where(accb, rep2(r), crop(a))).ravel())
         new_cost = f2(cost).at[:gh * g, :gw * g].set(
             jnp.where(accb, sbc + pb_bits, crop(cost))).ravel()
-        return new[0], new[1], new[2], new_cost
+        new_rd = f2(cost_rd).at[:gh * g, :gw * g].set(
+            jnp.where(accb,
+                      blk_rd + lam2 * rep2(gbits).astype(jnp.float32)
+                      / (g * g),
+                      crop(cost_rd))).ravel()
+        return new[0], new[1], new[2], new_cost, new_rd
 
-    mvx, mvy, ref_sel, cost = _region_uniform(mvx, mvy, ref_sel, cost,
-                                              part, 2)
+    mvx, mvy, ref_sel, cost, cost_rd = _region_uniform(
+        mvx, mvy, ref_sel, cost, cost_rd, part, 2)
     if log2_ctu == 6:
-        mvx, mvy, ref_sel, cost = _region_uniform(mvx, mvy, ref_sel,
-                                                  cost, part, 4)
+        mvx, mvy, ref_sel, cost, cost_rd = _region_uniform(
+            mvx, mvy, ref_sel, cost, cost_rd, part, 4)
 
     # 3. intra costs (orig-neighbor batched sweep)
     icosts = _mode_costs(oy, avail,
@@ -730,7 +844,8 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   jnp.asarray(np.asarray(ref1[1], np.int32)),
                   jnp.asarray(np.asarray(ref1[2], np.int32)),
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
-                  jnp.int32(lam256), search_range, block, bd,
+                  jnp.int32(lam256), jnp.int32(qp),
+                  search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
                   0 if idc == 3 else 1, idc == 2, rect_eff,
                   sps.log2_ctu_size, me_sea, amp_eff)
@@ -748,7 +863,7 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                               "use_pallas", "subme", "wb", "cshift",
                               "is422", "rect", "log2_ctu",
                               "me_sea", "amp"))
-def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
+def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             search_range: int, block: int, bd: int, use_pallas: bool,
             subme: int = 2, wb=(False, False), wv=None,
             cshift: int = 1, is422: bool = False, rect: bool = False,
@@ -814,7 +929,7 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
     me_b0 = mv_bits(mv0x, mv0y)
     me_b1 = mv_bits(mv1x, mv1y)
 
-    def b_cand_round(dirs, c0x, c0y, c1x, c1y):
+    def b_cand_round(dirs, c0x, c0y, c1x, c1y, rd: bool = False):
         f = lambda a: a.reshape(nby, nbx)
         nfs = []
         for (sy, sx) in _MERGE_NEIGH:
@@ -850,8 +965,28 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
         cL1 = satd1 + ((lam256 * (mvd1 + 6)) >> 8)
         cBI = satd_bi + ((lam256 * (mvd0 + mvd1 + 7)) >> 8)
         best = jnp.stack([cL0, cL1, cBI], 0)
-        mi = jnp.argmin(best, 0)
-        best_cost = jnp.min(best, 0)
+        if rd:
+            # final round: transform-domain RD arbitration (see the P
+            # path's cand_round rd=True — same checkMerge2Nx2N /
+            # rd-skip rationale, here over {L0, L1, BI, merge nbrs})
+            lam2 = (lam256.astype(jnp.float32) / 256.0) ** 2
+            qp_b = jnp.broadcast_to(qp32, (nb,))
+            log2n = n.bit_length() - 1
+            syn_me = [(mvd0 + 6).astype(jnp.float32),
+                      (mvd1 + 6).astype(jnp.float32),
+                      (mvd0 + mvd1 + 7).astype(jnp.float32)]
+            rds = []
+            for p, s in zip((uni_of(p0_14, 0), uni_of(p1_14, 1),
+                             bi_of(p0_14, p1_14)), syn_me):
+                cc, sz = _rd_resid_cost(org, p, qp_b, log2n, bd, lam2)
+                rds.append(jnp.minimum(cc + lam2 * s,
+                                       sz + lam2 * (s + 1.0)))
+            rd_stack = jnp.stack(rds, 0)
+            mi = jnp.argmin(rd_stack, 0)
+            best_rd = jnp.min(rd_stack, 0)
+        else:
+            mi = jnp.argmin(best, 0)
+        best_cost = jnp.take_along_axis(best, mi[None], 0)[0]
         best_dir = (mi + 1).astype(jnp.int32)     # 1=L0, 2=L1, 3=BI
         best_0x = jnp.where(mi != 1, mv0x, 0)
         best_0y = jnp.where(mi != 1, mv0y, 0)
@@ -869,14 +1004,25 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
             sc_satd = satd_batch(org, pred)
             sc = sc_satd + ((lam256 * (2 + _MERGE_IDX_BINS[k])) >> 8)
             sc = jnp.where(ok & (nd > 0), sc, 1 << 30)
-            upd = sc < best_cost
+            if rd:
+                cc, sz = _rd_resid_cost(org, pred, qp_b, log2n, bd,
+                                        lam2)
+                mb = float(2 + _MERGE_IDX_BINS[k])
+                rdk = jnp.minimum(cc + lam2 * (mb + 4.0),
+                                  sz + lam2 * mb)
+                rdk = jnp.where(ok & (nd > 0), rdk, jnp.float32(3e38))
+                upd = rdk < best_rd
+                best_rd = jnp.where(upd, rdk, best_rd)
+            else:
+                upd = sc < best_cost
             best_cost = jnp.where(upd, sc, best_cost)
             best_dir = jnp.where(upd, nd, best_dir)
             best_0x = jnp.where(upd, n0x, best_0x)
             best_0y = jnp.where(upd, n0y, best_0y)
             best_1x = jnp.where(upd, n1x, best_1x)
             best_1y = jnp.where(upd, n1y, best_1y)
-        return best_dir, best_0x, best_0y, best_1x, best_1y, best_cost
+        return (best_dir, best_0x, best_0y, best_1x, best_1y,
+                best_cost, best_rd if rd else None)
 
     # provisional direction field from the pure ME costs (zero-pred
     # charges), so round-1 neighbor predictors aren't list-biased
@@ -884,9 +1030,11 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
                       satd_bi + ((lam256 * (me_b0 + me_b1 + 2)) >> 8)], 0)
     dirs = (jnp.argmin(prov, 0) + 1).astype(jnp.int32)
     c0x, c0y, c1x, c1y = mv0x, mv0y, mv1x, mv1y
-    for _ in range(3):
-        dirs, c0x, c0y, c1x, c1y, inter_cost = b_cand_round(
+    for _ in range(2):
+        dirs, c0x, c0y, c1x, c1y, inter_cost, _ = b_cand_round(
             dirs, c0x, c0y, c1x, c1y)
+    dirs, c0x, c0y, c1x, c1y, inter_cost, cost_rd = b_cand_round(
+        dirs, c0x, c0y, c1x, c1y, rd=True)
     mv0x, mv0y, mv1x, mv1y = c0x, c0y, c1x, c1y
     inter_cost_2n = inter_cost
 
@@ -1087,25 +1235,24 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
     # smaller than the CU-syntax saving, so build_region's same-motion
     # merges / 64x64 skips fire on B frames too (where per-block
     # near-tie direction flips otherwise block every merge)
-    def _b_region_uniform(dirs, m0x, m0y, m1x, m1y, cost, part, g):
+    def _b_region_uniform(dirs, m0x, m0y, m1x, m1y, cost, cost_rd,
+                          part, g):
         gh, gw = nby // g, nbx // g
         if gh == 0 or gw == 0 or n != 16 or use_w:
-            return dirs, m0x, m0y, m1x, m1y, cost
+            return dirs, m0x, m0y, m1x, m1y, cost, cost_rd
         f2 = lambda a: a.reshape(nby, nbx)
         crop = lambda a: f2(a)[:gh * g, :gw * g]
         rep2 = lambda a: jnp.repeat(jnp.repeat(a, g, 0), g, 1)
         gsum = lambda a: a.reshape(gh, g, gw, g).sum((1, 3))
         ok = (crop(part) == 0).reshape(gh, g, gw, g).all((1, 3))
-        indiv = gsum(crop(cost))
+        # transform-domain RD comparison (see the P-side note)
+        indiv_rd = gsum(crop(cost_rd))
+        lam2 = (lam256.astype(jnp.float32) / 256.0) ** 2
+        qp_b = jnp.broadcast_to(qp32, (nb,))
+        log2n = n.bit_length() - 1
         s = g // 2
-        best = None    # [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits]
-        for c in range(4):
-            sy, sx = (c >> 1) * s, (c & 1) * s
-            rdd = crop(dirs)[sy::g, sx::g]
-            rm0x = crop(m0x)[sy::g, sx::g]
-            rm0y = crop(m0y)[sy::g, sx::g]
-            rm1x = crop(m1x)[sy::g, sx::g]
-            rm1y = crop(m1y)[sy::g, sx::g]
+
+        def eval_cand(rdd, rm0x, rm0y, rm1x, rm1y, gbits, valid=None):
             fd = f2(dirs).at[:gh * g, :gw * g].set(rep2(rdd)).ravel()
             f0x = f2(m0x).at[:gh * g, :gw * g].set(rep2(rm0x)).ravel()
             f0y = f2(m0y).at[:gh * g, :gw * g].set(rep2(rm0y)).ravel()
@@ -1119,27 +1266,67 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
                              jnp.where((fd == 1)[:, None, None],
                                        uni_of(q0, 0), uni_of(q1, 1)))
             sbc = crop(satd_batch(org, pred))
+            cc, sz = _rd_resid_cost(org, pred, qp_b, log2n, bd, lam2)
+            blk_rd = crop(f2(jnp.minimum(cc, sz)))
+            tot = gsum(blk_rd) + lam2 * gbits.astype(jnp.float32)
+            if valid is not None:
+                tot = jnp.where(valid, tot, jnp.float32(3e38))
+            return [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits,
+                    blk_rd]
+
+        def merge_best(best, cand):
+            if best is None:
+                return cand
+            u = cand[0] < best[0]
+            ub = rep2(u)
+            return ([jnp.where(u, cand[i], best[i]) for i in range(6)]
+                    + [jnp.where(ub, cand[6], best[6]),
+                       jnp.where(u, cand[7], best[7]),
+                       jnp.where(ub, cand[8], best[8])])
+
+        best = None    # [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits]
+        for c in range(4):
+            sy, sx = (c >> 1) * s, (c & 1) * s
             # merge/skip-realistic region syntax charge (see the P-side
             # _region_uniform note): full mv_bits blocked the merges
-            gbits = jnp.full_like(rm0x, 10)
-            tot = gsum(sbc) + ((lam256 * gbits) >> 8)
-            if best is None:
-                best = [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits]
-            else:
-                u = tot < best[0]
-                ub = rep2(u)
-                best = [jnp.where(u, tot, best[0]),
-                        jnp.where(u, rdd, best[1]),
-                        jnp.where(u, rm0x, best[2]),
-                        jnp.where(u, rm0y, best[3]),
-                        jnp.where(u, rm1x, best[4]),
-                        jnp.where(u, rm1y, best[5]),
-                        jnp.where(ub, sbc, best[6]),
-                        jnp.where(u, gbits, best[7])]
-        tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits = best
+            best = merge_best(best, eval_cand(
+                crop(dirs)[sy::g, sx::g],
+                crop(m0x)[sy::g, sx::g], crop(m0y)[sy::g, sx::g],
+                crop(m1x)[sy::g, sx::g], crop(m1y)[sy::g, sx::g],
+                jnp.full((gh, gw), 10, jnp.int32)))
+        # A1/B1 merge-aligned candidates (see the P-side note): the
+        # region CU's actual spatial merge candidates; adopting one
+        # lets the region code as merge/SKIP instead of AMVP
+        ry_i = jnp.arange(gh) * g
+        rx_i = jnp.arange(gw) * g
+        fds, f0xs, f0ys, f1xs, f1ys = (f2(dirs), f2(m0x), f2(m0y),
+                                       f2(m1x), f2(m1y))
+        mb3 = jnp.full((gh, gw), 3, jnp.int32)
+        a1_r = ry_i + (g - 1)
+        a1_c = rx_i - 1
+        va1 = jnp.broadcast_to((a1_c >= 0)[None, :], (gh, gw))
+        ac = jnp.clip(a1_c, 0, nbx - 1)
+        ga1 = lambda f: f[a1_r[:, None], ac[None, :]]
+        best = merge_best(best, eval_cand(
+            ga1(fds), ga1(f0xs), ga1(f0ys), ga1(f1xs), ga1(f1ys),
+            mb3, va1 & (ga1(fds) > 0)))
+        b1_r = ry_i - 1
+        b1_c = rx_i + (g - 1)
+        vb1 = jnp.broadcast_to((b1_r >= 0)[:, None], (gh, gw))
+        br = jnp.clip(b1_r, 0, nby - 1)
+        gb1 = lambda f: f[br[:, None], b1_c[None, :]]
+        best = merge_best(best, eval_cand(
+            gb1(fds), gb1(f0xs), gb1(f0ys), gb1(f1xs), gb1(f1ys),
+            mb3, vb1 & (gb1(fds) > 0)))
+        # bi zero-mv candidate (the B-slice merge list's zero-fill
+        # entry is bidirectional, spec 8.5.3.2.3 step 5)
+        zz = jnp.zeros((gh, gw), jnp.int32)
+        best = merge_best(best, eval_cand(zz + 3, zz, zz, zz, zz,
+                                          mb3 + 1))
+        tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits, blk_rd = best
         # tie-accepting compare with sub-CU syntax slack (see the
         # P-side note)
-        acc = ok & (tot <= indiv + ((lam256 * 4) >> 8))
+        acc = ok & (tot <= indiv_rd + lam2 * 4.0)
         accb = rep2(acc)
         pb_bits = rep2(((lam256 * gbits) >> 8) // (g * g))
         out = []
@@ -1149,13 +1336,20 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256,
                 jnp.where(accb, rep2(r), crop(a))).ravel())
         new_cost = f2(cost).at[:gh * g, :gw * g].set(
             jnp.where(accb, sbc + pb_bits, crop(cost))).ravel()
-        return out[0], out[1], out[2], out[3], out[4], new_cost
+        new_rd = f2(cost_rd).at[:gh * g, :gw * g].set(
+            jnp.where(accb,
+                      blk_rd + lam2 * rep2(gbits).astype(jnp.float32)
+                      / (g * g),
+                      crop(cost_rd))).ravel()
+        return out[0], out[1], out[2], out[3], out[4], new_cost, new_rd
 
-    (dirs, mv0x, mv0y, mv1x, mv1y, inter_cost) = _b_region_uniform(
-        dirs, mv0x, mv0y, mv1x, mv1y, inter_cost, part, 2)
+    (dirs, mv0x, mv0y, mv1x, mv1y, inter_cost,
+     cost_rd) = _b_region_uniform(
+        dirs, mv0x, mv0y, mv1x, mv1y, inter_cost, cost_rd, part, 2)
     if log2_ctu == 6:
-        (dirs, mv0x, mv0y, mv1x, mv1y, inter_cost) = _b_region_uniform(
-            dirs, mv0x, mv0y, mv1x, mv1y, inter_cost, part, 4)
+        (dirs, mv0x, mv0y, mv1x, mv1y, inter_cost,
+         cost_rd) = _b_region_uniform(
+            dirs, mv0x, mv0y, mv1x, mv1y, inter_cost, cost_rd, part, 4)
 
     # intra fallback
     icosts = _mode_costs(oy, avail,

@@ -1121,10 +1121,9 @@ class Encoder:
                             me_sea=p.search_method == "sea")
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
-            recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
-                                             inter_mask, qp=qpm,
-                                             init_type=1,
-                                             nr=self._nr_offsets())
+            recon_fn = self._inter_recon_fn(
+                y, u, v, modes, mc, inter_mask, 1, mvs, None, None,
+                ref_sel, rect_info)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (ref0, ref1, keep_pocs, b_is_ref) = b_refs
@@ -1159,10 +1158,9 @@ class Encoder:
                     # B rect: (part, PU1 dirs, PU1 mv L0, PU1 mv L1)
                     rect_info = (part_map_b, pu1_b[1], pu1_b[2],
                                  pu1_b[0])
-            recon_fn = lambda qpm: recon.run(y, u, v, modes, mc,
-                                             inter_mask, qp=qpm,
-                                             init_type=0,
-                                             nr=self._nr_offsets())
+            recon_fn = self._inter_recon_fn(
+                y, u, v, modes, mc, inter_mask, 0, mvs, mvs1, dirs,
+                None, rect_info)
             ref_pocs = ((ref0[1],), (ref1[1],))
         if self._ana_store is not None:
             self._ana_store.save(
@@ -1428,6 +1426,45 @@ class Encoder:
                 rp[..., 1] = ref_pocs[1][0]
         return ColMotion(poc, d, mv, rp)
 
+    def _inter_recon_fn(self, y, u, v, modes, mc, inter_mask,
+                        init_type: int, mvs, mvs1, dirs, ref_sel,
+                        rect_info):
+        """Wavefront runner for P/B frames with the inter TU32 pre-pass
+        (frame/inter_tu32.py): uniform-motion 32-regions get their
+        residual coded as one TU32 outside the wavefront, which is then
+        forced to reproduce that reconstruction exactly (source+pred
+        splice => zero in-wavefront residual)."""
+        recon = self.recon
+        i32_mask = None
+        if (self.p.var_cu_tree and inter_mask is not None
+                and self._nr_offsets() is None):
+            from ..frame.inter_tu32 import region_uniform_mask
+            part_map = rect_info[0] if rect_info is not None else None
+            m = region_uniform_mask(
+                np.asarray(inter_mask, bool), np.asarray(mvs),
+                mvs1, dirs, ref_sel, part_map,
+                self.sps.width, self.sps.height)
+            if m.any():
+                i32_mask = m
+
+        def fn(qpm):
+            i32 = None
+            if i32_mask is not None:
+                from ..frame.inter_tu32 import prepare_inter_tu32
+                with trace.scope("inter_tu32"):
+                    i32 = prepare_inter_tu32(y, u, v, mc, i32_mask,
+                                             qpm, recon, init_type)
+            if i32 is None:
+                return recon.run(y, u, v, modes, mc, inter_mask,
+                                 qp=qpm, init_type=init_type,
+                                 nr=self._nr_offsets())
+            y2, u2, v2, mc2 = i32["spliced"]
+            r = recon.run(y2, u2, v2, modes, mc2, inter_mask, qp=qpm,
+                          init_type=init_type, nr=self._nr_offsets())
+            r["inter32"] = i32
+            return r
+        return fn
+
     def _deblock(self, r: dict, inter_mask, mvs, mvs1, dirs, ref_pocs,
                  qp: int, recon, ref_sel=None, split_map=None,
                  split32=None, rect_info=None) -> None:
@@ -1439,6 +1476,17 @@ class Encoder:
             nbx, nby = recon.nbx, recon.nby
             cbf = np.array([[bool(np.any(r["lev_y"][by, bx]))
                              for bx in range(nbx)] for by in range(nby)])
+            tu32_use = None
+            i32 = r.get("inter32")
+            if i32 is not None:
+                # TU32 regions: per-16 levels are zero (forced skip) —
+                # the TU's cbf is the TU32's, broadcast over its 4
+                # blocks; interior 16-edges are NOT transform edges
+                tu32_use = i32["use"]
+                cbf32 = np.repeat(np.repeat(i32["nzy"], 2, 0), 2, 1)
+                use_b = np.repeat(np.repeat(tu32_use, 2, 0), 2, 1)
+                h2, w2 = use_b.shape
+                cbf[:h2, :w2] = np.where(use_b, cbf32, cbf[:h2, :w2])
             if dirs is None:
                 dirs_m = np.where(inter_mask, 1, 0).astype(np.int32)
                 mvs1_m = np.zeros_like(mvs)
@@ -1474,7 +1522,8 @@ class Encoder:
                            np.zeros_like(p0))
             bs_v, bs_h = inter_bs_maps(~inter_mask, mvs, cbf, w, h, 16,
                                        dirs_m, mvs1_m, p0, p1, split_map,
-                                       part_map=part16, pu1=pu1)
+                                       part_map=part16, pu1=pu1,
+                                       tu32_mask=tu32_use)
         else:
             merge32 = ~split32 if split32 is not None else None
             bs_v, bs_h = intra_bs_maps(w, h, 16, split_map, merge32)
@@ -1725,6 +1774,7 @@ class Encoder:
         lvy = np.asarray(r["lev_y"])
         lvu = np.asarray(r["lev_u"])
         lvv = np.asarray(r["lev_v"])
+        i32 = r.get("inter32")
         nz4y = lvy.reshape(nby, nbx, 4, 4, 4, 4).any((3, 5))
         nz8y = nz4y.reshape(nby, nbx, 2, 2, 2, 2).any((3, 5))
         nz16y = nz8y.any((2, 3))
@@ -1870,6 +1920,26 @@ class Encoder:
                     all(c.is_inter and c.part_mode == 0 for c in cus) and
                     len({_motion_key(c) for c in cus}) == 1):
                 c0 = cus[0]
+                if i32 is not None and i32["use"][ry, rx]:
+                    # inter TU32: one 32x32 luma TB + 16x16 chroma TBs
+                    # from the pre-pass (frame/inter_tu32.py); the
+                    # wavefront was forced to this exact recon, so the
+                    # per-16 level stores are all-zero here
+                    merged = {}
+                    if i32["nzy"][ry, rx]:
+                        merged[(0, x0, y0, 5)] = i32["levy"][(ry, rx)]
+                    if i32["nzu"][ry, rx]:
+                        merged[(1, x0 >> 1, y0 >> 1, 4)] = \
+                            i32["levu"][(ry, rx)]
+                    if i32["nzv"][ry, rx]:
+                        merged[(2, x0 >> 1, y0 >> 1, 4)] = \
+                            i32["levv"][(ry, rx)]
+                    return [CodedCU(x0, y0, 5, (1,), 4, merged,
+                                    is_inter=True, mv=c0.mv,
+                                    ref_idx=c0.ref_idx,
+                                    inter_dir=c0.inter_dir, mv1=c0.mv1,
+                                    ref_idx1=c0.ref_idx1,
+                                    tq_bypass=tqb, tu_split=False)]
                 merged = {}
                 for c in cus:
                     merged.update(c.coeffs)

@@ -98,7 +98,7 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
                   block: int = 16, dirs: np.ndarray = None,
                   mvs1: np.ndarray = None, poc0: np.ndarray = None,
                   poc1: np.ndarray = None, split_map=None,
-                  part_map=None, pu1=None):
+                  part_map=None, pu1=None, tu32_mask=None):
     """BS maps for a P/B frame with a uniform CU/TU grid (spec 8.7.2.4):
     block-boundary edges on the 8-px grid get BS 2 if either side is
     intra, else 1 if either side has luma coefficients or the motion
@@ -114,6 +114,12 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
     Motion comparisons then run on an 8-px grid and the CU's interior
     PU edge gets a motion-rule-only BS (spec 8.7.2.4: the cbf term
     applies at transform edges; a PU-only edge uses the motion terms).
+
+    tu32_mask: optional (nby//2, nbx//2) bool — 32-regions coded as ONE
+    inter TU32 (frame/inter_tu32.py).  Their interior 16-offset edges
+    are not transform edges, so the cbf term is suppressed there (the
+    motion term still applies; it is 0 by region uniformity).  The
+    caller must broadcast the TU32 cbf into cbf_luma for the region.
     """
     nby, nbx = intra_mask.shape
     if dirs is None:
@@ -170,10 +176,37 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
                         np.where(uni, uni_diff,
                                  np.where(bi, bi_diff, True)))
 
-    def seg_bs(p, q):
+    def _tu32_interior(off: int, along_idx, scale: int, vert: bool):
+        """True per segment when a 16-offset edge at pixel `off` lies
+        inside a TU32 region (off % 32 == 16 within a masked region).
+        along_idx: per-segment index along the edge, in units of
+        `scale` px."""
+        if tu32_mask is None or off % 32 != 16:
+            return None
+        nry, nrx = tu32_mask.shape
+        cross = off // 32
+        rr = (along_idx * scale) // 32
+        if vert:
+            if cross >= nrx:
+                return None
+            valid = rr < nry
+            return np.where(valid,
+                            tu32_mask[np.minimum(rr, nry - 1), cross],
+                            False)
+        if cross >= nry:
+            return None
+        valid = rr < nrx
+        return np.where(valid,
+                        tu32_mask[cross, np.minimum(rr, nrx - 1)],
+                        False)
+
+    def seg_bs(p, q, suppress=None):
         ip, iq = intra_mask[p], intra_mask[q]
         two = ip | iq
-        one = cbf_luma[p] | cbf_luma[q] | motion_differs(p, q)
+        cb = cbf_luma[p] | cbf_luma[q]
+        if suppress is not None:
+            cb = cb & ~suppress
+        one = cb | motion_differs(p, q)
         return np.where(two, 2, np.where(one, 1, 0))
 
     if part_map is not None and np.any(part_map) and block == 16:
@@ -217,7 +250,11 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
             q = (segs, np.full_like(segs, x // 4))
             if x % 16 == 0:                      # CU/TU boundary
                 two = intra4[p] | intra4[q]
-                one = cbf4[p] | cbf4[q] | md4(p, q)
+                cb = cbf4[p] | cbf4[q]
+                sup = _tu32_interior(x, segs, 4, True)
+                if sup is not None:
+                    cb = cb & ~sup
+                one = cb | md4(p, q)
                 bs_v[:, e] = np.where(two, 2, np.where(one, 1, 0))
             else:                                # PU-only (Nx2N) edge
                 rows16 = segs * 4 // 16
@@ -231,7 +268,11 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
             q = (np.full_like(segs, yy // 4), segs)
             if yy % 16 == 0:
                 two = intra4[p] | intra4[q]
-                one = cbf4[p] | cbf4[q] | md4(p, q)
+                cb = cbf4[p] | cbf4[q]
+                sup = _tu32_interior(yy, segs, 4, False)
+                if sup is not None:
+                    cb = cb & ~sup
+                one = cb | md4(p, q)
                 bs_h[e, :] = np.where(two, 2, np.where(one, 1, 0))
             else:                                # PU-only (2NxN) edge
                 cols16 = segs * 4 // 16
@@ -250,7 +291,8 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
         bys = np.arange(height // 4) * 4 // block       # group -> block row
         p = (bys, np.full_like(bys, bxq - 1))
         q = (bys, np.full_like(bys, bxq))
-        bs_v[:, e] = seg_bs(p, q)
+        bs_v[:, e] = seg_bs(p, q, _tu32_interior(
+            x, np.arange(height // 4), 4, True))
     for e in range(eh):
         yy = (e + 1) * 8
         if yy % block:
@@ -259,7 +301,8 @@ def inter_bs_maps(intra_mask: np.ndarray, mvs: np.ndarray,
         bxs = np.arange(width // 4) * 4 // block
         p = (np.full_like(bxs, byq - 1), bxs)
         q = (np.full_like(bxs, byq), bxs)
-        bs_h[e, :] = seg_bs(p, q)
+        bs_h[e, :] = seg_bs(p, q, _tu32_interior(
+            yy, np.arange(width // 4), 4, False))
     if split_map is not None:
         mark_split_edges(bs_v, bs_h, split_map)
     return bs_v, bs_h

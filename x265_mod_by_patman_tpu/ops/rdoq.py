@@ -214,11 +214,13 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
 
         kt = k[:, 0, 0][:, None, None, None]
         if psy_rdoq is not None and c_idx == 0:
-            # psy bias in the flip deltas too (reference quant.cpp:318
-            # applies psyValue inside signBitHidingHDQ's deltaU): a
-            # +-1 flip on an AC coefficient changes the retained
-            # energy, so the candidate costs must see the same
-            # psy term as the level decision above
+            # psy bias in the flip deltas too.  This EXTENDS the
+            # reference, which keeps its sign-hiding deltas psy-free
+            # (quant.cpp:318 signBitHidingHDQ uses pure quant-residue
+            # deltaU; the RDOQ sign-hiding DELTARDCOST path likewise):
+            # a +-1 flip on an AC coefficient changes retained energy,
+            # so for internal consistency the candidate costs here see
+            # the same psy term as the level decision above
             psy_t = tiles(jnp.broadcast_to(psy_k, lv.shape))
         else:
             psy_t = jnp.float32(0.0)
@@ -324,16 +326,21 @@ def tb_bits_est(lev: jnp.ndarray, qp, log2_size: int, c_idx: int = 0,
         cg_nz = jnp.any(nz.reshape(-1, g, 4, g, 4), axis=(2, 4))
         cg_reg = jnp.any(region.reshape(-1, g, 4, g, 4), axis=(2, 4))
         cg_nz_b = jnp.repeat(jnp.repeat(cg_nz, 4, axis=1), 4, axis=2)
-        coeff_bits = jnp.sum(
-            jnp.where(region & cg_nz_b, lb, 0.0), axis=(1, 2))
-        # coded_sub_block_flag per in-region CG; DC CG and the last CG
-        # are inferred (spec 7.4.9.11)
-        cg0b = bt[:, cgc, 0][:, None, None]
-        cg1b = bt[:, cgc, 1][:, None, None]
         pos = jnp.asarray(
             np.stack(np.meshgrid(np.arange(g), np.arange(g),
                                  indexing="ij"), -1))   # (g, g, 2) y,x
         dc_cg = (pos[..., 0] == 0) & (pos[..., 1] == 0)
+        # the DC CG's csbf is inferred to 1 (spec 7.4.9.11), so its sig
+        # bins are coded even when the whole CG is zero
+        dc_cg_b = jnp.repeat(jnp.repeat(dc_cg[None], 4, axis=1), 4,
+                             axis=2)
+        coeff_bits = jnp.sum(
+            jnp.where(region & (cg_nz_b | dc_cg_b), lb, 0.0),
+            axis=(1, 2))
+        # coded_sub_block_flag per in-region CG; DC CG and the last CG
+        # are inferred (spec 7.4.9.11)
+        cg0b = bt[:, cgc, 0][:, None, None]
+        cg1b = bt[:, cgc, 1][:, None, None]
         sc = jnp.asarray(scan_order(log2_size, 0))
         lxy = sc[jnp.clip(last, 0, n * n - 1)]          # (B, 2) x,y
         last_cg = ((pos[None, ..., 0] == (lxy[:, 1] >> 2)[:, None, None])

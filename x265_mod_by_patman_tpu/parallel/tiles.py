@@ -119,6 +119,7 @@ def analyse_p_frame_tiles(y, u, v, refs, sps, qp: int,
         nbx_ = avail_b.shape[1]
         return _p_core(oy_s, rys_s, rus_s, rvs_s, wq, wo,
                        avail_b.reshape(-1, avail_b.shape[-1]), lam_b,
+                       jnp.int32(qp),
                        wpat, search_range, block, bd,
                        sps.log2_ctu_size, False, subme, rect_eff,
                        False, band)

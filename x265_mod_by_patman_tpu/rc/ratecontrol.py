@@ -32,7 +32,7 @@ QP_STEP = 4.0                    # max per-frame QP swing
 # I/P/referenced-B/non-ref-b offsets (reference ipratio/pbratio analog;
 # non-ref bs sit one step above referenced Bs like the reference's
 # qpOffset[1])
-TYPE_OFFSET = {"I": -3.0, "P": 0.0, "B": 2.0, "b": 3.5}
+TYPE_OFFSET = {"I": -3.0, "P": 0.0, "B": 1.0, "b": 2.0}
 
 
 @dataclass
