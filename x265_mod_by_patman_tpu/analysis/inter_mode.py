@@ -63,6 +63,73 @@ def _stack_refs(planes, m: int):
 _MERGE_NEIGH = ((0, 1), (1, 0), (1, -1))
 
 
+def _scale_mv_np(mvx, mvy, tb: int, td):
+    """Vectorized POC-distance MV scaling (spec 8.5.3.2.8; the batched
+    form of entropy.mv_pred._scale_mv, kept numerically identical so an
+    analysis-adopted temporal candidate matches the syntax encoder's
+    derived merge candidate exactly)."""
+    td = np.asarray(td, np.int64)
+    same = td == tb
+    tds = np.where(td == 0, 1, td)
+    num = 16384 + (np.abs(tds) >> 1)
+    tx = np.where(tds < 0, -(num // -tds), num // tds)
+    dsf = np.clip((tb * tx + 32) >> 6, -4096, 4095)
+    out = []
+    for c in (np.asarray(mvx, np.int64), np.asarray(mvy, np.int64)):
+        v = dsf * c
+        s = (np.abs(v) + 127) >> 8
+        out.append(np.clip(np.where(v < 0, -s, s), -32768, 32767))
+    return (np.where(same, mvx, out[0]).astype(np.int32),
+            np.where(same, mvy, out[1]).astype(np.int32))
+
+
+def temporal_merge_field(col, nby: int, nbx: int, n: int, pic_w: int,
+                         pic_h: int, log2_ctu: int, lst: int,
+                         target_poc: int, cur_poc: int,
+                         low_delay: bool):
+    """Per-block temporal merge candidate for list `lst` over the whole
+    (nby, nbx) grid of n-pel blocks — the batched analog of
+    entropy.mv_pred.temporal_candidate (spec 8.5.3.2.8): bottom-right
+    col block C0 (same CTU row only), center C1 fallback, listCol
+    selection per 8.5.3.2.9, POC-distance scaling.  Returns
+    (valid (nby,nbx) bool, mvx, mvy int32)."""
+    bys, bxs = np.mgrid[0:nby, 0:nbx]
+    x0 = bxs * n
+    y0 = bys * n
+    val = np.zeros((nby, nbx), bool)
+    omx = np.zeros((nby, nbx), np.int32)
+    omy = np.zeros((nby, nbx), np.int32)
+    ch, cw = col.dir.shape
+    tb = cur_poc - target_poc
+    for i, (xc, yc) in enumerate(((x0 + n, y0 + n),
+                                  (x0 + (n >> 1), y0 + (n >> 1)))):
+        ok = (xc < pic_w) & (yc < pic_h)
+        if i == 0:
+            ok &= (yc >> log2_ctu) == (y0 >> log2_ctu)
+        cby = np.clip(yc >> 4, 0, ch - 1)
+        cbx = np.clip(xc >> 4, 0, cw - 1)
+        d = col.dir[cby, cbx]
+        ok &= d != 0
+        if low_delay:
+            bi_l = lst
+        else:
+            bi_l = 1 if col.from_l0 else 0
+        l = np.where(d == 1, 0, np.where(d == 2, 1, bi_l))
+        rp = col.ref_poc[cby, cbx]                 # (nby, nbx, 2)
+        crf = np.where(l == 0, rp[..., 0], rp[..., 1])
+        td = col.poc - crf
+        ok &= td != 0
+        mv = col.mv[cby, cbx]                      # (nby, nbx, 2, 2)
+        mvx = np.where(l == 0, mv[..., 0, 0], mv[..., 1, 0])
+        mvy = np.where(l == 0, mv[..., 0, 1], mv[..., 1, 1])
+        smx, smy = _scale_mv_np(mvx, mvy, tb, td)
+        newly = ok & ~val
+        omx = np.where(newly, smx, omx)
+        omy = np.where(newly, smy, omy)
+        val |= ok
+    return val, omx, omy
+
+
 def _rd_resid_cost(org, pred, qp_b, log2n: int, bd: int, lam2):
     """Transform-domain RD of one motion option's luma residual (the
     encodeResAndCalcRdInterCU / rd-skip arbitration of x265
@@ -93,7 +160,8 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     weights=None, subme: int = 2, rect: bool = False,
                     amp: bool = False, chroma_weights=None,
-                    me_sea: bool = False):
+                    me_sea: bool = False, col=None, ref_pocs=None,
+                    cur_poc: int = 0):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -138,13 +206,27 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     amp_eff = amp and rect_eff
     idc = getattr(sps, "chroma_format_idc", 1)
     cshift = 0 if idc == 3 else 1
+    tmvp = None
+    if col is not None and ref_pocs is not None and ref_pocs[0]:
+        # per-block temporal merge candidate (TMVP, targeting L0 ref 0
+        # as the spec merge derivation does): x265's merge estimation
+        # sees this candidate via the real list (search.cpp:2237); the
+        # batched analysis proposes it explicitly so static/consistent
+        # motion rides merge/skip instead of paying AMVP syntax
+        low_delay = all(rp <= cur_poc for lst_p in ref_pocs
+                        for rp in lst_p)
+        tval, tmx, tmy = temporal_merge_field(
+            col, y.shape[0] // block, y.shape[1] // block, block,
+            sps.width, sps.height, sps.log2_ctu_size, 0,
+            ref_pocs[0][0], cur_poc, low_delay)
+        tmvp = (jnp.asarray(tval), jnp.asarray(tmx), jnp.asarray(tmy))
     out = _p_core(oy, rys, rus, rvs, wq, wo,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), jnp.int32(qp), wpat,
                   search_range, block, bd,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
                   amp_eff, wc=wc, cpat=cpat, cshift=cshift,
-                  is422=idc == 2, me_sea=me_sea)
+                  is422=idc == 2, me_sea=me_sea, tmvp=tmvp)
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -162,7 +244,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             use_pallas: bool, subme: int = 2, rect: bool = False,
             amp: bool = False, band=None, wc=None, cpat=None,
             cshift: int = 1, is422: bool = False,
-            me_sea: bool = False):
+            me_sea: bool = False, tmvp=None):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -311,22 +393,35 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             syn_me = (mvd_bits_best + 3 + me_ref).astype(jnp.float32)
             best_rd = jnp.minimum(cc + lam2 * syn_me,
                                   sz + lam2 * (syn_me + 1.0))
-        for k, (cmx2, cmy2, crf2, ok2) in enumerate(nfs):
-            cmx = cmx2.ravel()
-            cmy = cmy2.ravel()
-            crf = jnp.clip(crf2.ravel(), 0, nref - 1)
-            ok = ok2.ravel()
+        mcands = [(cmx2.ravel(), cmy2.ravel(),
+                   jnp.clip(crf2.ravel(), 0, nref - 1), ok2.ravel(),
+                   _MERGE_IDX_BINS[k])
+                  for k, (cmx2, cmy2, crf2, ok2) in enumerate(nfs)]
+        if tmvp is not None:
+            # temporal merge candidate (TMVP, L0 ref 0): on static and
+            # uniformly-moving content the spatial candidates dedup so
+            # the temporal one typically sits at idx 1-2 of the real
+            # list (spec 8.5.3.2.3 derivation order)
+            tval, tmx_, tmy_ = [a.reshape(-1) for a in tmvp]
+            # vertical window guard: the stacked-ref gather only
+            # edge-replicates within one strip's m_pad rows; a scaled
+            # temporal MV beyond it would read the neighboring ref's
+            # strip and corrupt the cost (decision-only, but reject)
+            tval = tval & (jnp.abs(tmy_) <= 4 * (m_pad - 8))
+            mcands.append((tmx_, tmy_, jnp.zeros(nb, jnp.int32),
+                           tval, 2))
+        for (cmx, cmy, crf, ok, idx_bins) in mcands:
             y0t = by + crf * strip + m_pad
             pr = mc_batch(tall, bx, y0t, cmx, cmy, n, 0, bd,
                           use_pallas=use_pallas)
             sc_satd = satd_batch(org, pr)
             # skip/merge_flag + merge_idx TR bins
-            sc = sc_satd + ((lam256 * (2 + _MERGE_IDX_BINS[k])) >> 8)
+            sc = sc_satd + ((lam256 * (2 + idx_bins)) >> 8)
             sc = jnp.where(ok, sc, 1 << 30)
             if rd:
                 cc, sz = _rd_resid_cost(org, pr, qp_b,
                                         n.bit_length() - 1, bd, lam2)
-                mb = float(2 + _MERGE_IDX_BINS[k])
+                mb = float(2 + idx_bins)
                 rdk = jnp.minimum(cc + lam2 * (mb + 4.0),
                                   sz + lam2 * mb)
                 rdk = jnp.where(ok, rdk, jnp.float32(3e38))
@@ -804,7 +899,8 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
 def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     subme: int = 2, weights_b=None, rect: bool = False,
-                    me_sea: bool = False, amp: bool = False):
+                    me_sea: bool = False, amp: bool = False,
+                    col=None, ref_pocs=None, cur_poc: int = 0):
     """B-frame analysis: ME against both anchors + bi-prediction test +
     intra fallback (the batched analog of x265 checkBidir2Nx2N,
     analysis.cpp:4007); ONE jitted program like analyse_p_frame.
@@ -836,6 +932,27 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     # unweighted planes (same constraint as the P path)
     rect_eff = rect and not any(wb) and block == 16 and idc == 1
     amp_eff = amp and rect_eff
+    tmvp = None
+    if col is not None and ref_pocs is not None and ref_pocs[0]:
+        # bi temporal merge candidate (both lists scaled independently,
+        # spec 8.5.3.2.3/8): B-frame static regions ride this to SKIP
+        low_delay = all(rp <= cur_poc for lst_p in ref_pocs
+                        for rp in lst_p)
+        nby_, nbx_ = y.shape[0] // block, y.shape[1] // block
+        v0, m0x_, m0y_ = temporal_merge_field(
+            col, nby_, nbx_, block, sps.width, sps.height,
+            sps.log2_ctu_size, 0, ref_pocs[0][0], cur_poc, low_delay)
+        v1 = np.zeros_like(v0)
+        m1x_ = np.zeros_like(m0x_)
+        m1y_ = np.zeros_like(m0y_)
+        if ref_pocs[1]:
+            v1, m1x_, m1y_ = temporal_merge_field(
+                col, nby_, nbx_, block, sps.width, sps.height,
+                sps.log2_ctu_size, 1, ref_pocs[1][0], cur_poc,
+                low_delay)
+        td_ = (v0.astype(np.int32) | (v1.astype(np.int32) << 1))
+        tmvp = tuple(jnp.asarray(a.ravel()) for a in
+                     (td_, m0x_, m0y_, m1x_, m1y_))
     out = _b_core(oy,
                   jnp.asarray(np.asarray(ref0[0], np.int32)),
                   jnp.asarray(np.asarray(ref0[1], np.int32)),
@@ -848,7 +965,7 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
                   0 if idc == 3 else 1, idc == 2, rect_eff,
-                  sps.log2_ctu_size, me_sea, amp_eff)
+                  sps.log2_ctu_size, me_sea, amp_eff, tmvp)
     (modes, inter, dirs, mv0, mv1, mcy, mcu, mcv, part, dirs_b,
      mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
@@ -868,7 +985,7 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             subme: int = 2, wb=(False, False), wv=None,
             cshift: int = 1, is422: bool = False, rect: bool = False,
             log2_ctu: int = 5, me_sea: bool = False,
-            amp: bool = False):
+            amp: bool = False, tmvp=None):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -992,7 +1109,18 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         best_0y = jnp.where(mi != 1, mv0y, 0)
         best_1x = jnp.where(mi != 0, mv1x, 0)
         best_1y = jnp.where(mi != 0, mv1y, 0)
-        for k, (nd, ok, n0x, n0y, n1x, n1y) in enumerate(nfs):
+        bcands = [(nd, ok, n0x, n0y, n1x, n1y, _MERGE_IDX_BINS[k])
+                  for k, (nd, ok, n0x, n0y, n1x, n1y) in enumerate(nfs)]
+        if tmvp is not None:
+            # bi temporal merge candidate (see the P-side note)
+            td_, t0x, t0y, t1x, t1y = tmvp
+            bcands.append((td_, td_ > 0, t0x, t0y, t1x, t1y, 2))
+        # zero-MV bidir (x265 checkBidir2Nx2N's MV-zero trial,
+        # analysis.cpp:4007; usually rides the merge list's bi
+        # zero-fill entry, spec 8.5.3.2.3 step 5)
+        zz_ = jnp.zeros(nb, jnp.int32)
+        bcands.append((zz_ + 3, zz_ == 0, zz_, zz_, zz_, zz_, 2))
+        for (nd, ok, n0x, n0y, n1x, n1y, idx_bins) in bcands:
             q0 = mc_batch_14(r0y, bx, by, n0x, n0y, n, 0, bd,
                              use_pallas=use_pallas)
             q1 = mc_batch_14(r1y, bx, by, n1x, n1y, n, 0, bd,
@@ -1002,12 +1130,12 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                              jnp.where((nd == 1)[:, None, None],
                                        uni_of(q0, 0), uni_of(q1, 1)))
             sc_satd = satd_batch(org, pred)
-            sc = sc_satd + ((lam256 * (2 + _MERGE_IDX_BINS[k])) >> 8)
+            sc = sc_satd + ((lam256 * (2 + idx_bins)) >> 8)
             sc = jnp.where(ok & (nd > 0), sc, 1 << 30)
             if rd:
                 cc, sz = _rd_resid_cost(org, pred, qp_b, log2n, bd,
                                         lam2)
-                mb = float(2 + _MERGE_IDX_BINS[k])
+                mb = float(2 + idx_bins)
                 rdk = jnp.minimum(cc + lam2 * (mb + 4.0),
                                   sz + lam2 * mb)
                 rdk = jnp.where(ok & (nd > 0), rdk, jnp.float32(3e38))

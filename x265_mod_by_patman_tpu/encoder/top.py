@@ -1105,20 +1105,28 @@ class Encoder:
                     if self._tiles_mesh is None:
                         self._tiles_mesh = make_mesh(p.mesh_tile_rows,
                                                      axis="rows")
+                    rp_p = (tuple(a[1] for a in self._anchors), ())
+                    col_a = self._col_store.get(rp_p[0][0]) \
+                        if self.sps.temporal_mvp else None
                     modes, inter_mask, mvs, ref_sel, mc, part_map, \
                         mvs_b = analyse_p_frame_tiles(
                             y, u, v, refs, self.sps, qp,
                             search_range=self._me_range, weights=wp_l0,
                             subme=p.subpel_refine, rect=use_rect,
-                            mesh=self._tiles_mesh)
+                            mesh=self._tiles_mesh, col=col_a,
+                            ref_pocs=rp_p, cur_poc=poc)
                 else:
+                    rp_p = (tuple(a[1] for a in self._anchors), ())
+                    col_a = self._col_store.get(rp_p[0][0]) \
+                        if self.sps.temporal_mvp else None
                     modes, inter_mask, mvs, ref_sel, mc, part_map, \
                         mvs_b = analyse_p_frame(
                             y, u, v, refs, self.sps, qp,
                             search_range=self._me_range, weights=wp_l0,
                             subme=p.subpel_refine, rect=use_rect,
                             amp=p.amp, chroma_weights=wp_chroma,
-                            me_sea=p.search_method == "sea")
+                            me_sea=p.search_method == "sea",
+                            col=col_a, ref_pocs=rp_p, cur_poc=poc)
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
             recon_fn = self._inter_recon_fn(
@@ -1147,13 +1155,17 @@ class Encoder:
                         wp_l0 = (c0,)
                         wp_b_l1 = (c1,)
                 use_rect_b = p.rect and self._ana_store is None
+                rp_b = ((ref0[1],), (ref1[1],))
+                col_b = self._col_store.get(ref0[1]) \
+                    if self.sps.temporal_mvp else None
                 (modes, inter_mask, dirs, mvs, mvs1, mc, part_map_b,
                  pu1_b) = analyse_b_frame(
                     y, u, v, ref0[0], ref1[0],
                     self.sps, qp, search_range=self._me_range,
                     subme=p.subpel_refine, weights_b=wpb,
                     rect=use_rect_b, amp=p.amp,
-                    me_sea=p.search_method == "sea")
+                    me_sea=p.search_method == "sea",
+                    col=col_b, ref_pocs=rp_b, cur_poc=poc)
                 if np.any(part_map_b):
                     # B rect: (part, PU1 dirs, PU1 mv L0, PU1 mv L1)
                     rect_info = (part_map_b, pu1_b[1], pu1_b[2],

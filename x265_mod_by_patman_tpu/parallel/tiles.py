@@ -47,7 +47,8 @@ def _slab(xb, halo: int, axis: str, nd: int):
 def analyse_p_frame_tiles(y, u, v, refs, sps, qp: int,
                           n_devices: int = 8, search_range: int = 16,
                           block: int = 16, weights=None, subme: int = 2,
-                          rect: bool = False, mesh=None):
+                          rect: bool = False, mesh=None, col=None,
+                          ref_pocs=None, cur_poc: int = 0):
     """Tile-row sharded analyse_p_frame (drop-in, same returns).
 
     Rows are padded (edge replication) to a multiple of n_devices
@@ -108,7 +109,30 @@ def analyse_p_frame_tiles(y, u, v, refs, sps, qp: int,
     halo_y = HALO_BLOCKS * n
     halo_c = halo_y // 2
 
-    def kernel(oy_b, rys_b, rus_b, rvs_b, avail_b, lam_b):
+    # temporal merge candidate field (same derivation as the
+    # whole-frame call, sharded by block rows like avail so banded
+    # analysis stays bit-identical)
+    if col is not None and ref_pocs is not None and ref_pocs[0]:
+        from ..analysis.inter_mode import temporal_merge_field
+        low_delay = all(rp <= cur_poc for lst_p in ref_pocs
+                        for rp in lst_p)
+        tval, tmx, tmy = temporal_merge_field(
+            col, nby, avail.shape[1], n, sps.width, sps.height,
+            sps.log2_ctu_size, 0, ref_pocs[0][0], cur_poc, low_delay)
+        pr = nby_pad - nby
+        if pr:
+            tval = np.concatenate([tval, np.repeat(tval[-1:], pr, 0)], 0)
+            tmx = np.concatenate([tmx, np.repeat(tmx[-1:], pr, 0)], 0)
+            tmy = np.concatenate([tmy, np.repeat(tmy[-1:], pr, 0)], 0)
+        tmvp_in = (jnp.asarray(tval), jnp.asarray(tmx),
+                   jnp.asarray(tmy))
+    else:
+        z2 = jnp.zeros((nby_pad, avail.shape[1]), jnp.int32)
+        tmvp_in = (z2 != 0, z2, z2)
+    has_tmvp = col is not None and ref_pocs is not None \
+        and bool(ref_pocs[0])
+
+    def kernel(oy_b, rys_b, rus_b, rvs_b, avail_b, lam_b, tmvp_b):
         oy_s = _slab(oy_b, halo_y, axis, nd)
         rys_s = jnp.stack([_slab(rys_b[i], halo_y, axis, nd)
                            for i in range(rys_b.shape[0])])
@@ -122,7 +146,8 @@ def analyse_p_frame_tiles(y, u, v, refs, sps, qp: int,
                        jnp.int32(qp),
                        wpat, search_range, block, bd,
                        sps.log2_ctu_size, False, subme, rect_eff,
-                       False, band)
+                       False, band,
+                       tmvp=tmvp_b if has_tmvp else None)
 
     rows = P(axis)
     # check_rep off: fori_loop carries inside the ME kernels start as
@@ -130,9 +155,9 @@ def analyse_p_frame_tiles(y, u, v, refs, sps, qp: int,
     fn = jax.jit(shard_map(
         kernel, mesh=mesh,
         in_specs=(rows, P(None, axis), P(None, axis), P(None, axis),
-                  rows, P()),
+                  rows, P(), (rows, rows, rows)),
         out_specs=(rows,) * 9, check_rep=False))
-    out = fn(oy, rys, rus, rvs, avail, lam256)
+    out = fn(oy, rys, rus, rvs, avail, lam256, tmvp_in)
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = \
         [np.asarray(o)[:nby] for o in out]
     return (modes, inter, mvs, rsel, (mcy, mcu, mcv), part, mvs_b)
