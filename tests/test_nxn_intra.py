@@ -69,3 +69,40 @@ def test_nxn_decision_prefers_uniform_16():
     sps = build_sps_info(p)
     _, split, _ = decide_modes_split(y, sps, 32)
     assert split.mean() < 0.35
+
+
+def test_nxn_sbh_mode_dependent_scan_decodes():
+    """SBH parity must be enforced along the TB's REAL scan: NxN TU8
+    luma and TU4 chroma use mode-dependent scans (spec 7.4.9.11), so a
+    diagonal-scan-only SBH adjustment corrupts the hidden sign
+    (regression: decoded MD5 mismatched before the scan_sel fix)."""
+    from x265_mod_by_patman_tpu.decoder.decoder import Decoder
+    rng = np.random.default_rng(7)
+    w, h = 160, 96
+    frames = []
+    for i in range(2):
+        yy, xx = np.mgrid[0:h, 0:w]
+        y = np.clip(((xx * 3 + yy * 7 + i * 5) % 255)
+                    + rng.integers(-20, 20, (h, w)), 0,
+                    255).astype(np.uint8)
+        u = np.clip(128 + ((xx[::2, ::2] * 5) % 64)
+                    + rng.integers(-15, 15, (h // 2, w // 2)), 0,
+                    255).astype(np.uint8)
+        v = np.clip(128 + ((yy[::2, ::2] * 5) % 64)
+                    + rng.integers(-15, 15, (h // 2, w // 2)), 0,
+                    255).astype(np.uint8)
+        frames.append((y, u, v))
+    for tu_depth in (1, 2):
+        p = default_params(w, h, qp=30, nxn_intra=True,
+                           keyframe_max=1, tu_intra_depth=tu_depth)
+        p.sign_hide = True
+        p.validate()
+        enc = Encoder(p)
+        out = []
+        for f in frames:
+            out.extend(enc.encode_frame(*f))
+        out.extend(enc.flush())
+        bs = enc.headers() + b"".join(f.bitstream for f in out)
+        pics = Decoder().decode(bs)
+        assert len(pics) == len(frames)
+        assert all(pc.sei_md5 == pc.md5 for pc in pics)

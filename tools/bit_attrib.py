@@ -52,13 +52,14 @@ for _name, _n in _SPLIT.items():
 
 
 class _Rec:
-    __slots__ = ("stype", "fam", "bypass", "nbins")
+    __slots__ = ("stype", "fam", "bypass", "nbins", "ones")
 
     def __init__(self, stype: int) -> None:
         self.stype = stype                 # 0=B 1=P 2=I
         self.fam = {}                      # family -> 1/32768-bit units
         self.bypass = 0
         self.nbins = {}
+        self.ones = {}
 
 
 def attribute(stream: bytes):
@@ -73,6 +74,7 @@ def attribute(stream: bytes):
             f = _FAM[c]
             r.fam[f] = r.fam.get(f, 0) + int(ENTROPY_BITS[s ^ b])
             r.nbins[f] = r.nbins.get(f, 0) + 1
+            r.ones[f] = r.ones.get(f, 0) + b
             return b
 
         def decode_bin_ep(self):
@@ -101,6 +103,7 @@ def summarize(recs) -> dict:
     fams: dict = {}
     byp = {"I": 0.0, "P": 0.0, "B": 0.0}
     nsl = {"I": 0, "P": 0, "B": 0}
+    cnt: dict = {}
     for r in recs:
         t = tnames[r.stype]
         nsl[t] += 1
@@ -108,10 +111,17 @@ def summarize(recs) -> dict:
         for f, v in r.fam.items():
             fams.setdefault(f, {"I": 0.0, "P": 0.0, "B": 0.0})
             fams[f][t] += v / 32768.0
+            cnt.setdefault(f, {})
+            n1, n0 = cnt[f].get(t, (0, 0))
+            cnt[f][t] = (n1 + r.ones.get(f, 0),
+                         n0 + r.nbins.get(f, 0))
     for f in fams:
         for t in fams[f]:
             fams[f][t] = round(fams[f][t], 1)
-    return {"slices": nsl, "bypass": byp, "families": fams}
+    counts = {f: {t: f"{v[0]}/{v[1]}" for t, v in d.items()}
+              for f, d in cnt.items()}
+    return {"slices": nsl, "bypass": byp, "families": fams,
+            "counts": counts}
 
 
 def main() -> None:

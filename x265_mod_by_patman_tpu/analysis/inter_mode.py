@@ -1161,8 +1161,9 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
     for _ in range(2):
         dirs, c0x, c0y, c1x, c1y, inter_cost, _ = b_cand_round(
             dirs, c0x, c0y, c1x, c1y)
-    dirs, c0x, c0y, c1x, c1y, inter_cost, cost_rd = b_cand_round(
-        dirs, c0x, c0y, c1x, c1y, rd=True)
+    for _ in range(2):
+        dirs, c0x, c0y, c1x, c1y, inter_cost, cost_rd = b_cand_round(
+            dirs, c0x, c0y, c1x, c1y, rd=True)
     mv0x, mv0y, mv1x, mv1y = c0x, c0y, c1x, c1y
     inter_cost_2n = inter_cost
 

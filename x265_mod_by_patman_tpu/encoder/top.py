@@ -1030,10 +1030,13 @@ class Encoder:
                 (modes, split_map, modes8, split32, mode32, cand16,
                  cbits16) = decide_modes_tree(y, self.sps, qp,
                                               nxn=p.nxn_intra)
-                if cand16 is not None and p.rd_level >= 4:
+                if cand16 is not None and p.rd_level >= 3:
                     # in-wavefront RD mode selection (checkIntra's RD
-                    # pass over the sa8d candidate list) — the rd>=4
-                    # deep-RDO tier; measured RD-neutral at rd 2/3
+                    # pass over the sa8d candidate list, search.cpp:1577
+                    # estIntraPredQT — x265 runs it at every rd level in
+                    # I slices).  Default on at rd 3: on grainy content
+                    # the SATD-only pick loses ~3 BD points (park A/B,
+                    # BENCH_NOTES round-3-session-4)
                     intra_cand = (cand16, cbits16)
             elif p.nxn_intra:
                 from ..analysis.intra_mode import (decide_modes_split,
@@ -1046,7 +1049,7 @@ class Encoder:
                     if not tu4_map.any():
                         tu4_map = None
             else:
-                if p.rd_level >= 4 and not p.lossless:
+                if p.rd_level >= 3 and not p.lossless:
                     modes, c16_, cb16_ = decide_modes_rd(
                         y, self.sps, qp, block=16, topk=3)
                     intra_cand = (c16_, cb16_)

@@ -37,6 +37,15 @@ def chroma_qp(qp: int, offset: int = 0, csp: int = 1) -> int:
     return int(min(max(qp + offset, 0), 51))
 
 
+def _scan_sel_of(modes):
+    """Mode-dependent scan id per lane (spec 7.4.9.11 for 4x4 and 8x8
+    luma intra TBs): near-horizontal modes 6..14 -> vertical scan (2),
+    near-vertical 22..30 -> horizontal (1), else diagonal (0)."""
+    return jnp.where((modes >= 6) & (modes <= 14), 2,
+                     jnp.where((modes >= 22) & (modes <= 30), 1, 0)) \
+        .astype(jnp.int32)
+
+
 def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   log2n: int, qp, c_idx: int, bit_depth: int = 8,
                   mc_pred=None, inter_mask=None, sign_hide: bool = False,
@@ -298,7 +307,10 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                               init_type) if rdoq \
                 else quant_dyn(coef8, ones, qp, l2s, bit_depth, m8[0])
             if sign_hide:
-                lv8 = sbh_adjust(lv8, coef8, ones, qp, l2s, bit_depth)
+                # TU8 luma / TU4 chroma scans are mode-dependent (spec
+                # 7.4.9.11) — SBH parity must follow the real scan
+                lv8 = sbh_adjust(lv8, coef8, ones, qp, l2s, bit_depth,
+                                 scan_sel=_scan_sel_of(md8))
             deq8 = dequant_dyn(lv8, qp, l2s, bit_depth, m8[1], ones)
             rec8 = jnp.clip(pred8 + idct_batch(deq8, l2s, bit_depth),
                             0, maxval)
@@ -346,7 +358,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                                        None)
                     if sign_hide:
                         lv4 = sbh_adjust(lv4, coef4, ones, qp, 2,
-                                         bit_depth)
+                                         bit_depth,
+                                         scan_sel=_scan_sel_of(md8))
                     deq4 = dequant_dyn(lv4, qp, 2, bit_depth, None,
                                        ones)
                     rec4 = jnp.clip(

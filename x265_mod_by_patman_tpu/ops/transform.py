@@ -237,15 +237,21 @@ def _diag_scan_idx(log2_size: int):
 
 
 def sbh_adjust(lev: jnp.ndarray, coef: jnp.ndarray, intra_mask, qp,
-               log2_size: int, bit_depth: int = 8) -> jnp.ndarray:
+               log2_size: int, bit_depth: int = 8,
+               scan_sel=None) -> jnp.ndarray:
     """Sign-bit-hiding quantizer adjustment (x265 signBitHidingHDQ,
-    quant.cpp:247): for every diagonal-scan 4x4 coefficient group where
-    hiding triggers (last-first sig span > 3), force the parity of the
-    absolute-level sum to encode the first coefficient's sign, adjusting
-    the single coefficient whose quantization error changes least.
+    quant.cpp:247): for every 4x4 coefficient group where hiding
+    triggers (last-first sig span > 3 in the TB's scan order), force
+    the parity of the absolute-level sum to encode the first
+    coefficient's sign, adjusting the single coefficient whose
+    quantization error changes least.
 
-    Applies to DIAG-scan TUs only (the only scan the current uniform
-    16x16-luma / 8x8-chroma layout produces).
+    scan_sel: None for diagonal-scan TBs (16x16 luma / 8x8 chroma — the
+    uniform grid), else a (B,) int32 of SCAN_DIAG/HOR/VER per lane for
+    mode-dependent-scan TBs (4x4, and 8x8 luma; spec 7.4.9.11).  The
+    hide trigger and the hidden-sign source are scan-dependent, so the
+    parity must be enforced along the scan the entropy coder will
+    actually use.
     """
     qp = jnp.asarray(qp, jnp.int32)
     if qp.ndim == 0:
@@ -256,12 +262,23 @@ def sbh_adjust(lev: jnp.ndarray, coef: jnp.ndarray, intra_mask, qp,
     scale = jnp.asarray(QUANT_SCALES)[rem][:, None, None]
 
     n = 1 << log2_size
-    scan = jnp.asarray(_diag_scan_idx(log2_size))      # (n*n,) raster idx
     b = lev.shape[0]
     lev_f = lev.reshape(b, n * n)
     coef_f = coef.reshape(b, n * n)
-    lev_s = jnp.take(lev_f, scan, axis=1)              # scan order
-    coef_s = jnp.take(coef_f, scan, axis=1)
+    if scan_sel is None:
+        scan = jnp.asarray(_diag_scan_idx(log2_size))  # (n*n,) raster
+        lev_s = jnp.take(lev_f, scan, axis=1)          # scan order
+        coef_s = jnp.take(coef_f, scan, axis=1)
+    else:
+        from ..constants.hevc_tables import (scan_raster_index,
+                                             SCAN_DIAG, SCAN_HOR,
+                                             SCAN_VER)
+        scans3 = jnp.asarray(np.stack(
+            [np.ascontiguousarray(scan_raster_index(log2_size, si))
+             for si in (SCAN_DIAG, SCAN_HOR, SCAN_VER)]))
+        scan = scans3[jnp.clip(jnp.asarray(scan_sel), 0, 2)]  # (B, n*n)
+        lev_s = jnp.take_along_axis(lev_f, scan, axis=1)
+        coef_s = jnp.take_along_axis(coef_f, scan, axis=1)
     ncg = (n * n) // 16
     lev_cg = lev_s.reshape(b, ncg, 16)
     coef_cg = coef_s.reshape(b, ncg, 16)
@@ -301,9 +318,13 @@ def sbh_adjust(lev: jnp.ndarray, coef: jnp.ndarray, intra_mask, qp,
     out_cg = jnp.where(lev_cg < 0, -new_abs, new_abs)
 
     out_s = out_cg.reshape(b, n * n)
-    inv = jnp.zeros(n * n, jnp.int32).at[scan].set(
-        jnp.arange(n * n, dtype=jnp.int32))
-    out_f = jnp.take(out_s, inv, axis=1)
+    if scan_sel is None:
+        inv = jnp.zeros(n * n, jnp.int32).at[scan].set(
+            jnp.arange(n * n, dtype=jnp.int32))
+        out_f = jnp.take(out_s, inv, axis=1)
+    else:
+        out_f = jnp.zeros_like(out_s).at[
+            jnp.arange(b)[:, None], scan].set(out_s)
     return out_f.reshape(b, n, n)
 
 
