@@ -1177,13 +1177,6 @@ class Encoder:
                 y, u, v, modes, mc, inter_mask, 0, mvs, mvs1, dirs,
                 None, rect_info)
             ref_pocs = ((ref0[1],), (ref1[1],))
-        if self._ana_store is not None:
-            self._ana_store.save(
-                disp, ftype, modes=modes, inter_mask=inter_mask,
-                mvs=mvs, ref_sel=ref_sel, dirs=dirs, mvs1=mvs1,
-                split_map=split_map, modes8=modes8, split32=split32,
-                mode32=mode32)
-
         from ..bitstream.nal import NAL_CRA_NUT, NAL_RASL_N, NAL_RASL_R
         if nal_class == "cra":
             nal_unit = NAL_CRA_NUT
@@ -1239,6 +1232,19 @@ class Encoder:
                 qp_map = base
                 r, sao_maps, slice_rbsp = run_pipeline(qp_map)
         self._nr_update(r)
+        if self._ana_store is not None:
+            # saved AFTER the final pipeline run so the stored modes are
+            # the in-wavefront RD winners (modes_sel), not the SATD
+            # candidates — replay runs with cand=None and must code the
+            # exact modes pass 1 coded (reference writeAnalysisFile
+            # stores final CU decisions the same way, encoder.cpp:4788)
+            self._ana_store.save(
+                disp, ftype,
+                modes=np.asarray(r.get("modes_sel", modes)),
+                inter_mask=inter_mask,
+                mvs=mvs, ref_sel=ref_sel, dirs=dirs, mvs1=mvs1,
+                split_map=split_map, modes8=modes8, split32=split32,
+                mode32=mode32)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
                         bit_depth=self.sps.bit_depth)
 
