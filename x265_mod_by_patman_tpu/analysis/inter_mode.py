@@ -58,11 +58,6 @@ def _stack_refs(planes, m: int):
     return tall, strip
 
 
-# candidate-position order approximating the spatial merge list
-# (A1 left, B1 top, B0 top-right; spec 8.5.3.2.3)
-_MERGE_NEIGH = ((0, 1), (1, 0), (1, -1))
-
-
 def _scale_mv_np(mvx, mvy, tb: int, td):
     """Vectorized POC-distance MV scaling (spec 8.5.3.2.8; the batched
     form of entropy.mv_pred._scale_mv, kept numerically identical so an
@@ -150,11 +145,6 @@ def _rd_resid_cost(org, pred, qp_b, log2n: int, bd: int, lam2):
     nz = jnp.sum(lev != 0, (1, 2)).astype(jnp.float32)
     bits = jnp.where(nz > 0, 10.0 + 4.5 * nz, 0.0)
     return sse_c + lam2 * bits, sse_z
-
-# merge_idx TR bin count per list position (cu_syntax._merge_idx with
-# cmax = max_merge - 1 = 2): idx0 -> 1, idx1 -> 2, idx2 -> 2
-_MERGE_IDX_BINS = (1, 2, 2)
-
 
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
@@ -327,17 +317,21 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
     tall, strip = _stack_refs(ry_all, m_pad)
     me_mvx, me_mvy, me_ref = mvx, mvy, ref_sel
 
-    def neigh2(f2d, sy: int, sx: int, ext=None):
+    def neigh2(f2d, sy: int, sx: int, ext=None, ext_down=None):
         """Band-aware coding-order neighbor gather: whole-frame calls
         use _neigh_field; banded calls read the up-neighbor's boundary
-        row from `ext` (ppermute'd) and mask validity globally."""
+        row from `ext` (down-neighbor's from `ext_down`, both
+        ppermute'd) and mask validity globally."""
         if band is None:
             return _neigh_field(f2d, sy, sx)
         if sy == 0:
             shifted = jnp.roll(f2d, sx, 1)
-        else:
+        elif sy > 0:
             shifted = jnp.roll(jnp.concatenate([ext, f2d], 0),
                                sx, 1)[:nby]
+        else:
+            shifted = jnp.roll(jnp.concatenate([f2d, ext_down], 0),
+                               sx, 1)[1:nby + 1]
         ys = jnp.arange(nby)[:, None] + gby0
         xs = jnp.arange(nbx)[None, :]
         iy = ys - sy
@@ -353,21 +347,94 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
         return jax.lax.ppermute(f2d[-1:], axis,
                                 [(i, i + 1) for i in range(nd - 1)])
 
+    def boundary_ext_down(f2d):
+        """Down-neighbor's first block-row (for the A0 bottom-left
+        merge position; last device gets zeros, masked by bounds)."""
+        if band is None:
+            return None
+        return jax.lax.ppermute(f2d[:1], axis,
+                                [(i + 1, i) for i in range(nd - 1)])
+
+    # S-vector availability indices of the spatial merge positions
+    # (spec 8.5.3.2.3; frame_avail_masks layout — left column bottom-up,
+    # corner, top row): A1=(x0-1,y0+n-1), A0=(x0-1,y0+n), B2=(x0-1,y0-1),
+    # B1=(x0+n-1,y0-1), B0=(x0+n,y0-1).  The masks already encode the
+    # exact in-frame + z-scan-coding-order test (zscan.py), so A0/B0
+    # validity matches the syntax walk's motion_at() availability.
+    AV_A1, AV_A0, AV_B2, AV_B1, AV_B0 = n, n - 1, 2 * n, 3 * n, 3 * n + 1
+
     def cand_round(mvx, mvy, rsel, rd: bool = False):
         f2x = mvx.reshape(nby, nbx)
         f2y = mvy.reshape(nby, nbx)
         f2r = rsel.reshape(nby, nbx)
         ext = (boundary_ext(f2x), boundary_ext(f2y), boundary_ext(f2r))
-        nfs = [(neigh2(f2x, sy, sx, ext[0])[0],
-                neigh2(f2y, sy, sx, ext[1])[0],
-                neigh2(f2r, sy, sx, ext[2])[0],
-                neigh2(f2r, sy, sx, ext[2])[1])
-               for (sy, sx) in _MERGE_NEIGH]
+        extd = (boundary_ext_down(f2x), boundary_ext_down(f2y),
+                boundary_ext_down(f2r))
+
+        def gat(sy, sx):
+            return (neigh2(f2x, sy, sx, ext[0], extd[0])[0].ravel(),
+                    neigh2(f2y, sy, sx, ext[1], extd[1])[0].ravel(),
+                    jnp.clip(neigh2(f2r, sy, sx, ext[2],
+                                    extd[2])[0].ravel(), 0, nref - 1))
+
+        # exact merge candidate derivation (spec 8.5.3.2.3, the batched
+        # mirror of entropy.mv_pred.merge_candidates): spatial A1, B1,
+        # B0, A0, B2 with availability from the z-scan S masks and the
+        # spec's pairwise pruning, then TMVP, then the zero-fill entry
+        # — each with its true LIST POSITION so candidates beyond
+        # max_merge (3, top.py MAX_MERGE) are never proposed and the
+        # merge_idx bin charge is exact.  This is what makes the
+        # analysis-adopted motion actually MATCH the syntax encoder's
+        # list membership test (x265 mergeEstimation, search.cpp:2237,
+        # iterates the real list the same way).
+        a1, b1, b0 = gat(0, 1), gat(1, 0), gat(1, -1)
+        a0, b2 = gat(-1, 1), gat(1, 1)
+        av2 = avail.reshape(nb, -1)
+        v_a1 = av2[:, AV_A1]
+        v_b1r = av2[:, AV_B1]
+        v_b0r = av2[:, AV_B0]
+        v_a0r = av2[:, AV_A0]
+        v_b2r = av2[:, AV_B2]
+        eq = lambda c, d: ((c[0] == d[0]) & (c[1] == d[1]) &
+                           (c[2] == d[2]))
+        v_b1 = v_b1r & ~(v_a1 & eq(b1, a1))
+        v_b0 = v_b0r & ~(v_b1r & eq(b0, b1))
+        v_a0 = v_a0r & ~(v_a1 & eq(a0, a1))
+        i32 = lambda b_: b_.astype(jnp.int32)
+        n4 = i32(v_a1) + i32(v_b1) + i32(v_b0) + i32(v_a0)
+        v_b2 = (v_b2r & (n4 < 4) & ~(v_a1 & eq(b2, a1))
+                & ~(v_b1r & eq(b2, b1)))
+        idx_a1 = jnp.zeros(nb, jnp.int32)
+        idx_b1 = i32(v_a1)
+        idx_b0 = idx_b1 + i32(v_b1)
+        idx_a0 = idx_b0 + i32(v_b0)
+        idx_b2 = idx_a0 + i32(v_a0)
+        n_sp = idx_b2 + i32(v_b2)
+        zz = jnp.zeros(nb, jnp.int32)
+        if tmvp is not None:
+            tval, tmx_, tmy_ = [a.reshape(-1) for a in tmvp]
+            # vertical window guard: the stacked-ref gather only
+            # edge-replicates within one strip's m_pad rows; a scaled
+            # temporal MV beyond it would read the neighboring ref's
+            # strip and corrupt the cost (decision-only, but reject)
+            tval = tval & (jnp.abs(tmy_) <= 4 * (m_pad - 8))
+        else:
+            tval, tmx_, tmy_ = zz != 0, zz, zz
+        v_t = tval & (n_sp < 3)
+        idx_t = n_sp
+        idx_z = n_sp + i32(v_t)
+        v_z = idx_z < 3
+        mcands = [(a1, v_a1, idx_a1), (b1, v_b1, idx_b1),
+                  (b0, v_b0, idx_b0), (a0, v_a0, idx_a0),
+                  (b2, v_b2, idx_b2),
+                  ((tmx_, tmy_, zz), v_t, idx_t),
+                  ((zz, zz, zz), v_z, idx_z)]
+
         # AMVP predictors ~ (A1, B1) neighbor MVs (zero when absent)
-        p0x = jnp.where(nfs[0][3], nfs[0][0], 0).ravel()
-        p0y = jnp.where(nfs[0][3], nfs[0][1], 0).ravel()
-        p1x = jnp.where(nfs[1][3], nfs[1][0], 0).ravel()
-        p1y = jnp.where(nfs[1][3], nfs[1][1], 0).ravel()
+        p0x = jnp.where(v_a1, a1[0], 0)
+        p0y = jnp.where(v_a1, a1[1], 0)
+        p1x = jnp.where(v_b1r, b1[0], 0)
+        p1y = jnp.where(v_b1r, b1[1], 0)
         mvd_bits_best = jnp.minimum(mv_bits(me_mvx - p0x, me_mvy - p0y),
                                     mv_bits(me_mvx - p1x, me_mvy - p1y))
         # merge_flag=0 + mvp_idx + part/pred bins + ref_idx TR bins
@@ -393,24 +460,11 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             syn_me = (mvd_bits_best + 3 + me_ref).astype(jnp.float32)
             best_rd = jnp.minimum(cc + lam2 * syn_me,
                                   sz + lam2 * (syn_me + 1.0))
-        mcands = [(cmx2.ravel(), cmy2.ravel(),
-                   jnp.clip(crf2.ravel(), 0, nref - 1), ok2.ravel(),
-                   _MERGE_IDX_BINS[k])
-                  for k, (cmx2, cmy2, crf2, ok2) in enumerate(nfs)]
-        if tmvp is not None:
-            # temporal merge candidate (TMVP, L0 ref 0): on static and
-            # uniformly-moving content the spatial candidates dedup so
-            # the temporal one typically sits at idx 1-2 of the real
-            # list (spec 8.5.3.2.3 derivation order)
-            tval, tmx_, tmy_ = [a.reshape(-1) for a in tmvp]
-            # vertical window guard: the stacked-ref gather only
-            # edge-replicates within one strip's m_pad rows; a scaled
-            # temporal MV beyond it would read the neighboring ref's
-            # strip and corrupt the cost (decision-only, but reject)
-            tval = tval & (jnp.abs(tmy_) <= 4 * (m_pad - 8))
-            mcands.append((tmx_, tmy_, jnp.zeros(nb, jnp.int32),
-                           tval, 2))
-        for (cmx, cmy, crf, ok, idx_bins) in mcands:
+        for ((cmx, cmy, crf), ok, idx) in mcands:
+            ok = ok & (idx < 3)
+            # merge_idx TR bins at the candidate's true list position
+            # (cmax = MAX_MERGE-1 = 2: idx0 -> 1 bin, idx1/2 -> 2)
+            idx_bins = jnp.where(idx == 0, 1, 2)
             y0t = by + crf * strip + m_pad
             pr = mc_batch(tall, bx, y0t, cmx, cmy, n, 0, bd,
                           use_pallas=use_pallas)
@@ -421,7 +475,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             if rd:
                 cc, sz = _rd_resid_cost(org, pr, qp_b,
                                         n.bit_length() - 1, bd, lam2)
-                mb = float(2 + idx_bins)
+                mb = (2 + idx_bins).astype(jnp.float32)
                 rdk = jnp.minimum(cc + lam2 * (mb + 4.0),
                                   sz + lam2 * mb)
                 rdk = jnp.where(ok, rdk, jnp.float32(3e38))
@@ -693,12 +747,23 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             fr2[a1_r[:, None], ac[None, :]], mb3, va1))
         b1_r = ry_i - 1
         b1_c = rx_i + (g - 1)
-        vb1 = jnp.broadcast_to((b1_r >= 0)[:, None], (gh, gw))
-        br = jnp.clip(b1_r, 0, nby - 1)
+        if band is None:
+            vb1 = jnp.broadcast_to((b1_r >= 0)[:, None], (gh, gw))
+            fx2b, fy2b, fr2b = fx2, fy2, fr2
+            br = jnp.clip(b1_r, 0, nby - 1)
+        else:
+            # banded: the first group row's B1 lives on the UP device's
+            # last block-row (ppermute'd); validity is the GLOBAL row
+            fx2b = jnp.concatenate([boundary_ext(fx2), fx2], 0)
+            fy2b = jnp.concatenate([boundary_ext(fy2), fy2], 0)
+            fr2b = jnp.concatenate([boundary_ext(fr2), fr2], 0)
+            vb1 = jnp.broadcast_to(((gby0 + b1_r) >= 0)[:, None],
+                                   (gh, gw))
+            br = b1_r + 1
         best = merge_best(best, eval_cand(
-            fx2[br[:, None], b1_c[None, :]],
-            fy2[br[:, None], b1_c[None, :]],
-            fr2[br[:, None], b1_c[None, :]], mb3, vb1))
+            fx2b[br[:, None], b1_c[None, :]],
+            fy2b[br[:, None], b1_c[None, :]],
+            fr2b[br[:, None], b1_c[None, :]], mb3, vb1))
         # zero-mv candidate: the spec merge list's zero-fill entry
         # (8.5.3.2.3 step 5) — catches static regions whose spatial
         # neighbors carry a different list/ref and would otherwise
@@ -965,7 +1030,9 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
                   search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
                   0 if idc == 3 else 1, idc == 2, rect_eff,
-                  sps.log2_ctu_size, me_sea, amp_eff, tmvp)
+                  sps.log2_ctu_size, me_sea, amp_eff, tmvp,
+                  bool(ref_pocs and ref_pocs[1]
+                       and ref_pocs[0][0] == ref_pocs[1][0]))
     (modes, inter, dirs, mv0, mv1, mcy, mcu, mcv, part, dirs_b,
      mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
@@ -979,13 +1046,13 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     jax.jit, static_argnames=("search_range", "block", "bd",
                               "use_pallas", "subme", "wb", "cshift",
                               "is422", "rect", "log2_ctu",
-                              "me_sea", "amp"))
+                              "me_sea", "amp", "same_pic"))
 def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             search_range: int, block: int, bd: int, use_pallas: bool,
             subme: int = 2, wb=(False, False), wv=None,
             cshift: int = 1, is422: bool = False, rect: bool = False,
             log2_ctu: int = 5, me_sea: bool = False,
-            amp: bool = False, tmvp=None):
+            amp: bool = False, tmvp=None, same_pic: bool = False):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -1046,26 +1113,95 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
     me_b0 = mv_bits(mv0x, mv0y)
     me_b1 = mv_bits(mv1x, mv1y)
 
+    # S-mask availability indices (see the P-side note)
+    AV_A1, AV_A0, AV_B2, AV_B1, AV_B0 = n, n - 1, 2 * n, 3 * n, 3 * n + 1
+    av2 = avail.reshape(nb, -1)
+
     def b_cand_round(dirs, c0x, c0y, c1x, c1y, rd: bool = False):
         f = lambda a: a.reshape(nby, nbx)
-        nfs = []
-        for (sy, sx) in _MERGE_NEIGH:
-            nd, ok = _neigh_field(f(dirs), sy, sx)
-            n0x, _ = _neigh_field(f(c0x), sy, sx)
-            n0y, _ = _neigh_field(f(c0y), sy, sx)
-            n1x, _ = _neigh_field(f(c1x), sy, sx)
-            n1y, _ = _neigh_field(f(c1y), sy, sx)
-            nfs.append((nd.ravel(), ok.ravel(), n0x.ravel(),
-                        n0y.ravel(), n1x.ravel(), n1y.ravel()))
+
+        def gat(sy, sx):
+            return tuple(_neigh_field(f(a), sy, sx)[0].ravel()
+                         for a in (dirs, c0x, c0y, c1x, c1y))
+
+        # exact merge candidate derivation over full (dir, mv0, mv1)
+        # motion (spec 8.5.3.2.3, batched mirror of
+        # entropy.mv_pred.merge_candidates; see the P-side note):
+        # spatial A1/B1/B0/A0/B2 with z-scan availability + pairwise
+        # pruning, TMVP, the first two combined-bi candidates
+        # (8.5.3.2.4 order (0,1)/(1,0) — with max_merge 3 the combined
+        # stage only ever fires when exactly two candidates exist), and
+        # the bi zero-fill entry — each at its true list position.
+        a1, b1, b0 = gat(0, 1), gat(1, 0), gat(1, -1)
+        a0, b2 = gat(-1, 1), gat(1, 1)
+        v_a1 = av2[:, AV_A1]
+        v_b1r = av2[:, AV_B1]
+        v_b0r = av2[:, AV_B0]
+        v_a0r = av2[:, AV_A0]
+        v_b2r = av2[:, AV_B2]
+        eq = lambda c, d: ((c[0] == d[0]) & (c[1] == d[1]) &
+                           (c[2] == d[2]) & (c[3] == d[3]) &
+                           (c[4] == d[4]))
+        v_b1 = v_b1r & ~(v_a1 & eq(b1, a1))
+        v_b0 = v_b0r & ~(v_b1r & eq(b0, b1))
+        v_a0 = v_a0r & ~(v_a1 & eq(a0, a1))
+        i32 = lambda b_: b_.astype(jnp.int32)
+        n4 = i32(v_a1) + i32(v_b1) + i32(v_b0) + i32(v_a0)
+        v_b2 = (v_b2r & (n4 < 4) & ~(v_a1 & eq(b2, a1))
+                & ~(v_b1r & eq(b2, b1)))
+        idx_a1 = jnp.zeros(nb, jnp.int32)
+        idx_b1 = i32(v_a1)
+        idx_b0 = idx_b1 + i32(v_b1)
+        idx_a0 = idx_b0 + i32(v_b0)
+        idx_b2 = idx_a0 + i32(v_a0)
+        n_sp = idx_b2 + i32(v_b2)
+        zz_ = jnp.zeros(nb, jnp.int32)
+        if tmvp is not None:
+            td_, t0x, t0y, t1x, t1y = tmvp
+            tm = (td_, t0x, t0y, t1x, t1y)
+            v_t = (td_ > 0) & (n_sp < 3)
+        else:
+            tm = (zz_, zz_, zz_, zz_, zz_)
+            v_t = zz_ != 0
+        idx_t = n_sp
+        cnt = n_sp + i32(v_t)
+        # combined-bi (0,1)/(1,0): base0/base1 = the list's first two
+        # entries, selected across the six candidate slots by position
+        spat = [(a1, v_a1, idx_a1), (b1, v_b1, idx_b1),
+                (b0, v_b0, idx_b0), (a0, v_a0, idx_a0),
+                (b2, v_b2, idx_b2), (tm, v_t, idx_t)]
+        stk = [jnp.stack([c[0][i] for c in spat]) for i in range(5)]
+        vstk = jnp.stack([c[1] for c in spat])
+        istk = jnp.stack([c[2] for c in spat])
+
+        def base(k):
+            sel = jnp.argmax(vstk & (istk == k), axis=0)
+            return [jnp.take_along_axis(s, sel[None], 0)[0]
+                    for s in stk]
+
+        b0_, b1_ = base(0), base(1)
+        c01 = (zz_ + 3, b0_[1], b0_[2], b1_[3], b1_[4])
+        c10 = (zz_ + 3, b1_[1], b1_[2], b0_[3], b0_[4])
+        v_c01 = ((cnt == 2) & ((b0_[0] & 1) != 0) & ((b1_[0] & 2) != 0))
+        if same_pic:
+            v_c01 &= ~((b0_[1] == b1_[3]) & (b0_[2] == b1_[4]))
+        v_c10 = ((cnt == 2) & ~v_c01 & ((b1_[0] & 1) != 0)
+                 & ((b0_[0] & 2) != 0))
+        if same_pic:
+            v_c10 &= ~((b1_[1] == b0_[3]) & (b1_[2] == b0_[4]))
+        idx_c = cnt
+        idx_z = cnt + i32(v_c01 | v_c10)
+        v_z = idx_z < 3
+        bcands = spat + [(c01, v_c01, idx_c), (c10, v_c10, idx_c),
+                         ((zz_ + 3, zz_, zz_, zz_, zz_), v_z, idx_z)]
 
         # per-list AMVP predictors ~ A1/B1 neighbor MVs of that list
         def preds(lst):
             out = []
-            for k in (0, 1):
-                nd, ok, n0x, n0y, n1x, n1y = nfs[k]
-                has = ok & ((nd & (1 << lst)) != 0)
-                px = jnp.where(has, n0x if lst == 0 else n1x, 0)
-                py = jnp.where(has, n0y if lst == 0 else n1y, 0)
+            for (cand, vr) in ((a1, v_a1), (b1, v_b1r)):
+                has = vr & ((cand[0] & (1 << lst)) != 0)
+                px = jnp.where(has, cand[1] if lst == 0 else cand[3], 0)
+                py = jnp.where(has, cand[2] if lst == 0 else cand[4], 0)
                 out.append((px, py))
             return out
         pl0 = preds(0)
@@ -1109,18 +1245,9 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         best_0y = jnp.where(mi != 1, mv0y, 0)
         best_1x = jnp.where(mi != 0, mv1x, 0)
         best_1y = jnp.where(mi != 0, mv1y, 0)
-        bcands = [(nd, ok, n0x, n0y, n1x, n1y, _MERGE_IDX_BINS[k])
-                  for k, (nd, ok, n0x, n0y, n1x, n1y) in enumerate(nfs)]
-        if tmvp is not None:
-            # bi temporal merge candidate (see the P-side note)
-            td_, t0x, t0y, t1x, t1y = tmvp
-            bcands.append((td_, td_ > 0, t0x, t0y, t1x, t1y, 2))
-        # zero-MV bidir (x265 checkBidir2Nx2N's MV-zero trial,
-        # analysis.cpp:4007; usually rides the merge list's bi
-        # zero-fill entry, spec 8.5.3.2.3 step 5)
-        zz_ = jnp.zeros(nb, jnp.int32)
-        bcands.append((zz_ + 3, zz_ == 0, zz_, zz_, zz_, zz_, 2))
-        for (nd, ok, n0x, n0y, n1x, n1y, idx_bins) in bcands:
+        for ((nd, n0x, n0y, n1x, n1y), ok, idx) in bcands:
+            ok = ok & (idx < 3) & (nd > 0)
+            idx_bins = jnp.where(idx == 0, 1, 2)
             q0 = mc_batch_14(r0y, bx, by, n0x, n0y, n, 0, bd,
                              use_pallas=use_pallas)
             q1 = mc_batch_14(r1y, bx, by, n1x, n1y, n, 0, bd,
@@ -1131,14 +1258,14 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                                        uni_of(q0, 0), uni_of(q1, 1)))
             sc_satd = satd_batch(org, pred)
             sc = sc_satd + ((lam256 * (2 + idx_bins)) >> 8)
-            sc = jnp.where(ok & (nd > 0), sc, 1 << 30)
+            sc = jnp.where(ok, sc, 1 << 30)
             if rd:
                 cc, sz = _rd_resid_cost(org, pred, qp_b, log2n, bd,
                                         lam2)
-                mb = float(2 + idx_bins)
+                mb = (2 + idx_bins).astype(jnp.float32)
                 rdk = jnp.minimum(cc + lam2 * (mb + 4.0),
                                   sz + lam2 * mb)
-                rdk = jnp.where(ok & (nd > 0), rdk, jnp.float32(3e38))
+                rdk = jnp.where(ok, rdk, jnp.float32(3e38))
                 upd = rdk < best_rd
                 best_rd = jnp.where(upd, rdk, best_rd)
             else:
@@ -1157,7 +1284,12 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
     prov = jnp.stack([cost0, cost1,
                       satd_bi + ((lam256 * (me_b0 + me_b1 + 2)) >> 8)], 0)
     dirs = (jnp.argmin(prov, 0) + 1).astype(jnp.int32)
-    c0x, c0y, c1x, c1y = mv0x, mv0y, mv1x, mv1y
+    has0 = dirs != 2
+    has1 = dirs != 1
+    c0x = jnp.where(has0, mv0x, 0)
+    c0y = jnp.where(has0, mv0y, 0)
+    c1x = jnp.where(has1, mv1x, 0)
+    c1y = jnp.where(has1, mv1y, 0)
     for _ in range(2):
         dirs, c0x, c0y, c1x, c1y, inter_cost, _ = b_cand_round(
             dirs, c0x, c0y, c1x, c1y)
