@@ -961,26 +961,40 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
     return mvx, mvy, cost, org
 
 
-def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
+def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     subme: int = 2, weights_b=None, rect: bool = False,
                     me_sea: bool = False, amp: bool = False,
                     col=None, ref_pocs=None, cur_poc: int = 0):
-    """B-frame analysis: ME against both anchors + bi-prediction test +
-    intra fallback (the batched analog of x265 checkBidir2Nx2N,
-    analysis.cpp:4007); ONE jitted program like analyse_p_frame.
+    """B-frame analysis: per-list multi-reference ME (the batched analog
+    of x265 predInterSearch's per-ref loop, search.cpp:2554) +
+    bi-prediction test + merge/AMVP-true candidate rounds + intra
+    fallback (checkBidir2Nx2N, analysis.cpp:4007); ONE jitted program
+    like analyse_p_frame.
 
-    ref0/ref1: (y, u, v) plane tuples of the L0 (past) and L1 (future)
-    anchors.  weights_b: optional ((w0, o0)-or-None, (w1, o1)-or-None)
-    explicit luma weights per list (x265 --weightb); predictions then
-    use the spec 8.5.4.3.2 weighted uni/bi formulas (defaults for an
-    unweighted list degrade exactly to the plain combine).
+    refs0/refs1: LISTS of (y, u, v) plane tuples in L0/L1 order
+    (closest first); a bare (y, u, v) tuple is accepted too.
+    ref_pocs: (l0_pocs, l1_pocs) matching the lists — used for TMVP
+    scaling and the combined-bi same-picture pruning (the mirror of
+    entropy.mv_pred.merge_candidates' POC compare).
+    weights_b: optional ((w0, o0)-or-None, (w1, o1)-or-None) explicit
+    luma weights per list (x265 --weightb); multi-ref collapses to the
+    first ref per list when weights are present (weights are per-list
+    single-set in our table writer).
     rect: evaluate 2NxN/Nx2N PU shapes with a per-PU list choice (the
     B-slice arm of x265's checkInter rect loop, analysis.cpp:2368 —
-    uni-pred per rect PU; bidir stays 2Nx2N as in checkBidir2Nx2N).
-    Returns (intra_modes, inter_mask, dirs, mv_l0, mv_l1,
-    (mc_y, mc_u, mc_v), part, (dirs_b, mv0_b, mv1_b))."""
+    uni-pred per rect PU on the block's chosen ref of that list).
+    Returns (intra_modes, inter_mask, dirs, mv_l0, mv_l1, ref_sel0,
+    ref_sel1, (mc_y, mc_u, mc_v), part, (dirs_b, mv0_b, mv1_b))."""
     from ..ops.me import _on_tpu
+
+    def _norm(rl):
+        if len(rl) == 3 and hasattr(rl[0], "ndim") \
+                and getattr(rl[0], "ndim", 0) == 2:
+            return [rl]
+        return list(rl)
+    refs0 = _norm(refs0)
+    refs1 = _norm(refs1)
     bd = sps.bit_depth
     lam, _ = lambda_qp(qp)
     lam256 = int(round(lam * 256)) << (bd - 8)
@@ -989,14 +1003,28 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     oy = jnp.asarray(np.asarray(y, np.int32))
     if weights_b is None:
         weights_b = (None, None)
+    idc = getattr(sps, "chroma_format_idc", 1)
+    # multi-ref assumes 4:2:0 16-blocks and unweighted lists (same
+    # constraint family as rect); otherwise collapse to 1+1
+    if any(wp is not None for wp in weights_b) or idc != 1 \
+            or block != 16:
+        refs0 = refs0[:1]
+        refs1 = refs1[:1]
+        if ref_pocs is not None:
+            ref_pocs = (tuple(ref_pocs[0][:1]), tuple(ref_pocs[1][:1]))
     wb = tuple(wp is not None for wp in weights_b)
     wv = jnp.asarray([[wp[0] if wp else 64, wp[1] if wp else 0]
                       for wp in weights_b], jnp.int32)
-    idc = getattr(sps, "chroma_format_idc", 1)
     # rect searches/combines assume 4:2:0 sub-block chroma geometry and
     # unweighted planes (same constraint as the P path)
     rect_eff = rect and not any(wb) and block == 16 and idc == 1
     amp_eff = amp and rect_eff
+    if ref_pocs is not None and ref_pocs[0] and ref_pocs[1]:
+        l0p = tuple(int(p) for p in ref_pocs[0])
+        l1p = tuple(int(p) for p in ref_pocs[1])
+    else:
+        l0p = tuple(range(len(refs0)))
+        l1p = tuple(-1 - i for i in range(len(refs1)))
     tmvp = None
     if col is not None and ref_pocs is not None and ref_pocs[0]:
         # bi temporal merge candidate (both lists scaled independently,
@@ -1018,25 +1046,24 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
         td_ = (v0.astype(np.int32) | (v1.astype(np.int32) << 1))
         tmvp = tuple(jnp.asarray(a.ravel()) for a in
                      (td_, m0x_, m0y_, m1x_, m1y_))
+    st = lambda rl, i: jnp.stack(
+        [jnp.asarray(np.asarray(r[i], np.int32)) for r in rl])
     out = _b_core(oy,
-                  jnp.asarray(np.asarray(ref0[0], np.int32)),
-                  jnp.asarray(np.asarray(ref0[1], np.int32)),
-                  jnp.asarray(np.asarray(ref0[2], np.int32)),
-                  jnp.asarray(np.asarray(ref1[0], np.int32)),
-                  jnp.asarray(np.asarray(ref1[1], np.int32)),
-                  jnp.asarray(np.asarray(ref1[2], np.int32)),
+                  st(refs0, 0), st(refs0, 1), st(refs0, 2),
+                  st(refs1, 0), st(refs1, 1), st(refs1, 2),
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), jnp.int32(qp),
                   search_range, block, bd,
                   _on_tpu(oy), subme, wb, wv,
                   0 if idc == 3 else 1, idc == 2, rect_eff,
                   sps.log2_ctu_size, me_sea, amp_eff, tmvp,
-                  bool(ref_pocs and ref_pocs[1]
-                       and ref_pocs[0][0] == ref_pocs[1][0]))
-    (modes, inter, dirs, mv0, mv1, mcy, mcu, mcv, part, dirs_b,
-     mv0_b, mv1_b) = out
+                  jnp.asarray(l0p, jnp.int32),
+                  jnp.asarray(l1p, jnp.int32))
+    (modes, inter, dirs, mv0, mv1, rs0, rs1, mcy, mcu, mcv, part,
+     dirs_b, mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
             np.asarray(mv0), np.asarray(mv1),
+            np.asarray(rs0), np.asarray(rs1),
             (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)),
             np.asarray(part),
             (np.asarray(dirs_b), np.asarray(mv0_b), np.asarray(mv1_b)))
@@ -1046,42 +1073,77 @@ def analyse_b_frame(y, u, v, ref0, ref1, sps, qp: int,
     jax.jit, static_argnames=("search_range", "block", "bd",
                               "use_pallas", "subme", "wb", "cshift",
                               "is422", "rect", "log2_ctu",
-                              "me_sea", "amp", "same_pic"))
-def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
-            search_range: int, block: int, bd: int, use_pallas: bool,
-            subme: int = 2, wb=(False, False), wv=None,
-            cshift: int = 1, is422: bool = False, rect: bool = False,
-            log2_ctu: int = 5, me_sea: bool = False,
-            amp: bool = False, tmvp=None, same_pic: bool = False):
+                              "me_sea", "amp"))
+def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
+            qp32, search_range: int, block: int, bd: int,
+            use_pallas: bool, subme: int = 2, wb=(False, False),
+            wv=None, cshift: int = 1, is422: bool = False,
+            rect: bool = False, log2_ctu: int = 5,
+            me_sea: bool = False, amp: bool = False, tmvp=None,
+            poc0=None, poc1=None):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
     nb = nbx * nby
+    nref0 = r0ys.shape[0]
+    nref1 = r1ys.shape[0]
 
     bys, bxs = np.mgrid[0:nby, 0:nbx]
     bx = jnp.asarray((bxs.ravel() * n).astype(np.int32))
     by = jnp.asarray((bys.ravel() * n).astype(np.int32))
 
     use_w = any(wb)
-    r0y_me, r1y_me = r0y, r1y
+    me0 = [r0ys[i] for i in range(nref0)]
+    me1 = [r1ys[i] for i in range(nref1)]
     if use_w:
         # ME searches pre-weighted planes (analysis approximation, as
         # in the P path); MC applies the exact 14-bit weighting below
         from .weightp import weighted_plane_jnp
         if wb[0]:
-            r0y_me = weighted_plane_jnp(r0y, wv[0, 0], wv[0, 1],
-                                        bit_depth=bd)
+            me0 = [weighted_plane_jnp(p, wv[0, 0], wv[0, 1],
+                                      bit_depth=bd) for p in me0]
         if wb[1]:
-            r1y_me = weighted_plane_jnp(r1y, wv[1, 0], wv[1, 1],
-                                        bit_depth=bd)
-    mv0x, mv0y, cost0, org = _me_one_ref(oy, r0y_me, bx, by, n, lam256,
-                                         search_range, bd, use_pallas,
-                                         subme, me_sea)
-    mv1x, mv1y, cost1, _ = _me_one_ref(oy, r1y_me, bx, by, n, lam256,
-                                       search_range, bd, use_pallas,
-                                       subme, me_sea)
-    satd0 = cost0 - ((lam256 * mv_bits(mv0x, mv0y)) >> 8)
-    satd1 = cost1 - ((lam256 * mv_bits(mv1x, mv1y)) >> 8)
+            me1 = [weighted_plane_jnp(p, wv[1, 0], wv[1, 1],
+                                      bit_depth=bd) for p in me1]
+
+    # per-(list, ref) full search + subpel, then a provisional joint
+    # (ref, mv) pick per list with ref_idx bin charges (the batched
+    # x265 predInterSearch per-ref loop, search.cpp:2554)
+    def list_me(planes):
+        cands = []
+        for ry in planes:
+            mvx, mvy, cost, org_ = _me_one_ref(
+                oy, ry, bx, by, n, lam256, search_range, bd,
+                use_pallas, subme, me_sea)
+            cands.append((mvx, mvy, cost, org_))
+        satd_r = jnp.stack(
+            [c[2] - ((lam256 * mv_bits(c[0], c[1])) >> 8)
+             for c in cands])
+        mvx_r = jnp.stack([c[0] for c in cands])
+        mvy_r = jnp.stack([c[1] for c in cands])
+        nr = len(planes)
+        prov = satd_r + ((lam256 * (mv_bits(mvx_r, mvy_r) +
+                                    jnp.arange(nr)[:, None] + 4)) >> 8)
+        rsel = jnp.argmin(prov, axis=0).astype(jnp.int32)
+        mvx = jnp.take_along_axis(mvx_r, rsel[None], 0)[0]
+        mvy = jnp.take_along_axis(mvy_r, rsel[None], 0)[0]
+        satd = jnp.take_along_axis(satd_r, rsel[None], 0)[0]
+        return mvx, mvy, rsel, satd, cands[0][3]
+
+    mv0x, mv0y, rsel0, satd0, org = list_me(me0)
+    mv1x, mv1y, rsel1, satd1, _ = list_me(me1)
+
+    # stacked tall planes per list: one MC gather serves per-block ref
+    # indices (candidate rounds, rect, homogenization); the FINAL MC
+    # uses the per-ref full planes below so clamping matches the
+    # decoder's spec MC exactly
+    m_pad = search_range + 12
+    tall0, strip0 = _stack_refs(me0, m_pad)
+    tall1, strip1 = _stack_refs(me1, m_pad)
+    # unweighted talls for candidate-round 14-bit MC (bi combine and
+    # exact weighting are applied on top)
+    tall0u, _ = _stack_refs([r0ys[i] for i in range(nref0)], m_pad)
+    tall1u, _ = _stack_refs([r1ys[i] for i in range(nref1)], m_pad)
 
     off2 = 1 << (13 - bd)
     sh2 = 14 - bd
@@ -1099,36 +1161,42 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                                  wv[1, 0], wv[1, 1], 6, bd)
         return bi_combine(p0, p1, bd)
 
-    # bi-prediction of the two best uni MVs (x265 checkBidir2Nx2N)
-    p0_14 = mc_batch_14(r0y, bx, by, mv0x, mv0y, n, 0, bd,
-                        use_pallas=use_pallas)
-    p1_14 = mc_batch_14(r1y, bx, by, mv1x, mv1y, n, 0, bd,
-                        use_pallas=use_pallas)
+    def mc14_l0(cmx, cmy, crf):
+        return mc_batch_14(tall0u, bx, by + crf * strip0 + m_pad,
+                           cmx, cmy, n, 0, bd, use_pallas=use_pallas)
+
+    def mc14_l1(cmx, cmy, crf):
+        return mc_batch_14(tall1u, bx, by + crf * strip1 + m_pad,
+                           cmx, cmy, n, 0, bd, use_pallas=use_pallas)
+
+    # bi-prediction of the two best uni (ref, mv) pairs (checkBidir2Nx2N)
+    p0_14 = mc14_l0(mv0x, mv0y, rsel0)
+    p1_14 = mc14_l1(mv1x, mv1y, rsel1)
     satd_bi = satd_batch(org, bi_of(p0_14, p1_14))
 
-    # merge/AMVP-true selection over full (dir, mv0, mv1) motion
-    # (batched mergeEstimation/selectMVP analog, search.cpp:2237/2347):
-    # ME candidates L0/L1/BI with real AMVP-predictor mvd charges vs the
-    # coding-order neighbors' motion with merge_idx charges.
-    me_b0 = mv_bits(mv0x, mv0y)
-    me_b1 = mv_bits(mv1x, mv1y)
+    # merge/AMVP-true selection over full (dir, mv0, ref0, mv1, ref1)
+    # motion (batched mergeEstimation/selectMVP analog,
+    # search.cpp:2237/2347): ME candidates L0/L1/BI with real
+    # AMVP-predictor mvd + ref_idx charges vs the coding-order
+    # neighbors' motion with merge_idx charges.
 
     # S-mask availability indices (see the P-side note)
     AV_A1, AV_A0, AV_B2, AV_B1, AV_B0 = n, n - 1, 2 * n, 3 * n, 3 * n + 1
     av2 = avail.reshape(nb, -1)
 
-    def b_cand_round(dirs, c0x, c0y, c1x, c1y, rd: bool = False):
+    def b_cand_round(dirs, c0x, c0y, c1x, c1y, r0f, r1f,
+                     rd: bool = False):
         f = lambda a: a.reshape(nby, nbx)
 
         def gat(sy, sx):
             return tuple(_neigh_field(f(a), sy, sx)[0].ravel()
-                         for a in (dirs, c0x, c0y, c1x, c1y))
+                         for a in (dirs, c0x, c0y, c1x, c1y, r0f, r1f))
 
-        # exact merge candidate derivation over full (dir, mv0, mv1)
-        # motion (spec 8.5.3.2.3, batched mirror of
-        # entropy.mv_pred.merge_candidates; see the P-side note):
-        # spatial A1/B1/B0/A0/B2 with z-scan availability + pairwise
-        # pruning, TMVP, the first two combined-bi candidates
+        # exact merge candidate derivation over full
+        # (dir, mv0, ref0, mv1, ref1) motion (spec 8.5.3.2.3, batched
+        # mirror of entropy.mv_pred.merge_candidates; see the P-side
+        # note): spatial A1/B1/B0/A0/B2 with z-scan availability +
+        # pairwise pruning, TMVP, the first two combined-bi candidates
         # (8.5.3.2.4 order (0,1)/(1,0) — with max_merge 3 the combined
         # stage only ever fires when exactly two candidates exist), and
         # the bi zero-fill entry — each at its true list position.
@@ -1141,7 +1209,8 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         v_b2r = av2[:, AV_B2]
         eq = lambda c, d: ((c[0] == d[0]) & (c[1] == d[1]) &
                            (c[2] == d[2]) & (c[3] == d[3]) &
-                           (c[4] == d[4]))
+                           (c[4] == d[4]) & (c[5] == d[5]) &
+                           (c[6] == d[6]))
         v_b1 = v_b1r & ~(v_a1 & eq(b1, a1))
         v_b0 = v_b0r & ~(v_b1r & eq(b0, b1))
         v_a0 = v_a0r & ~(v_a1 & eq(a0, a1))
@@ -1158,10 +1227,17 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         zz_ = jnp.zeros(nb, jnp.int32)
         if tmvp is not None:
             td_, t0x, t0y, t1x, t1y = tmvp
-            tm = (td_, t0x, t0y, t1x, t1y)
-            v_t = (td_ > 0) & (n_sp < 3)
+            # vertical window guard (shared rationale with the P side,
+            # inter_mode.py cand_round): candidate MC gathers read the
+            # stacked tall planes, whose edge replication only covers
+            # m_pad rows per strip — a scaled temporal MV beyond the
+            # window would read the neighboring ref's strip
+            tok = ((jnp.abs(t0y) <= 4 * (m_pad - 8)) &
+                   (jnp.abs(t1y) <= 4 * (m_pad - 8)))
+            tm = (td_, t0x, t0y, t1x, t1y, zz_, zz_)
+            v_t = (td_ > 0) & tok & (n_sp < 3)
         else:
-            tm = (zz_, zz_, zz_, zz_, zz_)
+            tm = (zz_, zz_, zz_, zz_, zz_, zz_, zz_)
             v_t = zz_ != 0
         idx_t = n_sp
         cnt = n_sp + i32(v_t)
@@ -1170,7 +1246,7 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         spat = [(a1, v_a1, idx_a1), (b1, v_b1, idx_b1),
                 (b0, v_b0, idx_b0), (a0, v_a0, idx_a0),
                 (b2, v_b2, idx_b2), (tm, v_t, idx_t)]
-        stk = [jnp.stack([c[0][i] for c in spat]) for i in range(5)]
+        stk = [jnp.stack([c[0][i] for c in spat]) for i in range(7)]
         vstk = jnp.stack([c[1] for c in spat])
         istk = jnp.stack([c[2] for c in spat])
 
@@ -1180,20 +1256,25 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                     for s in stk]
 
         b0_, b1_ = base(0), base(1)
-        c01 = (zz_ + 3, b0_[1], b0_[2], b1_[3], b1_[4])
-        c10 = (zz_ + 3, b1_[1], b1_[2], b0_[3], b0_[4])
+        c01 = (zz_ + 3, b0_[1], b0_[2], b1_[3], b1_[4], b0_[5], b1_[6])
+        c10 = (zz_ + 3, b1_[1], b1_[2], b0_[3], b0_[4], b1_[5], b0_[6])
+        # same-picture pruning by POC (spec 8.5.3.2.4; the mirror of
+        # mv_pred.merge_candidates' ref_pocs compare)
+        sp01 = (poc0[jnp.clip(b0_[5], 0, nref0 - 1)] ==
+                poc1[jnp.clip(b1_[6], 0, nref1 - 1)])
+        sp10 = (poc0[jnp.clip(b1_[5], 0, nref0 - 1)] ==
+                poc1[jnp.clip(b0_[6], 0, nref1 - 1)])
         v_c01 = ((cnt == 2) & ((b0_[0] & 1) != 0) & ((b1_[0] & 2) != 0))
-        if same_pic:
-            v_c01 &= ~((b0_[1] == b1_[3]) & (b0_[2] == b1_[4]))
+        v_c01 &= ~(sp01 & (b0_[1] == b1_[3]) & (b0_[2] == b1_[4]))
         v_c10 = ((cnt == 2) & ~v_c01 & ((b1_[0] & 1) != 0)
                  & ((b0_[0] & 2) != 0))
-        if same_pic:
-            v_c10 &= ~((b1_[1] == b0_[3]) & (b1_[2] == b0_[4]))
+        v_c10 &= ~(sp10 & (b1_[1] == b0_[3]) & (b1_[2] == b0_[4]))
         idx_c = cnt
         idx_z = cnt + i32(v_c01 | v_c10)
         v_z = idx_z < 3
         bcands = spat + [(c01, v_c01, idx_c), (c10, v_c10, idx_c),
-                         ((zz_ + 3, zz_, zz_, zz_, zz_), v_z, idx_z)]
+                         ((zz_ + 3, zz_, zz_, zz_, zz_, zz_, zz_),
+                          v_z, idx_z)]
 
         # per-list AMVP predictors ~ A1/B1 neighbor MVs of that list
         def preds(lst):
@@ -1213,10 +1294,11 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             mv_bits(mv1x - pl1[0][0], mv1y - pl1[0][1]),
             mv_bits(mv1x - pl1[1][0], mv1y - pl1[1][1]))
         # ME modes: satd + merge_flag0/pred/part + inter_pred_idc(2) +
-        # mvd + mvp_idx per used list
-        cL0 = satd0 + ((lam256 * (mvd0 + 6)) >> 8)
-        cL1 = satd1 + ((lam256 * (mvd1 + 6)) >> 8)
-        cBI = satd_bi + ((lam256 * (mvd0 + mvd1 + 7)) >> 8)
+        # mvd + mvp_idx + ref_idx TR bins per used list
+        cL0 = satd0 + ((lam256 * (mvd0 + 6 + rsel0)) >> 8)
+        cL1 = satd1 + ((lam256 * (mvd1 + 6 + rsel1)) >> 8)
+        cBI = satd_bi + ((lam256 * (mvd0 + mvd1 + 7 + rsel0
+                                    + rsel1)) >> 8)
         best = jnp.stack([cL0, cL1, cBI], 0)
         if rd:
             # final round: transform-domain RD arbitration (see the P
@@ -1225,9 +1307,10 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             lam2 = (lam256.astype(jnp.float32) / 256.0) ** 2
             qp_b = jnp.broadcast_to(qp32, (nb,))
             log2n = n.bit_length() - 1
-            syn_me = [(mvd0 + 6).astype(jnp.float32),
-                      (mvd1 + 6).astype(jnp.float32),
-                      (mvd0 + mvd1 + 7).astype(jnp.float32)]
+            syn_me = [(mvd0 + 6 + rsel0).astype(jnp.float32),
+                      (mvd1 + 6 + rsel1).astype(jnp.float32),
+                      (mvd0 + mvd1 + 7 + rsel0 + rsel1)
+                      .astype(jnp.float32)]
             rds = []
             for p, s in zip((uni_of(p0_14, 0), uni_of(p1_14, 1),
                              bi_of(p0_14, p1_14)), syn_me):
@@ -1245,13 +1328,15 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         best_0y = jnp.where(mi != 1, mv0y, 0)
         best_1x = jnp.where(mi != 0, mv1x, 0)
         best_1y = jnp.where(mi != 0, mv1y, 0)
-        for ((nd, n0x, n0y, n1x, n1y), ok, idx) in bcands:
+        best_r0 = jnp.where(mi != 1, rsel0, 0)
+        best_r1 = jnp.where(mi != 0, rsel1, 0)
+        for ((nd, n0x, n0y, n1x, n1y, nr0, nr1), ok, idx) in bcands:
             ok = ok & (idx < 3) & (nd > 0)
             idx_bins = jnp.where(idx == 0, 1, 2)
-            q0 = mc_batch_14(r0y, bx, by, n0x, n0y, n, 0, bd,
-                             use_pallas=use_pallas)
-            q1 = mc_batch_14(r1y, bx, by, n1x, n1y, n, 0, bd,
-                             use_pallas=use_pallas)
+            cr0 = jnp.clip(nr0, 0, nref0 - 1)
+            cr1 = jnp.clip(nr1, 0, nref1 - 1)
+            q0 = mc14_l0(n0x, n0y, cr0)
+            q1 = mc14_l1(n1x, n1y, cr1)
             pred = jnp.where((nd == 3)[:, None, None],
                              bi_of(q0, q1),
                              jnp.where((nd == 1)[:, None, None],
@@ -1276,11 +1361,17 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             best_0y = jnp.where(upd, n0y, best_0y)
             best_1x = jnp.where(upd, n1x, best_1x)
             best_1y = jnp.where(upd, n1y, best_1y)
+            best_r0 = jnp.where(upd, nr0, best_r0)
+            best_r1 = jnp.where(upd, nr1, best_r1)
         return (best_dir, best_0x, best_0y, best_1x, best_1y,
-                best_cost, best_rd if rd else None)
+                best_r0, best_r1, best_cost, best_rd if rd else None)
 
     # provisional direction field from the pure ME costs (zero-pred
     # charges), so round-1 neighbor predictors aren't list-biased
+    cost0 = satd0 + ((lam256 * mv_bits(mv0x, mv0y)) >> 8)
+    cost1 = satd1 + ((lam256 * mv_bits(mv1x, mv1y)) >> 8)
+    me_b0 = mv_bits(mv0x, mv0y)
+    me_b1 = mv_bits(mv1x, mv1y)
     prov = jnp.stack([cost0, cost1,
                       satd_bi + ((lam256 * (me_b0 + me_b1 + 2)) >> 8)], 0)
     dirs = (jnp.argmin(prov, 0) + 1).astype(jnp.int32)
@@ -1290,20 +1381,25 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
     c0y = jnp.where(has0, mv0y, 0)
     c1x = jnp.where(has1, mv1x, 0)
     c1y = jnp.where(has1, mv1y, 0)
+    r0f = jnp.where(has0, rsel0, 0)
+    r1f = jnp.where(has1, rsel1, 0)
     for _ in range(2):
-        dirs, c0x, c0y, c1x, c1y, inter_cost, _ = b_cand_round(
-            dirs, c0x, c0y, c1x, c1y)
+        (dirs, c0x, c0y, c1x, c1y, r0f, r1f, inter_cost,
+         _) = b_cand_round(dirs, c0x, c0y, c1x, c1y, r0f, r1f)
     for _ in range(2):
-        dirs, c0x, c0y, c1x, c1y, inter_cost, cost_rd = b_cand_round(
-            dirs, c0x, c0y, c1x, c1y, rd=True)
+        (dirs, c0x, c0y, c1x, c1y, r0f, r1f, inter_cost,
+         cost_rd) = b_cand_round(dirs, c0x, c0y, c1x, c1y, r0f, r1f,
+                                 rd=True)
     mv0x, mv0y, mv1x, mv1y = c0x, c0y, c1x, c1y
+    ref0_f, ref1_f = r0f, r1f
     inter_cost_2n = inter_cost
 
     # 2b. rect PU candidates (2NxN / Nx2N) with a per-PU list choice:
-    # 8x8 sub-block ME on each list, PU costs from own+partner SATD
-    # pairings per list, then argmin over {L0, L1} per PU (B arm of the
-    # x265 checkInter rect loop, analysis.cpp:2368; uni-pred per rect
-    # PU — bidir stays 2Nx2N as in checkBidir2Nx2N)
+    # 8x8 sub-block ME on each list's per-block chosen ref, PU costs
+    # from own+partner SATD pairings per list, then argmin over
+    # {L0, L1} per PU (B arm of the x265 checkInter rect loop,
+    # analysis.cpp:2368; uni-pred per rect PU — bidir stays 2Nx2N as
+    # in checkBidir2Nx2N)
     part = jnp.zeros(nb, jnp.int32)
     dirs_b = jnp.zeros(nb, jnp.int32)
     pu1_0x = pu1_0y = pu1_1x = pu1_1y = jnp.zeros(nb, jnp.int32)
@@ -1316,27 +1412,41 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                jnp.asarray([o[0] for o in offs], jnp.int32)[None, :]) \
             .reshape(-1)
         pz4 = jnp.zeros(nb * 4, jnp.int32)
+        otall0 = jnp.concatenate(
+            [jnp.pad(oy, ((m_pad, m_pad), (0, 0)), mode="edge")]
+            * nref0, 0)
+        otall1 = jnp.concatenate(
+            [jnp.pad(oy, ((m_pad, m_pad), (0, 0)), mode="edge")]
+            * nref1, 0)
         g8y = jnp.clip(sy4[:, None, None] + jnp.arange(8)[None, :, None],
                        0, h - 1)
         g8x = jnp.clip(sx4[:, None, None] + jnp.arange(8)[None, None, :],
                        0, w - 1)
         org8 = oy[g8y, g8x].astype(jnp.int32)
 
+        # rect PUs search ref 0 of each list (per-PU ref_idx would need
+        # its own rect_info/deblock plumbing; the multi-ref win lives
+        # in the 2Nx2N/merge path) — keeps analysis refs consistent
+        # with the syntax encoder's ref_idx_b/ref_idx1_b = 0
+        rs4 = (pz4, pz4)
         sub = []          # per list: (own, crossH, crossV, m8x, m8y)
-        for rl in (r0y_me, r1y_me):
-            i8x, i8y, _ = full_search_batch(rl, oy, sx4, sy4, pz4, pz4,
-                                            lam256, 8, search_range,
+        for li, (tl, ot, strip_l) in enumerate(
+                ((tall0, otall0, strip0), (tall1, otall1, strip1))):
+            ytall = sy4 + rs4[li] * strip_l + m_pad
+            i8x, i8y, _ = full_search_batch(tl, ot, sx4, ytall, pz4,
+                                            pz4, lam256, 8,
+                                            search_range,
                                             use_pallas=False)
-            m8x, m8y, c8 = subpel_refine_batch(rl, oy, sx4, sy4, i8x,
+            m8x, m8y, c8 = subpel_refine_batch(tl, ot, sx4, ytall, i8x,
                                                i8y, pz4, pz4, lam256, 8,
                                                bd, subme)
             own = (c8 - ((lam256 * mv_bits(m8x, m8y)) >> 8)) \
                 .reshape(nb, 4)
 
-            def cross_satd(perm, m8x=m8x, m8y=m8y, rl=rl):
+            def cross_satd(perm, m8x=m8x, m8y=m8y, tl=tl, yt=ytall):
                 px_ = m8x.reshape(nb, 4)[:, perm].reshape(-1)
                 py_ = m8y.reshape(nb, 4)[:, perm].reshape(-1)
-                pr = mc_batch(rl, sx4, sy4, px_, py_, 8, 0, bd,
+                pr = mc_batch(tl, sx4, yt, px_, py_, 8, 0, bd,
                               use_pallas=False)
                 return satd_batch(org8, pr).reshape(nb, 4)
 
@@ -1344,8 +1454,9 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                         cross_satd((2, 3, 0, 1)),
                         m8x.reshape(nb, 4), m8y.reshape(nb, 4)))
 
-        # merge_flag + inter_pred_idc (2) + mvp_idx per uni rect PU
-        pu_bits = (lam256 * 4) >> 8
+        # merge_flag + inter_pred_idc (2) + mvp_idx + ref_idx bins per
+        # uni rect PU
+        pu_bits = [(lam256 * 4) >> 8, (lam256 * 4) >> 8]
 
         def pu_best_l(lst, horiz, first):
             """Best (cost, mvx, mvy) for one rect PU on one list: the
@@ -1357,10 +1468,11 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             else:
                 a, b2 = (0, 2) if first else (1, 3)
             cA = own[:, a] + cr[:, b2] + \
-                ((lam256 * mv_bits(m8x[:, a], m8y[:, a])) >> 8) + pu_bits
+                ((lam256 * mv_bits(m8x[:, a], m8y[:, a])) >> 8) + \
+                pu_bits[lst]
             cB = cr[:, a] + own[:, b2] + \
                 ((lam256 * mv_bits(m8x[:, b2], m8y[:, b2])) >> 8) + \
-                pu_bits
+                pu_bits[lst]
             useA = cA <= cB
             return (jnp.where(useA, cA, cB),
                     jnp.where(useA, m8x[:, a], m8x[:, b2]),
@@ -1410,13 +1522,15 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                 m8x_l, m8y_l = sub[l][3], sub[l][4]
                 for c in range(4):
                     cl.append((l, m8x_l[:, c], m8y_l[:, c]))
-            planes_me = (r0y_me, r1y_me)
             from ..ops.cost import H4
             h4m = jnp.asarray(H4)
             ts = []
+            # AMP candidates ride ref 0 too (see the rect note)
+            y0t = (by + m_pad, by + m_pad)
+            talls_me = (tall0, tall1)
             for (l, ax, ay) in cl:
-                pr = mc_batch(planes_me[l], bx, by, ax, ay, n, 0, bd,
-                              use_pallas=use_pallas)
+                pr = mc_batch(talls_me[l], bx, y0t[l], ax, ay, n, 0,
+                              bd, use_pallas=use_pallas)
                 dd = org.astype(jnp.int32) - pr
                 nt = n // 4
                 t4 = jnp.moveaxis(dd.reshape(nb, nt, 4, nt, 4), -3, -2)
@@ -1467,19 +1581,22 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                 p1l = jnp.where(u, l1_, p1l)
                 p1x = jnp.where(u, x1_, p1x)
                 p1y = jnp.where(u, y1_, p1y)
-        # PU0 motion replaces the CU 2Nx2N fields where rect wins
+        # PU0 motion replaces the CU 2Nx2N fields where rect wins; the
+        # per-list refs stay the block's rsel (the rect search rode it)
         rw = part > 0
         dirs = jnp.where(rw, p0l + 1, dirs)
         mv0x = jnp.where(rw, jnp.where(p0l == 0, p0x, 0), mv0x)
         mv0y = jnp.where(rw, jnp.where(p0l == 0, p0y, 0), mv0y)
         mv1x = jnp.where(rw, jnp.where(p0l == 1, p0x, 0), mv1x)
         mv1y = jnp.where(rw, jnp.where(p0l == 1, p0y, 0), mv1y)
+        ref0_f = jnp.where(rw, 0, ref0_f)
+        ref1_f = jnp.where(rw, 0, ref1_f)
         dirs_b = jnp.where(rw, p1l + 1, 0)
         pu1_0x = jnp.where(rw & (p1l == 0), p1x, 0)
         pu1_0y = jnp.where(rw & (p1l == 0), p1y, 0)
         pu1_1x = jnp.where(rw & (p1l == 1), p1x, 0)
         pu1_1y = jnp.where(rw & (p1l == 1), p1y, 0)
-        # per-sub-block final (list, mv) for the MC composite
+        # per-sub-block final (list, ref, mv) for the MC composite
         subB = jnp.where(
             (part == 1)[:, None], jnp.asarray([0, 0, 1, 1])[None, :],
             jnp.where((part == 2)[:, None],
@@ -1492,15 +1609,15 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             .reshape(-1)
 
     # 2c. motion homogenization across 32 (and 64) regions — adopt one
-    # sub-block's (dir, mv0, mv1) for the region when the SATD loss is
-    # smaller than the CU-syntax saving, so build_region's same-motion
-    # merges / 64x64 skips fire on B frames too (where per-block
-    # near-tie direction flips otherwise block every merge)
-    def _b_region_uniform(dirs, m0x, m0y, m1x, m1y, cost, cost_rd,
-                          part, g):
+    # sub-block's (dir, mv0, ref0, mv1, ref1) for the region when the
+    # RD loss is smaller than the CU-syntax saving, so build_region's
+    # same-motion merges / 64x64 skips fire on B frames too (where
+    # per-block near-tie direction flips otherwise block every merge)
+    def _b_region_uniform(dirs, m0x, m0y, m1x, m1y, r0m, r1m, cost,
+                          cost_rd, part, g):
         gh, gw = nby // g, nbx // g
         if gh == 0 or gw == 0 or n != 16 or use_w:
-            return dirs, m0x, m0y, m1x, m1y, cost, cost_rd
+            return dirs, m0x, m0y, m1x, m1y, r0m, r1m, cost, cost_rd
         f2 = lambda a: a.reshape(nby, nbx)
         crop = lambda a: f2(a)[:gh * g, :gw * g]
         rep2 = lambda a: jnp.repeat(jnp.repeat(a, g, 0), g, 1)
@@ -1513,16 +1630,17 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         log2n = n.bit_length() - 1
         s = g // 2
 
-        def eval_cand(rdd, rm0x, rm0y, rm1x, rm1y, gbits, valid=None):
+        def eval_cand(rdd, rm0x, rm0y, rm1x, rm1y, rr0, rr1, gbits,
+                      valid=None):
             fd = f2(dirs).at[:gh * g, :gw * g].set(rep2(rdd)).ravel()
             f0x = f2(m0x).at[:gh * g, :gw * g].set(rep2(rm0x)).ravel()
             f0y = f2(m0y).at[:gh * g, :gw * g].set(rep2(rm0y)).ravel()
             f1x = f2(m1x).at[:gh * g, :gw * g].set(rep2(rm1x)).ravel()
             f1y = f2(m1y).at[:gh * g, :gw * g].set(rep2(rm1y)).ravel()
-            q0 = mc_batch_14(r0y, bx, by, f0x, f0y, n, 0, bd,
-                             use_pallas=use_pallas)
-            q1 = mc_batch_14(r1y, bx, by, f1x, f1y, n, 0, bd,
-                             use_pallas=use_pallas)
+            fr0 = f2(r0m).at[:gh * g, :gw * g].set(rep2(rr0)).ravel()
+            fr1 = f2(r1m).at[:gh * g, :gw * g].set(rep2(rr1)).ravel()
+            q0 = mc14_l0(f0x, f0y, jnp.clip(fr0, 0, nref0 - 1))
+            q1 = mc14_l1(f1x, f1y, jnp.clip(fr1, 0, nref1 - 1))
             pred = jnp.where((fd == 3)[:, None, None], bi_of(q0, q1),
                              jnp.where((fd == 1)[:, None, None],
                                        uni_of(q0, 0), uni_of(q1, 1)))
@@ -1532,20 +1650,20 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
             tot = gsum(blk_rd) + lam2 * gbits.astype(jnp.float32)
             if valid is not None:
                 tot = jnp.where(valid, tot, jnp.float32(3e38))
-            return [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits,
-                    blk_rd]
+            return [tot, rdd, rm0x, rm0y, rm1x, rm1y, rr0, rr1, sbc,
+                    gbits, blk_rd]
 
         def merge_best(best, cand):
             if best is None:
                 return cand
             u = cand[0] < best[0]
             ub = rep2(u)
-            return ([jnp.where(u, cand[i], best[i]) for i in range(6)]
-                    + [jnp.where(ub, cand[6], best[6]),
-                       jnp.where(u, cand[7], best[7]),
-                       jnp.where(ub, cand[8], best[8])])
+            return ([jnp.where(u, cand[i], best[i]) for i in range(8)]
+                    + [jnp.where(ub, cand[8], best[8]),
+                       jnp.where(u, cand[9], best[9]),
+                       jnp.where(ub, cand[10], best[10])])
 
-        best = None    # [tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits]
+        best = None
         for c in range(4):
             sy, sx = (c >> 1) * s, (c & 1) * s
             # merge/skip-realistic region syntax charge (see the P-side
@@ -1554,14 +1672,15 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                 crop(dirs)[sy::g, sx::g],
                 crop(m0x)[sy::g, sx::g], crop(m0y)[sy::g, sx::g],
                 crop(m1x)[sy::g, sx::g], crop(m1y)[sy::g, sx::g],
+                crop(r0m)[sy::g, sx::g], crop(r1m)[sy::g, sx::g],
                 jnp.full((gh, gw), 10, jnp.int32)))
         # A1/B1 merge-aligned candidates (see the P-side note): the
         # region CU's actual spatial merge candidates; adopting one
         # lets the region code as merge/SKIP instead of AMVP
         ry_i = jnp.arange(gh) * g
         rx_i = jnp.arange(gw) * g
-        fds, f0xs, f0ys, f1xs, f1ys = (f2(dirs), f2(m0x), f2(m0y),
-                                       f2(m1x), f2(m1y))
+        flds = (f2(dirs), f2(m0x), f2(m0y), f2(m1x), f2(m1y),
+                f2(r0m), f2(r1m))
         mb3 = jnp.full((gh, gw), 3, jnp.int32)
         a1_r = ry_i + (g - 1)
         a1_c = rx_i - 1
@@ -1569,22 +1688,21 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         ac = jnp.clip(a1_c, 0, nbx - 1)
         ga1 = lambda f: f[a1_r[:, None], ac[None, :]]
         best = merge_best(best, eval_cand(
-            ga1(fds), ga1(f0xs), ga1(f0ys), ga1(f1xs), ga1(f1ys),
-            mb3, va1 & (ga1(fds) > 0)))
+            *(ga1(f) for f in flds), mb3, va1 & (ga1(flds[0]) > 0)))
         b1_r = ry_i - 1
         b1_c = rx_i + (g - 1)
         vb1 = jnp.broadcast_to((b1_r >= 0)[:, None], (gh, gw))
         br = jnp.clip(b1_r, 0, nby - 1)
         gb1 = lambda f: f[br[:, None], b1_c[None, :]]
         best = merge_best(best, eval_cand(
-            gb1(fds), gb1(f0xs), gb1(f0ys), gb1(f1xs), gb1(f1ys),
-            mb3, vb1 & (gb1(fds) > 0)))
+            *(gb1(f) for f in flds), mb3, vb1 & (gb1(flds[0]) > 0)))
         # bi zero-mv candidate (the B-slice merge list's zero-fill
         # entry is bidirectional, spec 8.5.3.2.3 step 5)
         zz = jnp.zeros((gh, gw), jnp.int32)
         best = merge_best(best, eval_cand(zz + 3, zz, zz, zz, zz,
-                                          mb3 + 1))
-        tot, rdd, rm0x, rm0y, rm1x, rm1y, sbc, gbits, blk_rd = best
+                                          zz, zz, mb3 + 1))
+        (tot, rdd, rm0x, rm0y, rm1x, rm1y, rr0, rr1, sbc, gbits,
+         blk_rd) = best
         # tie-accepting compare with sub-CU syntax slack (see the
         # P-side note)
         acc = ok & (tot <= indiv_rd + lam2 * 4.0)
@@ -1592,7 +1710,8 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         pb_bits = rep2(((lam256 * gbits) >> 8) // (g * g))
         out = []
         for a, r in ((dirs, rdd), (m0x, rm0x), (m0y, rm0y),
-                     (m1x, rm1x), (m1y, rm1y)):
+                     (m1x, rm1x), (m1y, rm1y), (r0m, rr0),
+                     (r1m, rr1)):
             out.append(f2(a).at[:gh * g, :gw * g].set(
                 jnp.where(accb, rep2(r), crop(a))).ravel())
         new_cost = f2(cost).at[:gh * g, :gw * g].set(
@@ -1602,15 +1721,18 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                       blk_rd + lam2 * rep2(gbits).astype(jnp.float32)
                       / (g * g),
                       crop(cost_rd))).ravel()
-        return out[0], out[1], out[2], out[3], out[4], new_cost, new_rd
+        return (out[0], out[1], out[2], out[3], out[4], out[5],
+                out[6], new_cost, new_rd)
 
-    (dirs, mv0x, mv0y, mv1x, mv1y, inter_cost,
+    (dirs, mv0x, mv0y, mv1x, mv1y, ref0_f, ref1_f, inter_cost,
      cost_rd) = _b_region_uniform(
-        dirs, mv0x, mv0y, mv1x, mv1y, inter_cost, cost_rd, part, 2)
+        dirs, mv0x, mv0y, mv1x, mv1y, ref0_f, ref1_f, inter_cost,
+        cost_rd, part, 2)
     if log2_ctu == 6:
-        (dirs, mv0x, mv0y, mv1x, mv1y, inter_cost,
+        (dirs, mv0x, mv0y, mv1x, mv1y, ref0_f, ref1_f, inter_cost,
          cost_rd) = _b_region_uniform(
-            dirs, mv0x, mv0y, mv1x, mv1y, inter_cost, cost_rd, part, 4)
+            dirs, mv0x, mv0y, mv1x, mv1y, ref0_f, ref1_f, inter_cost,
+            cost_rd, part, 4)
 
     # intra fallback
     icosts = _mode_costs(oy, avail,
@@ -1626,28 +1748,44 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
         part = jnp.where(use_inter, part, 0)
         dirs_b = jnp.where(use_inter, dirs_b, 0)
 
-    # MC predictions of the chosen mode per block
+    # MC predictions of the chosen (dir, ref, mv) per block.  Uses the
+    # per-ref FULL planes with a select (not the tall stacks) so edge
+    # clamping matches the decoder's spec MC exactly (the tall strips
+    # only edge-replicate m_pad rows).
     nc = n >> cshift
     is_bi = (dirs == 3)
     use_l0 = (dirs == 1) | is_bi
+    refs0_p = [(r0ys[i], ru0s[i], rv0s[i]) for i in range(nref0)]
+    refs1_p = [(r1ys[i], ru1s[i], rv1s[i]) for i in range(nref1)]
+
+    def sel_ref(preds, rsel_f):
+        sel = preds[0]
+        for ridx in range(1, len(preds)):
+            sel = jnp.where((rsel_f == ridx)[:, None, None],
+                            preds[ridx], sel)
+        return sel
+
     mc = []
-    for (r0p, r1p, c_idx, sz, bx_, by_) in (
-            (r0y, r1y, 0, n, bx, by),
-            (ru0, ru1, 1, nc, bx >> cshift, by >> cshift),
-            (rv0, rv1, 2, nc, bx >> cshift, by >> cshift)):
+    for (pls0, pls1, c_idx, sz, bx_, by_) in (
+            ([r[0] for r in refs0_p], [r[0] for r in refs1_p], 0, n,
+             bx, by),
+            ([r[1] for r in refs0_p], [r[1] for r in refs1_p], 1, nc,
+             bx >> cshift, by >> cshift),
+            ([r[2] for r in refs0_p], [r[2] for r in refs1_p], 2, nc,
+             bx >> cshift, by >> cshift)):
         if is422 and c_idx:
             halves = []
             for j in (0, 1):
-                b0j = mc_batch_14(r0p, bx >> 1, by + 8 * j, mv0x,
+                b0j = mc_batch_14(pls0[0], bx >> 1, by + 8 * j, mv0x,
                                   mv0y * 2, 8, c_idx, bd,
                                   use_pallas=use_pallas)
-                b1j = mc_batch_14(r1p, bx >> 1, by + 8 * j, mv1x,
+                b1j = mc_batch_14(pls1[0], bx >> 1, by + 8 * j, mv1x,
                                   mv1y * 2, 8, c_idx, bd,
                                   use_pallas=use_pallas)
-                u0j = mc_batch(r0p, bx >> 1, by + 8 * j, mv0x,
+                u0j = mc_batch(pls0[0], bx >> 1, by + 8 * j, mv0x,
                                mv0y * 2, 8, c_idx, bd,
                                use_pallas=use_pallas)
-                u1j = mc_batch(r1p, bx >> 1, by + 8 * j, mv1x,
+                u1j = mc_batch(pls1[0], bx >> 1, by + 8 * j, mv1x,
                                mv1y * 2, 8, c_idx, bd,
                                use_pallas=use_pallas)
                 bij = bi_combine(b0j, b1j, bd)
@@ -1659,35 +1797,57 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                       .reshape(nby, nbx, 2 * nc, nc))
             continue
         mvsc = 2 if (c_idx and not cshift) else 1   # 4:4:4 chroma MVs
-        b0 = mc_batch_14(r0p, bx_, by_, mv0x * mvsc, mv0y * mvsc, sz,
-                         c_idx, bd, use_pallas=use_pallas)
-        b1 = mc_batch_14(r1p, bx_, by_, mv1x * mvsc, mv1y * mvsc, sz,
-                         c_idx, bd, use_pallas=use_pallas)
+        b0 = sel_ref([mc_batch_14(p, bx_, by_, mv0x * mvsc,
+                                  mv0y * mvsc, sz, c_idx, bd,
+                                  use_pallas=use_pallas)
+                      for p in pls0], ref0_f)
+        b1 = sel_ref([mc_batch_14(p, bx_, by_, mv1x * mvsc,
+                                  mv1y * mvsc, sz, c_idx, bd,
+                                  use_pallas=use_pallas)
+                      for p in pls1], ref1_f)
         if c_idx == 0 and use_w:
             # weightB is luma-only (chroma flags stay 0 in the table)
             u0, u1 = uni_of(b0, 0), uni_of(b1, 1)
             bi = bi_of(b0, b1)
         else:
-            u0 = mc_batch(r0p, bx_, by_, mv0x * mvsc, mv0y * mvsc, sz,
-                          c_idx, bd, use_pallas=use_pallas)
-            u1 = mc_batch(r1p, bx_, by_, mv1x * mvsc, mv1y * mvsc, sz,
-                          c_idx, bd, use_pallas=use_pallas)
+            u0 = sel_ref([mc_batch(p, bx_, by_, mv0x * mvsc,
+                                   mv0y * mvsc, sz, c_idx, bd,
+                                   use_pallas=use_pallas)
+                          for p in pls0], ref0_f)
+            u1 = sel_ref([mc_batch(p, bx_, by_, mv1x * mvsc,
+                                   mv1y * mvsc, sz, c_idx, bd,
+                                   use_pallas=use_pallas)
+                          for p in pls1], ref1_f)
             bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))
         if rect:
             # rect winners: per-sub-block uni MC from each sub's chosen
-            # list, reassembled into the full block
+            # (list, ref), reassembled into the full block.  MVs are
+            # ME-bounded (|mv_y| <= 4*(search_range+2) < 4*(m_pad-8)),
+            # so the tall-strip gather equals spec clamping here.
             if c_idx == 0:
-                s0 = mc_batch(r0p, sx4, sy4, s_x, s_y, 8, 0, bd,
+                yt0 = sy4 + rs4[0] * strip0 + m_pad
+                yt1 = sy4 + rs4[1] * strip1 + m_pad
+                s0 = mc_batch(tall0u, sx4, yt0, s_x, s_y, 8, 0, bd,
                               use_pallas=False)
-                s1 = mc_batch(r1p, sx4, sy4, s_x, s_y, 8, 0, bd,
+                s1 = mc_batch(tall1u, sx4, yt1, s_x, s_y, 8, 0, bd,
                               use_pallas=False)
                 half = 8
             else:
-                s0 = mc_batch(r0p, sx4 >> 1, sy4 >> 1, s_x, s_y, 4,
+                m_c = m_pad // 2
+                strip_c = (h >> 1) + 2 * m_c
+                tc0 = jnp.concatenate(
+                    [jnp.pad(pls0[i], ((m_c, m_c), (0, 0)),
+                             mode="edge") for i in range(nref0)], 0)
+                tc1 = jnp.concatenate(
+                    [jnp.pad(pls1[i], ((m_c, m_c), (0, 0)),
+                             mode="edge") for i in range(nref1)], 0)
+                ytc0 = (sy4 >> 1) + rs4[0] * strip_c + m_c
+                ytc1 = (sy4 >> 1) + rs4[1] * strip_c + m_c
+                s0 = mc_batch(tc0, sx4 >> 1, ytc0, s_x, s_y, 4,
                               c_idx, bd, use_pallas=False)
-                s1 = mc_batch(r1p, sx4 >> 1, sy4 >> 1, s_x, s_y, 4,
+                s1 = mc_batch(tc1, sx4 >> 1, ytc1, s_x, s_y, 4,
                               c_idx, bd, use_pallas=False)
                 half = 4
             s8 = jnp.where((s_l == 0)[:, None, None], s0, s1)
@@ -1707,24 +1867,19 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
                     jnp.where(pm == 5, yy_ >= 3 * q_,
                               jnp.where(pm == 6, xx_ >= q_,
                                         xx_ >= 3 * q_)))
-                if c_idx == 0:
-                    u0a = mc_batch(r0p, bx_, by_, p0x, p0y, sz, 0, bd,
-                                   use_pallas=use_pallas)
-                    u1a = mc_batch(r1p, bx_, by_, p0x, p0y, sz, 0, bd,
-                                   use_pallas=use_pallas)
-                    v0a = mc_batch(r0p, bx_, by_, p1x, p1y, sz, 0, bd,
-                                   use_pallas=use_pallas)
-                    v1a = mc_batch(r1p, bx_, by_, p1x, p1y, sz, 0, bd,
-                                   use_pallas=use_pallas)
-                else:
-                    u0a = mc_batch(r0p, bx_, by_, p0x, p0y, sz, c_idx,
-                                   bd, use_pallas=False)
-                    u1a = mc_batch(r1p, bx_, by_, p0x, p0y, sz, c_idx,
-                                   bd, use_pallas=False)
-                    v0a = mc_batch(r0p, bx_, by_, p1x, p1y, sz, c_idx,
-                                   bd, use_pallas=False)
-                    v1a = mc_batch(r1p, bx_, by_, p1x, p1y, sz, c_idx,
-                                   bd, use_pallas=False)
+                up = not bool(c_idx) and use_pallas
+                u0a = mc_batch(pls0[0], bx_, by_, p0x * mvsc,
+                               p0y * mvsc, sz, c_idx, bd,
+                               use_pallas=up)
+                u1a = mc_batch(pls1[0], bx_, by_, p0x * mvsc,
+                               p0y * mvsc, sz, c_idx, bd,
+                               use_pallas=up)
+                v0a = mc_batch(pls0[0], bx_, by_, p1x * mvsc,
+                               p1y * mvsc, sz, c_idx, bd,
+                               use_pallas=up)
+                v1a = mc_batch(pls1[0], bx_, by_, p1x * mvsc,
+                               p1y * mvsc, sz, c_idx, bd,
+                               use_pallas=up)
                 a0 = jnp.where((p0l == 0)[:, None, None], u0a, u1a)
                 a1 = jnp.where((p1l == 0)[:, None, None], v0a, v1a)
                 ampp = jnp.where(mask1, a1, a0)
@@ -1742,7 +1897,10 @@ def _b_core(oy, r0y, ru0, rv0, r1y, ru1, rv1, avail, lam256, qp32,
     return (intra_modes.reshape(nby, nbx),
             use_inter.reshape(nby, nbx),
             dirs.reshape(nby, nbx).astype(jnp.int32),
-            mv_l0, mv_l1, mc[0], mc[1], mc[2],
+            mv_l0, mv_l1,
+            ref0_f.reshape(nby, nbx).astype(jnp.int32),
+            ref1_f.reshape(nby, nbx).astype(jnp.int32),
+            mc[0], mc[1], mc[2],
             part.reshape(nby, nbx),
             dirs_b.reshape(nby, nbx),
             mv0_b, mv1_b)

@@ -97,8 +97,17 @@ def mc_for_p(refs, mvs, ref_sel, sps, weights=None, block: int = 16):
     return tuple(mc)
 
 
-def mc_for_b(ref0, ref1, dirs, mv_l0, mv_l1, sps, block: int = 16):
-    """Rebuild B MC predictions from stored (dirs, mv_l0, mv_l1)."""
+def mc_for_b(refs0, refs1, dirs, mv_l0, mv_l1, sps, block: int = 16,
+             ref_sel0=None, ref_sel1=None):
+    """Rebuild B MC predictions from stored (dirs, mv_l0, mv_l1,
+    ref_sel0, ref_sel1).  refs0/refs1: lists of (y, u, v) tuples in
+    list order; a bare (y, u, v) tuple is accepted too."""
+    def _norm(rl):
+        if len(rl) == 3 and getattr(rl[0], "ndim", 0) == 2:
+            return [rl]
+        return list(rl)
+    refs0 = _norm(refs0)
+    refs1 = _norm(refs1)
     bd = sps.bit_depth
     nby, nbx, bx, by = _grid(sps, block)
     mv0x = jnp.asarray(mv_l0[..., 0].ravel())
@@ -106,21 +115,37 @@ def mc_for_b(ref0, ref1, dirs, mv_l0, mv_l1, sps, block: int = 16):
     mv1x = jnp.asarray(mv_l1[..., 0].ravel())
     mv1y = jnp.asarray(mv_l1[..., 1].ravel())
     d = jnp.asarray(np.asarray(dirs).ravel())
+    rs0 = jnp.zeros_like(d) if ref_sel0 is None \
+        else jnp.asarray(np.asarray(ref_sel0).ravel())
+    rs1 = jnp.zeros_like(d) if ref_sel1 is None \
+        else jnp.asarray(np.asarray(ref_sel1).ravel())
     is_bi = d == 3
     use_l0 = (d == 1) | is_bi
     nc = block // 2
+
+    def sel_ref(preds, rs):
+        sel = preds[0]
+        for ridx in range(1, len(preds)):
+            sel = jnp.where((rs == ridx)[:, None, None], preds[ridx],
+                            sel)
+        return sel
+
     mc = []
     for pi in range(3):
         c_idx = 0 if pi == 0 else pi
         sz = block if pi == 0 else nc
         bx_ = bx if pi == 0 else bx // 2
         by_ = by if pi == 0 else by // 2
-        r0p = jnp.asarray(np.asarray(ref0[pi], np.int32))
-        r1p = jnp.asarray(np.asarray(ref1[pi], np.int32))
-        u0 = mc_batch(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd)
-        u1 = mc_batch(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd)
-        b0 = mc_batch_14(r0p, bx_, by_, mv0x, mv0y, sz, c_idx, bd)
-        b1 = mc_batch_14(r1p, bx_, by_, mv1x, mv1y, sz, c_idx, bd)
+        p0 = [jnp.asarray(np.asarray(r[pi], np.int32)) for r in refs0]
+        p1 = [jnp.asarray(np.asarray(r[pi], np.int32)) for r in refs1]
+        u0 = sel_ref([mc_batch(p, bx_, by_, mv0x, mv0y, sz, c_idx, bd)
+                      for p in p0], rs0)
+        u1 = sel_ref([mc_batch(p, bx_, by_, mv1x, mv1y, sz, c_idx, bd)
+                      for p in p1], rs1)
+        b0 = sel_ref([mc_batch_14(p, bx_, by_, mv0x, mv0y, sz, c_idx,
+                                  bd) for p in p0], rs0)
+        b1 = sel_ref([mc_batch_14(p, bx_, by_, mv1x, mv1y, sz, c_idx,
+                                  bd) for p in p1], rs1)
         bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))

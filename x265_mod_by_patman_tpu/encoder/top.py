@@ -571,7 +571,7 @@ class Encoder:
                 for (pl, pc, cx2, qo) in leaders:
                     out.append(self._encode_picture(
                         pl, pc, "B", cx2,
-                        b_refs=(prev_anchor, cra_ref, (), False),
+                        b_refs=([prev_anchor], [cra_ref], (), False),
                         qp_off=qo, nal_class="rasl"))
                 if st is not None:
                     st.drop_before(self.frame_count)
@@ -930,35 +930,43 @@ class Encoder:
             self._slicetype.drop_before(self._last_anchor_disp)
         out = [self._encode_picture(frames[-1][0], frames[-1][1], "P",
                                     frames[-1][2], qp_off=frames[-1][3])]
-        anchor0 = self._anchors[0]
         anchor1 = (out[0].recon, out[0].poc)
         bs = frames[:-1]
+        # full B reference lists (reference dpb.cpp:151 ref list build +
+        # search.cpp:2554 per-ref loop): L0 = past anchors closest-first
+        # up to --ref, L1 = the future anchor(s).  Every retained picture
+        # appears in some list, so the per-slice RPS (built from
+        # ref_pocs + keep_pocs in _encode_slice) keeps the DPB coherent
+        # for later frames of the mini-GOP and the next P.
+        past = list(self._anchors)[:self.max_refs]
         if self.p.b_pyramid and len(bs) >= 3:
             # referenced middle B (reference placeBref, slicetype.cpp:1849)
             mid = len(bs) // 2
             bref_fr = self._encode_picture(
                 bs[mid][0], bs[mid][1], "B", bs[mid][2],
-                b_refs=(anchor0, anchor1, (), True), qp_off=bs[mid][3])
+                b_refs=(past, [anchor1], (), True), qp_off=bs[mid][3])
             out.append(bref_fr)
             bref = (bref_fr.recon, bref_fr.poc)
             for k, (planes, poc, cplx, qoff) in enumerate(bs):
                 if k == mid:
                     continue
                 if k < mid:
-                    # future anchor must stay in the DPB for trailing Bs
+                    # L1 = both future refs (bref closest); the far
+                    # anchor rides the list, so it needs no keep entry
                     out.append(self._encode_picture(
                         planes, poc, "B", cplx,
-                        b_refs=(anchor0, bref, (anchor1[1],), False),
+                        b_refs=(past, [bref, anchor1], (), False),
                         qp_off=qoff))
                 else:
                     out.append(self._encode_picture(
                         planes, poc, "B", cplx,
-                        b_refs=(bref, anchor1, (), False), qp_off=qoff))
+                        b_refs=(([bref] + past)[:self.max_refs],
+                                [anchor1], (), False), qp_off=qoff))
         else:
             for (planes, poc, cplx, qoff) in bs:
                 out.append(self._encode_picture(
                     planes, poc, "B", cplx,
-                    b_refs=(anchor0, anchor1, (), False), qp_off=qoff))
+                    b_refs=(past, [anchor1], (), False), qp_off=qoff))
         # decode order emitted; DPB advances to the new P anchor
         self._anchors.insert(0, anchor1)
         del self._anchors[self.max_refs:]
@@ -1007,6 +1015,7 @@ class Encoder:
         dirs = None
         mvs1 = None
         ref_sel = None
+        ref_sel1 = None
         wp_l0 = None
         wp_chroma = None              # per-ref ((wcb,ocb),(wcr,ocr))
         wp_b_l1 = None                # B-slice L1 luma weights
@@ -1137,7 +1146,22 @@ class Encoder:
                 ref_sel, rect_info)
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
-            (ref0, ref1, keep_pocs, b_is_ref) = b_refs
+            (list0, list1, keep_pocs, b_is_ref) = b_refs
+            wpb = None
+            if getattr(p, "weightb", False) and rec_a is None:
+                from ..analysis.weightp import analyse_weightp
+                c0 = analyse_weightp(y, list0[0][0][0])
+                c1 = analyse_weightp(y, list1[0][0][0])
+                if c0 is not None or c1 is not None:
+                    wpb = (c0, c1)
+                    wp_l0 = (c0,)
+                    wp_b_l1 = (c1,)
+                    # the weight tables carry one set per list — keep
+                    # the lists at 1+1 so wp entries match num_ref_idx
+                    list0 = list0[:1]
+                    list1 = list1[:1]
+            rp_b = (tuple(a[1] for a in list0),
+                    tuple(a[1] for a in list1))
             if rec_a is not None:
                 from ..analysis.reuse import mc_for_b
                 modes = rec_a["modes"]
@@ -1145,25 +1169,20 @@ class Encoder:
                 dirs = rec_a["dirs"]
                 mvs = rec_a["mvs"]
                 mvs1 = rec_a["mvs1"]
-                mc = mc_for_b(ref0[0], ref1[0], dirs, mvs, mvs1,
-                              self.sps)
+                ref_sel = rec_a.get("ref_sel")
+                ref_sel1 = rec_a.get("ref_sel1")
+                mc = mc_for_b([a[0] for a in list0],
+                              [a[0] for a in list1], dirs, mvs, mvs1,
+                              self.sps, ref_sel0=ref_sel,
+                              ref_sel1=ref_sel1)
             else:
-                wpb = None
-                if getattr(p, "weightb", False):
-                    from ..analysis.weightp import analyse_weightp
-                    c0 = analyse_weightp(y, ref0[0][0])
-                    c1 = analyse_weightp(y, ref1[0][0])
-                    if c0 is not None or c1 is not None:
-                        wpb = (c0, c1)
-                        wp_l0 = (c0,)
-                        wp_b_l1 = (c1,)
                 use_rect_b = p.rect and self._ana_store is None
-                rp_b = ((ref0[1],), (ref1[1],))
-                col_b = self._col_store.get(ref0[1]) \
+                col_b = self._col_store.get(rp_b[0][0]) \
                     if self.sps.temporal_mvp else None
-                (modes, inter_mask, dirs, mvs, mvs1, mc, part_map_b,
-                 pu1_b) = analyse_b_frame(
-                    y, u, v, ref0[0], ref1[0],
+                (modes, inter_mask, dirs, mvs, mvs1, ref_sel, ref_sel1,
+                 mc, part_map_b, pu1_b) = analyse_b_frame(
+                    y, u, v, [a[0] for a in list0],
+                    [a[0] for a in list1],
                     self.sps, qp, search_range=self._me_range,
                     subme=p.subpel_refine, weights_b=wpb,
                     rect=use_rect_b, amp=p.amp,
@@ -1175,8 +1194,8 @@ class Encoder:
                                  pu1_b[0])
             recon_fn = self._inter_recon_fn(
                 y, u, v, modes, mc, inter_mask, 0, mvs, mvs1, dirs,
-                None, rect_info)
-            ref_pocs = ((ref0[1],), (ref1[1],))
+                ref_sel, rect_info, ref_sel1=ref_sel1)
+            ref_pocs = rp_b
         from ..bitstream.nal import NAL_CRA_NUT, NAL_RASL_N, NAL_RASL_R
         if nal_class == "cra":
             nal_unit = NAL_CRA_NUT
@@ -1196,7 +1215,7 @@ class Encoder:
             with trace.scope("loopfilter", type=ftype):
                 self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
                               dqp_map, recon, ref_sel, split_map,
-                              split32, rect_info)
+                              split32, rect_info, ref_sel1=ref_sel1)
                 sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
             with trace.scope("entropy", type=ftype):
                 rbsp = self._encode_slice(ms, inter_mask, mvs, mvs1,
@@ -1206,7 +1225,8 @@ class Encoder:
                                           split_map, modes8,
                                           split32, mode32, rect_info,
                                           wp_chroma, wp_b_l1, tu4_map,
-                                          nal_override=nal_unit)
+                                          nal_override=nal_unit,
+                                          ref_sel1=ref_sel1)
             return r, sao_maps, rbsp
 
         r, sao_maps, slice_rbsp = run_pipeline(qp_map)
@@ -1242,7 +1262,8 @@ class Encoder:
                 disp, ftype,
                 modes=np.asarray(r.get("modes_sel", modes)),
                 inter_mask=inter_mask,
-                mvs=mvs, ref_sel=ref_sel, dirs=dirs, mvs1=mvs1,
+                mvs=mvs, ref_sel=ref_sel, ref_sel1=ref_sel1,
+                dirs=dirs, mvs1=mvs1,
                 split_map=split_map, modes8=modes8, split32=split32,
                 mode32=mode32)
         md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
@@ -1326,7 +1347,8 @@ class Encoder:
         self.rc.update(rc_type, qp, frame.bits, complexity)
         if self.sps.temporal_mvp and (ftype in ("I", "P") or b_is_ref):
             self._col_store[poc] = self._build_col_motion(
-                poc, inter_mask, dirs, mvs, mvs1, ref_sel, ref_pocs)
+                poc, inter_mask, dirs, mvs, mvs1, ref_sel, ref_pocs,
+                ref_sel1=ref_sel1)
             # keep the store bounded like the DPB
             if len(self._col_store) > self.max_refs + 3:
                 for k in sorted(self._col_store)[:-(self.max_refs + 3)]:
@@ -1420,7 +1442,7 @@ class Encoder:
         return st
 
     def _build_col_motion(self, poc, inter_mask, dirs, mvs, mvs1,
-                          ref_sel, ref_pocs):
+                          ref_sel, ref_pocs, ref_sel1=None):
         """16x16-grid compressed motion field of this picture for TMVP
         (the reference's motion compression of colMVs)."""
         from ..entropy.mv_pred import ColMotion
@@ -1444,12 +1466,17 @@ class Encoder:
                 else:
                     rp[..., 0] = tab[0]
             if ref_pocs[1]:
-                rp[..., 1] = ref_pocs[1][0]
+                tab1 = np.asarray(ref_pocs[1], np.int64)
+                if ref_sel1 is not None:
+                    rp[..., 1] = tab1[np.clip(ref_sel1, 0,
+                                              len(tab1) - 1)]
+                else:
+                    rp[..., 1] = tab1[0]
         return ColMotion(poc, d, mv, rp)
 
     def _inter_recon_fn(self, y, u, v, modes, mc, inter_mask,
                         init_type: int, mvs, mvs1, dirs, ref_sel,
-                        rect_info):
+                        rect_info, ref_sel1=None):
         """Wavefront runner for P/B frames with the inter TU32 pre-pass
         (frame/inter_tu32.py): uniform-motion 32-regions get their
         residual coded as one TU32 outside the wavefront, which is then
@@ -1464,7 +1491,7 @@ class Encoder:
             m = region_uniform_mask(
                 np.asarray(inter_mask, bool), np.asarray(mvs),
                 mvs1, dirs, ref_sel, part_map,
-                self.sps.width, self.sps.height)
+                self.sps.width, self.sps.height, ref_sel1=ref_sel1)
             if m.any():
                 i32_mask = m
 
@@ -1488,7 +1515,7 @@ class Encoder:
 
     def _deblock(self, r: dict, inter_mask, mvs, mvs1, dirs, ref_pocs,
                  qp: int, recon, ref_sel=None, split_map=None,
-                 split32=None, rect_info=None) -> None:
+                 split32=None, rect_info=None, ref_sel1=None) -> None:
         if not self.p.deblock:
             return
         p = self.p
@@ -1520,8 +1547,13 @@ class Encoder:
             else:
                 p0 = np.full((nby, nbx),
                              ref_pocs[0][0] if ref_pocs[0] else 0, np.int64)
-            p1 = np.full((nby, nbx),
-                         ref_pocs[1][0] if ref_pocs[1] else 0, np.int64)
+            if ref_sel1 is not None and ref_pocs[1]:
+                poc_tab1 = np.asarray(ref_pocs[1], np.int64)
+                p1 = poc_tab1[np.clip(ref_sel1, 0,
+                                      len(ref_pocs[1]) - 1)]
+            else:
+                p1 = np.full((nby, nbx),
+                             ref_pocs[1][0] if ref_pocs[1] else 0, np.int64)
             part16 = pu1 = None
             if rect_info is not None:
                 part_map, mvs_b = rect_info[0], rect_info[1]
@@ -1732,7 +1764,7 @@ class Encoder:
                       split32=None, mode32=None,
                       rect_info=None, wp_chroma=None,
                       wp_b_l1=None, tu4_map=None,
-                      nal_override=None) -> bytes:
+                      nal_override=None, ref_sel1=None) -> bytes:
         sps, pps = self.sps, self.pps
         slice_type = {"I": SLICE_I, "P": SLICE_P, "B": SLICE_B}[ftype]
         nal = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
@@ -1756,21 +1788,27 @@ class Encoder:
                 if wp_chroma is not None:
                     sh.wp_l0_chroma = tuple(wp_chroma)
         elif ftype == "B":
-            num_refs = (1, 1)
-            sh.num_ref_idx = (1, 1)
+            n_l0 = max(1, len(ref_pocs[0]))
+            n_l1 = max(1, len(ref_pocs[1]))
+            num_refs = (n_l0, n_l1)
+            sh.num_ref_idx = (n_l0, n_l1)
             if self.pps.weighted_bipred:
                 if wp_l0 is not None:
                     sh.wp_l0 = tuple(wp_l0)
                 if wp_b_l1 is not None:
                     sh.wp_l1 = tuple(wp_b_l1)
-            # RPS: the two used refs plus pictures kept for later frames
-            # of the mini-GOP (used_by_curr = 0), sorted per spec order
-            neg = [(ref_pocs[0][0] - poc, True)] + \
+            # RPS: every list ref (used_by_curr = 1) plus pictures kept
+            # for later frames of the mini-GOP (used_by_curr = 0),
+            # sorted per spec order.  The decoder rebuilds L0 = neg+pos
+            # and L1 = pos+neg from the used entries in this order
+            # (spec 8.3.4), which matches the analysis list order
+            # because both lists are closest-first.
+            neg = [(rp - poc, True) for rp in ref_pocs[0]] + \
                 [(kp - poc, False) for kp in keep_pocs if kp < poc]
-            pos = [(ref_pocs[1][0] - poc, True)] + \
+            pos = [(rp - poc, True) for rp in ref_pocs[1]] + \
                 [(kp - poc, False) for kp in keep_pocs if kp > poc]
-            sh.st_rps_neg = tuple(sorted(neg, reverse=True))
-            sh.st_rps_pos = tuple(sorted(pos))
+            sh.st_rps_neg = tuple(sorted(set(neg), reverse=True))
+            sh.st_rps_pos = tuple(sorted(set(pos)))
         col = None
         if sps.temporal_mvp and ftype != "I" and ref_pocs[0]:
             col = self._col_store.get(ref_pocs[0][0])
@@ -1825,6 +1863,8 @@ class Encoder:
             if inter_mask is not None and inter_mask[by, bx]:
                 d = 1 if dirs is None else int(dirs[by, bx])
                 rsel = int(ref_sel[by, bx]) if ref_sel is not None else 0
+                rsel1 = int(ref_sel1[by, bx]) \
+                    if ref_sel1 is not None else 0
                 pm = 0
                 if rect_info is not None:
                     pm = int(rect_info[0][by, bx])
@@ -1837,7 +1877,7 @@ class Encoder:
                     mv1=(int(mvs1[by, bx, 0]),
                          int(mvs1[by, bx, 1]))
                     if mvs1 is not None else (0, 0),
-                    ref_idx1=0, part_mode=pm)
+                    ref_idx1=rsel1, part_mode=pm)
                 if pm:
                     cu.mv_b = (int(rect_info[1][by, bx, 0]),
                                int(rect_info[1][by, bx, 1]))

@@ -129,7 +129,8 @@ def _tu32_core(oy32, py32, ou16, pu16, ov16, pv16, qp_y, qp_cb, qp_cr,
 
 
 def region_uniform_mask(inter_mask, mvs, mvs1, dirs, ref_sel,
-                        part_map, width: int, height: int):
+                        part_map, width: int, height: int,
+                        ref_sel1=None):
     """(nry, nrx) bool: 32-regions whose four 16-blocks will merge into
     one 2Nx2N inter CU in build_region (encoder/top.py) — all inter,
     part 2Nx2N, identical canonical motion (_motion_key), fully inside
@@ -144,14 +145,17 @@ def region_uniform_mask(inter_mask, mvs, mvs1, dirs, ref_sel,
     mvs1_m = np.zeros_like(mvs) if mvs1 is None else np.asarray(mvs1)
     rs = np.zeros((nby, nbx), np.int32) if ref_sel is None \
         else np.asarray(ref_sel, np.int32)
+    rs1 = np.zeros((nby, nbx), np.int32) if ref_sel1 is None \
+        else np.asarray(ref_sel1, np.int32)
     # canonical motion per block (unused list zeroed, like _motion_key)
     l0_on = (dirs_m & 1) > 0
     l1_on = (dirs_m & 2) > 0
     m0 = np.where(l0_on[..., None], np.asarray(mvs), 0)
     r0 = np.where(l0_on, rs, -1)
     m1 = np.where(l1_on[..., None], mvs1_m, 0)
+    r1 = np.where(l1_on, rs1, -1)
     fields = [dirs_m, m0[..., 0], m0[..., 1], r0,
-              m1[..., 0], m1[..., 1]]
+              m1[..., 0], m1[..., 1], r1]
     ok = c(np.asarray(inter_mask, bool))
     if part_map is not None:
         ok = ok & (c(np.asarray(part_map)) == 0)
