@@ -2043,20 +2043,32 @@ class Encoder:
                 if rx * 32 >= sps.width or ry * 32 >= sps.height:
                     continue
                 cus.extend(build_region(rx, ry, tqb))
-            # merge 4 identical-motion zero-residual 32x32 inter CUs
-            # into one 64x64 skip CU (pure syntax — a skip CU has no
-            # transform tree, so the 16-grid residual store imposes no
-            # TU constraint; kills the per-16-block skip-flag tax that
-            # dominates low-motion frames at large resolutions)
+            # merge 4 identical-motion 32x32 inter CUs into one 64x64
+            # CU (the coded-residual analog of x265's upper-depth
+            # 2Nx2N/skip RDO, analysis.cpp:2368 compressInterCU).  Two
+            # forms share this path:
+            #  - all four zero-residual -> a skip/merge CU with no
+            #    transform tree (the original 64-skip merge);
+            #  - any subregion TU32-coded (tu_split False, coeffs at
+            #    luma log2 5 / chroma log2 4) -> a coded 64 CU whose
+            #    forced depth-0 TT split yields the SAME four TU32
+            #    nodes the separate CUs would code — identical TBs,
+            #    recon and deblock BS, minus three CU headers.  TU16-
+            #    layout subregions (tu_split True) can't merge: a
+            #    voluntary depth-1 split needs tu-inter-depth 3
+            #    (spec 7.3.8.8 MaxTrafoDepth).
             if (bpc == 4 and len(cus) == 4 and
                     cx * 64 + 64 <= sps.width and
                     cy * 64 + 64 <= sps.height and
                     all(c.log2_size == 5 and c.is_inter and
-                        c.part_mode == 0 and not c.coeffs
+                        c.part_mode == 0 and not c.tu_split
                         for c in cus) and
                     len({_motion_key(c) for c in cus}) == 1):
                 c0 = cus[0]
-                return [CodedCU(cx * 64, cy * 64, 6, (1,), 4, {},
+                merged = {}
+                for c in cus:
+                    merged.update(c.coeffs)
+                return [CodedCU(cx * 64, cy * 64, 6, (1,), 4, merged,
                                 is_inter=True, mv=c0.mv,
                                 ref_idx=c0.ref_idx,
                                 inter_dir=c0.inter_dir, mv1=c0.mv1,
