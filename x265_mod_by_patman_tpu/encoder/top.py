@@ -213,13 +213,24 @@ class Encoder:
         self._headers_sent = False
         self.bframes = max(0, self.p.bframes) if self.p.keyframe_max > 1 \
             else 0
+        # lookahead-fed rate control (reference rateEstimateQscale
+        # consumes lowres satd costs, ratecontrol.cpp:2101): the
+        # slicetype lattice supplies frame complexities whenever RC
+        # needs them (CRF/ABR/2-pass/VBV) or b-adapt wants the DP;
+        # the ±2-px stand-in remains only for all-intra/CQP paths
+        self._la_rc = self.p.keyframe_max > 1 and (
+            (self.bframes > 0 and self.p.b_adapt > 0)
+            or self.p.rc_mode in ("crf", "abr")
+            or (self.p.vbv_bufsize > 0 and self.p.vbv_maxrate > 0))
         self.rc = RateControl(self.p.rc_mode, self.p.qp, self.p.crf,
                               self.p.bitrate_kbps,
                               self.p.fps_num / max(1, self.p.fps_denom),
                               self.sps.width, self.sps.height,
                               self.p.qp_min, self.p.qp_max,
                               cu_tree=self._cutree is not None
-                              or self._ctshare_r is not None)
+                              or self._ctshare_r is not None,
+                              lookahead_units=self._la_rc,
+                              bframes=self.bframes)
         if self.p.vbv_bufsize > 0 and self.p.vbv_maxrate > 0:
             self.rc.set_vbv(self.p.vbv_bufsize, self.p.vbv_maxrate,
                             self.p.vbv_init)
@@ -494,11 +505,8 @@ class Encoder:
                 qp_off=None) -> List[EncodedFrame]:
         p = self.p
         planes = (self._pad(y, 0), self._pad(u, self.cshift), self._pad(v, self.cshift))
-        cplx = frame_complexity(planes[0], self._prev_src_y)
-        self._prev_src_y = planes[0]
         st = self._slicetype
-        if st is None and self.bframes > 0 and p.b_adapt > 0 \
-                and p.keyframe_max > 1:
+        if st is None and self._la_rc:
             from ..analysis.slicetype import SlicetypeLookahead
             st = self._slicetype = SlicetypeLookahead(
                 planes[0].shape[1], planes[0].shape[0], self.bframes,
@@ -506,6 +514,17 @@ class Encoder:
                 b_frame_bias=getattr(p, "b_frame_bias", 0))
         if st is not None:
             st.push(self.frame_count, planes[0])
+            # ingest-time complexity = lowres lattice P-cost vs the
+            # previous display frame (refined to the decided refs in
+            # _emit_minigop); first frame = lowres intra cost
+            d = self.frame_count
+            if d > 0 and (d - 1) in st._low:
+                cplx = st.frame_cost(d, d - 1, d)
+            else:
+                cplx = st.intra_cost(d)
+        else:
+            cplx = frame_complexity(planes[0], self._prev_src_y)
+        self._prev_src_y = planes[0]
         out: List[EncodedFrame] = []
         force_idr = (self.frame_count % max(1, p.keyframe_max) == 0)
         self._closed_kf_next = False
@@ -559,9 +578,12 @@ class Encoder:
                 # the queued frames become its RASL leading pictures,
                 # referencing across the keyframe (prev anchor + CRA)
                 prev_anchor = self._anchors[0] if self._anchors else None
+                prev_disp = self._last_anchor_disp
                 kf_poc = self.frame_count - self._idr_base
                 self._disp_since_idr = 0
                 self._last_anchor_disp = self.frame_count
+                if st is not None:
+                    cplx = st.intra_cost(self.frame_count)
                 cra = self._encode_picture(planes, kf_poc, "I", cplx,
                                            qp_off=qp_off,
                                            nal_class="cra")
@@ -569,6 +591,10 @@ class Encoder:
                 cra_ref = (cra.recon, kf_poc)
                 leaders, self._queue = self._queue, []
                 for (pl, pc, cx2, qo) in leaders:
+                    if st is not None and prev_disp >= 0:
+                        cx2 = st.frame_cost(self._idr_base + pc,
+                                            prev_disp,
+                                            self.frame_count)
                     out.append(self._encode_picture(
                         pl, pc, "B", cx2,
                         b_refs=([prev_anchor], [cra_ref], (), False),
@@ -583,6 +609,8 @@ class Encoder:
             self._disp_since_idr = 0
             self._idr_base = self.frame_count
             self._last_anchor_disp = self.frame_count
+            if st is not None:
+                cplx = st.intra_cost(self.frame_count)
             out.append(self._encode_picture(planes, 0, "I", cplx,
                                             qp_off=qp_off))
             if st is not None:
@@ -925,9 +953,34 @@ class Encoder:
             frames, self._queue = self._queue, []
         else:
             frames, self._queue = self._queue[:k], self._queue[k:]
-        self._last_anchor_disp = self._idr_base + frames[-1][1]
-        if self._slicetype is not None:
-            self._slicetype.drop_before(self._last_anchor_disp)
+        st = self._slicetype
+        prev_disp = self._last_anchor_disp
+        anchor_disp = self._idr_base + frames[-1][1]
+        if st is not None and prev_disp >= 0:
+            # refine complexities with the DECIDED references (the
+            # reference feeds rce->lastSatd from the slicetype-decided
+            # lowres cost, ratecontrol.cpp:2101): P vs its anchor, Bs
+            # vs their actual (p0, p1) pair incl. the pyramid bref
+            mid = len(frames) - 1
+            if self.p.b_pyramid and len(frames) - 1 >= 3:
+                mid = (len(frames) - 1) // 2
+            mid_disp = self._idr_base + frames[mid][1]
+            ref = []
+            for i, (pl, pc, cx, qo) in enumerate(frames):
+                d = self._idr_base + pc
+                if i == len(frames) - 1:
+                    cx = st.frame_cost(d, prev_disp, d)
+                elif i == mid:
+                    cx = st.frame_cost(d, prev_disp, anchor_disp)
+                elif i < mid:
+                    cx = st.frame_cost(d, prev_disp, mid_disp)
+                else:
+                    cx = st.frame_cost(d, mid_disp, anchor_disp)
+                ref.append((pl, pc, cx, qo))
+            frames = ref
+        self._last_anchor_disp = anchor_disp
+        if st is not None:
+            st.drop_before(self._last_anchor_disp)
         out = [self._encode_picture(frames[-1][0], frames[-1][1], "P",
                                     frames[-1][2], qp_off=frames[-1][3])]
         anchor1 = (out[0].recon, out[0].poc)

@@ -70,7 +70,9 @@ class RateControl:
     def __init__(self, mode: str, qp: int, crf: float, bitrate_kbps: int,
                  fps: float, width: int, height: int,
                  qp_min: int = 0, qp_max: int = 51,
-                 cu_tree: bool = False) -> None:
+                 cu_tree: bool = False,
+                 lookahead_units: bool = False,
+                 bframes: int = 0) -> None:
         self.mode = mode
         self.base_qp = qp
         self.crf = crf
@@ -93,8 +95,16 @@ class RateControl:
                 round(24 - 6 * math.log2(max(bpp, 1e-4) / 0.1)),
                 qp_min), qp_max))
         self.last_qscale = qp_to_qscale(self.base_qp)
-        # CRF anchoring: complexity that maps to exactly `crf`
-        self.crf_cplx0 = 0.04 * self.npix    # nominal per-pixel complexity
+        # CRF anchoring: complexity that maps to exactly `crf`.  When
+        # frame complexities come from the slicetype lookahead lattice
+        # (lowres-satd units), mirror the reference's rate-factor base
+        # complexity ncu * (bframes ? 120 : 80) (ratecontrol.cpp:190
+        # baseCplx); else the legacy stand-in's per-pixel calibration.
+        if lookahead_units:
+            self.crf_cplx0 = (self.npix / 256.0) * (120.0 if bframes
+                                                    else 80.0)
+        else:
+            self.crf_cplx0 = 0.04 * self.npix
         # VBV (disabled until set_vbv)
         self.vbv_buffer = 0.0
         self.vbv_rate = 0.0                  # bits entering per frame
