@@ -143,7 +143,18 @@ def _rd_resid_cost(org, pred, qp_b, log2n: int, bd: int, lam2):
     sse_c = jnp.sum((org - rec).astype(jnp.float32) ** 2, (1, 2))
     sse_z = jnp.sum((org - pred).astype(jnp.float32) ** 2, (1, 2))
     nz = jnp.sum(lev != 0, (1, 2)).astype(jnp.float32)
-    bits = jnp.where(nz > 0, 10.0 + 4.5 * nz, 0.0)
+    # density-calibrated rate: sparse TBs cost ~8 bits/coeff (full
+    # last_sig_pos + CG map amortized over few levels — what the
+    # EstBitsSbac structural estimate measures, ops/rdoq.py
+    # tb_bits_est), decaying toward the dense-TB ~4.5 bits/coeff the
+    # old flat model assumed.  Undercharging sparse residuals made
+    # coded AMVP candidates beat zero-residual merges too often
+    # (BENCH_NOTES round-4: MV_RES/B +487 bits, skip rate 72% vs
+    # x265's 84%).
+    bits = (10.0 + 8.0 * jnp.minimum(nz, 4.0)
+            + 6.0 * jnp.clip(nz - 4.0, 0.0, 12.0)
+            + 4.5 * jnp.maximum(nz - 16.0, 0.0))
+    bits = jnp.where(nz > 0, bits, 0.0)
     return sse_c + lam2 * bits, sse_z
 
 def analyse_p_frame(y, u, v, refs, sps, qp: int,

@@ -378,7 +378,8 @@ class Encoder:
         return np.clip(qp + np.clip(off, -6, 6), self.p.qp_min,
                        min(51, self.p.qp_max)).astype(np.int32)
 
-    def _derived_qp_map(self, qp_map, r: dict) -> np.ndarray:
+    def _derived_qp_map(self, qp_map, r: dict,
+                        slice_qp: int = 0) -> np.ndarray:
         """The decoder-visible per-CTU QP chain: signaled when the CTU has
         coded coefficients, inherited (qPY_PREV) otherwise; WPP resets the
         chain per CTU row (spec 8.6.1)."""
@@ -388,7 +389,7 @@ class Encoder:
         bpc = self.recon.bpc
         nby, nbx = self.recon.nby, self.recon.nbx
         derived = np.zeros_like(qp_map)
-        slice_qp = int(self._slice_qp_for_derivation)
+        slice_qp = int(slice_qp)
         qp_prev = slice_qp
         for cy in range(ncy):
             if self.pps.entropy_coding_sync:
@@ -1000,36 +1001,74 @@ class Encoder:
                 b_refs=(past, [anchor1], (), True), qp_off=bs[mid][3])
             out.append(bref_fr)
             bref = (bref_fr.recon, bref_fr.poc)
+            jobs = []
             for k, (planes, poc, cplx, qoff) in enumerate(bs):
                 if k == mid:
                     continue
                 if k < mid:
                     # L1 = both future refs (bref closest); the far
                     # anchor rides the list, so it needs no keep entry
-                    out.append(self._encode_picture(
-                        planes, poc, "B", cplx,
-                        b_refs=(past, [bref, anchor1], (), False),
-                        qp_off=qoff))
+                    jobs.append((planes, poc, cplx, qoff,
+                                 (past, [bref, anchor1], (), False)))
                 else:
-                    out.append(self._encode_picture(
-                        planes, poc, "B", cplx,
-                        b_refs=(([bref] + past)[:self.max_refs],
-                                [anchor1], (), False), qp_off=qoff))
+                    jobs.append((planes, poc, cplx, qoff,
+                                 (([bref] + past)[:self.max_refs],
+                                  [anchor1], (), False)))
+            out.extend(self._encode_b_jobs(jobs))
         else:
-            for (planes, poc, cplx, qoff) in bs:
-                out.append(self._encode_picture(
-                    planes, poc, "B", cplx,
-                    b_refs=(past, [anchor1], (), False), qp_off=qoff))
+            jobs = [(planes, poc, cplx, qoff,
+                     (past, [anchor1], (), False))
+                    for (planes, poc, cplx, qoff) in bs]
+            out.extend(self._encode_b_jobs(jobs))
         # decode order emitted; DPB advances to the new P anchor
         self._anchors.insert(0, anchor1)
         del self._anchors[self.max_refs:]
         return out
 
+    def _encode_b_jobs(self, jobs) -> List[EncodedFrame]:
+        """Encode a set of mutually-independent B pictures (their anchors
+        are all in hand), concurrently when --frame-parallel allows (the
+        ICI/device analog of the reference's frame-parallel encoders,
+        frameencoder.h:213: each frame's analysis + wavefront dispatches
+        on its own mesh device while host entropy of finished frames
+        overlaps).  Sequential fallback preserves exact legacy behavior;
+        parallel mode defers rate-control feedback to display order
+        after the join (CQP output is byte-identical to sequential; for
+        CRF/ABR the window's frames share the pre-window RC state)."""
+        win = max(1, int(getattr(self.p, "frame_parallel_window", 1)))
+        par_ok = (win > 1 and len(jobs) > 1
+                  and not self.sps.hrd
+                  and self.rc.vbv_buffer <= 0
+                  and self._nr is None
+                  and self._ana_store is None)
+        if not par_ok:
+            return [self._encode_picture(pl, pc, "B", cx, b_refs=br,
+                                         qp_off=qo)
+                    for (pl, pc, cx, qo, br) in jobs]
+        import concurrent.futures as cf
+        import jax as _jax
+        devs = _jax.local_devices()
+
+        def one(i_job):
+            i, (pl, pc, cx, qo, br) = i_job
+            with _jax.default_device(devs[i % len(devs)]):
+                return self._encode_picture(pl, pc, "B", cx,
+                                            b_refs=br, qp_off=qo,
+                                            defer_rc=True)
+        with cf.ThreadPoolExecutor(
+                max_workers=min(win, len(jobs))) as ex:
+            outs = list(ex.map(one, enumerate(jobs)))
+        for f, (pl, pc, cx, qo, br) in zip(outs, jobs):
+            self.rc.update("B" if br[3] else "b", f.qp, f.bits, cx)
+            self._enc_order += 1
+        return outs
+
     # -- one picture -----------------------------------------------------------
     def _encode_picture(self, planes, poc: int, ftype: str,
                         complexity: float = 0.0,
                         b_refs=None, qp_off=None,
-                        nal_class=None) -> EncodedFrame:
+                        nal_class=None,
+                        defer_rc: bool = False) -> EncodedFrame:
         """b_refs: for B pictures, ((planes, poc) L0 ref, (planes, poc)
         L1 ref, extra POCs to retain in the RPS, is_referenced);
         qp_off: per-CTU cuTree QP offsets (<= 0) or None.
@@ -1046,7 +1085,6 @@ class Encoder:
             if self.rc.vbv_buffer > 0 else None
         qp = self.rc.frame_qp(rc_type, complexity, upcoming)
         qp = self._zone_qp(self._idr_base + poc, qp)
-        self._slice_qp_for_derivation = qp
         qp_map = self._aq_map(y, qp)          # scalar when AQ off
         if qp_off is not None and np.any(qp_off != 0):
             if self.p.rc_mode == "crf":
@@ -1264,7 +1302,7 @@ class Encoder:
                 r = recon_fn(qpm)
             # in-wavefront RD mode selection: syntax codes the winners
             ms = r.get("modes_sel", modes)
-            dqp_map = self._derived_qp_map(qpm, r)
+            dqp_map = self._derived_qp_map(qpm, r, qp)
             with trace.scope("loopfilter", type=ftype):
                 self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
                               dqp_map, recon, ref_sel, split_map,
@@ -1379,7 +1417,8 @@ class Encoder:
             from ..bitstream.nal import NAL_PREFIX_SEI
             out += annexb(NAL_PREFIX_SEI,
                           write_pic_timing(pic_struct=pic_struct))
-        self._enc_order += 1
+        if not defer_rc:
+            self._enc_order += 1
         nal = nal_unit
         if isinstance(slice_rbsp, list):
             for rb in slice_rbsp:
@@ -1397,7 +1436,8 @@ class Encoder:
                              qp=qp, disp=self._idr_base + poc,
                              stats=self._frame_stats(r, inter_mask, mvs,
                                                      rect_info))
-        self.rc.update(rc_type, qp, frame.bits, complexity)
+        if not defer_rc:
+            self.rc.update(rc_type, qp, frame.bits, complexity)
         if self.sps.temporal_mvp and (ftype in ("I", "P") or b_is_ref):
             self._col_store[poc] = self._build_col_motion(
                 poc, inter_mask, dirs, mvs, mvs1, ref_sel, ref_pocs,

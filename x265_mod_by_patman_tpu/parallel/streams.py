@@ -27,6 +27,52 @@ from ..analysis.intra_mode import decide_modes_batch
 from .mesh import make_mesh
 
 
+class MultiStreamEncoder:
+    """General multi-stream encoder: S independent P/B streams, each
+    pinned to its own mesh device (P9 made real beyond all-intra —
+    the reference runs one frame-encoder pool per stream; here each
+    stream's analysis + wavefront programs dispatch on its device
+    while host entropy of the other streams overlaps in threads).
+
+    Streams are fully independent encoders (own headers, RC, DPB,
+    lookahead); encode_step advances every stream by one source frame
+    and returns each stream's newly emitted frames.  Output is
+    byte-identical to running each Encoder standalone."""
+
+    def __init__(self, params: EncoderParams, n_streams: int,
+                 mesh: Mesh = None) -> None:
+        self.n = n_streams
+        if mesh is not None:
+            self.devices = list(mesh.devices.flat)
+        else:
+            self.devices = list(jax.local_devices())
+        import copy
+        self.encoders = []
+        for _ in range(n_streams):
+            p = copy.deepcopy(params)
+            self.encoders.append(Encoder(p))
+
+    def _advance(self, i: int, frame):
+        enc = self.encoders[i]
+        dev = self.devices[i % len(self.devices)]
+        with jax.default_device(dev):
+            if frame is None:
+                return enc.flush()
+            return enc.encode_frame(*frame)
+
+    def encode_step(self, frames: Sequence) -> List[List[EncodedFrame]]:
+        """frames: one (y, u, v) per stream (None = flush that stream).
+        Returns the per-stream lists of emitted frames."""
+        assert len(frames) == self.n
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(max_workers=self.n) as ex:
+            return list(ex.map(lambda iv: self._advance(*iv),
+                               enumerate(frames)))
+
+    def flush(self) -> List[List[EncodedFrame]]:
+        return self.encode_step([None] * self.n)
+
+
 class MultiStreamIntraEncoder:
     """All-intra lockstep encoder for S streams sharded over a mesh.
 
