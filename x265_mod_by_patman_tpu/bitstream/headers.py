@@ -9,6 +9,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional
 
+import numpy as np
+
 from ..params import EncoderParams, CHROMA_420
 from .bitwriter import BitWriter
 
@@ -42,6 +44,7 @@ class SPSInfo:
     log2_min_tu_size: int = 2
     log2_max_tu_size: int = 5
     scaling_list_enabled: bool = False
+    scaling_lists: tuple = None      # (lists, dc) custom matrices or None
     # VUI (Annex E; reference Encoder::initVPS/initSPS vui wiring)
     vui_present: bool = False
     sar: tuple = (0, 0)                  # (num, den); (0,0) = unspecified
@@ -115,7 +118,18 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
     s.log2_min_cu_size = p.min_cu_size.bit_length() - 1
     s.log2_max_tu_size = min(p.max_tu_size, p.ctu_size).bit_length() - 1
     s.max_transform_hierarchy_depth_intra = p.tu_intra_depth - 1
-    s.scaling_list_enabled = p.scaling_list == "default"
+    s.scaling_list_enabled = p.scaling_list not in ("off", "")
+    if p.scaling_list not in ("off", "default", ""):
+        # custom scaling-list file (x265 --scaling-list <file>;
+        # reference scalinglist.cpp:246 parseScalingList format)
+        from ..constants.scaling import parse_scaling_list_file
+        lists, dc = parse_scaling_list_file(p.scaling_list)
+        for sid in range(4):
+            assert np.array_equal(lists[(sid, 1)], lists[(sid, 2)]) \
+                and np.array_equal(lists[(sid, 4)], lists[(sid, 5)]), \
+                "custom scaling lists: Cb and Cr must match (v1 " \
+                "quant plumbing shares one chroma matrix)"
+        s.scaling_lists = (lists, dc)
     if p.sar:
         t = p.sar.replace("/", ":").split(":")
         s.sar = (int(t[0]), int(t[1])) if len(t) == 2 else (0, 0)
@@ -259,8 +273,13 @@ def write_sps(sps: SPSInfo) -> bytes:
     bw.ue(sps.max_transform_hierarchy_depth_intra)
     bw.flag(sps.scaling_list_enabled)        # scaling_list_enabled_flag
     if sps.scaling_list_enabled:
-        bw.flag(0)                           # sps_scaling_list_data_present
+        custom = getattr(sps, "scaling_lists", None)
+        if custom is None:
+            bw.flag(0)                       # sps_scaling_list_data_present
                                              # (-> spec DEFAULT matrices)
+        else:
+            bw.flag(1)                       # explicit custom lists
+            _write_scaling_list_data(bw, custom[0], custom[1])
     bw.flag(sps.amp_enabled)
     bw.flag(sps.sao_enabled)
     bw.flag(0)                               # pcm_enabled_flag
@@ -351,6 +370,30 @@ def _write_hrd(bw: BitWriter, sps: SPSInfo) -> None:
     bw.ue((br >> (6 + HRD_BR_SCALE)) - 1)     # bit_rate_value_minus1
     bw.ue((cpb >> (4 + HRD_CPB_SCALE)) - 1)   # cpb_size_value_minus1
     bw.flag(sps.hrd_cbr)                 # cbr_flag
+
+
+def _write_scaling_list_data(bw: BitWriter, lists, dc) -> None:
+    """scaling_list_data() (spec 7.3.4): every list written explicitly
+    (scaling_list_pred_mode_flag 1) with delta-coded coefficients in
+    the up-right diagonal scan; 16/32 carry a DC value.  lists/dc per
+    constants.scaling.parse_scaling_list_file."""
+    from ..constants.scaling import diag_scan_positions
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for list_id in range(0, 6, step):
+            bw.flag(1)                  # scaling_list_pred_mode_flag
+            n = 4 if size_id == 0 else 8
+            coefs = lists[(size_id, list_id)]
+            next_coef = 8
+            if size_id > 1:
+                d = int(dc[(size_id, list_id)])
+                bw.se(d - 8)            # scaling_list_dc_coef_minus8
+                next_coef = d
+            for (x, y) in diag_scan_positions(n):
+                c = int(coefs[y, x])
+                delta = ((c - next_coef + 128) % 256) - 128
+                bw.se(delta)            # scaling_list_delta_coef
+                next_coef = c
 
 
 def write_pps(pps: PPSInfo) -> bytes:

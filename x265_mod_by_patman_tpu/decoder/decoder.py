@@ -83,9 +83,10 @@ def parse_sps(rbsp: bytes) -> SPSInfo:
     s.max_transform_hierarchy_depth_inter = br.ue()
     s.max_transform_hierarchy_depth_intra = br.ue()
     s.scaling_list_enabled = br.flag()
+    s.scaling_lists = None
     if s.scaling_list_enabled:
-        assert br.flag() == 0, \
-            "explicit scaling list data unsupported (defaults only)"
+        if br.flag():                 # sps_scaling_list_data_present
+            s.scaling_lists = _parse_scaling_list_data(br)
     s.amp_enabled = br.flag()
     s.sao_enabled = br.flag()
     assert br.flag() == 0, "pcm unsupported"
@@ -98,6 +99,53 @@ def parse_sps(rbsp: bytes) -> SPSInfo:
         _parse_vui(br, s)
     br.flag()                             # extensions
     return s
+
+
+def _parse_scaling_list_data(br: BitReader):
+    """scaling_list_data() (spec 7.3.4) -> (lists, dc) in the
+    constants.scaling layout (raster signaled matrices + DC)."""
+    from ..constants.scaling import (diag_scan_positions, FLAT4,
+                                     _D8_INTRA, _D8_INTER)
+    lists: dict = {}
+    dc: dict = {}
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for list_id in range(0, 6, step):
+            n = 4 if size_id == 0 else 8
+            if not br.flag():         # scaling_list_pred_mode_flag == 0
+                delta = br.ue()       # scaling_list_pred_matrix_id_delta
+                if delta == 0:        # spec default matrix
+                    intra = list_id < 3
+                    m = FLAT4.copy() if size_id == 0 else \
+                        (_D8_INTRA if intra else _D8_INTER).copy()
+                    lists[(size_id, list_id)] = m
+                    if size_id >= 2:
+                        dc[(size_id, list_id)] = 16
+                else:                 # copy an earlier list
+                    ref = list_id - delta * step
+                    lists[(size_id, list_id)] = \
+                        lists[(size_id, ref)].copy()
+                    if size_id >= 2:
+                        dc[(size_id, list_id)] = dc[(size_id, ref)]
+                continue
+            next_coef = 8
+            if size_id > 1:
+                d = br.se() + 8       # scaling_list_dc_coef_minus8
+                dc[(size_id, list_id)] = d
+                next_coef = d
+            m = np.zeros((n, n), np.int32)
+            for (x, y) in diag_scan_positions(n):
+                next_coef = (next_coef + br.se() + 256) % 256
+                m[y, x] = next_coef
+            lists[(size_id, list_id)] = m
+        if size_id == 3:
+            # chroma 32x32 lists inherit the 16x16 ones (the spec
+            # signals only the two luma lists at sizeId 3; the
+            # reference fills chroma identically, scalinglist.cpp:327)
+            for list_id in (1, 2, 4, 5):
+                lists[(3, list_id)] = lists[(2, list_id)].copy()
+                dc[(3, list_id)] = dc[(2, list_id)]
+    return lists, dc
 
 
 def _parse_vui(br: BitReader, s: SPSInfo) -> None:
@@ -919,15 +967,19 @@ class Decoder:
                         else:
                             coef = dequant_ref(levels.astype(np.int16),
                                                qpc, tl, bd,
-                                               self._scal_mat(tl,
-                                                              False))
+                                               self._scal_mat(
+                                                   tl, False, c_idx))
                             resi = idct_ref(coef, bd, dst=False)
                         rec[ty:ty + tn, tx:tx + tn] += resi
             plane[cy:cy + ch_, cx:cx + cw_] = np.clip(rec, 0, maxv)
 
-    def _scal_mat(self, log2: int, intra: bool):
+    def _scal_mat(self, log2: int, intra: bool, comp: int = 0):
         if not getattr(self.sps, "scaling_list_enabled", False):
             return None
+        sl = getattr(self.sps, "scaling_lists", None)
+        if sl is not None:
+            from ..constants.scaling import list_matrix
+            return list_matrix(sl[0], sl[1], log2, intra, comp)
         from ..constants.scaling import default_matrix
         return default_matrix(log2, intra)
 
@@ -966,7 +1018,7 @@ class Decoder:
                 resi = levels.astype(np.int32)
             else:
                 coef = dequant_ref(levels.astype(np.int16), qp, log2, bd,
-                                   self._scal_mat(log2, True))
+                                   self._scal_mat(log2, True, c_idx))
                 resi = idct_ref(coef, bd, dst=(log2 == 2 and c_idx == 0))
             rec = np.clip(pred + resi, 0, (1 << bd) - 1)
         else:

@@ -44,7 +44,8 @@ def _plane_rd(org, pred, qp_b, log2n: int, c_idx: int, bd: int,
     resi = org - pred
     coef = dct_batch(resi, log2n, bd)
     lev = rdoq_levels(coef, imask, qp_b, log2n, bd, c_idx, init_type,
-                      psy_rdoq=psy_rdoq) if rdoq \
+                      psy_rdoq=psy_rdoq, qmats=qmats,
+                      rawmats=dmats) if rdoq \
         else quant_dyn(coef, imask, qp_b, log2n, bd, qmats)
     if sign_hide:
         lev = sbh_adjust(lev, coef, imask, qp_b, log2n, bd)

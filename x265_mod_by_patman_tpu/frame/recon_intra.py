@@ -178,7 +178,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                         off_p[None, :]).reshape(ac.shape)
         coef = jnp.sign(coef) * jnp.maximum(ac - off, 0)
     lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth, c_idx,
-                      init_type, psy_rdoq=psy_rdoq) if rdoq \
+                      init_type, psy_rdoq=psy_rdoq, qmats=qmats,
+                      rawmats=dmats) if rdoq \
         else quant_dyn(coef, intra_mask, qp, log2n, bit_depth, qmats)
     if sign_hide:
         lev = sbh_adjust(lev, coef, intra_mask, qp, log2n, bit_depth)
@@ -304,7 +305,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             # sub-TU scaling tables (per size, not per component) are
             # threaded via m8 (flat/None when lists are off)
             lv8 = rdoq_levels(coef8, ones, qp, l2s, bit_depth, c_idx,
-                              init_type) if rdoq \
+                              init_type, qmats=m8[0],
+                              rawmats=m8[1]) if rdoq \
                 else quant_dyn(coef8, ones, qp, l2s, bit_depth, m8[0])
             if sign_hide:
                 # TU8 luma / TU4 chroma scans are mode-dependent (spec
@@ -820,21 +822,27 @@ class IntraReconstructor:
         if getattr(sps, "scaling_list_enabled", False):
             from ..ops.transform import quant_mats
             from ..constants.scaling import default_matrix
+            sl = getattr(sps, "scaling_lists", None)
+            if sl is not None:
+                # custom lists (x265 --scaling-list <file>): per-slot
+                # quant/raw matrices from the parsed lists, luma and
+                # chroma each from their own listId
+                from ..constants.scaling import (quant_mats_custom,
+                                                 list_matrix)
+                qm = lambda l2, c: quant_mats_custom(l2, sl[0], sl[1], c)
+                raw = lambda l2, c: np.stack(
+                    [list_matrix(sl[0], sl[1], l2, True, c),
+                     list_matrix(sl[0], sl[1], l2, False, c)])
+            else:
+                qm = lambda l2, c: quant_mats(l2)
+                raw = lambda l2, c: np.stack(
+                    [default_matrix(l2, True),
+                     default_matrix(l2, False)])
             self.mats = tuple(jnp.asarray(a) for a in (
-                quant_mats(4),
-                np.stack([default_matrix(4, True),
-                          default_matrix(4, False)]),
-                quant_mats(3),
-                np.stack([default_matrix(3, True),
-                          default_matrix(3, False)])))
+                qm(4, 0), raw(4, 0), qm(3, 1), raw(3, 1)))
             if tree:
                 self.mats32 = tuple(jnp.asarray(a) for a in (
-                    quant_mats(5),
-                    np.stack([default_matrix(5, True),
-                              default_matrix(5, False)]),
-                    quant_mats(4),
-                    np.stack([default_matrix(4, True),
-                              default_matrix(4, False)])))
+                    qm(5, 0), raw(5, 0), qm(4, 1), raw(4, 1)))
         self.bd = sps.bit_depth
         self.log2_ctu = sps.log2_ctu_size
         self.csp = getattr(sps, "chroma_format_idc", 1)

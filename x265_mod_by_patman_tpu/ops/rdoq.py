@@ -77,7 +77,7 @@ def _diag4_scan() -> np.ndarray:
 def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
                 log2_size: int, bit_depth: int = 8, c_idx: int = 0,
                 init_type=None, sign_hide: bool = False,
-                psy_rdoq=None) -> jnp.ndarray:
+                psy_rdoq=None, qmats=None, rawmats=None) -> jnp.ndarray:
     """RD-quantize a batch of TUs.  coef: (B, n, n) int32 transform
     output; qp scalar or (B,); returns signed levels (B, n, n) int32,
     drop-in for quant_dyn (transform.py) when rdoq_level > 0.
@@ -100,7 +100,15 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     per, rem6 = qp // 6, qp % 6
     transform_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
     qbits = (QUANT_SHIFT + per + transform_shift)[:, None, None]
-    scale = jnp.asarray(QUANT_SCALES)[rem6][:, None, None]
+    if qmats is None:
+        scale = jnp.asarray(QUANT_SCALES)[rem6][:, None, None]
+    else:
+        # scaling-list-aware RDOQ (reference quant.cpp rdoq uses the
+        # per-coefficient quantCoef tables): forward scale per coef
+        sel_m = jnp.zeros(coef.shape[:1], jnp.int32) \
+            if intra_mask is None else \
+            jnp.where(jnp.asarray(intra_mask), 0, 1)
+        scale = jnp.asarray(qmats)[sel_m, rem6]
     c = coef.astype(jnp.int32)
     # ideal real-valued level, in level units
     cs = jnp.abs(c).astype(jnp.float32) * scale.astype(jnp.float32) \
@@ -111,6 +119,15 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
         k = jnp.where(jnp.asarray(intra_mask), K_INTRA, K_INTER) \
             .astype(jnp.float32)
     k = k[:, None, None]
+    if rawmats is not None:
+        # per-coefficient distortion weight: a level-unit error on a
+        # coefficient with scaling m costs (m/16)^2 the distortion of
+        # the flat step (spec 8.6.3 dequant applies m/16)
+        sel_m = jnp.zeros(coef.shape[:1], jnp.int32) \
+            if intra_mask is None else \
+            jnp.where(jnp.asarray(intra_mask), 0, 1)
+        w = jnp.asarray(rawmats)[sel_m].astype(jnp.float32) / 16.0
+        k = k * w * w
 
     hi = jnp.ceil(cs)
     lo = jnp.floor(cs)
