@@ -76,3 +76,23 @@ def test_cutree_disabled_under_cqp():
     p = default_params(64, 64, qp=30, keyframe_max=250)
     enc = Encoder(p)
     assert enc._cutree is None and not enc.pps.cu_qp_delta_enabled
+
+
+def test_cutree_b_structure_two_ref():
+    """With bframes > 0 the propagation follows the anchor grid
+    (slicetype.cpp:3752 two-ref analog): static content pulls anchors
+    down, and B frames interpolate their anchors' offsets instead of
+    riding a display-order chain."""
+    rng = np.random.default_rng(7)
+    y = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    la = CuTreeLookahead(96, 64, 32, bframes=2)
+    for _ in range(10):
+        la.push(y)
+    off_anchor = la.pop()           # disp 0: anchor
+    off_b1 = la.pop()               # disp 1: B
+    off_b2 = la.pop()               # disp 2: B
+    assert off_anchor.min() < 0, "anchor must be pulled down"
+    # Bs interpolate surrounding anchors -> also negative, and close
+    # to the anchor's offsets on static content
+    assert off_b1.min() < 0 and off_b2.min() < 0
+    assert np.abs(off_b1 - off_anchor).max() <= 2

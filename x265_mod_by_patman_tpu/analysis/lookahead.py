@@ -99,84 +99,158 @@ def _inter_costs(low, prev, nby: int, nbx: int):
 
 
 class _Entry:
-    __slots__ = ("intra", "inter", "mvx", "mvy", "prop")
+    __slots__ = ("disp", "low", "intra", "prop", "costs")
 
-    def __init__(self, intra, inter, mvx, mvy):
+    def __init__(self, disp, low, intra):
+        self.disp = disp
+        self.low = low                 # device lowres plane
         self.intra = intra
-        self.inter = inter
-        self.mvx = mvx
-        self.mvy = mvy
         self.prop = np.zeros_like(intra)
+        self.costs = {}                # ref_disp -> (inter, mvx, mvy)
 
 
 class CuTreeLookahead:
     """Sliding-window cuTree.  push() lowres-analyses a new display-order
     frame; pop() runs propagation over the buffered window and returns the
-    per-CTU QP offset map of the oldest frame."""
+    per-CTU QP offset map of the oldest frame.
+
+    Propagation follows the GOP structure (reference
+    estimateCUPropagate, slicetype.cpp:3752): anchors every
+    (bframes + 1) display frames propagate to the previous anchor; B
+    frames measure BOTH their anchors and hand their contribution to
+    whichever predicts each block better, processed in reverse coding
+    order so a future anchor's received share flows onward.  (The
+    anchor cadence is the structural bframes grid — adaptive-GOP /
+    scenecut deviations degrade toward the old predecessor-chain
+    behavior rather than mis-crediting.)"""
 
     def __init__(self, pad_w: int, pad_h: int, ctu_size: int,
-                 qcomp: float = 0.6) -> None:
+                 qcomp: float = 0.6, bframes: int = 0) -> None:
         self.w, self.h = pad_w // 2, pad_h // 2
         self.nbx, self.nby = self.w // N, self.h // N
         self.bpc = max(1, ctu_size // (2 * N))   # lowres blocks per CTU
         self.strength = 5.0 * (1.0 - qcomp)      # reference cuTreeStrength
+        self.g = max(1, bframes + 1)             # anchor cadence
         self._avail = jnp.asarray(_raster_avail(self.h, self.w))
-        self._prev: Optional[jnp.ndarray] = None
+        self._next_disp = 0
         self.entries: Deque[_Entry] = deque()
 
     def push(self, y_padded: np.ndarray) -> None:
         low = jnp.asarray(lowres_plane(y_padded))
         intra = np.asarray(_intra_costs(low, self._avail, self.nby,
                                         self.nbx), dtype=np.float64)
-        if self._prev is None:
-            inter = intra.copy()
-            mvx = np.zeros_like(intra, dtype=np.int32)
-            mvy = np.zeros_like(intra, dtype=np.int32)
-        else:
-            c, fx, fy = _inter_costs(low, self._prev, self.nby, self.nbx)
-            inter = np.asarray(c, dtype=np.float64)
-            mvx = np.asarray(fx, dtype=np.int32)
-            mvy = np.asarray(fy, dtype=np.int32)
-        self._prev = low
-        self.entries.append(_Entry(intra, inter, mvx, mvy))
+        self.entries.append(_Entry(self._next_disp, low, intra))
+        self._next_disp += 1
 
     def __len__(self) -> int:
         return len(self.entries)
 
+    def _cost_vs(self, e: _Entry, ref: _Entry):
+        """(inter, mvx, mvy) of e measured against ref (cached)."""
+        got = e.costs.get(ref.disp)
+        if got is None:
+            c, fx, fy = _inter_costs(e.low, ref.low, self.nby, self.nbx)
+            got = (np.asarray(c, dtype=np.float64),
+                   np.asarray(fx, np.int32), np.asarray(fy, np.int32))
+            e.costs[ref.disp] = got
+        return got
+
+    def _scatter(self, ref: _Entry, amount, mvx, mvy, mask) -> None:
+        """Bilinear scatter of `amount` (masked) into ref's block grid
+        at the positions e's MVs point at (reference propagateCost)."""
+        bys, bxs = np.mgrid[0:self.nby, 0:self.nbx]
+        px = bxs * N + mvx                     # lowres pixel coords
+        py = bys * N + mvy
+        bx0, fx = px >> LOG2N, px & (N - 1)
+        by0, fy = py >> LOG2N, py & (N - 1)
+        amt = np.where(mask, amount, 0.0)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wgt = ((fx if dx else N - fx)
+                       * (fy if dy else N - fy)) / float(N * N)
+                tx = np.clip(bx0 + dx, 0, self.nbx - 1)
+                ty = np.clip(by0 + dy, 0, self.nby - 1)
+                np.add.at(ref.prop, (ty.ravel(), tx.ravel()),
+                          (amt * wgt).ravel())
+
     def _propagate(self) -> None:
-        """Backward pass over the window (reference estimateCUPropagate):
-        each frame hands (intra + propagate_in) * (1 - inter/intra) to the
-        blocks of its predecessor that its MVs point at."""
         for e in self.entries:
             e.prop[:] = 0.0
         es = list(self.entries)
-        for b in range(len(es) - 1, 0, -1):
-            e, ref = es[b], es[b - 1]
-            intra = np.maximum(e.intra, 1.0)
-            inter = np.minimum(e.inter, e.intra)
-            amount = (e.intra + e.prop) * (intra - inter) / intra
-            # bilinear scatter into the reference's block grid
-            bys, bxs = np.mgrid[0:self.nby, 0:self.nbx]
-            px = bxs * N + e.mvx                   # lowres pixel coords
-            py = bys * N + e.mvy
-            bx0, fx = px >> LOG2N, px & (N - 1)
-            by0, fy = py >> LOG2N, py & (N - 1)
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    wgt = ((fx if dx else N - fx)
-                           * (fy if dy else N - fy)) / float(N * N)
-                    tx = np.clip(bx0 + dx, 0, self.nbx - 1)
-                    ty = np.clip(by0 + dy, 0, self.nby - 1)
-                    np.add.at(ref.prop, (ty.ravel(), tx.ravel()),
-                              (amount * wgt).ravel())
+        if len(es) < 2:
+            return
+        by_disp = {e.disp: i for i, e in enumerate(es)}
+        g = self.g
+
+        def gop_key(d):
+            # the gop an entry belongs to, named by its FUTURE anchor
+            # (an anchor closes its own gop)
+            return d if d % g == 0 else (d // g) * g + g
+
+        # reverse coding order: newest mini-GOP first, its B frames
+        # before its anchor (so an anchor forwards what its Bs gave it)
+        order = sorted(
+            range(len(es)),
+            key=lambda i: (-gop_key(es[i].disp),
+                           0 if es[i].disp % g else 1))
+        for i in order:
+            e = es[i]
+            d = e.disp
+            a0 = (d - g) if d % g == 0 else (d // g) * g
+            a1 = a0 + g
+            p0 = es[by_disp[a0]] if a0 in by_disp else None
+            if d % g == 0 or a1 not in by_disp or a1 == d:
+                # anchor (or tail frame without a future anchor yet):
+                # single-ref propagation to the previous anchor
+                if p0 is None:
+                    continue
+                inter, mvx, mvy = self._cost_vs(e, p0)
+                intra = np.maximum(e.intra, 1.0)
+                inter = np.minimum(inter, e.intra)
+                amount = (e.intra + e.prop) * (intra - inter) / intra
+                self._scatter(p0, amount, mvx, mvy,
+                              np.ones_like(amount, bool))
+            else:
+                # B: measure both anchors, hand each block's share to
+                # the better predictor (the reference splits by list
+                # usage; argmin is the uni-list analog)
+                p1 = es[by_disp[a1]]
+                c0, m0x, m0y = self._cost_vs(e, p0) if p0 is not None \
+                    else (None, None, None)
+                c1, m1x, m1y = self._cost_vs(e, p1)
+                if c0 is None:
+                    c0 = np.full_like(c1, np.inf)
+                    m0x = m0y = np.zeros_like(m1x)
+                inter = np.minimum(np.minimum(c0, c1), e.intra)
+                intra = np.maximum(e.intra, 1.0)
+                amount = (e.intra + e.prop) * (intra - inter) / intra
+                use0 = c0 <= c1
+                if p0 is not None:
+                    self._scatter(p0, amount, m0x, m0y, use0)
+                self._scatter(p1, amount, m1x, m1y, ~use0)
 
     def pop(self) -> np.ndarray:
         """Per-CTU QP offsets of the oldest frame (ints <= 0), computed
-        against the full forward window (reference cuTreeFinish)."""
+        against the full forward window (reference cuTreeFinish).  B
+        frames receive no propagation; their offsets interpolate the
+        surrounding anchors' (the x264/x265 non-ref treatment)."""
         self._propagate()
         e = self.entries.popleft()
-        intra = np.maximum(e.intra, 1.0)
-        off16 = -self.strength * np.log2((intra + e.prop) / intra)
+        ratio = lambda en: (np.maximum(en.intra, 1.0) + en.prop) \
+            / np.maximum(en.intra, 1.0)
+        if e.disp % self.g == 0:
+            r = ratio(e)
+            self._last_anchor_ratio = r
+        else:
+            a1 = (e.disp // self.g) * self.g + self.g
+            nxt = next((en for en in self.entries if en.disp == a1),
+                       None)
+            parts = [p for p in (getattr(self, "_last_anchor_ratio",
+                                         None),
+                                 ratio(nxt) if nxt is not None
+                                 else None) if p is not None]
+            r = sum(parts) / len(parts) if parts else ratio(e)
+        off16 = -self.strength * np.log2(r)
         bpc = self.bpc
         ncy = -(-self.nby // bpc)
         ncx = -(-self.nbx // bpc)

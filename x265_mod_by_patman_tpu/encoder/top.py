@@ -144,7 +144,9 @@ class Encoder:
             self._cutree = CuTreeLookahead(
                 self.p.pic_width_in_ctus * self.p.ctu_size,
                 self.p.pic_height_in_ctus * self.p.ctu_size,
-                self.p.ctu_size, self.p.qcomp)
+                self.p.ctu_size, self.p.qcomp,
+                bframes=self.p.bframes if self.p.keyframe_max > 1
+                else 0)
             if getattr(self.p, "cutree_share_write", ""):
                 from ..analysis.cutree_share import CuTreeShareWriter
                 self._ctshare_w = CuTreeShareWriter(
