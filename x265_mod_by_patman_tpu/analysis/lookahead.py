@@ -72,17 +72,48 @@ def _intra_costs(low, avail, nby: int, nbx: int):
     return jnp.min(costs, axis=1).reshape(nby, nbx)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _inter_costs(low, prev, nby: int, nbx: int):
+def hme_seeds(low, prev, nby: int, nbx: int):
+    """1/4-of-lowres (1/8 source) HME tier (x265 --hme, lowres.h:166
+    HME planes): full search on the quarter planes, MVs upsampled as
+    FULLPEL lowres window centers for the half-res search.  Extends the
+    effective lowres range to ~(2*SEARCH_RANGE + SEARCH_RANGE) px —
+    what 1080p/4K motion needs where +-16 half-res px is not enough."""
+    q = lambda a: (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2]
+                   + a[1::2, 1::2] + 2) >> 2
+    ql, qp = q(low), q(prev)
+    qnby, qnbx = max(nby // 2, 1), max(nbx // 2, 1)
+    bys, bxs = jnp.mgrid[0:qnby, 0:qnbx]
+    x0 = (bxs.ravel() * N).astype(jnp.int32)
+    y0 = (bys.ravel() * N).astype(jnp.int32)
+    zero = jnp.zeros_like(x0)
+    mvx, mvy, _ = full_search_batch(qp, ql, x0, y0, zero, zero,
+                                    LOOKAHEAD_LAMBDA_X256, N,
+                                    SEARCH_RANGE, use_pallas=False)
+    sx = ((mvx >> 2) * 2).reshape(qnby, qnbx)
+    sy = ((mvy >> 2) * 2).reshape(qnby, qnbx)
+    up = lambda a: jnp.pad(
+        jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)[:nby, :nbx],
+        ((0, max(0, nby - 2 * qnby)), (0, max(0, nbx - 2 * qnbx))),
+        mode="edge")
+    return up(sx).ravel(), up(sy).ravel()
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _inter_costs(low, prev, nby: int, nbx: int, hme: bool = False):
     """Integer full search vs the previous lowres + SATD at the best MV.
     Returns (satd_cost, mv_x, mv_y) with MVs in lowres fullpel units."""
     bys, bxs = jnp.mgrid[0:nby, 0:nbx]
     x0 = (bxs.ravel() * N).astype(jnp.int32)
     y0 = (bys.ravel() * N).astype(jnp.int32)
     zero = jnp.zeros_like(x0)
+    cx = cy = None
+    if hme:
+        cx, cy = hme_seeds(low, prev, nby, nbx)
     mvx, mvy, _ = full_search_batch(prev, low, x0, y0, zero, zero,
                                     LOOKAHEAD_LAMBDA_X256, N,
-                                    SEARCH_RANGE)
+                                    SEARCH_RANGE,
+                                    use_pallas=False if hme else None,
+                                    center_x=cx, center_y=cy)
     fx, fy = mvx >> 2, mvy >> 2
     h, w = low.shape
     gy = jnp.clip(y0[:, None, None] + fy[:, None, None]
@@ -125,7 +156,9 @@ class CuTreeLookahead:
     behavior rather than mis-crediting.)"""
 
     def __init__(self, pad_w: int, pad_h: int, ctu_size: int,
-                 qcomp: float = 0.6, bframes: int = 0) -> None:
+                 qcomp: float = 0.6, bframes: int = 0,
+                 hme: bool = False) -> None:
+        self.hme = bool(hme)
         self.w, self.h = pad_w // 2, pad_h // 2
         self.nbx, self.nby = self.w // N, self.h // N
         self.bpc = max(1, ctu_size // (2 * N))   # lowres blocks per CTU
@@ -149,7 +182,8 @@ class CuTreeLookahead:
         """(inter, mvx, mvy) of e measured against ref (cached)."""
         got = e.costs.get(ref.disp)
         if got is None:
-            c, fx, fy = _inter_costs(e.low, ref.low, self.nby, self.nbx)
+            c, fx, fy = _inter_costs(e.low, ref.low, self.nby,
+                                     self.nbx, self.hme)
             got = (np.asarray(c, dtype=np.float64),
                    np.asarray(fx, np.int32), np.asarray(fy, np.int32))
             e.costs[ref.disp] = got

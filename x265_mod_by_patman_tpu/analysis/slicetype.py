@@ -29,8 +29,8 @@ from ..ops.cost import satd_batch
 from ..ops.interp import mc_batch
 from ..ops.me import full_search_batch, subpel_refine_batch
 from .intra_mode import _mode_costs
-from .lookahead import lowres_plane, _raster_avail, LOG2N, N, \
-    LOOKAHEAD_LAMBDA_X256, SEARCH_RANGE
+from .lookahead import lowres_plane, _raster_avail, hme_seeds, \
+    LOG2N, N, LOOKAHEAD_LAMBDA_X256, SEARCH_RANGE
 
 MAX_TRIPLES = 16          # lattice dispatch lane count (padded)
 
@@ -43,9 +43,9 @@ def _intra_frame_cost(low, nby: int, nbx: int, avail=None):
     return jnp.min(costs, axis=1).reshape(nby, nbx)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
+@partial(jax.jit, static_argnums=(4, 5, 7))
 def _lattice_costs(stack, triples, is_b, valid, nby: int, nbx: int,
-                   intra):
+                   intra, hme: bool = False):
     """Frame costs for a padded batch of (b, p0, p1) triples.
 
     stack:   (F, h, w) int32 lowres planes
@@ -73,9 +73,16 @@ def _lattice_costs(stack, triples, is_b, valid, nby: int, nbx: int,
             # lookahead is qpel-accurate on lowres (lowres.h:74-120
             # lowresQPelCost) — integer-only ME misses odd-pixel
             # fullres motion (0.5 px at lowres) and misfires scenecut
+            cx = cy = None
+            up = None
+            if hme:
+                # 1/4-of-lowres HME tier seeds the window center
+                # (x265 --hme; analysis.lookahead.hme_seeds)
+                cx, cy = hme_seeds(cur, ref, nby, nbx)
+                up = False
             mvx, mvy, _ = full_search_batch(
                 ref, cur, x0, y0, zero, zero, LOOKAHEAD_LAMBDA_X256, N,
-                SEARCH_RANGE)
+                SEARCH_RANGE, use_pallas=up, center_x=cx, center_y=cy)
             mvx, mvy, cost = subpel_refine_batch(
                 ref, cur, x0, y0, mvx, mvy, zero, zero,
                 LOOKAHEAD_LAMBDA_X256, N, 8, subme=2)
@@ -107,7 +114,8 @@ class SlicetypeLookahead:
     def __init__(self, pad_w: int, pad_h: int, bframes: int,
                  b_adapt: int = 1, scenecut_bias: float = 0.05,
                  scenecut_threshold: int = 40,
-                 b_frame_bias: int = 0) -> None:
+                 b_frame_bias: int = 0, hme: bool = False) -> None:
+        self.hme = bool(hme)
         self.w, self.h = pad_w // 2, pad_h // 2
         self.nbx, self.nby = self.w // N, self.h // N
         self.bframes = bframes
@@ -181,7 +189,7 @@ class SlicetypeLookahead:
                 valid[i] = True
             fc, _ = _lattice_costs(stack, jnp.asarray(t),
                                    jnp.asarray(is_b), jnp.asarray(valid),
-                                   self.nby, self.nbx, intra)
+                                   self.nby, self.nbx, intra, self.hme)
             fc = np.asarray(fc)
             for i, key in enumerate(chunk):
                 c = float(fc[i])

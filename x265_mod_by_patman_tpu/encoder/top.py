@@ -146,7 +146,7 @@ class Encoder:
                 self.p.pic_height_in_ctus * self.p.ctu_size,
                 self.p.ctu_size, self.p.qcomp,
                 bframes=self.p.bframes if self.p.keyframe_max > 1
-                else 0)
+                else 0, hme=self.p.hme)
             if getattr(self.p, "cutree_share_write", ""):
                 from ..analysis.cutree_share import CuTreeShareWriter
                 self._ctshare_w = CuTreeShareWriter(
@@ -514,7 +514,8 @@ class Encoder:
             st = self._slicetype = SlicetypeLookahead(
                 planes[0].shape[1], planes[0].shape[0], self.bframes,
                 p.b_adapt, p.scenecut_bias / 100.0, p.scenecut_threshold,
-                b_frame_bias=getattr(p, "b_frame_bias", 0))
+                b_frame_bias=getattr(p, "b_frame_bias", 0),
+                hme=p.hme)
         if st is not None:
             st.push(self.frame_count, planes[0])
             # ingest-time complexity = lowres lattice P-cost vs the

@@ -59,11 +59,31 @@ class VPYReader:
         pass
 
 
+class _AVSValue:
+    """AVS_Value (avisynth_c.h): {short type; short array_size;
+    union d} — built lazily so importing this module never needs
+    ctypes structure setup."""
+
+
+def _avs_value_struct():
+    import ctypes
+
+    class AVSValue(ctypes.Structure):
+        _fields_ = [("type", ctypes.c_short),
+                    ("array_size", ctypes.c_short),
+                    ("d", ctypes.c_void_p)]
+    return AVSValue
+
+
 class AVSReader:
-    """AviSynth script input (.avs) via the avisynth C API
-    (avs.cpp:78 analog — binds libavisynth when present)."""
+    """AviSynth script input (.avs) via the avisynth C API, bound with
+    ctypes (the reference's dynamic loading in input/avs.cpp:78
+    h->func.avs_* table): create a script environment, Import the
+    script, take the clip, and serve planar YUV frames through
+    avs_get_frame / avs_get_read_ptr_p."""
 
     def __init__(self, path: str, library: str = "") -> None:
+        import ctypes
         import ctypes.util
         # Patman mod --avs-library: user-specified AVS+ runtime path
         # takes precedence over system discovery (avs.cpp:78-79)
@@ -74,9 +94,96 @@ class AVSReader:
                 "AviSynth+ library not found — install AVS+ to use "
                 ".avs inputs (reference input/avs.cpp:78 rejects the "
                 "input the same way)")
-        raise RuntimeError(
-            "AviSynth frame serving is not wired on this platform "
-            "build; use a VapourSynth .vpy script or pipe y4m")
+        L = ctypes.CDLL(lib)
+        AVSValue = _avs_value_struct()
+        self._ct = ctypes
+        self._AVSValue = AVSValue
+        self._L = L
+        L.avs_create_script_environment.restype = ctypes.c_void_p
+        L.avs_create_script_environment.argtypes = [ctypes.c_int]
+        L.avs_invoke.restype = AVSValue
+        L.avs_invoke.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                 AVSValue, ctypes.c_void_p]
+        L.avs_take_clip.restype = ctypes.c_void_p
+        L.avs_take_clip.argtypes = [AVSValue, ctypes.c_void_p]
+        L.avs_get_video_info.restype = ctypes.POINTER(ctypes.c_int)
+        L.avs_get_video_info.argtypes = [ctypes.c_void_p]
+        L.avs_get_frame.restype = ctypes.c_void_p
+        L.avs_get_frame.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        for name, res, args in (
+                ("avs_get_pitch_p", ctypes.c_int,
+                 [ctypes.c_void_p, ctypes.c_int]),
+                ("avs_get_row_size_p", ctypes.c_int,
+                 [ctypes.c_void_p, ctypes.c_int]),
+                ("avs_get_height_p", ctypes.c_int,
+                 [ctypes.c_void_p, ctypes.c_int]),
+                ("avs_release_video_frame", None, [ctypes.c_void_p]),
+                ("avs_release_clip", None, [ctypes.c_void_p]),
+                ("avs_release_value", None, [AVSValue])):
+            f = getattr(L, name, None)
+            if f is not None:
+                f.restype = res
+                f.argtypes = args
+        L.avs_get_read_ptr_p.restype = ctypes.POINTER(ctypes.c_ubyte)
+        L.avs_get_read_ptr_p.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        self.env = L.avs_create_script_environment(6)
+        if not self.env:
+            raise RuntimeError("AVS+ environment creation failed")
+        arg = AVSValue()
+        arg.type = ord("s")
+        arg.d = ctypes.cast(ctypes.c_char_p(path.encode()),
+                            ctypes.c_void_p)
+        res = L.avs_invoke(self.env, b"Import", arg, None)
+        if res.type == ord("e"):
+            msg = ctypes.cast(res.d, ctypes.c_char_p).value
+            raise RuntimeError(f"AVS Import failed: {msg!r}")
+        if res.type != ord("c"):
+            raise RuntimeError("AVS script did not return a clip")
+        self.clip = L.avs_take_clip(res, self.env)
+        # AVS_VideoInfo head: int width, height; unsigned fps_num,
+        # fps_den; int num_frames; int pixel_type (avisynth_c.h)
+        vi = L.avs_get_video_info(self.clip)
+        self._vi = vi
+        self.info = VideoInfo()
+        self.info.width = vi[0]
+        self.info.height = vi[1]
+        self.info.fps_num = vi[2]
+        self.info.fps_denom = vi[3]
+        self.info.total_frames = vi[4]
+        bpc = getattr(L, "avs_bits_per_component", None)
+        if bpc is not None:
+            bpc.restype = ctypes.c_int
+            bpc.argtypes = [ctypes.POINTER(ctypes.c_int)]
+            self.info.bit_depth = int(bpc(vi)) or 8
+        else:
+            self.info.bit_depth = 8
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        ct = self._ct
+        L = self._L
+        PLANES = (1 << 0, 1 << 1, 1 << 2)        # AVS_PLANAR_Y/U/V
+        bps = 2 if self.info.bit_depth > 8 else 1
+        dt = np.uint16 if bps == 2 else np.uint8
+        for n in range(self.info.total_frames):
+            fr = L.avs_get_frame(self.clip, n)
+            if not fr:
+                raise RuntimeError(f"avs_get_frame({n}) failed")
+            planes = []
+            for pl in PLANES:
+                pitch = L.avs_get_pitch_p(fr, pl)
+                rows = L.avs_get_height_p(fr, pl)
+                rowsz = L.avs_get_row_size_p(fr, pl)
+                ptr = L.avs_get_read_ptr_p(fr, pl)
+                buf = np.ctypeslib.as_array(ptr, (rows, pitch))
+                planes.append(buf[:, :rowsz].copy().view(dt)
+                              .reshape(rows, rowsz // bps))
+            rel = getattr(L, "avs_release_video_frame", None)
+            if rel is not None:
+                rel(fr)
+            yield tuple(planes)
 
     def close(self) -> None:
-        pass
+        rel = getattr(self._L, "avs_release_clip", None)
+        if rel is not None and getattr(self, "clip", None):
+            rel(self.clip)
+            self.clip = None

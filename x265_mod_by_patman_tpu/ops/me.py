@@ -42,11 +42,14 @@ def mv_bits_np(dx, dy):
                    static_argnames=("n", "search_range", "use_pallas"))
 def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
                       lambda_x256: int, n: int, search_range: int = 16,
-                      use_pallas=None):
+                      use_pallas=None, center_x=None, center_y=None):
     """Integer full search for a batch of blocks.
 
     ref/orig: (H, W) int32 planes; x0/y0: (B,) block origins;
     pred_mv_*: (B,) MV predictors in QPEL units (bit-cost reference).
+    center_x/center_y: optional (B,) FULLPEL window centers (HME seed
+    from a coarser tier, x265 --hme analog) — the search window shifts
+    to (x0 + center, y0 + center) and returned MVs include the shift.
     Returns (mv_x, mv_y) int32 (B,) in QPEL units (integer*4) and the
     best SAD cost (B,).
 
@@ -56,24 +59,29 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
     On TPU the SAD grid runs as a pallas kernel (ops/pallas/sad.py;
     22x faster than the XLA gather lowering at r=16, bit-identical
     costs and tie-breaking).  X265TPU_PALLAS=0/1 overrides the
-    device-keyed default.
+    device-keyed default.  Seeded (center) searches take the XLA path
+    (the pallas kernel's window gather is origin-anchored).
     """
     import os
     if use_pallas is None:
         ov = os.environ.get("X265TPU_PALLAS")
         use_pallas = ov == "1" or (ov is None and _on_tpu(ref))
-    if use_pallas:
+    if use_pallas and center_x is None:
         return full_search_batch_pallas(ref, orig, x0, y0, pred_mv_x,
                                         pred_mv_y, lambda_x256, n,
                                         search_range)
     r = search_range
     h, w = ref.shape
     nb = x0.shape[0]
+    cx0 = jnp.zeros_like(x0) if center_x is None else \
+        jnp.asarray(center_x, jnp.int32)
+    cy0 = jnp.zeros_like(y0) if center_y is None else \
+        jnp.asarray(center_y, jnp.int32)
     # candidate window gathered once per block: (B, n+2r, n+2r)
     dy = jnp.arange(n + 2 * r)[None, :, None]
     dx = jnp.arange(n + 2 * r)[None, None, :]
-    ys = jnp.clip(y0[:, None, None] - r + dy, 0, h - 1)
-    xs = jnp.clip(x0[:, None, None] - r + dx, 0, w - 1)
+    ys = jnp.clip((y0 + cy0)[:, None, None] - r + dy, 0, h - 1)
+    xs = jnp.clip((x0 + cx0)[:, None, None] - r + dx, 0, w - 1)
     win = ref[ys, xs].astype(jnp.int32)
 
     gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
@@ -94,17 +102,17 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
             jnp.broadcast_to(cand, (nb, n_cand, n, n + 2 * r)),
             jnp.broadcast_to(cx, (nb, n_cand, n, n)), axis=3)
         sad = jnp.sum(jnp.abs(cand - org[:, None]), axis=(2, 3))  # (B,C)
-        mvx_q = (jnp.arange(n_cand) - r)[None, :] * 4
-        mvy_q = (iy - r) * 4
+        mvx_q = ((jnp.arange(n_cand) - r)[None, :] + cx0[:, None]) * 4
+        mvy_q = ((iy - r) + cy0) * 4                              # (B,)
         bits = mv_bits(mvx_q - pred_mv_x[:, None],
-                       mvy_q - pred_mv_y[:, None])
+                       mvy_q[:, None] - pred_mv_y[:, None])
         cost = sad + ((lambda_x256 * bits) >> 8)
         best_cost, best_x, best_y = best
         row_best = jnp.min(cost, axis=1)
         row_arg = jnp.argmin(cost, axis=1)
         upd = row_best < best_cost
         best_cost = jnp.where(upd, row_best, best_cost)
-        best_x = jnp.where(upd, (row_arg - r) * 4, best_x)
+        best_x = jnp.where(upd, ((row_arg - r) + cx0) * 4, best_x)
         best_y = jnp.where(upd, mvy_q, best_y)
         return best_cost, best_x, best_y
 

@@ -49,6 +49,7 @@ class EncoderParams:
     open_gop: bool = True
     max_num_references: int = 3
     rc_lookahead: int = 20
+    hme: bool = False               # hierarchical lookahead ME (x265 --hme)
 
     # rate control
     rc_mode: str = "cqp"            # cqp | crf | abr
