@@ -162,7 +162,7 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     weights=None, subme: int = 2, rect: bool = False,
                     amp: bool = False, chroma_weights=None,
                     me_sea: bool = False, col=None, ref_pocs=None,
-                    cur_poc: int = 0):
+                    cur_poc: int = 0, pad_refs: int = 0):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -183,6 +183,18 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
         weights = [None] * len(refs)
     if chroma_weights is None:
         chroma_weights = [None] * len(refs)
+    n_real = len(refs)
+    if pad_refs > n_real:
+        # pad the ref stack to a FIXED lane count (repeat the last
+        # ref): the DPB fills 1->2->..->max_refs over the first GOPs
+        # and each distinct count would compile its own _p_core — a
+        # multi-minute program on the tunnel TPU.  Padded lanes are
+        # masked out of the provisional (ref, mv) pick inside the
+        # core, so decisions and streams are unchanged.
+        refs = list(refs) + [refs[-1]] * (pad_refs - n_real)
+        weights = list(weights) + [None] * (pad_refs - n_real)
+        chroma_weights = (list(chroma_weights)
+                          + [None] * (pad_refs - n_real))
     wpat = tuple(wp is not None for wp in weights)
     cpat = tuple(cw is not None for cw in chroma_weights)
     wq = jnp.asarray([wp[0] if wp else 64 for wp in weights], jnp.int32)
@@ -227,7 +239,8 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                   search_range, block, bd,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
                   amp_eff, wc=wc, cpat=cpat, cshift=cshift,
-                  is422=idc == 2, me_sea=me_sea, tmvp=tmvp)
+                  is422=idc == 2, me_sea=me_sea, tmvp=tmvp,
+                  n_real=jnp.int32(n_real))
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -245,7 +258,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             use_pallas: bool, subme: int = 2, rect: bool = False,
             amp: bool = False, band=None, wc=None, cpat=None,
             cshift: int = 1, is422: bool = False,
-            me_sea: bool = False, tmvp=None):
+            me_sea: bool = False, tmvp=None, n_real=None):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -314,6 +327,10 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
     mvy_r = jnp.stack([c[1] for c in cands])
     prov = satd_r + ((lam256 * (mv_bits(mvx_r, mvy_r) +
                                 jnp.arange(nref)[:, None] + 4)) >> 8)
+    if n_real is not None:
+        # padded ref lanes (see analyse_p_frame pad_refs) never win
+        prov = jnp.where(jnp.arange(nref)[:, None] < n_real, prov,
+                         1 << 30)
     ref_sel = jnp.argmin(prov, axis=0).astype(jnp.int32)
     mvx = jnp.take_along_axis(mvx_r, ref_sel[None], 0)[0]
     mvy = jnp.take_along_axis(mvy_r, ref_sel[None], 0)[0]
@@ -976,7 +993,8 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     subme: int = 2, weights_b=None, rect: bool = False,
                     me_sea: bool = False, amp: bool = False,
-                    col=None, ref_pocs=None, cur_poc: int = 0):
+                    col=None, ref_pocs=None, cur_poc: int = 0,
+                    pad_refs=(0, 0)):
     """B-frame analysis: per-list multi-reference ME (the batched analog
     of x265 predInterSearch's per-ref loop, search.cpp:2554) +
     bi-prediction test + merge/AMVP-true candidate rounds + intra
@@ -1036,6 +1054,15 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
     else:
         l0p = tuple(range(len(refs0)))
         l1p = tuple(-1 - i for i in range(len(refs1)))
+    n_real0, n_real1 = len(refs0), len(refs1)
+    if pad_refs[0] > n_real0:
+        # fixed lane counts avoid per-ref-count _b_core recompiles
+        # (see analyse_p_frame pad_refs); padded lanes masked below
+        refs0 = list(refs0) + [refs0[-1]] * (pad_refs[0] - n_real0)
+        l0p = l0p + (l0p[-1],) * (pad_refs[0] - n_real0)
+    if pad_refs[1] > n_real1:
+        refs1 = list(refs1) + [refs1[-1]] * (pad_refs[1] - n_real1)
+        l1p = l1p + (l1p[-1],) * (pad_refs[1] - n_real1)
     tmvp = None
     if col is not None and ref_pocs is not None and ref_pocs[0]:
         # bi temporal merge candidate (both lists scaled independently,
@@ -1069,7 +1096,8 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                   0 if idc == 3 else 1, idc == 2, rect_eff,
                   sps.log2_ctu_size, me_sea, amp_eff, tmvp,
                   jnp.asarray(l0p, jnp.int32),
-                  jnp.asarray(l1p, jnp.int32))
+                  jnp.asarray(l1p, jnp.int32),
+                  jnp.int32(n_real0), jnp.int32(n_real1))
     (modes, inter, dirs, mv0, mv1, rs0, rs1, mcy, mcu, mcv, part,
      dirs_b, mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
@@ -1091,7 +1119,7 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
             wv=None, cshift: int = 1, is422: bool = False,
             rect: bool = False, log2_ctu: int = 5,
             me_sea: bool = False, amp: bool = False, tmvp=None,
-            poc0=None, poc1=None):
+            poc0=None, poc1=None, n_real0=None, n_real1=None):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -1120,7 +1148,7 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
     # per-(list, ref) full search + subpel, then a provisional joint
     # (ref, mv) pick per list with ref_idx bin charges (the batched
     # x265 predInterSearch per-ref loop, search.cpp:2554)
-    def list_me(planes):
+    def list_me(planes, nr_real=None):
         cands = []
         for ry in planes:
             mvx, mvy, cost, org_ = _me_one_ref(
@@ -1135,14 +1163,18 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
         nr = len(planes)
         prov = satd_r + ((lam256 * (mv_bits(mvx_r, mvy_r) +
                                     jnp.arange(nr)[:, None] + 4)) >> 8)
+        if nr_real is not None:
+            # padded ref lanes never win (analyse_b_frame pad_refs)
+            prov = jnp.where(jnp.arange(nr)[:, None] < nr_real, prov,
+                             1 << 30)
         rsel = jnp.argmin(prov, axis=0).astype(jnp.int32)
         mvx = jnp.take_along_axis(mvx_r, rsel[None], 0)[0]
         mvy = jnp.take_along_axis(mvy_r, rsel[None], 0)[0]
         satd = jnp.take_along_axis(satd_r, rsel[None], 0)[0]
         return mvx, mvy, rsel, satd, cands[0][3]
 
-    mv0x, mv0y, rsel0, satd0, org = list_me(me0)
-    mv1x, mv1y, rsel1, satd1, _ = list_me(me1)
+    mv0x, mv0y, rsel0, satd0, org = list_me(me0, n_real0)
+    mv1x, mv1y, rsel1, satd1, _ = list_me(me1, n_real1)
 
     # stacked tall planes per list: one MC gather serves per-block ref
     # indices (candidate rounds, rect, homogenization); the FINAL MC

@@ -230,6 +230,25 @@ def prepare_inter_tu32(y, u, v, mc, region_mask, qp_map, recon,
     qp_cb = qp_cb16[2 * ys, 2 * xs].astype(np.int32)
     qp_cr = qp_cr16[2 * ys, 2 * xs].astype(np.int32)
     have_mats = recon.mats32 is not None
+    # pad the region batch to a power-of-two lane count: R varies per
+    # frame and a traced leading dim would otherwise compile a fresh
+    # _tu32_core program per distinct R (minutes each on the tunnel
+    # TPU — measured as the warm-fps collapse in BENCH_NOTES round-4)
+    rp = 1 << max(3, (R - 1).bit_length())
+    pad = rp - R
+    if pad:
+        z32 = np.zeros((pad, 32, 32), np.int32)
+        z16 = np.zeros((pad, 16, 16), np.int32)
+        zq = np.full(pad, 32, np.int32)
+        oy32 = np.concatenate([oy32, z32])
+        py32 = np.concatenate([py32, z32])
+        ou16 = np.concatenate([ou16, z16])
+        pu16 = np.concatenate([pu16, z16])
+        ov16 = np.concatenate([ov16, z16])
+        pv16 = np.concatenate([pv16, z16])
+        qp_y = np.concatenate([qp_y, zq])
+        qp_cb = np.concatenate([qp_cb, zq])
+        qp_cr = np.concatenate([qp_cr, zq])
     out = _tu32_core(jnp.asarray(oy32), jnp.asarray(py32),
                      jnp.asarray(ou16), jnp.asarray(pu16),
                      jnp.asarray(ov16), jnp.asarray(pv16),
@@ -239,7 +258,7 @@ def prepare_inter_tu32(y, u, v, mc, region_mask, qp_map, recon,
                      recon.mats32 if have_mats else (0, 0, 0, 0),
                      recon.bd, recon.sign_hide, recon.rdoq, have_mats)
     (use32, levy, recy, nzy, levu, recu, nzu, levv, recv,
-     nzv) = (np.asarray(a) for a in out)
+     nzv) = (np.asarray(a)[:R] for a in out)
     if not use32.any():
         return None
     # dense stores for build_region

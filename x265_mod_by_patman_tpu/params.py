@@ -345,6 +345,8 @@ class EncoderParams:
             "signhide": "sign_hide", "cutree": "cu_tree",
             "lookahead_depth": "rc_lookahead",
             "bframe_bias": "b_frame_bias",
+            "frame_threads": "frame_parallel_window",
+            "f": "frame_parallel_window",
         }
         if key == "input_res":
             w, h = value.lower().split("x")
