@@ -254,6 +254,8 @@ class Encoder:
             else max(1, min(params.keyframe_max // 10,
                             params.keyframe_max - 1))
         self._prev_hist = None
+        self._adapt_states = {}           # slice_type -> CABAC states
+        self._est_pending = {}            # published at minigop bounds
         self._mc_buf: deque = deque()     # MCSTF source window
         self._mc_hist: deque = deque(maxlen=2)
         self._mc_disp = 0
@@ -607,6 +609,8 @@ class Encoder:
                     st.drop_before(self.frame_count)
                 self.frame_count += 1
                 self._disp_since_idr = 1
+                self._adapt_states.update(self._est_pending)
+                self._est_pending = {}
                 return out
             while self._queue:
                 out.extend(self._emit_minigop(self._next_gop_len()))
@@ -617,6 +621,8 @@ class Encoder:
                 cplx = st.intra_cost(self.frame_count)
             out.append(self._encode_picture(planes, 0, "I", cplx,
                                             qp_off=qp_off))
+            self._adapt_states.update(self._est_pending)
+            self._est_pending = {}
             if st is not None:
                 st.drop_before(self.frame_count)
         else:
@@ -1026,6 +1032,8 @@ class Encoder:
         # decode order emitted; DPB advances to the new P anchor
         self._anchors.insert(0, anchor1)
         del self._anchors[self.max_refs:]
+        self._adapt_states.update(self._est_pending)
+        self._est_pending = {}
         return out
 
     def _encode_b_jobs(self, jobs) -> List[EncodedFrame]:
@@ -1238,7 +1246,7 @@ class Encoder:
                     rect_info = (part_map, mvs_b)
             recon_fn = self._inter_recon_fn(
                 y, u, v, modes, mc, inter_mask, 1, mvs, None, None,
-                ref_sel, rect_info)
+                ref_sel, rect_info, ebits=self._ebits_for(1, qp))
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (list0, list1, keep_pocs, b_is_ref) = b_refs
@@ -1291,7 +1299,8 @@ class Encoder:
                                  pu1_b[0])
             recon_fn = self._inter_recon_fn(
                 y, u, v, modes, mc, inter_mask, 0, mvs, mvs1, dirs,
-                ref_sel, rect_info, ref_sel1=ref_sel1)
+                ref_sel, rect_info, ref_sel1=ref_sel1,
+                ebits=self._ebits_for(0, qp))
             ref_pocs = rp_b
         from ..bitstream.nal import NAL_CRA_NUT, NAL_RASL_N, NAL_RASL_R
         if nal_class == "cra":
@@ -1573,9 +1582,21 @@ class Encoder:
                     rp[..., 1] = tab1[0]
         return ColMotion(poc, d, mv, rp)
 
+    def _ebits_for(self, init_type: int, qp: int):
+        """(C, 2) float32 rate table for this frame's RD estimates:
+        the previous same-type slice's end-of-stream context states
+        (one-frame-lag analog of the reference's EstBitsSbac refresh,
+        entropy.cpp:2624), slice-start states before the first frame
+        of a type.  Always an array so the wavefront keeps ONE trace."""
+        from ..entropy.est_bits import bits_table_from_states
+        sts = self._adapt_states.get(init_type)
+        if sts is None:
+            sts = init_states(init_type, int(qp))
+        return bits_table_from_states(sts)
+
     def _inter_recon_fn(self, y, u, v, modes, mc, inter_mask,
                         init_type: int, mvs, mvs1, dirs, ref_sel,
-                        rect_info, ref_sel1=None):
+                        rect_info, ref_sel1=None, ebits=None):
         """Wavefront runner for P/B frames with the inter TU32 pre-pass
         (frame/inter_tu32.py): uniform-motion 32-regions get their
         residual coded as one TU32 outside the wavefront, which is then
@@ -1600,14 +1621,16 @@ class Encoder:
                 from ..frame.inter_tu32 import prepare_inter_tu32
                 with trace.scope("inter_tu32"):
                     i32 = prepare_inter_tu32(y, u, v, mc, i32_mask,
-                                             qpm, recon, init_type)
+                                             qpm, recon, init_type,
+                                             ebits=ebits)
             if i32 is None:
                 return recon.run(y, u, v, modes, mc, inter_mask,
                                  qp=qpm, init_type=init_type,
-                                 nr=self._nr_offsets())
+                                 nr=self._nr_offsets(), ebits=ebits)
             y2, u2, v2, mc2 = i32["spliced"]
             r = recon.run(y2, u2, v2, modes, mc2, inter_mask, qp=qpm,
-                          init_type=init_type, nr=self._nr_offsets())
+                          init_type=init_type, nr=self._nr_offsets(),
+                          ebits=ebits)
             r["inter32"] = i32
             return r
         return fn
@@ -2215,6 +2238,7 @@ class Encoder:
                 encode_ir_to_writer(bw, bins, ctx, states)
                 bw.rbsp_trailing_bits()
                 out_rbsps.append(bw.get_bytes())
+            self._est_pending[slice_type] = states.copy()
             return out_rbsps
 
         row_irs: List = []
@@ -2248,6 +2272,12 @@ class Encoder:
             bins, ctx = row_irs[0].arrays()
             encode_ir_to_writer(bw, bins, ctx, states)
             bw.rbsp_trailing_bits()
+            # end-of-slice context states feed the NEXT same-type
+            # frame's rate-estimation tables (entropy.cpp:2624 estBit
+            # refresh, one-frame-lag batched form); published at
+            # mini-GOP boundaries so frame-parallel B stays
+            # deterministic
+            self._est_pending[slice_type] = states.copy()
             return bw.get_bytes()
 
         # WPP: compute each row's initial contexts by advancing the state
@@ -2272,6 +2302,7 @@ class Encoder:
             substreams.append(sub_bw.get_bytes())
 
         sh.entry_points = tuple(len(s) for s in substreams[:-1])
+        self._est_pending[slice_type] = states.copy()
         self._last_row_bits = [len(s) * 8 for s in substreams]
         bw = write_slice_header(sh, sps, pps)
         for s in substreams:

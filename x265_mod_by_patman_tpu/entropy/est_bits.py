@@ -79,3 +79,14 @@ def residual_ctx_scalars(log2_tb: int, c_idx: int):
     g2 = OFF["ABS"] + (4 if c_idx else 0) + ctx_set
     cg = OFF["SIG_CG"] + (2 if c_idx else 0)
     return g1, g2, cg
+
+
+def bits_table_from_states(states: np.ndarray) -> np.ndarray:
+    """(C, 2) float32 fractional bits per (context, bin) at the GIVEN
+    context states — the adapted-table analog of BITS_TABLE's
+    slice-start rows (reference entropy.cpp:2624 estBit refresh from
+    live contexts; we refresh with a one-frame lag from the previous
+    same-type slice's end-of-stream states)."""
+    eb = ENTROPY_BITS.astype(np.float32) / 32768.0
+    st = np.asarray(states, np.int32)
+    return np.stack([eb[st ^ 0], eb[st ^ 1]], axis=1)

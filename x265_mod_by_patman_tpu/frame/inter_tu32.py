@@ -34,7 +34,7 @@ from ..ops.rdoq import rdoq_levels, tb_bits_est
 
 def _plane_rd(org, pred, qp_b, log2n: int, c_idx: int, bd: int,
               sign_hide: bool, rdoq: bool, init_type, psy256,
-              psy_rdoq, qmats=None, dmats=None):
+              psy_rdoq, qmats=None, dmats=None, ebits=None):
     """Residual-code one TB per batch row with the wavefront's exact
     machinery (RDOQ/SBH + per-plane zero-residual RD, recon_intra.py
     _substep_body inter branch) and return (lev, recon, cost) where
@@ -45,7 +45,7 @@ def _plane_rd(org, pred, qp_b, log2n: int, c_idx: int, bd: int,
     coef = dct_batch(resi, log2n, bd)
     lev = rdoq_levels(coef, imask, qp_b, log2n, bd, c_idx, init_type,
                       psy_rdoq=psy_rdoq, qmats=qmats,
-                      rawmats=dmats) if rdoq \
+                      rawmats=dmats, bits_table=ebits) if rdoq \
         else quant_dyn(coef, imask, qp_b, log2n, bd, qmats)
     if sign_hide:
         lev = sbh_adjust(lev, coef, imask, qp_b, log2n, bd)
@@ -59,11 +59,12 @@ def _plane_rd(org, pred, qp_b, log2n: int, c_idx: int, bd: int,
     base_bits = 6.0 if c_idx == 0 else 2.0
     if c_idx != 0:
         bits = base_bits + tb_bits_est(lev, qp_b, log2n, c_idx,
-                                       init_type)
+                                       init_type, bits_table=ebits)
     else:
         nzf = nz.astype(jnp.float32)
         lin = jnp.where(nzf > 0.0, 10.0, 0.0) + 4.5 * nzf
-        est = tb_bits_est(lev, qp_b, log2n, c_idx, init_type)
+        est = tb_bits_est(lev, qp_b, log2n, c_idx, init_type,
+                          bits_table=ebits)
         bits = base_bits + jnp.maximum(lin, est)
     cost_skip = sse_skip.astype(jnp.float32)
     cost_coded = sse_coded.astype(jnp.float32) + lam2 * bits
@@ -93,7 +94,8 @@ def _plane_rd(org, pred, qp_b, log2n: int, c_idx: int, bd: int,
     jax.jit, static_argnames=("bd", "sign_hide", "rdoq", "have_mats"))
 def _tu32_core(oy32, py32, ou16, pu16, ov16, pv16, qp_y, qp_cb, qp_cr,
                init_type, psy256, psy_rdoq, mats32, bd: int,
-               sign_hide: bool, rdoq: bool, have_mats: bool):
+               sign_hide: bool, rdoq: bool, have_mats: bool,
+               ebits=None):
     """(R,32,32)/(R,16,16) region stacks -> TU32 coding + use32 RD pick."""
     qm_l = mats32[0] if have_mats else None
     dm_l = mats32[1] if have_mats else None
@@ -101,7 +103,7 @@ def _tu32_core(oy32, py32, ou16, pu16, ov16, pv16, qp_y, qp_cb, qp_cr,
     dm_c = mats32[3] if have_mats else None
     levy, recy, cost32 = _plane_rd(oy32, py32, qp_y, 5, 0, bd,
                                    sign_hide, rdoq, init_type, psy256,
-                                   psy_rdoq, qm_l, dm_l)
+                                   psy_rdoq, qm_l, dm_l, ebits)
     # luma quad-TU16 alternative for the split decision (the wavefront
     # would produce exactly this path when use32 is False)
     def quads(a):
@@ -110,7 +112,8 @@ def _tu32_core(oy32, py32, ou16, pu16, ov16, pv16, qp_y, qp_cb, qp_cr,
             .reshape(r * 4, 16, 16)
     qp4 = jnp.repeat(qp_y, 4)
     _, _, c16 = _plane_rd(quads(oy32), quads(py32), qp4, 4, 0, bd,
-                          sign_hide, rdoq, init_type, psy256, psy_rdoq)
+                          sign_hide, rdoq, init_type, psy256, psy_rdoq,
+                          ebits=ebits)
     cost16 = c16.reshape(-1, 4).sum(1)
     lam2 = 0.85 * jnp.exp2((qp_y.astype(jnp.float32) - 12.0) / 3.0) \
         * (1 << (2 * (bd - 8)))
@@ -119,10 +122,10 @@ def _tu32_core(oy32, py32, ou16, pu16, ov16, pv16, qp_y, qp_cb, qp_cr,
     use32 = cost32 <= cost16 + lam2 * 3.0
     levu, recu, _ = _plane_rd(ou16, pu16, qp_cb, 4, 1, bd, sign_hide,
                               rdoq, init_type, psy256, psy_rdoq,
-                              qm_c, dm_c)
+                              qm_c, dm_c, ebits)
     levv, recv, _ = _plane_rd(ov16, pv16, qp_cr, 4, 2, bd, sign_hide,
                               rdoq, init_type, psy256, psy_rdoq,
-                              qm_c, dm_c)
+                              qm_c, dm_c, ebits)
     nzy = jnp.any(levy != 0, (1, 2))
     nzu = jnp.any(levu != 0, (1, 2))
     nzv = jnp.any(levv != 0, (1, 2))
@@ -172,7 +175,7 @@ def region_uniform_mask(inter_mask, mvs, mvs1, dirs, ref_sel,
 
 
 def prepare_inter_tu32(y, u, v, mc, region_mask, qp_map, recon,
-                       init_type: int):
+                       init_type: int, ebits=None):
     """Run the TU32 pre-pass for the masked regions.  Returns None when
     no region qualifies, else a dict of per-region stores + the spliced
     (y2, u2, v2, mc2) arrays for the wavefront (TU32 recon written over
@@ -256,7 +259,9 @@ def prepare_inter_tu32(y, u, v, mc, region_mask, qp_map, recon,
                      jnp.asarray(qp_cr), jnp.int32(init_type),
                      recon.psy256, recon.psy_rdoq,
                      recon.mats32 if have_mats else (0, 0, 0, 0),
-                     recon.bd, recon.sign_hide, recon.rdoq, have_mats)
+                     recon.bd, recon.sign_hide, recon.rdoq, have_mats,
+                     None if ebits is None else
+                     jnp.asarray(np.asarray(ebits, np.float32)))
     (use32, levy, recy, nzy, levu, recu, nzu, levv, recv,
      nzv) = (np.asarray(a)[:R] for a in out)
     if not use32.any():

@@ -54,7 +54,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
                   m8=(None, None), lossless: bool = False,
                   init_type=None, psy256=None, psy_rdoq=None,
                   tu4_map=None, av4y=None, fchroma: bool = False,
-                  cand_bits=None, nr=None):
+                  cand_bits=None, nr=None, ebits=None):
     """One wavefront substep for one component (traced inline).
 
     plane:  (Hp, Wp) int32 recon plane (Hp includes an N-row dump area)
@@ -179,7 +179,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         coef = jnp.sign(coef) * jnp.maximum(ac - off, 0)
     lev = rdoq_levels(coef, intra_mask, qp, log2n, bit_depth, c_idx,
                       init_type, psy_rdoq=psy_rdoq, qmats=qmats,
-                      rawmats=dmats) if rdoq \
+                      rawmats=dmats, bits_table=ebits) if rdoq \
         else quant_dyn(coef, intra_mask, qp, log2n, bit_depth, qmats)
     if sign_hide:
         lev = sbh_adjust(lev, coef, intra_mask, qp, log2n, bit_depth)
@@ -216,7 +216,7 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             # the table estimate drives the luma decision too).
             from ..ops.rdoq import tb_bits_est
             bits = base_bits + tb_bits_est(lev, qp, log2n, c_idx,
-                                           init_type)
+                                           init_type, bits_table=ebits)
         elif init_type is not None:
             # luma hybrid: the calibrated linear floor guards against
             # the frozen-state undercharge, the structural estimate
@@ -226,7 +226,8 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             from ..ops.rdoq import tb_bits_est
             nzf = nz.astype(jnp.float32)
             lin = jnp.where(nzf > 0.0, 10.0, 0.0) + 4.5 * nzf
-            est = tb_bits_est(lev, qp, log2n, c_idx, init_type)
+            est = tb_bits_est(lev, qp, log2n, c_idx, init_type,
+                              bits_table=ebits)
             bits = base_bits + jnp.maximum(lin, est)
         else:
             nzf = nz.astype(jnp.float32)
@@ -600,7 +601,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                     tu4_map=None, sb_av4y=None, clog2: int = 3,
                     fchroma: bool = False, csp422: bool = False,
                     imask_c=None, cand16=None, cbits16=None,
-                    nr_y=None, nr_c=None):
+                    nr_y=None, nr_c=None, ebits=None):
     """Run the full wavefront schedule in one compiled loop.
     mats: None, or (qm_y, dm_y, qm_c, dm_c) scaling-list tables.
     split_map/modes8/sb_av8: NxN intra decisions — (nby+1, nbx) bool,
@@ -673,7 +674,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                 lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
                 tu4_map=tu4_map,
                 av4y=sb_av4y[s] if sb_av4y is not None else None,
-                cand_bits=cb_k, nr=nr_l)
+                cand_bits=cb_k, nr=nr_l, ebits=ebits)
             yp, lev_y, skip, md_w = res_l[:4]
             if have_nr:
                 nr_acc = _nr_add(nr_acc, res_l[4], True)
@@ -691,7 +692,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                 lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
                 tu4_map=tu4_map,
                 av4y=sb_av4y[s] if sb_av4y is not None else None,
-                nr=nr_l)
+                nr=nr_l, ebits=ebits)
             yp, lev_y, skip = res_l[:3]
             if have_nr:
                 nr_acc = _nr_add(nr_acc, res_l[3], True)
@@ -731,7 +732,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             mats[3] if mats else None,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
-            init_type, fchroma=fchroma, nr=nr_cc)
+            init_type, fchroma=fchroma, nr=nr_cc, ebits=ebits)
         up, lev_u = res_u[0], res_u[1]
         if have_nr:
             nr_acc = _nr_add(nr_acc, res_u[3], False)
@@ -742,7 +743,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             mats[3] if mats else None,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
-            init_type, fchroma=fchroma, nr=nr_cc)
+            init_type, fchroma=fchroma, nr=nr_cc, ebits=ebits)
         vp, lev_v = res_v[0], res_v[1]
         if have_nr:
             nr_acc = _nr_add(nr_acc, res_v[3], False)
@@ -1173,7 +1174,7 @@ class IntraReconstructor:
             modes: np.ndarray, mc_pred=None, inter_mask=None,
             qp=32, materialize: bool = True, split_map=None,
             modes8=None, init_type: int = 2, tu4_map=None, cand=None,
-            nr=None):
+            nr=None, ebits=None):
         """y/u/v: source planes (h, w) uint8/int; modes: (nby, nbx) int32
         luma modes (chroma uses DM); mc_pred: optional (mc_y, mc_u, mc_v)
         inter predictions (nby, nbx, N, N); inter_mask: (nby, nbx) bool.
@@ -1258,7 +1259,9 @@ class IntraReconstructor:
             self.psy_rdoq, t4j,
             self.sb_av4y if t4j is not None else None,
             4 - self.cshift, self.cshift == 0, self.is422, imask_c,
-            c16, cb16, nr_y, nr_c)
+            c16, cb16, nr_y, nr_c,
+            None if ebits is None else
+            jnp.asarray(np.asarray(ebits, np.float32)))
         yp, up, vp, lev_y, lev_u, lev_v, m_map = wf_out[:7]
         nr_stats = wf_out[7] if nr_y is not None else None
 

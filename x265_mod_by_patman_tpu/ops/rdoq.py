@@ -77,7 +77,8 @@ def _diag4_scan() -> np.ndarray:
 def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
                 log2_size: int, bit_depth: int = 8, c_idx: int = 0,
                 init_type=None, sign_hide: bool = False,
-                psy_rdoq=None, qmats=None, rawmats=None) -> jnp.ndarray:
+                psy_rdoq=None, qmats=None, rawmats=None,
+                bits_table=None) -> jnp.ndarray:
     """RD-quantize a batch of TUs.  coef: (B, n, n) int32 transform
     output; qp scalar or (B,); returns signed levels (B, n, n) int32,
     drop-in for quant_dyn (transform.py) when rdoq_level > 0.
@@ -138,8 +139,16 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
     else:
         from ..entropy.est_bits import (BITS_TABLE, sig_ctx_map,
                                         residual_ctx_scalars)
-        tbl = jnp.asarray(BITS_TABLE)               # (3, 52, C, 2)
-        bt = tbl[init_type, jnp.clip(qp, 0, 51)]    # (B, C, 2)
+        if bits_table is not None:
+            # adapted contexts (previous same-type slice's end states;
+            # est_bits.bits_table_from_states) replace the slice-start
+            # rows — one table for the whole frame
+            bt = jnp.broadcast_to(jnp.asarray(bits_table)[None],
+                                  (coef.shape[0],) +
+                                  tuple(jnp.asarray(bits_table).shape))
+        else:
+            tbl = jnp.asarray(BITS_TABLE)           # (3, 52, C, 2)
+            bt = tbl[init_type, jnp.clip(qp, 0, 51)]   # (B, C, 2)
         smap = jnp.asarray(sig_ctx_map(log2_size, c_idx))
         sig0 = bt[:, smap, 0]                       # (B, n, n)
         sig1 = bt[:, smap, 1]
@@ -293,7 +302,7 @@ _LAST_BITS_LUT = ((_LAST_GROUP_IDX + 1).astype(np.float32) * 0.9
 
 
 def tb_bits_est(lev: jnp.ndarray, qp, log2_size: int, c_idx: int = 0,
-                init_type=None) -> jnp.ndarray:
+                init_type=None, bits_table=None) -> jnp.ndarray:
     """Rate-true estimate (float32 bits, (B,)) of coding a TB's chosen
     levels: last_sig_pos + coded_sub_block_flags + sig/gt1/gt2/sign/
     remaining over the coded scan region only — the counting-mode
@@ -308,8 +317,13 @@ def tb_bits_est(lev: jnp.ndarray, qp, log2_size: int, c_idx: int = 0,
     if qp.ndim == 0:
         qp = jnp.broadcast_to(qp, lev.shape[:1])
     it = init_type if init_type is not None else 2
-    tbl = jnp.asarray(BITS_TABLE)
-    bt = tbl[it, jnp.clip(qp, 0, 51)]               # (B, C, 2)
+    if bits_table is not None:
+        bt = jnp.broadcast_to(jnp.asarray(bits_table)[None],
+                              (lev.shape[0],) +
+                              tuple(jnp.asarray(bits_table).shape))
+    else:
+        tbl = jnp.asarray(BITS_TABLE)
+        bt = tbl[it, jnp.clip(qp, 0, 51)]           # (B, C, 2)
     smap = jnp.asarray(sig_ctx_map(log2_size, c_idx))
     sig0 = bt[:, smap, 0]                           # (B, n, n)
     sig1 = bt[:, smap, 1]
