@@ -62,3 +62,24 @@ def test_subpel_refine_improves_or_keeps():
     for i in range(len(blocks)):
         assert (int(rx[i]), int(ry[i])) == true_mv, \
             (i, int(rx[i]), int(ry[i]))
+
+
+def test_hme_seeded_full_search_finds_large_motion():
+    """Seeded full search (center_x/center_y) reaches motion beyond the
+    unseeded window; pallas-interpret and XLA paths agree."""
+    import numpy as np
+    import jax.numpy as jnp
+    from x265_mod_by_patman_tpu.ops.me import full_search_batch
+    rng = np.random.default_rng(5)
+    ref = rng.integers(0, 255, (96, 160)).astype(np.int32)
+    # orig[x] = ref[x + 40]: the match lies +40 px right in ref
+    orig = np.roll(ref, -40, axis=1)
+    x0 = jnp.asarray([64], jnp.int32)
+    y0 = jnp.asarray([32], jnp.int32)
+    z = jnp.zeros(1, jnp.int32)
+    cx = jnp.asarray([40], jnp.int32)
+    mvx, mvy, cost = full_search_batch(
+        jnp.asarray(ref), jnp.asarray(orig), x0, y0, z, z, 0, 16, 8,
+        use_pallas=False, center_x=cx, center_y=z)
+    assert int(mvx[0]) == 160 and int(mvy[0]) == 0    # qpel
+    assert int(cost[0]) == 0

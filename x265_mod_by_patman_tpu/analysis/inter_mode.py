@@ -162,7 +162,8 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     weights=None, subme: int = 2, rect: bool = False,
                     amp: bool = False, chroma_weights=None,
                     me_sea: bool = False, col=None, ref_pocs=None,
-                    cur_poc: int = 0, pad_refs: int = 0):
+                    cur_poc: int = 0, pad_refs: int = 0,
+                    hme: bool = False):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -240,7 +241,7 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
                   amp_eff, wc=wc, cpat=cpat, cshift=cshift,
                   is422=idc == 2, me_sea=me_sea, tmvp=tmvp,
-                  n_real=jnp.int32(n_real))
+                  n_real=jnp.int32(n_real), hme=hme)
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -252,13 +253,14 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
                               "log2_ctu", "use_pallas", "subme", "rect",
                               "amp", "band", "cpat", "cshift",
-                              "is422", "me_sea"))
+                              "is422", "me_sea", "hme"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
             use_pallas: bool, subme: int = 2, rect: bool = False,
             amp: bool = False, band=None, wc=None, cpat=None,
             cshift: int = 1, is422: bool = False,
-            me_sea: bool = False, tmvp=None, n_real=None):
+            me_sea: bool = False, tmvp=None, n_real=None,
+            hme: bool = False):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -305,6 +307,10 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
     cands = []
     pz = jnp.zeros(nb, jnp.int32)
     for ridx, ry in enumerate(ry_all):
+        ctr = None
+        if hme and band is None and n == 16:
+            ctr = _hme_center_fullres(ry, oy, nby, nbx, lam256,
+                                      search_range)
         if me_sea:
             # SEA/ADS integral-pruned search (--me sea; ops/sea.py)
             from ..ops.sea import sea_search_batch
@@ -312,9 +318,11 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
                                            lam256, n, search_range,
                                            k=64)
         else:
-            imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz,
-                                            lam256, n, search_range,
-                                            use_pallas=use_pallas)
+            imx, imy, _ = full_search_batch(
+                ry, oy, bx, by, pz, pz, lam256, n, search_range,
+                use_pallas=use_pallas,
+                center_x=None if ctr is None else ctr[0],
+                center_y=None if ctr is None else ctr[1])
         mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
                                              pz, pz, lam256, n, bd,
                                              subme)
@@ -341,7 +349,9 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
     # the coding-order neighbors' (mv, ref) with merge_idx bin charges
     # vs the ME winner with real AMVP-predictor mvd charges.  Two
     # rounds so merge regions can grow along the coding order.
-    m_pad = search_range + 12
+    # seeded MVs reach ~5*sr; the tall-strip pad must cover them so
+    # candidate/region MC gathers stay inside the right ref's strip
+    m_pad = (6 * search_range + 12) if hme else (search_range + 12)
     tall, strip = _stack_refs(ry_all, m_pad)
     me_mvx, me_mvy, me_ref = mvx, mvy, ref_sel
 
@@ -964,10 +974,36 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             mvs_b)
 
 
+
+def _hme_center_fullres(ry, oy, nby: int, nbx: int, lam256, sr: int):
+    """Quarter-res HME tier for the MAIN per-ref search (x265 --hme,
+    motionEstimate HME levels): 8x8 blocks on 1/4-res planes (each
+    covering a 2x2 group of 16-blocks) full-search +-sr, MVs upsampled
+    to FULLPEL window centers — extends the effective range to ~5*sr
+    without growing the (2r+1)^2 SAD grid."""
+    q = lambda a: (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2]
+                   + a[1::2, 1::2] + 2) >> 2
+    rq, oq = q(q(ry)), q(q(oy))
+    gh, gw = max(nby // 2, 1), max(nbx // 2, 1)
+    bys, bxs = np.mgrid[0:gh, 0:gw]
+    x0 = jnp.asarray((bxs.ravel() * 8).astype(np.int32))
+    y0 = jnp.asarray((bys.ravel() * 8).astype(np.int32))
+    zero = jnp.zeros_like(x0)
+    mvx, mvy, _ = full_search_batch(rq, oq, x0, y0, zero, zero,
+                                    lam256, 8, sr)
+    sx = ((mvx >> 2) * 4).reshape(gh, gw)
+    sy = ((mvy >> 2) * 4).reshape(gh, gw)
+    up = lambda a: jnp.pad(
+        jnp.repeat(jnp.repeat(a, 2, 0), 2, 1)[:nby, :nbx],
+        ((0, max(0, nby - 2 * gh)), (0, max(0, nbx - 2 * gw))),
+        mode="edge").ravel()
+    return up(sx), up(sy)
+
 def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
-                use_pallas=None, subme=2, me_sea=False):
+                use_pallas=None, subme=2, me_sea=False, hme=None):
     """Full search + subpel + neighbor coherence against one reference.
-    Returns (mvx, mvy, cost) device arrays."""
+    hme: optional (cx, cy) fullpel window centers from the quarter-res
+    tier (_hme_center_fullres).  Returns (mvx, mvy, cost) arrays."""
     nb = bx.shape[0]
     pz = jnp.zeros(nb, jnp.int32)
     if me_sea:
@@ -975,9 +1011,11 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
         imx, imy, _ = sea_search_batch(ry, oy, bx, by, pz, pz, lam256,
                                        n, search_range, k=64)
     else:
-        imx, imy, _ = full_search_batch(ry, oy, bx, by, pz, pz, lam256,
-                                        n, search_range,
-                                        use_pallas=use_pallas)
+        imx, imy, _ = full_search_batch(
+            ry, oy, bx, by, pz, pz, lam256, n, search_range,
+            use_pallas=use_pallas,
+            center_x=None if hme is None else hme[0],
+            center_y=None if hme is None else hme[1])
     mvx, mvy, cost = subpel_refine_batch(ry, oy, bx, by, imx, imy,
                                          pz, pz, lam256, n, bit_depth,
                                          subme)
@@ -994,7 +1032,7 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                     subme: int = 2, weights_b=None, rect: bool = False,
                     me_sea: bool = False, amp: bool = False,
                     col=None, ref_pocs=None, cur_poc: int = 0,
-                    pad_refs=(0, 0)):
+                    pad_refs=(0, 0), hme: bool = False):
     """B-frame analysis: per-list multi-reference ME (the batched analog
     of x265 predInterSearch's per-ref loop, search.cpp:2554) +
     bi-prediction test + merge/AMVP-true candidate rounds + intra
@@ -1097,7 +1135,7 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                   sps.log2_ctu_size, me_sea, amp_eff, tmvp,
                   jnp.asarray(l0p, jnp.int32),
                   jnp.asarray(l1p, jnp.int32),
-                  jnp.int32(n_real0), jnp.int32(n_real1))
+                  jnp.int32(n_real0), jnp.int32(n_real1), hme)
     (modes, inter, dirs, mv0, mv1, rs0, rs1, mcy, mcu, mcv, part,
      dirs_b, mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
@@ -1112,14 +1150,15 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
     jax.jit, static_argnames=("search_range", "block", "bd",
                               "use_pallas", "subme", "wb", "cshift",
                               "is422", "rect", "log2_ctu",
-                              "me_sea", "amp"))
+                              "me_sea", "amp", "hme"))
 def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
             qp32, search_range: int, block: int, bd: int,
             use_pallas: bool, subme: int = 2, wb=(False, False),
             wv=None, cshift: int = 1, is422: bool = False,
             rect: bool = False, log2_ctu: int = 5,
             me_sea: bool = False, amp: bool = False, tmvp=None,
-            poc0=None, poc1=None, n_real0=None, n_real1=None):
+            poc0=None, poc1=None, n_real0=None, n_real1=None,
+            hme: bool = False):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -1151,9 +1190,13 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
     def list_me(planes, nr_real=None):
         cands = []
         for ry in planes:
+            ctr = None
+            if hme and n == 16:
+                ctr = _hme_center_fullres(ry, oy, nby, nbx, lam256,
+                                          search_range)
             mvx, mvy, cost, org_ = _me_one_ref(
                 oy, ry, bx, by, n, lam256, search_range, bd,
-                use_pallas, subme, me_sea)
+                use_pallas, subme, me_sea, hme=ctr)
             cands.append((mvx, mvy, cost, org_))
         satd_r = jnp.stack(
             [c[2] - ((lam256 * mv_bits(c[0], c[1])) >> 8)
@@ -1180,7 +1223,7 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
     # indices (candidate rounds, rect, homogenization); the FINAL MC
     # uses the per-ref full planes below so clamping matches the
     # decoder's spec MC exactly
-    m_pad = search_range + 12
+    m_pad = (6 * search_range + 12) if hme else (search_range + 12)
     tall0, strip0 = _stack_refs(me0, m_pad)
     tall1, strip1 = _stack_refs(me1, m_pad)
     # unweighted talls for candidate-round 14-bit MC (bi combine and

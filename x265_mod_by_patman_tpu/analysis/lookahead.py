@@ -88,7 +88,7 @@ def hme_seeds(low, prev, nby: int, nbx: int):
     zero = jnp.zeros_like(x0)
     mvx, mvy, _ = full_search_batch(qp, ql, x0, y0, zero, zero,
                                     LOOKAHEAD_LAMBDA_X256, N,
-                                    SEARCH_RANGE, use_pallas=False)
+                                    SEARCH_RANGE)
     sx = ((mvx >> 2) * 2).reshape(qnby, qnbx)
     sy = ((mvy >> 2) * 2).reshape(qnby, qnbx)
     up = lambda a: jnp.pad(
@@ -112,7 +112,6 @@ def _inter_costs(low, prev, nby: int, nbx: int, hme: bool = False):
     mvx, mvy, _ = full_search_batch(prev, low, x0, y0, zero, zero,
                                     LOOKAHEAD_LAMBDA_X256, N,
                                     SEARCH_RANGE,
-                                    use_pallas=False if hme else None,
                                     center_x=cx, center_y=cy)
     fx, fy = mvx >> 2, mvy >> 2
     h, w = low.shape

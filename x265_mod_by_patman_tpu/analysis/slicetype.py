@@ -74,15 +74,13 @@ def _lattice_costs(stack, triples, is_b, valid, nby: int, nbx: int,
             # lowresQPelCost) — integer-only ME misses odd-pixel
             # fullres motion (0.5 px at lowres) and misfires scenecut
             cx = cy = None
-            up = None
             if hme:
                 # 1/4-of-lowres HME tier seeds the window center
                 # (x265 --hme; analysis.lookahead.hme_seeds)
                 cx, cy = hme_seeds(cur, ref, nby, nbx)
-                up = False
             mvx, mvy, _ = full_search_batch(
                 ref, cur, x0, y0, zero, zero, LOOKAHEAD_LAMBDA_X256, N,
-                SEARCH_RANGE, use_pallas=up, center_x=cx, center_y=cy)
+                SEARCH_RANGE, center_x=cx, center_y=cy)
             mvx, mvy, cost = subpel_refine_batch(
                 ref, cur, x0, y0, mvx, mvy, zero, zero,
                 LOOKAHEAD_LAMBDA_X256, N, 8, subme=2)

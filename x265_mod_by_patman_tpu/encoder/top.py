@@ -1241,7 +1241,7 @@ class Encoder:
                             amp=p.amp, chroma_weights=wp_chroma,
                             me_sea=p.search_method == "sea",
                             col=col_a, ref_pocs=rp_p, cur_poc=poc,
-                            pad_refs=self.max_refs)
+                            pad_refs=self.max_refs, hme=p.hme)
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
             recon_fn = self._inter_recon_fn(
@@ -1292,7 +1292,7 @@ class Encoder:
                     me_sea=p.search_method == "sea",
                     col=col_b, ref_pocs=rp_b, cur_poc=poc,
                     pad_refs=(self.max_refs,
-                              2 if p.b_pyramid else 1))
+                              2 if p.b_pyramid else 1), hme=p.hme)
                 if np.any(part_map_b):
                     # B rect: (part, PU1 dirs, PU1 mv L0, PU1 mv L1)
                     rect_info = (part_map_b, pu1_b[1], pu1_b[2],

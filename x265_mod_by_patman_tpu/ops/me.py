@@ -59,17 +59,20 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
     On TPU the SAD grid runs as a pallas kernel (ops/pallas/sad.py;
     22x faster than the XLA gather lowering at r=16, bit-identical
     costs and tie-breaking).  X265TPU_PALLAS=0/1 overrides the
-    device-keyed default.  Seeded (center) searches take the XLA path
-    (the pallas kernel's window gather is origin-anchored).
+    device-keyed default.  Seeded (center) searches work on both paths
+    (the pallas kernel takes pre-gathered windows, so the shift lives
+    in the caller's gather).
     """
     import os
     if use_pallas is None:
         ov = os.environ.get("X265TPU_PALLAS")
         use_pallas = ov == "1" or (ov is None and _on_tpu(ref))
-    if use_pallas and center_x is None:
+    if use_pallas:
         return full_search_batch_pallas(ref, orig, x0, y0, pred_mv_x,
                                         pred_mv_y, lambda_x256, n,
-                                        search_range)
+                                        search_range,
+                                        center_x=center_x,
+                                        center_y=center_y)
     r = search_range
     h, w = ref.shape
     nb = x0.shape[0]
@@ -250,17 +253,24 @@ def _on_tpu(a) -> bool:
 def full_search_batch_pallas(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
                              lambda_x256: int, n: int,
                              search_range: int = 16,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             center_x=None, center_y=None):
     """full_search_batch with the SAD grid produced by the pallas
     kernel; cost/argmin logic identical (first-minimum in (dy, dx)
-    row-major order == the XLA path's first-row/first-column rule)."""
+    row-major order == the XLA path's first-row/first-column rule).
+    center_x/center_y: optional (B,) FULLPEL window centers (HME seed)
+    — the window gather shifts, the kernel is unchanged."""
     from .pallas.sad import sad_grid
     r = search_range
     h, w = ref.shape
+    cx0 = jnp.zeros_like(x0) if center_x is None else \
+        jnp.asarray(center_x, jnp.int32)
+    cy0 = jnp.zeros_like(y0) if center_y is None else \
+        jnp.asarray(center_y, jnp.int32)
     dy = jnp.arange(n + 2 * r)[None, :, None]
     dx = jnp.arange(n + 2 * r)[None, None, :]
-    ys = jnp.clip(y0[:, None, None] - r + dy, 0, h - 1)
-    xs = jnp.clip(x0[:, None, None] - r + dx, 0, w - 1)
+    ys = jnp.clip((y0 + cy0)[:, None, None] - r + dy, 0, h - 1)
+    xs = jnp.clip((x0 + cx0)[:, None, None] - r + dx, 0, w - 1)
     win = ref[ys, xs].astype(jnp.int32)
     gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
     gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
@@ -271,10 +281,14 @@ def full_search_batch_pallas(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
     sad = sad_grid(win, org, n, r, interpret=interpret)     # (B, C*C)
     mv_x = (jnp.tile(jnp.arange(c), c) - r) * 4             # (C*C,)
     mv_y = (jnp.repeat(jnp.arange(c), c) - r) * 4
-    bits = mv_bits(mv_x[None, :] - pred_mv_x[:, None],
-                   mv_y[None, :] - pred_mv_y[:, None])
+    mvg_x = mv_x[None, :] + cx0[:, None] * 4                # (B, C*C)
+    mvg_y = mv_y[None, :] + cy0[:, None] * 4
+    bits = mv_bits(mvg_x - pred_mv_x[:, None],
+                   mvg_y - pred_mv_y[:, None])
     cost = sad + ((lambda_x256 * bits) >> 8)
     arg = jnp.argmin(cost, axis=1)                          # first min
     best = jnp.take_along_axis(cost, arg[:, None], axis=1)[:, 0]
-    return (mv_x[arg].astype(jnp.int32), mv_y[arg].astype(jnp.int32),
+    bi = jnp.arange(cost.shape[0])
+    return (mvg_x[bi, arg].astype(jnp.int32),
+            mvg_y[bi, arg].astype(jnp.int32),
             best.astype(jnp.int32))
