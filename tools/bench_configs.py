@@ -84,6 +84,9 @@ def make_params(cfg: int, w, h):
         p.vbv_maxrate = 25000
     p.info_sei = False
     p.scenecut = True
+    # device/host overlap via frame-parallel B (the x265 auto
+    # frame-threads analog: 2 for a 4-core host, threading.rst:199)
+    p.frame_parallel_window = 2
     return p
 
 

@@ -163,7 +163,7 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     amp: bool = False, chroma_weights=None,
                     me_sea: bool = False, col=None, ref_pocs=None,
                     cur_poc: int = 0, pad_refs: int = 0,
-                    hme: bool = False):
+                    hme: bool = False, rounds=(2, 1)):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -241,7 +241,8 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                   sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
                   amp_eff, wc=wc, cpat=cpat, cshift=cshift,
                   is422=idc == 2, me_sea=me_sea, tmvp=tmvp,
-                  n_real=jnp.int32(n_real), hme=hme)
+                  n_real=jnp.int32(n_real), hme=hme,
+                  rounds=tuple(rounds))
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
@@ -253,14 +254,14 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     jax.jit, static_argnames=("wpat", "search_range", "block", "bd",
                               "log2_ctu", "use_pallas", "subme", "rect",
                               "amp", "band", "cpat", "cshift",
-                              "is422", "me_sea", "hme"))
+                              "is422", "me_sea", "hme", "rounds"))
 def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             search_range: int, block: int, bd: int, log2_ctu: int,
             use_pallas: bool, subme: int = 2, rect: bool = False,
             amp: bool = False, band=None, wc=None, cpat=None,
             cshift: int = 1, is422: bool = False,
             me_sea: bool = False, tmvp=None, n_real=None,
-            hme: bool = False):
+            hme: bool = False, rounds=(2, 1)):
     """band: None for a whole-frame call, else (axis_name, nby_total,
     halo_blocks, n_devices) — the planes are then per-device SLABS
     (band rows + halo_blocks block-rows of real neighbor pixels top
@@ -528,10 +529,11 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
         return (best_x, best_y, best_r, best_cost,
                 best_rd if rd else None)
 
-    for _ in range(2):
+    for _ in range(rounds[0]):
         mvx, mvy, ref_sel, cost, _ = cand_round(mvx, mvy, ref_sel)
-    mvx, mvy, ref_sel, cost, cost_rd = cand_round(mvx, mvy, ref_sel,
-                                                  rd=True)
+    for _ in range(rounds[1]):
+        mvx, mvy, ref_sel, cost, cost_rd = cand_round(mvx, mvy,
+                                                      ref_sel, rd=True)
 
     # 2b. rect PU candidates (2NxN / Nx2N): 8x8 sub-block ME on each
     # block's chosen reference, then PU costs from own+partner SATD
@@ -1032,7 +1034,8 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                     subme: int = 2, weights_b=None, rect: bool = False,
                     me_sea: bool = False, amp: bool = False,
                     col=None, ref_pocs=None, cur_poc: int = 0,
-                    pad_refs=(0, 0), hme: bool = False):
+                    pad_refs=(0, 0), hme: bool = False,
+                    rounds=(2, 2)):
     """B-frame analysis: per-list multi-reference ME (the batched analog
     of x265 predInterSearch's per-ref loop, search.cpp:2554) +
     bi-prediction test + merge/AMVP-true candidate rounds + intra
@@ -1135,7 +1138,8 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                   sps.log2_ctu_size, me_sea, amp_eff, tmvp,
                   jnp.asarray(l0p, jnp.int32),
                   jnp.asarray(l1p, jnp.int32),
-                  jnp.int32(n_real0), jnp.int32(n_real1), hme)
+                  jnp.int32(n_real0), jnp.int32(n_real1), hme,
+                  tuple(rounds))
     (modes, inter, dirs, mv0, mv1, rs0, rs1, mcy, mcu, mcv, part,
      dirs_b, mv0_b, mv1_b) = out
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
@@ -1150,7 +1154,7 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
     jax.jit, static_argnames=("search_range", "block", "bd",
                               "use_pallas", "subme", "wb", "cshift",
                               "is422", "rect", "log2_ctu",
-                              "me_sea", "amp", "hme"))
+                              "me_sea", "amp", "hme", "rounds"))
 def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
             qp32, search_range: int, block: int, bd: int,
             use_pallas: bool, subme: int = 2, wb=(False, False),
@@ -1158,7 +1162,7 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
             rect: bool = False, log2_ctu: int = 5,
             me_sea: bool = False, amp: bool = False, tmvp=None,
             poc0=None, poc1=None, n_real0=None, n_real1=None,
-            hme: bool = False):
+            hme: bool = False, rounds=(2, 2)):
     h, w = oy.shape
     n = block
     nbx, nby = w // n, h // n
@@ -1469,10 +1473,10 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
     c1y = jnp.where(has1, mv1y, 0)
     r0f = jnp.where(has0, rsel0, 0)
     r1f = jnp.where(has1, rsel1, 0)
-    for _ in range(2):
+    for _ in range(rounds[0]):
         (dirs, c0x, c0y, c1x, c1y, r0f, r1f, inter_cost,
          _) = b_cand_round(dirs, c0x, c0y, c1x, c1y, r0f, r1f)
-    for _ in range(2):
+    for _ in range(rounds[1]):
         (dirs, c0x, c0y, c1x, c1y, r0f, r1f, inter_cost,
          cost_rd) = b_cand_round(dirs, c0x, c0y, c1x, c1y, r0f, r1f,
                                  rd=True)

@@ -213,6 +213,12 @@ class Encoder:
         self._me_range = max(4, min(self.p.search_range,
                                     method_r[self.p.search_method]))
         self._headers_sent = False
+        # candidate-round depth scales with --rd (reference rd-levels:
+        # fast presets run fewer refinement passes per CU); the rd
+        # rounds dominate B-analysis device time (2 MCs x 9 candidates
+        # per round)
+        self._rounds_p = (1, 1) if self.p.rd_level <= 2 else (2, 1)
+        self._rounds_b = (1, 1) if self.p.rd_level <= 2 else (2, 2)
         self.bframes = max(0, self.p.bframes) if self.p.keyframe_max > 1 \
             else 0
         # lookahead-fed rate control (reference rateEstimateQscale
@@ -1233,6 +1239,8 @@ class Encoder:
                     rp_p = (tuple(a[1] for a in self._anchors), ())
                     col_a = self._col_store.get(rp_p[0][0]) \
                         if self.sps.temporal_mvp else None
+                    t_scope = trace.scope("analysis", type="P")
+                    t_scope.__enter__()
                     modes, inter_mask, mvs, ref_sel, mc, part_map, \
                         mvs_b = analyse_p_frame(
                             y, u, v, refs, self.sps, qp,
@@ -1241,7 +1249,9 @@ class Encoder:
                             amp=p.amp, chroma_weights=wp_chroma,
                             me_sea=p.search_method == "sea",
                             col=col_a, ref_pocs=rp_p, cur_poc=poc,
-                            pad_refs=self.max_refs, hme=p.hme)
+                            pad_refs=self.max_refs, hme=p.hme,
+                            rounds=self._rounds_p)
+                    t_scope.__exit__(None, None, None)
                 if np.any(part_map):
                     rect_info = (part_map, mvs_b)
             recon_fn = self._inter_recon_fn(
@@ -1282,6 +1292,8 @@ class Encoder:
                 use_rect_b = p.rect and self._ana_store is None
                 col_b = self._col_store.get(rp_b[0][0]) \
                     if self.sps.temporal_mvp else None
+                t_scope = trace.scope("analysis", type="B")
+                t_scope.__enter__()
                 (modes, inter_mask, dirs, mvs, mvs1, ref_sel, ref_sel1,
                  mc, part_map_b, pu1_b) = analyse_b_frame(
                     y, u, v, [a[0] for a in list0],
@@ -1292,7 +1304,9 @@ class Encoder:
                     me_sea=p.search_method == "sea",
                     col=col_b, ref_pocs=rp_b, cur_poc=poc,
                     pad_refs=(self.max_refs,
-                              2 if p.b_pyramid else 1), hme=p.hme)
+                              2 if p.b_pyramid else 1), hme=p.hme,
+                    rounds=self._rounds_b)
+                t_scope.__exit__(None, None, None)
                 if np.any(part_map_b):
                     # B rect: (part, PU1 dirs, PU1 mv L0, PU1 mv L1)
                     rect_info = (part_map_b, pu1_b[1], pu1_b[2],
