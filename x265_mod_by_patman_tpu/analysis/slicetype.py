@@ -178,9 +178,14 @@ class SlicetypeLookahead:
         intra = jnp.stack([jnp.asarray(self._intra[d]) for d in keys])
         for base in range(0, len(todo), MAX_TRIPLES):
             chunk = todo[base:base + MAX_TRIPLES]
-            t = np.zeros((MAX_TRIPLES, 3), np.int32)
-            is_b = np.zeros(MAX_TRIPLES, bool)
-            valid = np.zeros(MAX_TRIPLES, bool)
+            # power-of-two lane buckets: the rate-control path asks for
+            # ONE triple per ingested frame, and a fixed 16-lane pad
+            # would compute 16 lattice lanes for it (10+ s/frame at
+            # 1080p); distinct bucket sizes compile once each
+            lanes = 1 << max(0, (len(chunk) - 1).bit_length())
+            t = np.zeros((lanes, 3), np.int32)
+            is_b = np.zeros(lanes, bool)
+            valid = np.zeros(lanes, bool)
             for i, (b, p0, p1) in enumerate(chunk):
                 t[i] = (kidx[b], kidx[p0], kidx[p1])
                 is_b[i] = p1 != b
