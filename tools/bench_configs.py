@@ -109,26 +109,26 @@ def bench_config(cfg: int, frames_n: int):
         pass
     enc = Encoder(p)
     t0 = time.time()
-    in_stamps = []
+    out_stamps = []
     nbytes = 0
-    nout = 0
     for (y, u, v) in clip:
         for f in enc.encode_frame(y, u, v):
             nbytes += len(f.bitstream)
-            nout += 1
-        in_stamps.append(time.time())
+            out_stamps.append(time.time())
     for f in enc.flush():
         nbytes += len(f.bitstream)
-        nout += 1
+        out_stamps.append(time.time())
     t_end = time.time()
+    nout = len(out_stamps)
     total = t_end - t0
     fps = nout / total
-    # warm fps: the back half of INPUT frames (plus the flush) — the
-    # front half absorbs the jit compiles
+    # warm fps over EMITTED frames: drop the first third (absorbs the
+    # jit compiles and the lookahead-buffer fill); emissions are bursty
+    # per mini-GOP, so the window must span several GOPs to mean much
     warm_fps = 0.0
-    half = len(in_stamps) // 2
-    if half >= 2 and t_end > in_stamps[half - 1]:
-        warm_fps = (len(in_stamps) - half) / (t_end - in_stamps[half - 1])
+    k = nout // 3
+    if nout - k >= 4 and out_stamps[-1] > out_stamps[k]:
+        warm_fps = (nout - 1 - k) / (out_stamps[-1] - out_stamps[k])
 
     # MFU of the dominant device program: whole-frame P analysis
     # (full search + subpel + candidate rounds + MC), timed on device,
