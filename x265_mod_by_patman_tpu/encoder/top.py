@@ -1637,15 +1637,32 @@ class Encoder:
                     i32 = prepare_inter_tu32(y, u, v, mc, i32_mask,
                                              qpm, recon, init_type,
                                              ebits=ebits)
+            # recon planes stay ON DEVICE through deblock (the tunnel
+            # pays ~0.5 s/frame for a download-then-reupload at 1080p);
+            # levels materialize here (entropy + BS maps + derived-QP
+            # need them host-side), planes materialize after the loop
+            # filters
+            dev_ok = self.p.deblock
             if i32 is None:
-                return recon.run(y, u, v, modes, mc, inter_mask,
-                                 qp=qpm, init_type=init_type,
-                                 nr=self._nr_offsets(), ebits=ebits)
-            y2, u2, v2, mc2 = i32["spliced"]
-            r = recon.run(y2, u2, v2, modes, mc2, inter_mask, qp=qpm,
-                          init_type=init_type, nr=self._nr_offsets(),
-                          ebits=ebits)
-            r["inter32"] = i32
+                r = recon.run(y, u, v, modes, mc, inter_mask,
+                              qp=qpm, init_type=init_type,
+                              nr=self._nr_offsets(), ebits=ebits,
+                              materialize=not dev_ok)
+            else:
+                y2, u2, v2, mc2 = i32["spliced"]
+                r = recon.run(y2, u2, v2, modes, mc2, inter_mask,
+                              qp=qpm, init_type=init_type,
+                              nr=self._nr_offsets(), ebits=ebits,
+                              materialize=not dev_ok)
+                r["inter32"] = i32
+            if dev_ok:
+                for k in ("lev_y", "lev_u", "lev_v"):
+                    r[k] = np.asarray(r[k])
+                if "modes_sel" in r:
+                    r["modes_sel"] = np.asarray(r["modes_sel"])
+                if "nr_stats" in r:
+                    r["nr_stats"] = tuple(np.asarray(a)
+                                          for a in r["nr_stats"])
             return r
         return fn
 
