@@ -244,9 +244,12 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                   n_real=jnp.int32(n_real), hme=hme,
                   rounds=tuple(rounds))
     modes, inter, mvs, rsel, mcy, mcu, mcv, part, mvs_b = out
+    # mc stays ON DEVICE: the wavefront re-uploads it otherwise
+    # (~12 MB/frame at 1080p over the 32 MB/s tunnel); consumers that
+    # need host values (TU32 pre-pass, tests) np.asarray themselves
     return (np.asarray(modes), np.asarray(inter), np.asarray(mvs),
             np.asarray(rsel),
-            (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)),
+            (mcy, mcu, mcv),
             np.asarray(part), np.asarray(mvs_b))
 
 
@@ -1145,7 +1148,7 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
     return (np.asarray(modes), np.asarray(inter), np.asarray(dirs),
             np.asarray(mv0), np.asarray(mv1),
             np.asarray(rs0), np.asarray(rs1),
-            (np.asarray(mcy), np.asarray(mcu), np.asarray(mcv)),
+            (mcy, mcu, mcv),
             np.asarray(part),
             (np.asarray(dirs_b), np.asarray(mv0_b), np.asarray(mv1_b)))
 
