@@ -73,8 +73,11 @@ def main():
     from x265_mod_by_patman_tpu.analysis.intra_mode import \
         decide_modes_rd_multi
 
-    n_bench = max(FRAMES, 32)
-    batch = 8
+    n_bench = max(FRAMES, 48)
+    # batch 16 nearly doubles device-only throughput vs 8 (fills the
+    # vmapped wavefront's lanes better on v5e; 32 regresses — measured
+    # round 4, BENCH_NOTES)
+    batch = 16
     frames = synth_frames(n_bench + batch)
     # ultrafast-equivalent intra config (matches the x265 baseline run:
     # deblock on, SAO off at ultrafast).  Production multi-frame path:
