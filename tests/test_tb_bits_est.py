@@ -103,3 +103,46 @@ def test_tb_bits_est_dc_cg_sig_bins_charged():
     g = _frozen_golden_bits(lev, 4, 0, 2, 32)
     # without the DC-CG charge the estimate sits ~8 bits under golden
     assert abs((e - 0.8) - g) <= 4.0 + 0.45 * g, (g, e)
+
+
+def test_adaptive_bits_table_machinery():
+    """End-of-slice context states feed the next same-type frame's
+    rate tables (1-frame-lag EstBitsSbac refresh): states are captured
+    per slice type, the derived table differs from slice-start after
+    real content, and streams still decode bit-exact."""
+    import numpy as np
+    from x265_mod_by_patman_tpu.params import default_params
+    from x265_mod_by_patman_tpu.encoder.top import Encoder
+    from x265_mod_by_patman_tpu.decoder.decoder import Decoder
+    from x265_mod_by_patman_tpu.entropy.contexts import init_states
+    from x265_mod_by_patman_tpu.entropy.est_bits import (
+        BITS_TABLE, bits_table_from_states)
+    rng = np.random.default_rng(8)
+    big = rng.integers(0, 255, (80, 128)).astype(np.int32)
+    big = (big + np.roll(big, 1, 0)) // 2
+    p = default_params(96, 64, qp=30, keyframe_max=250, bframes=0,
+                       scenecut=False, info_sei=False)
+    enc = Encoder(p)
+    stream = b""
+    outs = []
+    for i in range(4):
+        y = np.clip(big[i:i + 64, 2 * i:2 * i + 96], 0,
+                    255).astype(np.uint8)
+        c = np.full((32, 48), 120, np.uint8)
+        for f in enc.encode_frame(y, c, c):
+            stream += f.bitstream
+            outs.append(f)
+    for f in enc.flush():
+        stream += f.bitstream
+        outs.append(f)
+    # P states captured (SLICE_P == init_type 1)
+    assert 1 in enc._adapt_states
+    tab = bits_table_from_states(enc._adapt_states[1])
+    base = bits_table_from_states(init_states(1, 30))
+    assert tab.shape == base.shape
+    assert not np.allclose(tab, base), "states must have adapted"
+    # slice-start table equals the baked row (first-frame equivalence)
+    assert np.allclose(base, BITS_TABLE[1, 30])
+    pics = Decoder().decode(stream)
+    for f, pc in zip(outs, pics):
+        assert pc.md5 == f.md5 == pc.sei_md5
