@@ -405,6 +405,20 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
     # validity matches the syntax walk's motion_at() availability.
     AV_A1, AV_A0, AV_B2, AV_B1, AV_B0 = n, n - 1, 2 * n, 3 * n, 3 * n + 1
 
+    # provisional intra/inter estimate per block: the syntax-time merge
+    # list takes NO candidates from intra-coded neighbors (motion_at
+    # returns None), so the batched mirror masks likely-intra donors
+    # out of candidate validity (ADVICE r3: intra-area neighbors were
+    # donating list slots the real list does not have)
+    icosts = _mode_costs(oy, avail,
+                         jnp.asarray(bxs.ravel().astype(np.int32)),
+                         jnp.asarray((bys.ravel() + hb).astype(np.int32)),
+                         n.bit_length() - 1, bd)
+    intra_best = jnp.min(icosts, axis=1)
+    intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
+    inter_est = (satd_me + ((lam256 * 4) >> 8)) <= \
+        (intra_best + ((lam256 * 5) >> 8))
+
     def cand_round(mvx, mvy, rsel, rd: bool = False):
         f2x = mvx.reshape(nby, nbx)
         f2y = mvy.reshape(nby, nbx)
@@ -413,11 +427,18 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
         extd = (boundary_ext_down(f2x), boundary_ext_down(f2y),
                 boundary_ext_down(f2r))
 
+        f2i = inter_est.reshape(nby, nbx)
+        exti = boundary_ext(f2i)
+        extdi = boundary_ext_down(f2i)
+
         def gat(sy, sx):
             return (neigh2(f2x, sy, sx, ext[0], extd[0])[0].ravel(),
                     neigh2(f2y, sy, sx, ext[1], extd[1])[0].ravel(),
                     jnp.clip(neigh2(f2r, sy, sx, ext[2],
                                     extd[2])[0].ravel(), 0, nref - 1))
+
+        def gat_ie(sy, sx):
+            return neigh2(f2i, sy, sx, exti, extdi)[0].ravel()
 
         # exact merge candidate derivation (spec 8.5.3.2.3, the batched
         # mirror of entropy.mv_pred.merge_candidates): spatial A1, B1,
@@ -432,11 +453,11 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
         a1, b1, b0 = gat(0, 1), gat(1, 0), gat(1, -1)
         a0, b2 = gat(-1, 1), gat(1, 1)
         av2 = avail.reshape(nb, -1)
-        v_a1 = av2[:, AV_A1]
-        v_b1r = av2[:, AV_B1]
-        v_b0r = av2[:, AV_B0]
-        v_a0r = av2[:, AV_A0]
-        v_b2r = av2[:, AV_B2]
+        v_a1 = av2[:, AV_A1] & gat_ie(0, 1)
+        v_b1r = av2[:, AV_B1] & gat_ie(1, 0)
+        v_b0r = av2[:, AV_B0] & gat_ie(1, -1)
+        v_a0r = av2[:, AV_A0] & gat_ie(-1, 1)
+        v_b2r = av2[:, AV_B2] & gat_ie(1, 1)
         eq = lambda c, d: ((c[0] == d[0]) & (c[1] == d[1]) &
                            (c[2] == d[2]))
         v_b1 = v_b1r & ~(v_a1 & eq(b1, a1))
@@ -837,14 +858,6 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
     if log2_ctu == 6:
         mvx, mvy, ref_sel, cost, cost_rd = _region_uniform(
             mvx, mvy, ref_sel, cost, cost_rd, part, 4)
-
-    # 3. intra costs (orig-neighbor batched sweep)
-    icosts = _mode_costs(oy, avail,
-                         jnp.asarray(bxs.ravel().astype(np.int32)),
-                         jnp.asarray((bys.ravel() + hb).astype(np.int32)),
-                         n.bit_length() - 1, bd)
-    intra_best = jnp.min(icosts, axis=1)
-    intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
 
     # 4. decision: inter unless intra clearly wins (intra pays ~5 bits of
     # mode signalling in P slices)
@@ -1277,6 +1290,17 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
     AV_A1, AV_A0, AV_B2, AV_B1, AV_B0 = n, n - 1, 2 * n, 3 * n, 3 * n + 1
     av2 = avail.reshape(nb, -1)
 
+    # provisional intra/inter estimate (see the P-side note: the
+    # syntax merge list takes no candidates from intra neighbors)
+    icosts = _mode_costs(oy, avail,
+                         jnp.asarray(bxs.ravel().astype(np.int32)),
+                         jnp.asarray(bys.ravel().astype(np.int32)),
+                         n.bit_length() - 1, bd)
+    intra_best = jnp.min(icosts, axis=1) + ((lam256 * 5) >> 8)
+    intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
+    inter_est = (jnp.minimum(jnp.minimum(satd0, satd1), satd_bi)
+                 + ((lam256 * 6) >> 8)) <= intra_best
+
     def b_cand_round(dirs, c0x, c0y, c1x, c1y, r0f, r1f,
                      rd: bool = False):
         f = lambda a: a.reshape(nby, nbx)
@@ -1284,6 +1308,9 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
         def gat(sy, sx):
             return tuple(_neigh_field(f(a), sy, sx)[0].ravel()
                          for a in (dirs, c0x, c0y, c1x, c1y, r0f, r1f))
+
+        def gat_ie(sy, sx):
+            return _neigh_field(f(inter_est), sy, sx)[0].ravel()
 
         # exact merge candidate derivation over full
         # (dir, mv0, ref0, mv1, ref1) motion (spec 8.5.3.2.3, batched
@@ -1295,11 +1322,11 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
         # the bi zero-fill entry — each at its true list position.
         a1, b1, b0 = gat(0, 1), gat(1, 0), gat(1, -1)
         a0, b2 = gat(-1, 1), gat(1, 1)
-        v_a1 = av2[:, AV_A1]
-        v_b1r = av2[:, AV_B1]
-        v_b0r = av2[:, AV_B0]
-        v_a0r = av2[:, AV_A0]
-        v_b2r = av2[:, AV_B2]
+        v_a1 = av2[:, AV_A1] & gat_ie(0, 1)
+        v_b1r = av2[:, AV_B1] & gat_ie(1, 0)
+        v_b0r = av2[:, AV_B0] & gat_ie(1, -1)
+        v_a0r = av2[:, AV_A0] & gat_ie(-1, 1)
+        v_b2r = av2[:, AV_B2] & gat_ie(1, 1)
         eq = lambda c, d: ((c[0] == d[0]) & (c[1] == d[1]) &
                            (c[2] == d[2]) & (c[3] == d[3]) &
                            (c[4] == d[4]) & (c[5] == d[5]) &
@@ -1826,14 +1853,6 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
          cost_rd) = _b_region_uniform(
             dirs, mv0x, mv0y, mv1x, mv1y, ref0_f, ref1_f, inter_cost,
             cost_rd, part, 4)
-
-    # intra fallback
-    icosts = _mode_costs(oy, avail,
-                         jnp.asarray(bxs.ravel().astype(np.int32)),
-                         jnp.asarray(bys.ravel().astype(np.int32)),
-                         n.bit_length() - 1, bd)
-    intra_best = jnp.min(icosts, axis=1) + ((lam256 * 5) >> 8)
-    intra_modes = jnp.argmin(icosts, axis=1).astype(jnp.int32)
 
     use_inter = inter_cost <= intra_best
     dirs = jnp.where(use_inter, dirs, 0)
