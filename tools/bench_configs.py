@@ -127,8 +127,11 @@ def bench_config(cfg: int, frames_n: int):
     # per mini-GOP, so the window must span several GOPs to mean much
     warm_fps = 0.0
     k = nout // 3
-    if nout - k >= 4 and out_stamps[-1] > out_stamps[k]:
-        warm_fps = (nout - 1 - k) / (out_stamps[-1] - out_stamps[k])
+    span = out_stamps[-1] - out_stamps[k] if nout > k else 0.0
+    if nout - k >= 4 and span > 2.0:
+        # a sub-2s span means the window fell inside one flush burst
+        # (lookahead buffer > clip length) — report 0 rather than junk
+        warm_fps = (nout - 1 - k) / span
 
     # MFU of the dominant device program: whole-frame P analysis
     # (full search + subpel + candidate rounds + MC), timed on device,
