@@ -110,6 +110,4 @@ def test_hme_lookahead_finds_large_motion():
         la.push(0, f0)
         la.push(1, f1)
         costs[hme] = la.frame_cost(1, 0, 1)
-    icost = SlicetypeLookahead(256, 128, bframes=2).intra_cost \
-        if False else None
     assert costs[True] < 0.6 * costs[False], costs

@@ -103,10 +103,7 @@ def bench_config(cfg: int, frames_n: int):
     bd = 10 if cfg == 3 else 8
     clip = synth_clip(w, h, frames_n, bd=bd)
     p = make_params(cfg, w, h)
-    try:
-        p.validate()
-    except Exception:
-        pass
+    p.validate()
     enc = Encoder(p)
     t0 = time.time()
     out_stamps = []
@@ -196,7 +193,8 @@ def bench_config(cfg: int, frames_n: int):
         "frames": nout,
         "fps": round(fps, 3),
         "warm_fps": round(warm_fps, 3),
-        "kbps": round(nbytes * 8 * 25.0 / max(nout, 1) / 1000.0, 1),
+        "kbps": round(nbytes * 8 * (p.fps_num / p.fps_denom)
+                      / max(nout, 1) / 1000.0, 1),
         "total_s": round(total, 1),
         "device_kind": dev.device_kind,
         "peak_flops": peak,

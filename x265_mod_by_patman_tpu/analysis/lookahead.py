@@ -73,7 +73,7 @@ def _intra_costs(low, avail, nby: int, nbx: int):
 
 
 def hme_seeds(low, prev, nby: int, nbx: int):
-    """1/4-of-lowres (1/8 source) HME tier (x265 --hme, lowres.h:166
+    """1/2-of-lowres (1/4 source) HME tier (x265 --hme, lowres.h:166
     HME planes): full search on the quarter planes, MVs upsampled as
     FULLPEL lowres window centers for the half-res search.  Extends the
     effective lowres range to ~(2*SEARCH_RANGE + SEARCH_RANGE) px —

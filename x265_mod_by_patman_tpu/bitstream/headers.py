@@ -125,10 +125,15 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
         from ..constants.scaling import parse_scaling_list_file
         lists, dc = parse_scaling_list_file(p.scaling_list)
         for sid in range(4):
-            assert np.array_equal(lists[(sid, 1)], lists[(sid, 2)]) \
-                and np.array_equal(lists[(sid, 4)], lists[(sid, 5)]), \
-                "custom scaling lists: Cb and Cr must match (v1 " \
-                "quant plumbing shares one chroma matrix)"
+            # ValueError (not assert): must survive python -O — under -O
+            # the encoder would quantize Cr with the Cb matrix while the
+            # decoder dequants with the signaled Cr list, silently
+            # breaking the encode-decodes-bit-exact invariant
+            if not (np.array_equal(lists[(sid, 1)], lists[(sid, 2)])
+                    and np.array_equal(lists[(sid, 4)], lists[(sid, 5)])):
+                raise ValueError(
+                    "custom scaling lists: Cb and Cr must match (v1 "
+                    "quant plumbing shares one chroma matrix)")
         s.scaling_lists = (lists, dc)
     if p.sar:
         t = p.sar.replace("/", ":").split(":")

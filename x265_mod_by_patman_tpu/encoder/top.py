@@ -18,6 +18,7 @@ SAO/WPP/SBH off, 1 reference per list.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from collections import deque
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -262,6 +263,7 @@ class Encoder:
         self._prev_hist = None
         self._adapt_states = {}           # slice_type -> CABAC states
         self._est_pending = {}            # published at minigop bounds
+        self._est_tl = threading.local()  # frame-parallel capture slot
         self._mc_buf: deque = deque()     # MCSTF source window
         self._mc_hist: deque = deque(maxlen=2)
         self._mc_disp = 0
@@ -1068,16 +1070,26 @@ class Encoder:
 
         def one(i_job):
             i, (pl, pc, cx, qo, br) = i_job
-            with _jax.default_device(devs[i % len(devs)]):
-                return self._encode_picture(pl, pc, "B", cx,
-                                            b_refs=br, qp_off=qo,
-                                            defer_rc=True)
+            cap: dict = {}
+            self._est_tl.cap = cap        # capture est-state publishes
+            try:
+                with _jax.default_device(devs[i % len(devs)]):
+                    f = self._encode_picture(pl, pc, "B", cx,
+                                             b_refs=br, qp_off=qo,
+                                             defer_rc=True)
+            finally:
+                self._est_tl.cap = None
+            return f, cap
         with cf.ThreadPoolExecutor(
                 max_workers=min(win, len(jobs))) as ex:
-            outs = list(ex.map(one, enumerate(jobs)))
-        for f, (pl, pc, cx, qo, br) in zip(outs, jobs):
+            pairs = list(ex.map(one, enumerate(jobs)))
+        outs = [f for f, _cap in pairs]
+        for (f, cap), (pl, pc, cx, qo, br) in zip(pairs, jobs):
             self.rc.update("B" if br[3] else "b", f.qp, f.bits, cx)
             self._enc_order += 1
+            # replay est-state publishes in decode order (matches the
+            # sequential fallback exactly)
+            self._est_pending.update(cap)
         return outs
 
     # -- one picture -----------------------------------------------------------
@@ -1595,6 +1607,19 @@ class Encoder:
                 else:
                     rp[..., 1] = tab1[0]
         return ColMotion(poc, d, mv, rp)
+
+    def _publish_est(self, slice_type: int, states) -> None:
+        """Publish end-of-slice CABAC states for the adaptive rate
+        tables.  Under frame-parallel B the worker threads capture into
+        a per-job dict (thread-local) and _encode_b_jobs replays the
+        captures in decode order after the join — otherwise the write
+        below would be last-thread-wins and the next frames' RDOQ /
+        skip-RD decisions (and bitstreams) would be timing-dependent."""
+        cap = getattr(self._est_tl, "cap", None)
+        if cap is not None:
+            cap[slice_type] = states
+        else:
+            self._est_pending[slice_type] = states
 
     def _ebits_for(self, init_type: int, qp: int):
         """(C, 2) float32 rate table for this frame's RD estimates:
@@ -2269,7 +2294,7 @@ class Encoder:
                 encode_ir_to_writer(bw, bins, ctx, states)
                 bw.rbsp_trailing_bits()
                 out_rbsps.append(bw.get_bytes())
-            self._est_pending[slice_type] = states.copy()
+            self._publish_est(slice_type, states.copy())
             return out_rbsps
 
         row_irs: List = []
@@ -2308,7 +2333,7 @@ class Encoder:
             # refresh, one-frame-lag batched form); published at
             # mini-GOP boundaries so frame-parallel B stays
             # deterministic
-            self._est_pending[slice_type] = states.copy()
+            self._publish_est(slice_type, states.copy())
             return bw.get_bytes()
 
         # WPP: compute each row's initial contexts by advancing the state
@@ -2333,7 +2358,7 @@ class Encoder:
             substreams.append(sub_bw.get_bytes())
 
         sh.entry_points = tuple(len(s) for s in substreams[:-1])
-        self._est_pending[slice_type] = states.copy()
+        self._publish_est(slice_type, states.copy())
         self._last_row_bits = [len(s) * 8 for s in substreams]
         bw = write_slice_header(sh, sps, pps)
         for s in substreams:

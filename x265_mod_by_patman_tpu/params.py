@@ -154,10 +154,10 @@ class EncoderParams:
     profile: str = "main"
     level_idc: int = 0              # 0 = auto
 
-    # parallel layout (TPU)
-    mesh_gop_shards: int = 1        # GOPs across hosts (P10 analog)
+    # parallel layout (TPU).  Stream- and GOP-level parallelism have no
+    # param knobs: they are driven directly by parallel.streams.
+    # MultiStreamEncoder / parallel.ladder / encode_chunked arguments.
     mesh_tile_rows: int = 1         # CTU tile-row shards per frame
-    mesh_streams: int = 1           # batch-encode streams axis (P9 analog)
     frame_parallel_window: int = 1  # concurrently analyzed frames (P2)
 
     # derived (set by validate())
