@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections import deque
 from functools import partial
-from typing import Deque, Optional
+from typing import Deque, Dict, Optional
 
 import numpy as np
 import jax
@@ -46,6 +46,93 @@ def lowres_plane(y: np.ndarray) -> np.ndarray:
     a = a[: h & ~1, : w & ~1]
     return (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2]
             + a[1::2, 1::2] + 2) >> 2
+
+
+@jax.jit
+def _lowres_dev(y):
+    """Device-side half-res decimation (same math as lowres_plane)."""
+    a = y.astype(jnp.int32)
+    h, w = a.shape
+    a = a[: h & ~1, : w & ~1]
+    return (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2]
+            + a[1::2, 1::2] + 2) >> 2
+
+
+@jax.jit
+def _lowres_scalars(low, intra):
+    """[mean(lowres), sum(intra)] — the two per-frame scalars the host
+    decision logic reads (fade DC walk + whole-frame intra cost)."""
+    return jnp.stack([jnp.mean(low.astype(jnp.float32)),
+                      jnp.sum(intra.astype(jnp.float32))])
+
+
+class LowresStore:
+    """Shared per-display-frame lowres plane + intra-cost store.
+
+    The reference computes each frame's lowres pyramid once
+    (Lowres::init, common/lowres.cpp:88) and both the slicetype
+    decision and cuTree read it.  Here: ONE device decimation + ONE
+    batched intra-cost dispatch per frame, results stay on device
+    (consumers stack them into their own lattice programs); the host
+    only ever downloads the two per-frame scalars (lazily, cached) and
+    — for cuTree's host propagation — the small intra block map.
+    Nothing in push() blocks on the device."""
+
+    def __init__(self, pad_w: int, pad_h: int) -> None:
+        self.w, self.h = pad_w // 2, pad_h // 2
+        self.nbx, self.nby = self.w // N, self.h // N
+        self._avail = jnp.asarray(_raster_avail(self.h, self.w))
+        self._e: Dict[int, tuple] = {}     # disp -> (low, intra, scal)
+        self._host: Dict[int, tuple] = {}  # disp -> (intra_np, dc, isum)
+        self._marks: Dict[str, int] = {}   # consumer -> watermark
+
+    def ensure(self, disp: int, y_padded) -> None:
+        if disp in self._e:
+            return
+        low = _lowres_dev(jnp.asarray(y_padded))
+        intra = _intra_costs(low, self._avail, self.nby, self.nbx)
+        self._e[disp] = (low, intra, _lowres_scalars(low, intra))
+
+    def __contains__(self, disp: int) -> bool:
+        return disp in self._e
+
+    def low(self, disp: int):
+        return self._e[disp][0]
+
+    def intra_dev(self, disp: int):
+        return self._e[disp][1]
+
+    def _host_vals(self, disp: int):
+        got = self._host.get(disp)
+        if got is None:
+            low, intra, scal = self._e[disp]
+            intra.copy_to_host_async()
+            scal.copy_to_host_async()
+            got = (np.asarray(intra), *map(float, np.asarray(scal)))
+            self._host[disp] = got
+        return got
+
+    def intra_host(self, disp: int) -> np.ndarray:
+        return self._host_vals(disp)[0]
+
+    def dc(self, disp: int) -> float:
+        return self._host_vals(disp)[1]
+
+    def intra_sum(self, disp: int) -> float:
+        return self._host_vals(disp)[2]
+
+    def release(self, consumer: str, before_disp: int) -> None:
+        """Consumer is done with every entry below before_disp; entries
+        below ALL registered consumers' watermarks are dropped."""
+        self._marks[consumer] = max(self._marks.get(consumer, 0),
+                                    before_disp)
+        cut = min(self._marks.values())
+        for d in [d for d in self._e if d < cut]:
+            del self._e[d]
+            self._host.pop(d, None)
+
+    def register(self, consumer: str) -> None:
+        self._marks.setdefault(consumer, 0)
 
 
 def _raster_avail(h: int, w: int) -> np.ndarray:
@@ -129,14 +216,25 @@ def _inter_costs(low, prev, nby: int, nbx: int, hme: bool = False):
 
 
 class _Entry:
-    __slots__ = ("disp", "low", "intra", "prop", "costs")
+    __slots__ = ("disp", "store", "_intra", "prop", "costs")
 
-    def __init__(self, disp, low, intra):
+    def __init__(self, disp, store, nby, nbx):
         self.disp = disp
-        self.low = low                 # device lowres plane
-        self.intra = intra
-        self.prop = np.zeros_like(intra)
+        self.store = store
+        self._intra = None             # host copy, downloaded lazily
+        self.prop = np.zeros((nby, nbx))
         self.costs = {}                # ref_disp -> (inter, mvx, mvy)
+
+    @property
+    def low(self):                     # device lowres plane
+        return self.store.low(self.disp)
+
+    @property
+    def intra(self) -> np.ndarray:
+        if self._intra is None:
+            self._intra = self.store.intra_host(self.disp).astype(
+                np.float64)
+        return self._intra
 
 
 class CuTreeLookahead:
@@ -156,22 +254,24 @@ class CuTreeLookahead:
 
     def __init__(self, pad_w: int, pad_h: int, ctu_size: int,
                  qcomp: float = 0.6, bframes: int = 0,
-                 hme: bool = False) -> None:
+                 hme: bool = False,
+                 store: Optional[LowresStore] = None) -> None:
         self.hme = bool(hme)
-        self.w, self.h = pad_w // 2, pad_h // 2
-        self.nbx, self.nby = self.w // N, self.h // N
+        self.store = store if store is not None \
+            else LowresStore(pad_w, pad_h)
+        self.store.register("cutree")
+        self.w, self.h = self.store.w, self.store.h
+        self.nbx, self.nby = self.store.nbx, self.store.nby
         self.bpc = max(1, ctu_size // (2 * N))   # lowres blocks per CTU
         self.strength = 5.0 * (1.0 - qcomp)      # reference cuTreeStrength
         self.g = max(1, bframes + 1)             # anchor cadence
-        self._avail = jnp.asarray(_raster_avail(self.h, self.w))
         self._next_disp = 0
         self.entries: Deque[_Entry] = deque()
 
     def push(self, y_padded: np.ndarray) -> None:
-        low = jnp.asarray(lowres_plane(y_padded))
-        intra = np.asarray(_intra_costs(low, self._avail, self.nby,
-                                        self.nbx), dtype=np.float64)
-        self.entries.append(_Entry(self._next_disp, low, intra))
+        self.store.ensure(self._next_disp, y_padded)
+        self.entries.append(_Entry(self._next_disp, self.store,
+                                   self.nby, self.nbx))
         self._next_disp += 1
 
     def __len__(self) -> int:
@@ -183,6 +283,8 @@ class CuTreeLookahead:
         if got is None:
             c, fx, fy = _inter_costs(e.low, ref.low, self.nby,
                                      self.nbx, self.hme)
+            for a in (c, fx, fy):      # one round trip, not three
+                a.copy_to_host_async()
             got = (np.asarray(c, dtype=np.float64),
                    np.asarray(fx, np.int32), np.asarray(fy, np.int32))
             e.costs[ref.disp] = got
@@ -283,6 +385,7 @@ class CuTreeLookahead:
                                  ratio(nxt) if nxt is not None
                                  else None) if p is not None]
             r = sum(parts) / len(parts) if parts else ratio(e)
+        self.store.release("cutree", e.disp + 1)
         off16 = -self.strength * np.log2(r)
         bpc = self.bpc
         ncy = -(-self.nby // bpc)

@@ -28,19 +28,10 @@ import jax.numpy as jnp
 from ..ops.cost import satd_batch
 from ..ops.interp import mc_batch
 from ..ops.me import full_search_batch, subpel_refine_batch
-from .intra_mode import _mode_costs
-from .lookahead import lowres_plane, _raster_avail, hme_seeds, \
+from .lookahead import LowresStore, hme_seeds, \
     LOG2N, N, LOOKAHEAD_LAMBDA_X256, SEARCH_RANGE
 
 MAX_TRIPLES = 16          # lattice dispatch lane count (padded)
-
-
-@partial(jax.jit, static_argnums=(1, 2))
-def _intra_frame_cost(low, nby: int, nbx: int, avail=None):
-    bys, bxs = jnp.mgrid[0:nby, 0:nbx]
-    costs = _mode_costs(low, avail, bxs.ravel().astype(jnp.int32),
-                        bys.ravel().astype(jnp.int32), LOG2N, 8)
-    return jnp.min(costs, axis=1).reshape(nby, nbx)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 7))
@@ -112,28 +103,31 @@ class SlicetypeLookahead:
     def __init__(self, pad_w: int, pad_h: int, bframes: int,
                  b_adapt: int = 1, scenecut_bias: float = 0.05,
                  scenecut_threshold: int = 40,
-                 b_frame_bias: int = 0, hme: bool = False) -> None:
+                 b_frame_bias: int = 0, hme: bool = False,
+                 store: Optional[LowresStore] = None) -> None:
         self.hme = bool(hme)
-        self.w, self.h = pad_w // 2, pad_h // 2
-        self.nbx, self.nby = self.w // N, self.h // N
+        self.store = store if store is not None \
+            else LowresStore(pad_w, pad_h)
+        self.store.register("slicetype")
+        self.w, self.h = self.store.w, self.store.h
+        self.nbx, self.nby = self.store.nbx, self.store.nby
         self.bframes = bframes
         self.b_adapt = b_adapt
         self.b_frame_bias = b_frame_bias
         self.bias = scenecut_bias
         self.thresh = scenecut_threshold / 100.0
-        self._avail = jnp.asarray(_raster_avail(self.h, self.w))
-        self._low: Dict[int, jnp.ndarray] = {}
-        self._intra: Dict[int, np.ndarray] = {}
+        self._have: set = set()        # display indices pushed (window)
         self._cost: Dict[Tuple[int, int, int], float] = {}
-        self._dc: Dict[int, float] = {}
 
     def push(self, disp: int, y_padded: np.ndarray) -> None:
-        low = jnp.asarray(lowres_plane(y_padded))
-        self._low[disp] = low
-        self._intra[disp] = np.asarray(
-            _intra_frame_cost(low, self.nby, self.nbx, self._avail),
-            dtype=np.int32)
-        self._dc[disp] = float(jnp.mean(low))
+        """Register a frame.  Nothing here blocks on the device: the
+        lowres decimation + intra sweep are dispatched asynchronously
+        and the host scalars download lazily on first use."""
+        self.store.ensure(disp, y_padded)
+        self._have.add(disp)
+
+    def has(self, disp: int) -> bool:
+        return disp in self._have
 
     def fade_state(self, disp: int) -> int:
         """+1 fade-in / -1 fade-out / 0 none, from the lowres luma DC
@@ -143,10 +137,10 @@ class SlicetypeLookahead:
         scenecut must hold fire until the ramp ends (and weightP picks
         up the luminance shift)."""
         ds = [d for d in (disp - 3, disp - 2, disp - 1, disp)
-              if d in self._dc]
+              if d in self._have]
         if len(ds) < 3:
             return 0
-        means = [self._dc[d] for d in ds]
+        means = [self.store.dc(d) for d in ds]
         deltas = [b - a for a, b in zip(means, means[1:])]
         if all(d > 0.7 for d in deltas) and means[-1] - means[0] > 3.5:
             return 1
@@ -155,27 +149,21 @@ class SlicetypeLookahead:
         return 0
 
     def drop_before(self, disp: int) -> None:
-        for d in [d for d in self._low if d < disp]:
-            del self._low[d]
-            del self._intra[d]
-            self._dc.pop(d, None)
+        self._have = {d for d in self._have if d >= disp}
         self._cost = {k: v for k, v in self._cost.items()
                       if min(k) >= disp}
+        self.store.release("slicetype", disp)
 
     def intra_cost(self, disp: int) -> float:
-        return float(self._intra[disp].sum())
+        return self.store.intra_sum(disp)
 
     def _eval_triples(self, triples: List[Tuple[int, int, int]]) -> None:
         """Batch-evaluate uncached (b, p0, p1) triples (display idx)."""
         todo = [t for t in dict.fromkeys(triples) if t not in self._cost
-                and t[0] in self._low and t[1] in self._low
-                and t[2] in self._low]
+                and t[0] in self._have and t[1] in self._have
+                and t[2] in self._have]
         if not todo:
             return
-        keys = sorted(self._low)
-        kidx = {d: i for i, d in enumerate(keys)}
-        stack = jnp.stack([self._low[d] for d in keys])
-        intra = jnp.stack([jnp.asarray(self._intra[d]) for d in keys])
         for base in range(0, len(todo), MAX_TRIPLES):
             chunk = todo[base:base + MAX_TRIPLES]
             # power-of-two lane buckets: the rate-control path asks for
@@ -183,6 +171,17 @@ class SlicetypeLookahead:
             # would compute 16 lattice lanes for it (10+ s/frame at
             # 1080p); distinct bucket sizes compile once each
             lanes = 1 << max(0, (len(chunk) - 1).bit_length())
+            # the plane stack holds only the frames THIS chunk touches,
+            # padded to a pow2 frame count: a stack of the whole
+            # sliding window would recompile the lattice program for
+            # every window length (30-90 s each over the tunnel) and
+            # copy the full window per dispatch
+            keys = sorted({d for tr in chunk for d in tr})
+            nf = 1 << max(0, (len(keys) - 1).bit_length())
+            keys = keys + [keys[0]] * (nf - len(keys))
+            kidx = {d: i for i, d in enumerate(keys)}
+            stack = jnp.stack([self.store.low(d) for d in keys])
+            intra = jnp.stack([self.store.intra_dev(d) for d in keys])
             t = np.zeros((lanes, 3), np.int32)
             is_b = np.zeros(lanes, bool)
             valid = np.zeros(lanes, bool)
@@ -210,8 +209,10 @@ class SlicetypeLookahead:
         key = (b, p0, p1)
         if key not in self._cost:
             self._eval_triples([key])
-        return self._cost.get(key, float(self._intra.get(
-            b, np.zeros(1)).sum()))
+        got = self._cost.get(key)
+        if got is None:
+            got = self.store.intra_sum(b) if b in self._have else 0.0
+        return got
 
     def gop_cost(self, p0: int, frames: List[int]) -> float:
         """Cost of a mini-GOP: frames[:-1] are B (refs p0/frames[-1]),
@@ -269,7 +270,7 @@ class SlicetypeLookahead:
         P cost is no better than (1 - bias) of the intra cost, the bias
         ramping from threshMin/4 near the last keyframe up to threshMax
         as the frame approaches keyint-max."""
-        if b not in self._low or p0 not in self._low:
+        if b not in self._have or p0 not in self._have:
             return False
         icost = self.intra_cost(b)
         if icost <= 0:

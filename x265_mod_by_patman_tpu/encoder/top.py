@@ -147,7 +147,8 @@ class Encoder:
                 self.p.pic_height_in_ctus * self.p.ctu_size,
                 self.p.ctu_size, self.p.qcomp,
                 bframes=self.p.bframes if self.p.keyframe_max > 1
-                else 0, hme=self.p.hme)
+                else 0, hme=self.p.hme,
+                store=self._lowres_store())
             if getattr(self.p, "cutree_share_write", ""):
                 from ..analysis.cutree_share import CuTreeShareWriter
                 self._ctshare_w = CuTreeShareWriter(
@@ -525,14 +526,14 @@ class Encoder:
                 planes[0].shape[1], planes[0].shape[0], self.bframes,
                 p.b_adapt, p.scenecut_bias / 100.0, p.scenecut_threshold,
                 b_frame_bias=getattr(p, "b_frame_bias", 0),
-                hme=p.hme)
+                hme=p.hme, store=self._lowres_store())
         if st is not None:
             st.push(self.frame_count, planes[0])
             # ingest-time complexity = lowres lattice P-cost vs the
             # previous display frame (refined to the decided refs in
             # _emit_minigop); first frame = lowres intra cost
             d = self.frame_count
-            if d > 0 and (d - 1) in st._low:
+            if d > 0 and st.has(d - 1):
                 cplx = st.frame_cost(d, d - 1, d)
             else:
                 cplx = st.intra_cost(d)
@@ -1607,6 +1608,18 @@ class Encoder:
                 else:
                     rp[..., 1] = tab1[0]
         return ColMotion(poc, d, mv, rp)
+
+    def _lowres_store(self):
+        """The ONE lowres store shared by the slicetype lookahead and
+        cuTree (the reference computes each frame's lowres pyramid once
+        in Lowres::init, common/lowres.cpp:88 — ours additionally keeps
+        it device-resident)."""
+        if getattr(self, "_lowres", None) is None:
+            from ..analysis.lookahead import LowresStore
+            # coded (min-CU-aligned) size == the _pad()ded plane shape
+            # every consumer pushes
+            self._lowres = LowresStore(self.sps.width, self.sps.height)
+        return self._lowres
 
     def _publish_est(self, slice_type: int, states) -> None:
         """Publish end-of-slice CABAC states for the adaptive rate
