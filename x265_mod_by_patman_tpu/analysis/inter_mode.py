@@ -203,13 +203,11 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     wc = jnp.asarray([[cw[0][0], cw[0][1], cw[1][0], cw[1][1]]
                       if cw else [64, 0, 64, 0]
                       for cw in chroma_weights], jnp.int32)
-    oy = jnp.asarray(np.asarray(y, np.int32))
-    rys = jnp.stack([jnp.asarray(np.asarray(r[0], np.int32))
-                     for r in refs])
-    rus = jnp.stack([jnp.asarray(np.asarray(r[1], np.int32))
-                     for r in refs])
-    rvs = jnp.stack([jnp.asarray(np.asarray(r[2], np.int32))
-                     for r in refs])
+    from ..frame.planes import dev_i32
+    oy = dev_i32(y)
+    rys = jnp.stack([dev_i32(r[0]) for r in refs])
+    rus = jnp.stack([dev_i32(r[1]) for r in refs])
+    rvs = jnp.stack([dev_i32(r[2]) for r in refs])
     avail = frame_avail_masks(sps.width, sps.height, block,
                               sps.log2_ctu_size, 0)
     lam, _ = lambda_qp(qp)
@@ -1086,7 +1084,8 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
     lam256 = int(round(lam * 256)) << (bd - 8)
     avail = frame_avail_masks(sps.width, sps.height, block,
                               sps.log2_ctu_size, 0)
-    oy = jnp.asarray(np.asarray(y, np.int32))
+    from ..frame.planes import dev_i32
+    oy = dev_i32(y)
     if weights_b is None:
         weights_b = (None, None)
     idc = getattr(sps, "chroma_format_idc", 1)
@@ -1141,8 +1140,7 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
         td_ = (v0.astype(np.int32) | (v1.astype(np.int32) << 1))
         tmvp = tuple(jnp.asarray(a.ravel()) for a in
                      (td_, m0x_, m0y_, m1x_, m1y_))
-    st = lambda rl, i: jnp.stack(
-        [jnp.asarray(np.asarray(r[i], np.int32)) for r in rl])
+    st = lambda rl, i: jnp.stack([dev_i32(r[i]) for r in rl])
     out = _b_core(oy,
                   st(refs0, 0), st(refs0, 1), st(refs0, 2),
                   st(refs1, 0), st(refs1, 1), st(refs1, 2),

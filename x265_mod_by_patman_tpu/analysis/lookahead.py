@@ -89,7 +89,8 @@ class LowresStore:
     def ensure(self, disp: int, y_padded) -> None:
         if disp in self._e:
             return
-        low = _lowres_dev(jnp.asarray(y_padded))
+        from ..frame.planes import dev_i32
+        low = _lowres_dev(dev_i32(y_padded))
         intra = _intra_costs(low, self._avail, self.nby, self.nbx)
         self._e[disp] = (low, intra, _lowres_scalars(low, intra))
 

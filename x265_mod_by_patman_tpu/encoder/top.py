@@ -358,20 +358,22 @@ class Encoder:
         h, w = y.shape
         ncy = -(-h // ctu)
         ncx = -(-w // ctu)
-        var = np.zeros((ncy, ncx))
-        mean = np.zeros((ncy, ncx))
-        edge = np.zeros((ncy, ncx))
-        yv = y.astype(np.int64)
+        yv = np.asarray(y, np.int64)
         gx = np.abs(np.diff(yv, axis=1, prepend=yv[:, :1]))
         gy = np.abs(np.diff(yv, axis=0, prepend=yv[:1]))
         g = gx + gy
-        for cy in range(ncy):
-            for cx in range(ncx):
-                t = yv[cy * ctu:(cy + 1) * ctu, cx * ctu:(cx + 1) * ctu]
-                var[cy, cx] = t.var()
-                mean[cy, cx] = t.mean()
-                edge[cy, cx] = g[cy * ctu:(cy + 1) * ctu,
-                                 cx * ctu:(cx + 1) * ctu].mean()
+
+        def tiles(a):
+            """(ncy, ncx, ctu*ctu) edge-padded CTU tiles (ragged edge
+            tiles keep their true pixel population via NaN masking)."""
+            pad = np.full((ncy * ctu, ncx * ctu), np.nan)
+            pad[:h, :w] = a
+            return pad.reshape(ncy, ctu, ncx, ctu) \
+                      .transpose(0, 2, 1, 3).reshape(ncy, ncx, -1)
+        ty = tiles(yv)
+        mean = np.nanmean(ty, axis=-1)
+        var = np.nanvar(ty, axis=-1)
+        edge = np.nanmean(tiles(g), axis=-1)
         lv = np.log2(var + 1.0)
         if mode == 1:
             off = self.p.aq_strength * (lv - lv.mean())
@@ -401,29 +403,42 @@ class Encoder:
         ncy, ncx = qp_map.shape
         bpc = self.recon.bpc
         nby, nbx = self.recon.nby, self.recon.nbx
+        nz = self._block_nz(r)
+        pad = np.zeros((ncy * bpc, ncx * bpc), bool)
+        pad[:nz.shape[0], :nz.shape[1]] = nz[:ncy * bpc, :ncx * bpc]
+        has = pad.reshape(ncy, bpc, ncx, bpc).any(axis=(1, 3))
         derived = np.zeros_like(qp_map)
         slice_qp = int(slice_qp)
         qp_prev = slice_qp
+        cols = np.arange(ncx)
         for cy in range(ncy):
             if self.pps.entropy_coding_sync:
                 qp_prev = slice_qp
-            for cx in range(ncx):
-                has = False
-                for zy in range(bpc):
-                    for zx in range(bpc):
-                        bx, by = cx * bpc + zx, cy * bpc + zy
-                        if bx >= nbx or by >= nby:
-                            continue
-                        if (np.any(r["lev_y"][by, bx]) or
-                                np.any(r["lev_u"][by, bx]) or
-                                np.any(r["lev_v"][by, bx])):
-                            has = True
-                if has:
-                    derived[cy, cx] = qp_map[cy, cx]
-                    qp_prev = int(qp_map[cy, cx])
-                else:
-                    derived[cy, cx] = qp_prev
+            # last signaled CTU at-or-before each column this row
+            idx = np.maximum.accumulate(np.where(has[cy], cols, -1))
+            derived[cy] = np.where(
+                idx >= 0, qp_map[cy][np.clip(idx, 0, None)], qp_prev)
+            if idx[-1] >= 0:
+                qp_prev = int(qp_map[cy, idx[-1]])
         return derived
+
+    def _block_nz(self, r: dict) -> np.ndarray:
+        """(nby, nbx) bool: block has any coded luma or chroma level
+        (from the device-computed nz maps when present)."""
+        nzs = []
+        for plane, key in (("lev_y", "nz_y"), ("lev_u", "nz_u"),
+                           ("lev_v", "nz_v")):
+            nz = r.get(key)
+            if nz is None:
+                lv = np.asarray(r[plane])
+                nz = (lv.reshape(lv.shape[0], lv.shape[1], -1)
+                      != 0).any(-1)
+            if nzs and nz.shape != nzs[0].shape:
+                # 4:2:2 row-doubled chroma block grid
+                nz = nz[:2 * nzs[0].shape[0]].reshape(
+                    nzs[0].shape[0], 2, -1).any(1)
+            nzs.append(nz)
+        return nzs[0] | nzs[1] | nzs[2]
 
     # -- headers -------------------------------------------------------------
     def headers(self) -> bytes:
@@ -499,7 +514,8 @@ class Encoder:
         if self._cutree is None:
             return self._ingest(y, u, v)
         self._la_buf.append((y, u, v))
-        self._cutree.push(self._pad(y, 0))
+        with trace.scope("cutree_push"):
+            self._cutree.push(self._pad(y, 0))
         out: List[EncodedFrame] = []
         while len(self._la_buf) > self.p.rc_lookahead:
             fy, fu, fv = self._la_buf.popleft()
@@ -507,7 +523,8 @@ class Encoder:
         return out
 
     def _cutree_pop(self):
-        off = self._cutree.pop()
+        with trace.scope("cutree_pop"):
+            off = self._cutree.pop()
         if self._ctshare_w is not None:
             # keyed by the display index the popped frame will take
             self._ctshare_w.publish(self.frame_count, off)
@@ -518,7 +535,12 @@ class Encoder:
     def _ingest(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                 qp_off=None) -> List[EncodedFrame]:
         p = self.p
-        planes = (self._pad(y, 0), self._pad(u, self.cshift), self._pad(v, self.cshift))
+        from ..frame.planes import as_devplane
+        # DevPlane sources: analysis, wavefront and SAO stats all read
+        # the same device copy (one upload instead of three)
+        planes = (as_devplane(self._pad(y, 0)),
+                  as_devplane(self._pad(u, self.cshift)),
+                  as_devplane(self._pad(v, self.cshift)))
         st = self._slicetype
         if st is None and self._la_rc:
             from ..analysis.slicetype import SlicetypeLookahead
@@ -528,15 +550,17 @@ class Encoder:
                 b_frame_bias=getattr(p, "b_frame_bias", 0),
                 hme=p.hme, store=self._lowres_store())
         if st is not None:
-            st.push(self.frame_count, planes[0])
+            with trace.scope("slicetype_push"):
+                st.push(self.frame_count, planes[0])
             # ingest-time complexity = lowres lattice P-cost vs the
             # previous display frame (refined to the decided refs in
             # _emit_minigop); first frame = lowres intra cost
             d = self.frame_count
-            if d > 0 and st.has(d - 1):
-                cplx = st.frame_cost(d, d - 1, d)
-            else:
-                cplx = st.intra_cost(d)
+            with trace.scope("la_ingest_cost"):
+                if d > 0 and st.has(d - 1):
+                    cplx = st.frame_cost(d, d - 1, d)
+                else:
+                    cplx = st.intra_cost(d)
         else:
             cplx = frame_complexity(planes[0], self._prev_src_y)
         self._prev_src_y = planes[0]
@@ -984,6 +1008,8 @@ class Encoder:
             if self.p.b_pyramid and len(frames) - 1 >= 3:
                 mid = (len(frames) - 1) // 2
             mid_disp = self._idr_base + frames[mid][1]
+            t_la = trace.scope("la_rc_refine")
+            t_la.__enter__()
             ref = []
             for i, (pl, pc, cx, qo) in enumerate(frames):
                 d = self._idr_base + pc
@@ -996,6 +1022,7 @@ class Encoder:
                 else:
                     cx = st.frame_cost(d, mid_disp, anchor_disp)
                 ref.append((pl, pc, cx, qo))
+            t_la.__exit__(None, None, None)
             frames = ref
         self._last_anchor_disp = anchor_disp
         if st is not None:
@@ -1115,7 +1142,8 @@ class Encoder:
             if self.rc.vbv_buffer > 0 else None
         qp = self.rc.frame_qp(rc_type, complexity, upcoming)
         qp = self._zone_qp(self._idr_base + poc, qp)
-        qp_map = self._aq_map(y, qp)          # scalar when AQ off
+        with trace.scope("aq_map"):
+            qp_map = self._aq_map(y, qp)      # scalar when AQ off
         if qp_off is not None and np.any(qp_off != 0):
             if self.p.rc_mode == "crf":
                 # CRF budgets the cuTree pull-down at the mbtree
@@ -1189,12 +1217,12 @@ class Encoder:
                 recon_fn = lambda qpm: recon.run_tree(
                     y, u, v, modes, split32, mode32, qp=qpm,
                     split_map=split_map, modes8=modes8,
-                    cand=intra_cand)
+                    cand=intra_cand, materialize=not p.deblock)
             else:
                 recon_fn = lambda qpm: recon.run(
                     y, u, v, modes, qp=qpm, split_map=split_map,
                     modes8=modes8, tu4_map=tu4_map, cand=intra_cand,
-                    nr=self._nr_offsets())
+                    nr=self._nr_offsets(), materialize=not p.deblock)
             inter_mask = np.zeros(modes.shape, bool)
             mvs = np.zeros(modes.shape + (2,), np.int32)
             ref_pocs = ((), ())
@@ -1204,6 +1232,8 @@ class Encoder:
             if p.weightp:
                 from ..analysis.weightp import (analyse_weightp,
                                                 analyse_weightp_chroma)
+                t_wp = trace.scope("weightp")
+                t_wp.__enter__()
                 cand = [analyse_weightp(y, rf[0]) for rf in refs]
                 wp_l0 = cand if any(c is not None for c in cand) else None
                 # chroma weights only on refs that carry luma weights
@@ -1218,6 +1248,7 @@ class Encoder:
                         for i, rf in enumerate(refs)]
                     if not any(c is not None for c in wp_chroma):
                         wp_chroma = None
+                t_wp.__exit__(None, None, None)
             if rec_a is not None:
                 from ..analysis.reuse import mc_for_p
                 modes = rec_a["modes"]
@@ -1342,6 +1373,7 @@ class Encoder:
         def run_pipeline(qpm):
             with trace.scope("wavefront", type=ftype):
                 r = recon_fn(qpm)
+                self._post_wavefront(r)
             # in-wavefront RD mode selection: syntax codes the winners
             ms = r.get("modes_sel", modes)
             dqp_map = self._derived_qp_map(qpm, r, qp)
@@ -1349,6 +1381,9 @@ class Encoder:
                 self._deblock(r, inter_mask, mvs, mvs1, dirs, ref_pocs,
                               dqp_map, recon, ref_sel, split_map,
                               split32, rect_info, ref_sel1=ref_sel1)
+                # the big level transfer rides behind the deblock
+                # dispatch (device filters while the link drains)
+                self._force_levels(r)
                 sao_maps = self._sao(r, y, u, v, qp) if p.sao else None
             with trace.scope("entropy", type=ftype):
                 rbsp = self._encode_slice(ms, inter_mask, mvs, mvs1,
@@ -1360,6 +1395,8 @@ class Encoder:
                                           wp_chroma, wp_b_l1, tu4_map,
                                           nal_override=nal_unit,
                                           ref_sel1=ref_sel1)
+            with trace.scope("recon_fetch", type=ftype):
+                self._finalize_recon(r)
             return r, sao_maps, rbsp
 
         r, sao_maps, slice_rbsp = run_pipeline(qp_map)
@@ -1399,8 +1436,9 @@ class Encoder:
                 dirs=dirs, mvs1=mvs1,
                 split_map=split_map, modes8=modes8, split32=split32,
                 mode32=mode32)
-        md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
-                        bit_depth=self.sps.bit_depth)
+        with trace.scope("md5"):
+            md5 = plane_md5(r["recon_y"], r["recon_u"], r["recon_v"],
+                            bit_depth=self.sps.bit_depth)
 
         out = b""
         if self._dhdr10:
@@ -1609,6 +1647,65 @@ class Encoder:
                     rp[..., 1] = tab1[0]
         return ColMotion(poc, d, mv, rp)
 
+    def _post_wavefront(self, r: dict) -> None:
+        """Start the wavefront result downloads without blocking on the
+        planes: levels pack to int16 on device (half the bytes over the
+        tunnel) and copy asynchronously; the tiny per-block nonzero maps
+        (which the deblock BS derivation and the derived-QP chain need
+        first) are forced here.  Recon planes stay on device for the
+        loop filters."""
+        import jax as _jax
+        if not isinstance(r.get("lev_y"), _jax.Array):
+            return                     # already materialized (host path)
+        from ..frame.planes import pack_levels
+        l16_y, l16_u, l16_v, nzy, nzu, nzv = pack_levels(
+            r["lev_y"], r["lev_u"], r["lev_v"])
+        small = [nzy, nzu, nzv]
+        if "modes_sel" in r:
+            small.append(r["modes_sel"])
+        if "nr_stats" in r:
+            small.extend(r["nr_stats"])
+        for a in (l16_y, l16_u, l16_v, *small):
+            a.copy_to_host_async()
+        r["_lev_pend"] = (l16_y, l16_u, l16_v)
+        r["nz_y"] = np.asarray(nzy)
+        r["nz_u"] = np.asarray(nzu)
+        r["nz_v"] = np.asarray(nzv)
+        if "modes_sel" in r:
+            r["modes_sel"] = np.asarray(r["modes_sel"])
+        if "nr_stats" in r:
+            r["nr_stats"] = tuple(np.asarray(a) for a in r["nr_stats"])
+
+    def _force_levels(self, r: dict) -> None:
+        """Materialize the level arrays (int16 host) started by
+        _post_wavefront — called after the loop-filter programs are
+        dispatched so the transfer overlaps device filtering."""
+        pend = r.pop("_lev_pend", None)
+        if pend is None:
+            return
+        r["lev_y"], r["lev_u"], r["lev_v"] = (np.asarray(a)
+                                              for a in pend)
+
+    def _finalize_recon(self, r: dict) -> None:
+        """Bring the final (post-loop-filter) recon to the host in ONE
+        packed transfer at the pixel width, keeping the device int32
+        planes attached for the DPB (next frames' analysis + MC read
+        them without a re-upload)."""
+        import jax as _jax
+        dy = r.get("recon_y")
+        if not isinstance(dy, _jax.Array):
+            return
+        from ..frame.planes import attach_dev, pack_recon
+        du, dv = r["recon_u"], r["recon_v"]
+        flat = pack_recon(dy, du, dv, self.sps.bit_depth)
+        flat.copy_to_host_async()
+        host = np.asarray(flat)
+        o1 = dy.shape[0] * dy.shape[1]
+        o2 = o1 + du.shape[0] * du.shape[1]
+        r["recon_y"] = attach_dev(host[:o1].reshape(dy.shape), dy)
+        r["recon_u"] = attach_dev(host[o1:o2].reshape(du.shape), du)
+        r["recon_v"] = attach_dev(host[o2:].reshape(dv.shape), dv)
+
     def _lowres_store(self):
         """The ONE lowres store shared by the slicetype lookahead and
         cuTree (the reference computes each frame's lowres pyramid once
@@ -1693,14 +1790,6 @@ class Encoder:
                               nr=self._nr_offsets(), ebits=ebits,
                               materialize=not dev_ok)
                 r["inter32"] = i32
-            if dev_ok:
-                for k in ("lev_y", "lev_u", "lev_v"):
-                    r[k] = np.asarray(r[k])
-                if "modes_sel" in r:
-                    r["modes_sel"] = np.asarray(r["modes_sel"])
-                if "nr_stats" in r:
-                    r["nr_stats"] = tuple(np.asarray(a)
-                                          for a in r["nr_stats"])
             return r
         return fn
 
@@ -1713,8 +1802,12 @@ class Encoder:
         w, h = self.sps.width, self.sps.height
         if inter_mask is not None and inter_mask.any():
             nbx, nby = recon.nbx, recon.nby
-            cbf = np.array([[bool(np.any(r["lev_y"][by, bx]))
-                             for bx in range(nbx)] for by in range(nby)])
+            cbf = r.get("nz_y")
+            if cbf is None:
+                lv = np.asarray(r["lev_y"])
+                cbf = (lv.reshape(lv.shape[0], lv.shape[1], -1)
+                       != 0).any(-1)
+            cbf = np.asarray(cbf[:nby, :nbx]).copy()
             tu32_use = None
             i32 = r.get("inter32")
             if i32 is not None:
@@ -1774,10 +1867,12 @@ class Encoder:
         csp = p.internal_csp
         on_v, on_h = chroma_on_maps(bs_v, bs_h, h >> self.cshift_y,
                                     w >> self.cshift, csp=csp)
+        from ..frame.planes import dev_i32
+        import jax as _jax
+        keep_dev = isinstance(r["recon_y"], _jax.Array)
         dy, du, dv = deblock_frame_batch(
-            jnp.asarray(r["recon_y"].astype(np.int32)),
-            jnp.asarray(r["recon_u"].astype(np.int32)),
-            jnp.asarray(r["recon_v"].astype(np.int32)),
+            dev_i32(r["recon_y"]), dev_i32(r["recon_u"]),
+            dev_i32(r["recon_v"]),
             jnp.asarray(bs_v), jnp.asarray(bs_h),
             jnp.asarray(on_v), jnp.asarray(on_h),
             jnp.asarray(qp, jnp.int32),
@@ -1787,9 +1882,13 @@ class Encoder:
             else chroma_qp(qp, p.cr_qp_offset, csp),
             p.deblock_beta_offset, p.deblock_tc_offset,
             self.sps.bit_depth, csp, self.sps.log2_ctu_size)
-        r["recon_y"] = np.asarray(dy).astype(self.pix_dtype)
-        r["recon_u"] = np.asarray(du).astype(self.pix_dtype)
-        r["recon_v"] = np.asarray(dv).astype(self.pix_dtype)
+        if keep_dev:
+            # stay on device: SAO (or the packed recon fetch) is next
+            r["recon_y"], r["recon_u"], r["recon_v"] = dy, du, dv
+        else:
+            r["recon_y"] = np.asarray(dy).astype(self.pix_dtype)
+            r["recon_u"] = np.asarray(du).astype(self.pix_dtype)
+            r["recon_v"] = np.asarray(dv).astype(self.pix_dtype)
 
     def _sao(self, r: dict, oy, ou, ov, qp: int):
         """SAO decide + apply on the deblocked recon (stats/apply batched;
@@ -1799,38 +1898,46 @@ class Encoder:
         from ..ops.sao import (sao_stats_batch, sao_decide,
                                sao_decide_chroma, sao_apply_batch,
                                sao_merge_pass)
+        from ..frame.planes import dev_i32
+        import jax as _jax
         sps = self.sps
         ctu = 1 << sps.log2_ctu_size
         cctu = ctu >> self.cshift if not self.is422 \
             else (ctu, ctu >> 1)      # 4:2:2: rectangular chroma tiles
         lam2 = lambda_qp(qp)[1]
+        keep_dev = isinstance(r["recon_y"], _jax.Array)
 
         def padded(pl, tile):
             th, tw = (tile, tile) if isinstance(tile, int) else tile
-            h, w = pl.shape
+            d = dev_i32(pl)
+            h, w = d.shape
             ph = -(-h // th) * th
             pw = -(-w // tw) * tw
             if (ph, pw) == (h, w):
-                return jnp.asarray(pl.astype(np.int32))
-            out = np.zeros((ph, pw), np.int32)
-            out[:h, :w] = pl
-            return jnp.asarray(out)
+                return d
+            return jnp.pad(d, ((0, ph - h), (0, pw - w)))
 
         h, w = sps.height, sps.width
         hc = h >> self.cshift_y
         wc = w >> self.cshift
         bd = sps.bit_depth
-        st_y = sao_stats_batch(padded(np.asarray(oy), ctu),
+        st_y = sao_stats_batch(padded(oy, ctu),
                                padded(r["recon_y"], ctu), ctu, h, w, bd)
         *maps_y, cost_y = sao_decide(*st_y, lam2, bd)
-        st_cb = sao_stats_batch(padded(np.asarray(ou), cctu),
+        st_cb = sao_stats_batch(padded(ou, cctu),
                                 padded(r["recon_u"], cctu), cctu, hc, wc,
                                 bd)
-        st_cr = sao_stats_batch(padded(np.asarray(ov), cctu),
+        st_cr = sao_stats_batch(padded(ov, cctu),
                                 padded(r["recon_v"], cctu), cctu, hc, wc,
                                 bd)
         maps_cb, maps_cr, cost_c = sao_decide_chroma(st_cb, st_cr, lam2,
                                                      bd)
+        # one round trip for every small decide/stats array
+        for grp in (maps_y, maps_cb, maps_cr, st_y, st_cb, st_cr,
+                    (cost_y, cost_c)):
+            for a in grp:
+                if isinstance(a, _jax.Array):
+                    a.copy_to_host_async()
         maps_y = [np.asarray(m) for m in maps_y]
         maps_cb = [np.asarray(m) for m in maps_cb]
         maps_cr = [np.asarray(m) for m in maps_cr]
@@ -1838,7 +1945,8 @@ class Encoder:
         stats3 = tuple(tuple(np.asarray(a) for a in st)
                        for st in (st_y, st_cb, st_cr))
         merge_map = sao_merge_pass(
-            stats3, (maps_y, maps_cb, maps_cr), cost_y + cost_c, lam2,
+            stats3, (maps_y, maps_cb, maps_cr),
+            np.asarray(cost_y) + np.asarray(cost_c), lam2,
             slice_top_rows=tuple(r0 for (r0, _r1) in self._slice_bands
                                  if r0 > 0))
         for key, maps, tile, ph, pw in (("recon_y", maps_y, ctu, h, w),
@@ -1849,7 +1957,10 @@ class Encoder:
                                   jnp.asarray(maps[1]),
                                   jnp.asarray(maps[2]),
                                   jnp.asarray(maps[3]), tile, ph, pw, bd)
-            r[key] = np.asarray(out)[:ph, :pw].astype(self.pix_dtype)
+            if keep_dev:
+                r[key] = out[:ph, :pw]
+            else:
+                r[key] = np.asarray(out)[:ph, :pw].astype(self.pix_dtype)
         return maps_y, maps_cb, maps_cr, merge_map
 
     def _pad(self, plane: np.ndarray, comp_shift: int) -> np.ndarray:

@@ -1136,9 +1136,10 @@ class IntraReconstructor:
         lev_y = jnp.zeros((self.nby + 1, self.nbx, nl, nl), jnp.int32)
         lev_u = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
         lev_v = jnp.zeros((self.nby + 1, self.nbx, nc, nc), jnp.int32)
-        oy = jnp.asarray(np.asarray(y, dtype=np.int32))
-        ou = jnp.asarray(np.asarray(u, dtype=np.int32))
-        ov = jnp.asarray(np.asarray(v, dtype=np.int32))
+        from .planes import dev_i32
+        oy = dev_i32(y)
+        ou = dev_i32(u)
+        ov = dev_i32(v)
         sm = m8j = None
         if split_map is not None:
             sm = jnp.concatenate(
@@ -1193,9 +1194,10 @@ class IntraReconstructor:
         lev_y = jnp.zeros((self.nby + 1, self.nbx, nl, nl), jnp.int32)
         lev_u = jnp.zeros((nbc + cdump, self.nbx, nc, nc), jnp.int32)
         lev_v = jnp.zeros((nbc + cdump, self.nbx, nc, nc), jnp.int32)
-        oy = jnp.asarray(np.asarray(y, dtype=np.int32))
-        ou = jnp.asarray(np.asarray(u, dtype=np.int32))
-        ov = jnp.asarray(np.asarray(v, dtype=np.int32))
+        from .planes import dev_i32
+        oy = dev_i32(y)
+        ou = dev_i32(u)
+        ov = dev_i32(v)
         modes_j = jnp.asarray(modes.astype(np.int32))
 
         def padb(a, k=1):                 # add dump block row(s)
