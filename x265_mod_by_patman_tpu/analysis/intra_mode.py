@@ -481,6 +481,42 @@ def decide_tu4_split(y: np.ndarray, sps, qp: int, modes8: np.ndarray,
     return tu4 & split_map[..., None]
 
 
+@functools.partial(jax.jit, static_argnames=("bit_depth",))
+def _nxn_rd_costs(orig, avail16, bx16, by16, modes16,
+                  avail8, bx8, by8, modes8_flat, qp,
+                  bit_depth: int = 8):
+    """Level-units RD of the 2Nx2N TU16 vs the 4x TU8 NxN path per
+    16x16 block (orig-neighbor predictions, the same estimate family as
+    _tu4_costs).  Returns (rd16 (B16,), rd8 (B8,)) — the caller z-sums
+    rd8 per quad and adds the NxN syntax charge."""
+    from ..ops.rdoq import tu_rd_levels
+    from ..ops.transform import dct_batch
+    from ..ops.intra import intra_pred_select_batch
+    h, w = orig.shape
+
+    def tb_rd(bx, by, modes, avail, log2n):
+        n = 1 << log2n
+        x0 = bx * n
+        y0 = by * n
+        ks = np.arange(4 * n + 1)
+        k_x = np.where(ks <= 2 * n, -1, ks - (2 * n + 1))
+        k_y = np.where(ks < 2 * n, 2 * n - 1 - ks, -1)
+        xs = jnp.clip(x0[:, None] + jnp.asarray(k_x)[None, :], 0, w - 1)
+        ys = jnp.clip(y0[:, None] + jnp.asarray(k_y)[None, :], 0, h - 1)
+        s_sub, s_filt = substitute_filter_batch(orig[ys, xs], avail,
+                                                log2n, bit_depth)
+        pred = intra_pred_select_batch(s_sub, s_filt, modes, log2n, 0,
+                                       bit_depth)
+        gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
+        gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
+        resi = orig[gy, gx].astype(jnp.int32) - pred
+        coef = dct_batch(resi, log2n, bit_depth)
+        return tu_rd_levels(coef, qp, log2n, bit_depth)
+
+    return (tb_rd(bx16, by16, modes16, avail16, 4),
+            tb_rd(bx8, by8, modes8_flat, avail8, 3))
+
+
 def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16):
     """Mode decision with the NxN (4x 8x8 PU) candidate per block: the
     batched analog of the reference comparing the 2Nx2N intra cost with
@@ -524,6 +560,35 @@ def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16):
                                 axis=-1)[..., 0] + lam * 4.0
     # NxN extra syntax: part bin + deeper-TU cbf flags ~ 6 bins
     split = sum8 + lam * 6.0 < cost16
+    if split.any():
+        # RD gate (the reference RD-arbitrates partSize via checkIntra,
+        # search.cpp:1577): the SATD sum undercosts four independent
+        # noise-chasing modes on grain — ungated NxN measured +26.9%
+        # BD-rate Y on the park clip (BENCH_NOTES round-4 s3).  Verify
+        # every SATD-proposed split with level-units RD (quant path +
+        # rate model, tu_rd_levels) before letting it code.
+        rd16, rd8f = _nxn_rd_costs(
+            orig, jnp.asarray(frame_avail_masks(
+                w, h, block, sps.log2_ctu_size, 0)
+                .reshape(-1, 4 * block + 1)),
+            jnp.asarray((np.mgrid[0:nby, 0:nbx][1]).ravel()
+                        .astype(np.int32)),
+            jnp.asarray((np.mgrid[0:nby, 0:nbx][0]).ravel()
+                        .astype(np.int32)),
+            jnp.asarray(modes.ravel()),
+            jnp.asarray(avail8.reshape(-1, avail8.shape[-1])),
+            jnp.asarray(bxs.ravel().astype(np.int32)),
+            jnp.asarray(bys.ravel().astype(np.int32)),
+            jnp.asarray(m8.ravel()), jnp.int32(qp), sps.bit_depth)
+        rd16 = np.asarray(rd16).reshape(nby, nbx)
+        r8 = np.asarray(rd8f).reshape(2 * nby, 2 * nbx)
+        rd8 = (r8[0::2, 0::2] + r8[0::2, 1::2]
+               + r8[1::2, 0::2] + r8[1::2, 1::2])
+        # NxN syntax: part bin + 3 extra mode signalings (~5.5 bins
+        # each) + extra cbf/subdiv flags, in level units
+        import os as _os
+        _ov = float(_os.environ.get("X265TPU_NXN_BINS", "24"))
+        split &= rd8 + 0.134 * _ov < rd16
     out = modes.copy()
     out[split] = modes8[split][:, 0]
     return out, split, modes8

@@ -160,7 +160,8 @@ def _intra_costs(low, avail, nby: int, nbx: int):
     return jnp.min(costs, axis=1).reshape(nby, nbx)
 
 
-def hme_seeds(low, prev, nby: int, nbx: int):
+def hme_seeds(low, prev, nby: int, nbx: int,
+              use_pallas: bool = False):
     """1/2-of-lowres (1/4 source) HME tier (x265 --hme, lowres.h:166
     HME planes): full search on the quarter planes, MVs upsampled as
     FULLPEL lowres window centers for the half-res search.  Extends the
@@ -176,7 +177,7 @@ def hme_seeds(low, prev, nby: int, nbx: int):
     zero = jnp.zeros_like(x0)
     mvx, mvy, _ = full_search_batch(qp, ql, x0, y0, zero, zero,
                                     LOOKAHEAD_LAMBDA_X256, N,
-                                    SEARCH_RANGE)
+                                    SEARCH_RANGE, use_pallas=use_pallas)
     sx = ((mvx >> 2) * 2).reshape(qnby, qnbx)
     sy = ((mvy >> 2) * 2).reshape(qnby, qnbx)
     up = lambda a: jnp.pad(
@@ -186,8 +187,9 @@ def hme_seeds(low, prev, nby: int, nbx: int):
     return up(sx).ravel(), up(sy).ravel()
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def _inter_costs(low, prev, nby: int, nbx: int, hme: bool = False):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _inter_costs(low, prev, nby: int, nbx: int, hme: bool = False,
+                 use_pallas: bool = False):
     """Integer full search vs the previous lowres + SATD at the best MV.
     Returns (satd_cost, mv_x, mv_y) with MVs in lowres fullpel units."""
     bys, bxs = jnp.mgrid[0:nby, 0:nbx]
@@ -196,11 +198,12 @@ def _inter_costs(low, prev, nby: int, nbx: int, hme: bool = False):
     zero = jnp.zeros_like(x0)
     cx = cy = None
     if hme:
-        cx, cy = hme_seeds(low, prev, nby, nbx)
+        cx, cy = hme_seeds(low, prev, nby, nbx, use_pallas=use_pallas)
     mvx, mvy, _ = full_search_batch(prev, low, x0, y0, zero, zero,
                                     LOOKAHEAD_LAMBDA_X256, N,
                                     SEARCH_RANGE,
-                                    center_x=cx, center_y=cy)
+                                    center_x=cx, center_y=cy,
+                                    use_pallas=use_pallas)
     fx, fy = mvx >> 2, mvy >> 2
     h, w = low.shape
     gy = jnp.clip(y0[:, None, None] + fy[:, None, None]
@@ -282,8 +285,10 @@ class CuTreeLookahead:
         """(inter, mvx, mvy) of e measured against ref (cached)."""
         got = e.costs.get(ref.disp)
         if got is None:
+            from ..ops.me import _on_tpu
             c, fx, fy = _inter_costs(e.low, ref.low, self.nby,
-                                     self.nbx, self.hme)
+                                     self.nbx, self.hme,
+                                     _on_tpu(e.low))
             for a in (c, fx, fy):      # one round trip, not three
                 a.copy_to_host_async()
             got = (np.asarray(c, dtype=np.float64),

@@ -34,9 +34,9 @@ from .lookahead import LowresStore, hme_seeds, \
 MAX_TRIPLES = 16          # lattice dispatch lane count (padded)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 7))
+@partial(jax.jit, static_argnums=(4, 5, 7, 8))
 def _lattice_costs(stack, triples, is_b, valid, nby: int, nbx: int,
-                   intra, hme: bool = False):
+                   intra, hme: bool = False, use_pallas: bool = False):
     """Frame costs for a padded batch of (b, p0, p1) triples.
 
     stack:   (F, h, w) int32 lowres planes
@@ -68,10 +68,12 @@ def _lattice_costs(stack, triples, is_b, valid, nby: int, nbx: int,
             if hme:
                 # 1/4-of-lowres HME tier seeds the window center
                 # (x265 --hme; analysis.lookahead.hme_seeds)
-                cx, cy = hme_seeds(cur, ref, nby, nbx)
+                cx, cy = hme_seeds(cur, ref, nby, nbx,
+                                   use_pallas=use_pallas)
             mvx, mvy, _ = full_search_batch(
                 ref, cur, x0, y0, zero, zero, LOOKAHEAD_LAMBDA_X256, N,
-                SEARCH_RANGE, center_x=cx, center_y=cy)
+                SEARCH_RANGE, center_x=cx, center_y=cy,
+                use_pallas=use_pallas)
             mvx, mvy, cost = subpel_refine_batch(
                 ref, cur, x0, y0, mvx, mvy, zero, zero,
                 LOOKAHEAD_LAMBDA_X256, N, 8, subme=2)
@@ -189,9 +191,11 @@ class SlicetypeLookahead:
                 t[i] = (kidx[b], kidx[p0], kidx[p1])
                 is_b[i] = p1 != b
                 valid[i] = True
+            from ..ops.me import _on_tpu
             fc, _ = _lattice_costs(stack, jnp.asarray(t),
                                    jnp.asarray(is_b), jnp.asarray(valid),
-                                   self.nby, self.nbx, intra, self.hme)
+                                   self.nby, self.nbx, intra, self.hme,
+                                   _on_tpu(stack))
             fc = np.asarray(fc)
             for i, key in enumerate(chunk):
                 c = float(fc[i])

@@ -64,7 +64,7 @@ def progress_line(done: int, total: int, t0: float, out_bytes: int,
     return line
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="x265-tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -101,13 +101,17 @@ def main(argv=None) -> int:
                          "'--key value' / '--key=value' / '--no-key' "
                          "flag is also accepted and routed through "
                          "the x265-namespace param parser")
+    return ap
+
+
+def rewrite_argv(ap, argv):
+    """x265 CLI compatibility prepass (shared with the ABR-ladder
+    app): rewrite x265-style flags into key=value positionals."""
     # x265 CLI compatibility prepass: rewrite x265-style '--key value'
     # / '--key=value' / '--no-key' flags that argparse doesn't own into
     # 'key=value' positionals for the x265-namespace param parser
     # (x265cli.cpp's long-option table collapses onto x265_param_parse
     # the same way)
-    import sys as _sys
-    argv = list(_sys.argv[1:]) if argv is None else list(argv)
     known = set()
     for act in ap._actions:
         known.update(act.option_strings)
@@ -143,7 +147,21 @@ def main(argv=None) -> int:
         else:
             rewritten.append(f"{key}=1")
             i += 1
-    args = ap.parse_intermixed_args(rewritten)
+    return rewritten
+
+
+def main(argv=None) -> int:
+    import sys as _sys
+    argv = list(_sys.argv[1:]) if argv is None else list(argv)
+    # --abr-ladder <config>: the multi-encode app (reference
+    # checkAbrLadder, x265.cpp:93 — the ladder config supersedes the
+    # single-encode options on the command line)
+    if "--abr-ladder" in argv:
+        from .abrenc import run_ladder
+        cfg = argv[argv.index("--abr-ladder") + 1]
+        return run_ladder(cfg)
+    ap = build_parser()
+    args = ap.parse_intermixed_args(rewrite_argv(ap, argv))
 
     w = h = 0
     if args.input_res:

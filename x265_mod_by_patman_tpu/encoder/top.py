@@ -1300,7 +1300,9 @@ class Encoder:
                     rect_info = (part_map, mvs_b)
             recon_fn = self._inter_recon_fn(
                 y, u, v, modes, mc, inter_mask, 1, mvs, None, None,
-                ref_sel, rect_info, ebits=self._ebits_for(1, qp))
+                ref_sel, rect_info,
+                ebits=(self._ebits_for(1, qp, per_row=True),
+                       self._ebits_for(1, qp)))
             ref_pocs = (tuple(a[1] for a in self._anchors), ())
         else:
             (list0, list1, keep_pocs, b_is_ref) = b_refs
@@ -1358,7 +1360,8 @@ class Encoder:
             recon_fn = self._inter_recon_fn(
                 y, u, v, modes, mc, inter_mask, 0, mvs, mvs1, dirs,
                 ref_sel, rect_info, ref_sel1=ref_sel1,
-                ebits=self._ebits_for(0, qp))
+                ebits=(self._ebits_for(0, qp, per_row=True),
+                       self._ebits_for(0, qp)))
             ref_pocs = rp_b
         from ..bitstream.nal import NAL_CRA_NUT, NAL_RASL_N, NAL_RASL_R
         if nal_class == "cra":
@@ -1731,17 +1734,38 @@ class Encoder:
         else:
             self._est_pending[slice_type] = states
 
-    def _ebits_for(self, init_type: int, qp: int):
-        """(C, 2) float32 rate table for this frame's RD estimates:
-        the previous same-type slice's end-of-stream context states
-        (one-frame-lag analog of the reference's EstBitsSbac refresh,
-        entropy.cpp:2624), slice-start states before the first frame
-        of a type.  Always an array so the wavefront keeps ONE trace."""
+    def _ebits_for(self, init_type: int, qp: int,
+                   per_row: bool = False):
+        """Rate table(s) for this frame's RD estimates from the
+        previous same-type slice's context states (one-frame-lag analog
+        of the reference's EstBitsSbac refresh, entropy.cpp:2624);
+        slice-start states before the first frame of a type.
+
+        per_row=False: (C, 2) from the end-of-stream states.
+        per_row=True: (nby+1, C, 2) block-row tables from the per-WPP-
+        row start states (broadcast of the single table when row states
+        are unavailable) — shape is FIXED either way so the wavefront
+        keeps one trace per mode."""
         from ..entropy.est_bits import bits_table_from_states
-        sts = self._adapt_states.get(init_type)
-        if sts is None:
-            sts = init_states(init_type, int(qp))
-        return bits_table_from_states(sts)
+        got = self._adapt_states.get(init_type)
+        rows = None
+        if isinstance(got, dict):
+            rows, got = got.get("rows"), got["end"]
+        if got is None:
+            got = init_states(init_type, int(qp))
+        if not per_row:
+            return bits_table_from_states(got)
+        nby = self.recon.nby
+        if rows is None:
+            tab = bits_table_from_states(got)[None]
+        else:
+            tab = np.stack([bits_table_from_states(s) for s in rows])
+            bpc = self.recon.bpc
+            tab = np.repeat(tab, bpc, axis=0)
+        if tab.shape[0] < nby + 1:
+            tab = np.concatenate(
+                [tab, np.repeat(tab[-1:], nby + 1 - tab.shape[0], 0)], 0)
+        return tab[:nby + 1]
 
     def _inter_recon_fn(self, y, u, v, modes, mc, inter_mask,
                         init_type: int, mvs, mvs1, dirs, ref_sel,
@@ -1764,6 +1788,8 @@ class Encoder:
             if m.any():
                 i32_mask = m
 
+        eb_rows, eb_flat = ebits if ebits is not None else (None, None)
+
         def fn(qpm):
             i32 = None
             if i32_mask is not None:
@@ -1771,7 +1797,7 @@ class Encoder:
                 with trace.scope("inter_tu32"):
                     i32 = prepare_inter_tu32(y, u, v, mc, i32_mask,
                                              qpm, recon, init_type,
-                                             ebits=ebits)
+                                             ebits=eb_flat)
             # recon planes stay ON DEVICE through deblock (the tunnel
             # pays ~0.5 s/frame for a download-then-reupload at 1080p);
             # levels materialize here (entropy + BS maps + derived-QP
@@ -1781,13 +1807,13 @@ class Encoder:
             if i32 is None:
                 r = recon.run(y, u, v, modes, mc, inter_mask,
                               qp=qpm, init_type=init_type,
-                              nr=self._nr_offsets(), ebits=ebits,
+                              nr=self._nr_offsets(), ebits=eb_rows,
                               materialize=not dev_ok)
             else:
                 y2, u2, v2, mc2 = i32["spliced"]
                 r = recon.run(y2, u2, v2, modes, mc2, inter_mask,
                               qp=qpm, init_type=init_type,
-                              nr=self._nr_offsets(), ebits=ebits,
+                              nr=self._nr_offsets(), ebits=eb_rows,
                               materialize=not dev_ok)
                 r["inter32"] = i32
             return r
@@ -2466,9 +2492,11 @@ class Encoder:
         # SURVEY.md §7)
         from ..entropy.cabac import advance_states_over_ir
         substreams: List[bytes] = []
+        row_start_states: List[np.ndarray] = []
         row_states = init_states(slice_type, qp)
         for k, rir in enumerate(row_irs):
             states = row_states.copy()     # this row's initial contexts
+            row_start_states.append(states.copy())
             if k + 1 < len(row_irs):
                 nxt = row_states.copy()
                 b, c = rir.arrays()
@@ -2482,7 +2510,13 @@ class Encoder:
             substreams.append(sub_bw.get_bytes())
 
         sh.entry_points = tuple(len(s) for s in substreams[:-1])
-        self._publish_est(slice_type, states.copy())
+        # per-row refresh for the adaptive rate tables: next same-type
+        # frame's row k estimates with THIS frame's row-k start states
+        # (batched analog of the reference's per-CTU EstBitsSbac
+        # refresh, entropy.cpp:2624-2688)
+        self._publish_est(slice_type,
+                          {"end": states.copy(),
+                           "rows": np.stack(row_start_states)})
         self._last_row_bits = [len(s) * 8 for s in substreams]
         bw = write_slice_header(sh, sps, pps)
         for s in substreams:

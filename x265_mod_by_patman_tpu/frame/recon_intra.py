@@ -218,17 +218,15 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
             bits = base_bits + tb_bits_est(lev, qp, log2n, c_idx,
                                            init_type, bits_table=ebits)
         elif init_type is not None:
-            # luma hybrid: the calibrated linear floor guards against
-            # the frozen-state undercharge, the structural estimate
-            # adds position-awareness (a lone high-frequency coeff
-            # costs its full last_sig_pos, which the density model
-            # averages away)
+            # luma: structural CABAC estimate over the chosen levels.
+            # With the per-WPP-row adapted tables this matches the old
+            # max(linear, est) hybrid on the park sweep (+25.72%Y vs
+            # +25.78%Y, round-5 A/B) — the row-lagged states fixed the
+            # frozen-state sig=1 undercharge the linear floor guarded
+            # against, so the floor is retired.
             from ..ops.rdoq import tb_bits_est
-            nzf = nz.astype(jnp.float32)
-            lin = jnp.where(nzf > 0.0, 10.0, 0.0) + 4.5 * nzf
-            est = tb_bits_est(lev, qp, log2n, c_idx, init_type,
-                              bits_table=ebits)
-            bits = base_bits + jnp.maximum(lin, est)
+            bits = base_bits + tb_bits_est(lev, qp, log2n, c_idx,
+                                           init_type, bits_table=ebits)
         else:
             nzf = nz.astype(jnp.float32)
             bits = base_bits + jnp.where(nzf > 0.0, 10.0, 0.0) \
@@ -651,6 +649,11 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             yp, up, vp, lev_y, lev_u, lev_v, skip_map, m_map = carry
         bx = sb_bx[s]
         by = sb_by[s]
+        eb_s = ebits
+        if ebits is not None and ebits.ndim == 3:
+            # per-WPP-row adapted rate tables: gather each lane's block
+            # row's table (entropy.cpp:2624 estBit refresh, row-lagged)
+            eb_s = ebits[jnp.clip(by, 0, ebits.shape[0] - 1)]
         cy = jnp.clip(by, 0, qp.shape[0] - 1)
         cx = jnp.clip(bx, 0, qp.shape[1] - 1)
         qp_b = qp[cy, cx]
@@ -674,7 +677,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                 lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
                 tu4_map=tu4_map,
                 av4y=sb_av4y[s] if sb_av4y is not None else None,
-                cand_bits=cb_k, nr=nr_l, ebits=ebits)
+                cand_bits=cb_k, nr=nr_l, ebits=eb_s)
             yp, lev_y, skip, md_w = res_l[:4]
             if have_nr:
                 nr_acc = _nr_add(nr_acc, res_l[4], True)
@@ -692,7 +695,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
                 lossless, init_type, psy256=psy256, psy_rdoq=psy_rdoq,
                 tu4_map=tu4_map,
                 av4y=sb_av4y[s] if sb_av4y is not None else None,
-                nr=nr_l, ebits=ebits)
+                nr=nr_l, ebits=eb_s)
             yp, lev_y, skip = res_l[:3]
             if have_nr:
                 nr_acc = _nr_add(nr_acc, res_l[3], True)
@@ -732,7 +735,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             mats[3] if mats else None,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
-            init_type, fchroma=fchroma, nr=nr_cc, ebits=ebits)
+            init_type, fchroma=fchroma, nr=nr_cc, ebits=eb_s)
         up, lev_u = res_u[0], res_u[1]
         if have_nr:
             nr_acc = _nr_add(nr_acc, res_u[3], False)
@@ -743,7 +746,7 @@ def _wavefront_body(yp, up, vp, lev_y, lev_u, lev_v, oy, ou, ov, modes,
             mats[3] if mats else None,
             split_map, modes8,
             sb_av4c[s] if sb_av4c is not None else None, m4, lossless,
-            init_type, fchroma=fchroma, nr=nr_cc, ebits=ebits)
+            init_type, fchroma=fchroma, nr=nr_cc, ebits=eb_s)
         vp, lev_v = res_v[0], res_v[1]
         if have_nr:
             nr_acc = _nr_add(nr_acc, res_v[3], False)

@@ -140,12 +140,17 @@ def rdoq_levels(coef: jnp.ndarray, intra_mask: jnp.ndarray, qp,
         from ..entropy.est_bits import (BITS_TABLE, sig_ctx_map,
                                         residual_ctx_scalars)
         if bits_table is not None:
-            # adapted contexts (previous same-type slice's end states;
-            # est_bits.bits_table_from_states) replace the slice-start
-            # rows — one table for the whole frame
-            bt = jnp.broadcast_to(jnp.asarray(bits_table)[None],
-                                  (coef.shape[0],) +
-                                  tuple(jnp.asarray(bits_table).shape))
+            # adapted contexts (previous same-type slice's states;
+            # est_bits.bits_table_from_states): either one (C, 2) table
+            # for the whole frame or per-lane (B, C, 2) tables gathered
+            # from the per-WPP-row refresh
+            bits_table = jnp.asarray(bits_table)
+            if bits_table.ndim == 3:
+                bt = bits_table
+            else:
+                bt = jnp.broadcast_to(bits_table[None],
+                                      (coef.shape[0],) +
+                                      bits_table.shape)
         else:
             tbl = jnp.asarray(BITS_TABLE)           # (3, 52, C, 2)
             bt = tbl[init_type, jnp.clip(qp, 0, 51)]   # (B, C, 2)
@@ -318,9 +323,14 @@ def tb_bits_est(lev: jnp.ndarray, qp, log2_size: int, c_idx: int = 0,
         qp = jnp.broadcast_to(qp, lev.shape[:1])
     it = init_type if init_type is not None else 2
     if bits_table is not None:
-        bt = jnp.broadcast_to(jnp.asarray(bits_table)[None],
-                              (lev.shape[0],) +
-                              tuple(jnp.asarray(bits_table).shape))
+        bits_table = jnp.asarray(bits_table)
+        if bits_table.ndim == 3:
+            # per-lane tables (the per-WPP-row adapted states, gathered
+            # by block row upstream)
+            bt = bits_table
+        else:
+            bt = jnp.broadcast_to(bits_table[None],
+                                  (lev.shape[0],) + bits_table.shape)
     else:
         tbl = jnp.asarray(BITS_TABLE)
         bt = tbl[it, jnp.clip(qp, 0, 51)]           # (B, C, 2)
