@@ -1448,9 +1448,23 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
         best_1y = jnp.where(mi != 0, mv1y, 0)
         best_r0 = jnp.where(mi != 1, rsel0, 0)
         best_r1 = jnp.where(mi != 0, rsel1, 0)
-        for ((nd, n0x, n0y, n1x, n1y, nr0, nr1), ok, idx) in bcands:
-            ok = ok & (idx < 3) & (nd > 0)
-            idx_bins = jnp.where(idx == 0, 1, 2)
+        # merge-candidate evaluation: stack the K candidates and run
+        # the MC gathers + SATD (+ residual RD) as ONE vmapped batch —
+        # the sequential per-candidate gathers were the dominant cost
+        # of B analysis on the TPU (round-4 backlog: "batch the
+        # B-candidate MC gathers").  The argmin scan below preserves
+        # the sequential loop's first-minimum tie-breaking exactly.
+        # 4K stays sequential: 9 full-frame 14-bit candidate stacks at
+        # once would blow the HBM working set that already OOMs there.
+        stk = lambda i: jnp.stack([c[0][i] for c in bcands])
+        nd_s, n0x_s, n0y_s, n1x_s, n1y_s, nr0_s, nr1_s = (
+            stk(i) for i in range(7))
+        idx_s = jnp.stack([c[2] for c in bcands])
+        ok_s = jnp.stack([c[1] for c in bcands]) & (idx_s < 3) \
+            & (nd_s > 0)
+        idxb_s = jnp.where(idx_s == 0, 1, 2)
+
+        def eval_cand(nd, n0x, n0y, n1x, n1y, nr0, nr1):
             cr0 = jnp.clip(nr0, 0, nref0 - 1)
             cr1 = jnp.clip(nr1, 0, nref1 - 1)
             q0 = mc14_l0(n0x, n0y, cr0)
@@ -1460,27 +1474,41 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
                              jnp.where((nd == 1)[:, None, None],
                                        uni_of(q0, 0), uni_of(q1, 1)))
             sc_satd = satd_batch(org, pred)
-            sc = sc_satd + ((lam256 * (2 + idx_bins)) >> 8)
-            sc = jnp.where(ok, sc, 1 << 30)
             if rd:
                 cc, sz = _rd_resid_cost(org, pred, qp_b, log2n, bd,
                                         lam2)
-                mb = (2 + idx_bins).astype(jnp.float32)
-                rdk = jnp.minimum(cc + lam2 * (mb + 4.0),
-                                  sz + lam2 * mb)
-                rdk = jnp.where(ok, rdk, jnp.float32(3e38))
-                upd = rdk < best_rd
-                best_rd = jnp.where(upd, rdk, best_rd)
+                return sc_satd, cc, sz
+            return sc_satd, sc_satd, sc_satd
+
+        if nb <= 130 * 130:
+            sc_r, cc_r, sz_r = jax.vmap(eval_cand)(
+                nd_s, n0x_s, n0y_s, n1x_s, n1y_s, nr0_s, nr1_s)
+        else:
+            rows = [eval_cand(nd_s[k], n0x_s[k], n0y_s[k], n1x_s[k],
+                              n1y_s[k], nr0_s[k], nr1_s[k])
+                    for k in range(len(bcands))]
+            sc_r, cc_r, sz_r = (jnp.stack(x) for x in zip(*rows))
+        sc_all = sc_r + ((lam256 * (2 + idxb_s)) >> 8)
+        sc_all = jnp.where(ok_s, sc_all, 1 << 30)
+        if rd:
+            mb = (2 + idxb_s).astype(jnp.float32)
+            rdk_all = jnp.minimum(cc_r + lam2 * (mb + 4.0),
+                                  sz_r + lam2 * mb)
+            rdk_all = jnp.where(ok_s, rdk_all, jnp.float32(3e38))
+        for k in range(len(bcands)):
+            if rd:
+                upd = rdk_all[k] < best_rd
+                best_rd = jnp.where(upd, rdk_all[k], best_rd)
             else:
-                upd = sc < best_cost
-            best_cost = jnp.where(upd, sc, best_cost)
-            best_dir = jnp.where(upd, nd, best_dir)
-            best_0x = jnp.where(upd, n0x, best_0x)
-            best_0y = jnp.where(upd, n0y, best_0y)
-            best_1x = jnp.where(upd, n1x, best_1x)
-            best_1y = jnp.where(upd, n1y, best_1y)
-            best_r0 = jnp.where(upd, nr0, best_r0)
-            best_r1 = jnp.where(upd, nr1, best_r1)
+                upd = sc_all[k] < best_cost
+            best_cost = jnp.where(upd, sc_all[k], best_cost)
+            best_dir = jnp.where(upd, nd_s[k], best_dir)
+            best_0x = jnp.where(upd, n0x_s[k], best_0x)
+            best_0y = jnp.where(upd, n0y_s[k], best_0y)
+            best_1x = jnp.where(upd, n1x_s[k], best_1x)
+            best_1y = jnp.where(upd, n1y_s[k], best_1y)
+            best_r0 = jnp.where(upd, nr0_s[k], best_r0)
+            best_r1 = jnp.where(upd, nr1_s[k], best_r1)
         return (best_dir, best_0x, best_0y, best_1x, best_1y,
                 best_r0, best_r1, best_cost, best_rd if rd else None)
 

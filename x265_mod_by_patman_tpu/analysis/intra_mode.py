@@ -584,10 +584,13 @@ def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16):
         r8 = np.asarray(rd8f).reshape(2 * nby, 2 * nbx)
         rd8 = (r8[0::2, 0::2] + r8[0::2, 1::2]
                + r8[1::2, 0::2] + r8[1::2, 1::2])
-        # NxN syntax: part bin + 3 extra mode signalings (~5.5 bins
-        # each) + extra cbf/subdiv flags, in level units
-        import os as _os
-        _ov = float(_os.environ.get("X265TPU_NXN_BINS", "24"))
+        # NxN syntax + model-bias charge, in level units.  Calibrated
+        # on the park sweep (round 5): 24 bins still regressed +6.3%
+        # BD-rate Y (the orig-neighbor estimate undercosts the split
+        # side), 64 turns NxN into a measured WIN (+25.0%Y vs +25.8%Y
+        # baseline without NxN); 128 gates nearly everything (neutral).
+        _ov = float(os.environ.get("X265TPU_NXN_BINS", "64")) \
+            if os.environ.get("X265TPU_NXN_BINS") else 64.0
         split &= rd8 + 0.134 * _ov < rd16
     out = modes.copy()
     out[split] = modes8[split][:, 0]

@@ -202,6 +202,14 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0) \
             * (1 << (2 * (bit_depth - 8)))
         base_bits = 6.0 if c_idx == 0 else 2.0
+        import os as _os
+        _sb = _os.environ.get("X265TPU_SKIP_BITS")
+        if _sb and init_type is not None:
+            # experiment knob: B-slice coded-CU syntax charge
+            by_, bc_ = (float(t) for t in _sb.split(","))
+            base_bits = jnp.where(
+                jnp.asarray(init_type) == 0,
+                by_ if c_idx == 0 else bc_, base_bits)
         if init_type is not None and c_idx != 0:
             # chroma: rate-true residual bits from the EstBitsSbac
             # tables over the actual chosen levels (last_pos + CG flags
