@@ -74,31 +74,43 @@ def main():
         decide_modes_rd_multi
 
     n_bench = max(FRAMES, 48)
-    # batch 16 nearly doubles device-only throughput vs 8 (fills the
-    # vmapped wavefront's lanes better on v5e; 32 regresses — measured
-    # round 4, BENCH_NOTES)
-    batch = 16
-    frames = synth_frames(n_bench + batch)
+    frames = synth_frames(n_bench + 16)
     # ultrafast-equivalent intra config (matches the x265 baseline run:
     # deblock on, SAO off at ultrafast).  Production multi-frame path:
     # batched mode decision + vmapped wavefront + batched deblock chained
-    # on device (8 frames/dispatch), device->host transfers packed +
-    # async, host entropy overlapping device compute.
-    # ultrafast-equivalent, matching the x265 baseline command (ctu 32,
-    # fixed-grid analysis) — the repo DEFAULTS are medium-equivalent
-    # (ctu 64, rd 3) and would benchmark a different operating point
+    # on device, device->host transfers packed + async, host entropy
+    # overlapping device compute.  The repo DEFAULTS are
+    # medium-equivalent (ctu 64, rd 3) and would benchmark a different
+    # operating point.
     p = default_params(W, H, qp=QP, keyframe_max=1, sao=False,
                        ctu_size=32, rd_level=2)
     enc = Encoder(p)
-    enc.encode_intra_batched(frames[:batch], batch=batch)  # jit compiles
 
-    t0 = time.time()
+    # batch choice by measured median-of-3 at BOTH 8 and 16 (round-4's
+    # single-run batch switch halved the official number when the
+    # tunnel variance went the other way); variance is reported so a
+    # noisy capture is visible in the JSON
+    on_cpu = jax.devices()[0].platform == "cpu"
+    batches = (8,) if on_cpu else (8, 16)   # CPU fallback: one config
+    reps = 1 if on_cpu else 3
+    runs = {}
     nbytes = 0
-    for out in enc.encode_intra_batched(frames[batch:batch + n_bench],
-                                        batch=batch):
-        nbytes += len(out.bitstream)
-    dt = time.time() - t0
-    fps = n_bench / dt
+    for batch in batches:
+        enc.encode_intra_batched(frames[:batch], batch=batch)  # compile
+        runs[batch] = []
+        for _ in range(reps):
+            t0 = time.time()
+            nb = 0
+            for out in enc.encode_intra_batched(
+                    frames[16:16 + n_bench], batch=batch):
+                nb += len(out.bitstream)
+            runs[batch].append(n_bench / (time.time() - t0))
+            nbytes = nb
+    med = {b: sorted(v)[len(v) // 2] for b, v in runs.items()}
+    batch = max(med, key=lambda b: med[b])
+    fps = med[batch]
+    all_runs = [round(x, 2) for b in batches for x in runs[b]]
+    spread = (max(runs[batch]) - min(runs[batch])) / fps if fps else 0.0
 
     # device-only time for one batch (separates kernel cost from the
     # RPC-tunnel/host floor, per VERDICT round-1 ask)
@@ -128,6 +140,9 @@ def main():
         "device_s_per_frame": round(dev_s, 4),
         "device_only_fps": round(1.0 / dev_s, 2) if dev_s else 0.0,
         "kbps": round(nbytes * 8 * 25.0 / n_bench / 1000.0, 1),
+        "batch": batch,
+        "runs_fps": all_runs,
+        "spread_pct": round(100.0 * spread, 1),
         "backend": jax.devices()[0].platform,
     }))
 

@@ -39,6 +39,7 @@ class SPSInfo:
     chroma_format_idc: int = 1
     bit_depth: int = 8
     log2_max_poc_lsb: int = 8
+    max_sub_layers: int = 1       # temporal sub-layers (x265 --temporal-layers)
     log2_ctu_size: int = 5
     log2_min_cu_size: int = 3
     log2_min_tu_size: int = 2
@@ -163,6 +164,8 @@ def build_sps_info(p: EncoderParams) -> SPSInfo:
     s.amp_enabled = p.amp
     s.temporal_mvp = p.temporal_mvp and p.keyframe_max > 1
     s.strong_intra_smoothing = p.strong_intra_smoothing
+    tl = getattr(p, "temporal_layers", 0)
+    s.max_sub_layers = max(1, min(tl, 3)) if tl and p.bframes > 0 else 1
     s.max_dec_pic_buffering = min(p.max_num_references + 1 + p.bframes, 16)
     s.num_reorder_pics = min(p.bframes, s.max_dec_pic_buffering - 1)
     # profile: 1 Main, 2 Main10, 4 RExt (Main12 / Main 4:4:4 —
@@ -218,8 +221,14 @@ def _write_ptl(bw: BitWriter, ptl: ProfileTierLevel, max_sub_layers_minus1: int 
     bw.u(0, 32)                              # reserved_zero_44bits
     bw.u(0, 12)
     bw.u(ptl.level_idc, 8)
+    # sub-layer PTL (spec 7.3.3): signal nothing per layer (the layers
+    # share the general profile/level) — x265 writes the same shape
     for _ in range(max_sub_layers_minus1):
-        raise NotImplementedError("sub-layers")
+        bw.flag(0)                           # sub_layer_profile_present
+        bw.flag(0)                           # sub_layer_level_present
+    if max_sub_layers_minus1 > 0:
+        for _ in range(max_sub_layers_minus1, 8):
+            bw.u(0, 2)                       # reserved_zero_2bits
 
 
 def write_vps(sps: SPSInfo) -> bytes:
@@ -227,15 +236,17 @@ def write_vps(sps: SPSInfo) -> bytes:
     bw.u(0, 4)                               # vps_video_parameter_set_id
     bw.flag(1)                               # vps_base_layer_internal_flag
     bw.flag(1)                               # vps_base_layer_available_flag
+    msl = sps.max_sub_layers - 1
     bw.u(0, 6)                               # vps_max_layers_minus1
-    bw.u(0, 3)                               # vps_max_sub_layers_minus1
+    bw.u(msl, 3)                             # vps_max_sub_layers_minus1
     bw.flag(1)                               # vps_temporal_id_nesting_flag
     bw.u(0xFFFF, 16)                         # vps_reserved_0xffff_16bits
-    _write_ptl(bw, sps.ptl)
+    _write_ptl(bw, sps.ptl, msl)
     bw.flag(1)                               # vps_sub_layer_ordering_info_present
-    bw.ue(sps.max_dec_pic_buffering - 1)
-    bw.ue(sps.num_reorder_pics)
-    bw.ue(0)                                 # vps_max_latency_increase_plus1
+    for _ in range(msl + 1):
+        bw.ue(sps.max_dec_pic_buffering - 1)
+        bw.ue(sps.num_reorder_pics)
+        bw.ue(0)                             # vps_max_latency_increase_plus1
     bw.u(0, 6)                               # vps_max_layer_id
     bw.ue(0)                                 # vps_num_layer_sets_minus1
     bw.flag(0)                               # vps_timing_info_present_flag
@@ -246,10 +257,11 @@ def write_vps(sps: SPSInfo) -> bytes:
 
 def write_sps(sps: SPSInfo) -> bytes:
     bw = BitWriter()
+    msl = sps.max_sub_layers - 1
     bw.u(0, 4)                               # sps_video_parameter_set_id
-    bw.u(0, 3)                               # sps_max_sub_layers_minus1
+    bw.u(msl, 3)                             # sps_max_sub_layers_minus1
     bw.flag(1)                               # sps_temporal_id_nesting_flag
-    _write_ptl(bw, sps.ptl)
+    _write_ptl(bw, sps.ptl, msl)
     bw.ue(0)                                 # sps_seq_parameter_set_id
     bw.ue(sps.chroma_format_idc)
     if sps.chroma_format_idc == 3:
@@ -267,9 +279,10 @@ def write_sps(sps: SPSInfo) -> bytes:
     bw.ue(sps.bit_depth - 8)
     bw.ue(sps.log2_max_poc_lsb - 4)
     bw.flag(1)                               # sps_sub_layer_ordering_info_present
-    bw.ue(sps.max_dec_pic_buffering - 1)
-    bw.ue(sps.num_reorder_pics)
-    bw.ue(0)                                 # sps_max_latency_increase_plus1
+    for _ in range(msl + 1):
+        bw.ue(sps.max_dec_pic_buffering - 1)
+        bw.ue(sps.num_reorder_pics)
+        bw.ue(0)                             # sps_max_latency_increase_plus1
     bw.ue(sps.log2_min_cu_size - 3)
     bw.ue(sps.log2_ctu_size - sps.log2_min_cu_size)
     bw.ue(sps.log2_min_tu_size - 2)

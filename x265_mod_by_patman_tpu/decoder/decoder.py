@@ -19,7 +19,7 @@ from ..bitstream.bitreader import BitReader
 from ..bitstream.nal import (
     NAL_AUD, NAL_CRA_NUT, NAL_IDR_N_LP, NAL_IDR_W_RADL, NAL_PPS,
     NAL_PREFIX_SEI, NAL_RASL_N, NAL_RASL_R, NAL_SPS, NAL_SUFFIX_SEI,
-    NAL_TRAIL_N, NAL_TRAIL_R, NAL_VPS,
+    NAL_TRAIL_N, NAL_TRAIL_R, NAL_TSA_N, NAL_TSA_R, NAL_VPS,
     is_idr, remove_emulation, split_annexb)
 from ..ops.interp import mc_block_ref
 from ..bitstream.sei import SEI_DECODED_PICTURE_HASH, parse_sei, plane_md5
@@ -35,7 +35,7 @@ from ..frame.zscan import s_vector_coords, zscan_index
 from ..frame.recon_intra import chroma_qp
 
 
-def parse_ptl(br: BitReader) -> ProfileTierLevel:
+def parse_ptl(br, msl: int = 0) -> ProfileTierLevel:
     ptl = ProfileTierLevel()
     br.u(2)
     ptl.tier_flag = br.u(1)
@@ -48,6 +48,14 @@ def parse_ptl(br: BitReader) -> ProfileTierLevel:
     br.u(32)
     br.u(12)
     ptl.level_idc = br.u(8)
+    if msl > 0:
+        pp = [(br.flag(), br.flag()) for _ in range(msl)]
+        for _ in range(msl, 8):
+            br.u(2)                       # reserved_zero_2bits
+        for (prof, lev) in pp:
+            assert not prof, "sub-layer PTL profiles unsupported"
+            if lev:
+                br.u(8)
     return ptl
 
 
@@ -55,9 +63,10 @@ def parse_sps(rbsp: bytes) -> SPSInfo:
     br = BitReader(rbsp)
     s = SPSInfo()
     br.u(4)                               # sps_video_parameter_set_id
-    br.u(3)                               # max_sub_layers_minus1
+    msl = br.u(3)                         # max_sub_layers_minus1
+    s.max_sub_layers = msl + 1
     br.flag()                             # temporal_id_nesting
-    s.ptl = parse_ptl(br)
+    s.ptl = parse_ptl(br, msl)
     br.ue()                               # sps id
     s.chroma_format_idc = br.ue()
     if s.chroma_format_idc == 3:
@@ -72,10 +81,11 @@ def parse_sps(rbsp: bytes) -> SPSInfo:
     s.bit_depth = br.ue() + 8
     br.ue()                               # chroma bit depth
     s.log2_max_poc_lsb = br.ue() + 4
-    br.flag()                             # sub_layer_ordering_info_present
-    s.max_dec_pic_buffering = br.ue() + 1
-    s.num_reorder_pics = br.ue()
-    br.ue()                               # max_latency
+    sloi = br.flag()                      # sub_layer_ordering_info_present
+    for _ in range((msl + 1) if sloi else 1):
+        s.max_dec_pic_buffering = br.ue() + 1
+        s.num_reorder_pics = br.ue()
+        br.ue()                           # max_latency
     s.log2_min_cu_size = br.ue() + 3
     s.log2_ctu_size = br.ue() + s.log2_min_cu_size
     s.log2_min_tu_size = br.ue() + 2
@@ -252,6 +262,7 @@ class DecodedPicture:
     md5: bytes = b""
     sei_md5: Optional[bytes] = None
     cus: Optional[list] = None        # CodedCU list (analysis tooling)
+    temporal_id: int = 0              # nuh_temporal_id (sub-layers)
 
 
 class Decoder:
@@ -282,9 +293,11 @@ class Decoder:
                 self.pps = parse_pps(rbsp)
             elif nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP,
                               NAL_TRAIL_R, NAL_TRAIL_N, NAL_CRA_NUT,
-                              NAL_RASL_R, NAL_RASL_N):
+                              NAL_RASL_R, NAL_RASL_N,
+                              NAL_TSA_R, NAL_TSA_N):
                 pic = self._decode_slice(nal_type, rbsp)
                 if pic is not None:
+                    pic.temporal_id = (nal[1] & 7) - 1
                     self.pictures.append(pic)
             elif nal_type == NAL_PREFIX_SEI:
                 self.prefix_seis.extend(parse_sei(rbsp))

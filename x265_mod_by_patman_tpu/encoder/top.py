@@ -1363,7 +1363,8 @@ class Encoder:
                 ebits=(self._ebits_for(0, qp, per_row=True),
                        self._ebits_for(0, qp)))
             ref_pocs = rp_b
-        from ..bitstream.nal import NAL_CRA_NUT, NAL_RASL_N, NAL_RASL_R
+        from ..bitstream.nal import (NAL_CRA_NUT, NAL_RASL_N, NAL_RASL_R,
+                                     NAL_TSA_N, NAL_TSA_R)
         if nal_class == "cra":
             nal_unit = NAL_CRA_NUT
         elif nal_class == "rasl":
@@ -1372,6 +1373,20 @@ class Encoder:
             nal_unit = {"I": NAL_IDR_W_RADL, "P": NAL_TRAIL_R,
                         "B": NAL_TRAIL_R if b_is_ref else NAL_TRAIL_N
                         }[ftype]
+        # temporal sub-layers (x265 --temporal-layers, dpb.cpp:181/241):
+        # non-ref b ride the top layer as TSA_N (every picture here
+        # references only lower layers, so each one is a valid temporal
+        # switching point); at 3 layers the pyramid's referenced mid-B
+        # is layer 1 (TSA_R).  RASL typing (open-GOP leading pictures)
+        # outranks TSA.
+        temporal_id = 0
+        if p.temporal_layers >= 2 and ftype == "B" and nal_class is None:
+            if not b_is_ref:
+                temporal_id = p.temporal_layers - 1
+                nal_unit = NAL_TSA_N
+            elif p.temporal_layers >= 3:
+                temporal_id = 1
+                nal_unit = NAL_TSA_R
 
         def run_pipeline(qpm):
             with trace.scope("wavefront", type=ftype):
@@ -1505,11 +1520,12 @@ class Encoder:
         nal = nal_unit
         if isinstance(slice_rbsp, list):
             for rb in slice_rbsp:
-                out += annexb(nal, rb)
+                out += annexb(nal, rb, temporal_id=temporal_id)
         else:
-            out += annexb(nal, slice_rbsp)
+            out += annexb(nal, slice_rbsp, temporal_id=temporal_id)
         if p.decoded_picture_hash:
-            out += annexb(NAL_SUFFIX_SEI, write_decoded_picture_hash(md5))
+            out += annexb(NAL_SUFFIX_SEI, write_decoded_picture_hash(md5),
+                          temporal_id=temporal_id)
         if self._rpus:
             disp_i = self._idr_base + poc
             out += self._rpus[min(disp_i, len(self._rpus) - 1)]

@@ -159,6 +159,9 @@ class EncoderParams:
     # MultiStreamEncoder / parallel.ladder / encode_chunked arguments.
     mesh_tile_rows: int = 1         # CTU tile-row shards per frame
     frame_parallel_window: int = 1  # concurrently analyzed frames (P2)
+    temporal_layers: int = 0        # x265 --temporal-layers: 0 off, 2/3
+                                    # (non-ref b -> TSA_N top layer;
+                                    # 3 adds bref at layer 1)
 
     # derived (set by validate())
     pic_width_in_ctus: int = 0
@@ -178,6 +181,15 @@ class EncoderParams:
             # x265_check_params rejects odd dims for 4:2:0 likewise)
             assert p.source_width % 2 == 0 and p.source_height % 2 == 0, \
                 "4:2:0 requires even source dimensions"
+        if p.temporal_layers:
+            # temporal sub-layers need B frames; 3 layers need the
+            # pyramid's referenced mid-B (x265 check_params analog)
+            if p.bframes <= 0 or p.keyframe_max <= 1:
+                p.temporal_layers = 0
+            elif p.temporal_layers >= 3 and not p.b_pyramid:
+                p.temporal_layers = 2
+            else:
+                p.temporal_layers = min(max(p.temporal_layers, 2), 3)
         if p.slices > 1:
             # slices are CTU-row bands; clamp like x265's configure()
             # warning path rather than silently emitting fewer
