@@ -119,16 +119,17 @@ def bench_config(cfg: int, frames_n: int):
     nout = len(out_stamps)
     total = t_end - t0
     fps = nout / total
-    # warm fps over EMITTED frames: drop the first third (absorbs the
-    # jit compiles and the lookahead-buffer fill); emissions are bursty
-    # per mini-GOP, so the window must span several GOPs to mean much
-    warm_fps = 0.0
-    k = nout // 3
-    span = out_stamps[-1] - out_stamps[k] if nout > k else 0.0
-    if nout - k >= 4 and span > 2.0:
-        # a sub-2s span means the window fell inside one flush burst
-        # (lookahead buffer > clip length) — report 0 rather than junk
-        warm_fps = (nout - 1 - k) / span
+    # warm fps: encode the SAME clip again in this process with a fresh
+    # encoder — every program is already compiled, so the second pass
+    # is the honest steady-state end-to-end rate (the old emission-
+    # window heuristic collapsed into the flush burst on short clips)
+    enc2 = Encoder(p.validate())
+    t2 = time.time()
+    n2 = 0
+    for (y, u, v) in clip:
+        n2 += len(enc2.encode_frame(y, u, v))
+    n2 += len(enc2.flush())
+    warm_fps = n2 / (time.time() - t2)
 
     # MFU of the dominant device program: whole-frame P analysis
     # (full search + subpel + candidate rounds + MC), timed on device,

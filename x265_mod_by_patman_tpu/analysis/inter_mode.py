@@ -1015,12 +1015,41 @@ def _hme_center_fullres(ry, oy, nby: int, nbx: int, lam256, sr: int):
         mode="edge").ravel()
     return up(sx), up(sy)
 
+_ME_CHUNK = 16384     # lanes per search-window gather: a 1080p frame's
+                      # 16-blocks fit one chunk; 4K maps over bands so
+                      # the (B, n+2r, n+2r) window buffer stays bounded
+                      # (one flat 4K gather at r=32 is ~0.8 GB and was
+                      # part of the config-4 HBM OOM working set)
+
+
 def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
                 use_pallas=None, subme=2, me_sea=False, hme=None):
     """Full search + subpel + neighbor coherence against one reference.
     hme: optional (cx, cy) fullpel window centers from the quarter-res
     tier (_hme_center_fullres).  Returns (mvx, mvy, cost) arrays."""
     nb = bx.shape[0]
+    if nb > _ME_CHUNK:
+        nch = -(-nb // _ME_CHUNK)
+        pad = nch * _ME_CHUNK - nb
+
+        def padv(a):
+            return jnp.pad(a, (0, pad)).reshape(nch, _ME_CHUNK)
+
+        ops = (padv(bx), padv(by),
+               padv(hme[0]) if hme is not None else padv(bx) * 0,
+               padv(hme[1]) if hme is not None else padv(bx) * 0)
+
+        def one(args):
+            bxk, byk, hx, hy = args
+            return _me_one_ref(oy, ry, bxk, byk, n, lam256,
+                               search_range, bit_depth, use_pallas,
+                               subme, me_sea,
+                               None if hme is None else (hx, hy))
+
+        mvx, mvy, cost, org = jax.lax.map(one, ops)
+        return (mvx.reshape(-1)[:nb], mvy.reshape(-1)[:nb],
+                cost.reshape(-1)[:nb],
+                org.reshape(-1, n, n)[:nb])
     pz = jnp.zeros(nb, jnp.int32)
     if me_sea:
         from ..ops.sea import sea_search_batch

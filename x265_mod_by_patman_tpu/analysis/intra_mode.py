@@ -11,6 +11,7 @@ parallel-intra decoupling — slightly suboptimal RD, massively parallel.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax

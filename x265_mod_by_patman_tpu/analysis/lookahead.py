@@ -89,8 +89,12 @@ class LowresStore:
     def ensure(self, disp: int, y_padded) -> None:
         if disp in self._e:
             return
-        from ..frame.planes import dev_i32
-        low = _lowres_dev(dev_i32(y_padded))
+        # transient native-dtype upload — NOT dev_i32: caching the
+        # full-res int32 source for every frame in the lookahead window
+        # would pin ~2 GB of HBM at 4K with --rc-lookahead 40 (the
+        # frame's device copy is created at encode time instead, when
+        # analysis/wavefront/SAO actually share it)
+        low = _lowres_dev(jnp.asarray(np.asarray(y_padded)))
         intra = _intra_costs(low, self._avail, self.nby, self.nbx)
         self._e[disp] = (low, intra, _lowres_scalars(low, intra))
 

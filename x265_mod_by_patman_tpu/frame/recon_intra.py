@@ -201,11 +201,16 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         nz = jnp.sum((lev != 0).astype(jnp.int32), axis=(1, 2))
         lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0) \
             * (1 << (2 * (bit_depth - 8)))
+        # B slices charge the coded-CU syntax delta the per-plane
+        # decision cannot see (skip_flag vs merge_flag+cbf+TU flags ~8
+        # extra bins when ANY plane codes; x265 folds all three planes
+        # into one checkMerge2Nx2N RD).  Calibrated round 5: park
+        # -0.28% BD-rate Y at (14, 6), nat neutral; saturates by
+        # (20, 8).  P keeps the round-2 calibration.
         base_bits = 6.0 if c_idx == 0 else 2.0
-        import os as _os
-        _sb = _os.environ.get("X265TPU_SKIP_BITS")
-        if _sb and init_type is not None:
-            # experiment knob: B-slice coded-CU syntax charge
+        if init_type is not None:
+            import os as _os
+            _sb = _os.environ.get("X265TPU_SKIP_BITS", "14,6")
             by_, bc_ = (float(t) for t in _sb.split(","))
             base_bits = jnp.where(
                 jnp.asarray(init_type) == 0,
