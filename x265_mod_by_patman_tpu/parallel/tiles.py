@@ -12,6 +12,17 @@ The banded core is `analysis.inter_mode._p_core` itself (band != None),
 so sharded analysis is arithmetically IDENTICAL to the whole-frame
 call: the encoder's bitstream does not change with the device count
 (the reference's own determinism contract, threading.rst:180-190).
+
+Why there is deliberately NO tile-row B variant: the B frames of a
+mini-GOP are mutually independent once their anchors exist, so the
+natural mesh axis for B is the FRAME axis — encoder.top._encode_b_jobs
+pins each B picture's whole device program to its own mesh device
+(dryrun stage 4, byte-identical to sequential).  That saturates the
+same device count with ZERO halo exchanges, while row-sharding one B
+frame would add two ppermute halos per reference list per frame for
+the identical parallel width.  P frames have no such sibling axis
+(each P depends on the previous anchor), which is exactly why P gets
+the row-sharded path and B does not.
 """
 from __future__ import annotations
 
