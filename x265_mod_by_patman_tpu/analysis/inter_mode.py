@@ -1015,11 +1015,11 @@ def _hme_center_fullres(ry, oy, nby: int, nbx: int, lam256, sr: int):
         mode="edge").ravel()
     return up(sx), up(sy)
 
-_ME_CHUNK = 16384     # lanes per search-window gather: a 1080p frame's
-                      # 16-blocks fit one chunk; 4K maps over bands so
-                      # the (B, n+2r, n+2r) window buffer stays bounded
-                      # (one flat 4K gather at r=32 is ~0.8 GB and was
-                      # part of the config-4 HBM OOM working set)
+from ..ops.me import ME_CHUNK as _ME_CHUNK
+# lanes per search-window gather: a 1080p frame's 16-blocks fit one
+# chunk; 4K maps over bands so the (B, n+2r, n+2r) window buffer stays
+# bounded (one flat 4K gather at r=32 is ~0.8 GB and was part of the
+# config-4 HBM OOM working set)
 
 
 def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,

@@ -23,6 +23,10 @@ import jax.numpy as jnp
 from .cost import satd_batch
 from .interp import mc_batch
 
+ME_CHUNK = 16384      # max lanes per window gather / SAD-grid buffer
+                      # (bounds HLO temp memory; a 4K frame maps over
+                      # bands — see full_search_batch)
+
 
 def mv_bits(dx, dy):
     """Approximate MVD bit count (qpel units): EG1-ish 2*log2(|v|+1)+1
@@ -67,6 +71,32 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
     if use_pallas is None:
         ov = os.environ.get("X265TPU_PALLAS")
         use_pallas = ov == "1" or (ov is None and _on_tpu(ref))
+    nb_all = x0.shape[0]
+    if nb_all > ME_CHUNK:
+        # band the search over lane chunks: one flat window gather at
+        # 4K lowres (32640 blocks) plus its (2r+1)^2 SAD grid is
+        # hundreds of MB of HLO temps — part of the config-4 HBM OOM
+        nch = -(-nb_all // ME_CHUNK)
+        pad = nch * ME_CHUNK - nb_all
+
+        def padv(a):
+            return jnp.pad(a, (0, pad)).reshape(nch, ME_CHUNK)
+
+        ops = (padv(x0), padv(y0), padv(pred_mv_x), padv(pred_mv_y),
+               padv(x0 * 0 if center_x is None else center_x),
+               padv(y0 * 0 if center_y is None else center_y))
+
+        def one(args):
+            xk, yk, px, py, cx, cy = args
+            return full_search_batch(
+                ref, orig, xk, yk, px, py, lambda_x256, n,
+                search_range, use_pallas,
+                None if center_x is None else cx,
+                None if center_y is None else cy)
+
+        mvx, mvy, cost = jax.lax.map(one, ops)
+        return (mvx.reshape(-1)[:nb_all], mvy.reshape(-1)[:nb_all],
+                cost.reshape(-1)[:nb_all])
     if use_pallas:
         return full_search_batch_pallas(ref, orig, x0, y0, pred_mv_x,
                                         pred_mv_y, lambda_x256, n,
