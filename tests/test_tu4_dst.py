@@ -9,15 +9,26 @@ from x265_mod_by_patman_tpu.encoder.top import encode_sequence
 
 
 def detail_frame(w=64, h=64, seed=6):
-    """Micro-detail content (thin diagonal edges at 4-px scale) where
-    4x4 DST TBs genuinely win."""
+    """Micro-detail content where 4x4 DST TBs genuinely win: sparse
+    random impulses + short strokes with locally varying orientation.
+    (The old regular 3/5/7-px diagonal lattice stopped splitting once
+    the NxN decision moved to real transform RD — a periodic pattern
+    is exactly what a big DCT codes well, so the RD gate rightly keeps
+    TU16 there.)"""
     rng = np.random.default_rng(seed)
-    y = np.zeros((h, w), np.int32)
-    yy, xx = np.mgrid[0:h, 0:w]
-    y += 110 + ((xx + yy) % 5) * 28 - ((xx - yy) % 3) * 17
-    y[(xx % 7 == 0)] = 235
-    y[(yy % 5 == 0)] = 20
-    y += rng.integers(-6, 7, (h, w))
+    y = np.full((h, w), 120, np.int32)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            x0, y0 = bx * 8, by * 8
+            for _ in range(int(rng.integers(1, 4))):
+                ox, oy = rng.integers(0, 8, 2)
+                ln = int(rng.integers(2, 5))
+                dx, dy = [(1, 0), (0, 1), (1, 1),
+                          (1, -1)][int(rng.integers(0, 4))]
+                for t in range(ln):
+                    px = int(np.clip(x0 + ox + t * dx, 0, w - 1))
+                    py = int(np.clip(y0 + oy + t * dy, 0, h - 1))
+                    y[py, px] = int(rng.choice([20, 235]))
     u = np.full((h // 2, w // 2), 128, np.uint8)
     v = np.full((h // 2, w // 2), 128, np.uint8)
     return (np.clip(y, 0, 255).astype(np.uint8), u, v)

@@ -518,10 +518,16 @@ def _nxn_rd_costs(orig, avail16, bx16, by16, modes16,
             tb_rd(bx8, by8, modes8_flat, avail8, 3))
 
 
-def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16):
+def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16,
+                       tu4: bool = False):
     """Mode decision with the NxN (4x 8x8 PU) candidate per block: the
     batched analog of the reference comparing the 2Nx2N intra cost with
     the NxN sum at min CU size (compressIntraCU, analysis.cpp:878).
+
+    tu4: --tu-intra-depth 2 active — the RD gate credits the split side
+    with its best-of {TU8, 4xTU4 DST} cost (codeIntraLumaQT recursion),
+    otherwise thin 4-px detail that only TU4 captures never survives
+    the 16-vs-8 compare.
 
     Returns (modes (nby,nbx) int32 — PU0's mode for split blocks,
     split_map (nby,nbx) bool, modes8 (nby,nbx,4) int32)."""
@@ -582,7 +588,16 @@ def decide_modes_split(y: np.ndarray, sps, qp: int, block: int = 16):
             jnp.asarray(bys.ravel().astype(np.int32)),
             jnp.asarray(m8.ravel()), jnp.int32(qp), sps.bit_depth)
         rd16 = np.asarray(rd16).reshape(nby, nbx)
-        r8 = np.asarray(rd8f).reshape(2 * nby, 2 * nbx)
+        rd8f = np.asarray(rd8f)
+        if tu4:
+            _, rd4f = _tu4_costs(
+                orig, jnp.asarray(avail8.reshape(-1, avail8.shape[-1])),
+                jnp.asarray(bxs.ravel().astype(np.int32)),
+                jnp.asarray(bys.ravel().astype(np.int32)),
+                jnp.asarray(m8.ravel()), jnp.int32(qp), sps.bit_depth)
+            # split charge mirrors decide_tu4_split (8 bins)
+            rd8f = np.minimum(rd8f, np.asarray(rd4f) + 0.134 * 8.0)
+        r8 = rd8f.reshape(2 * nby, 2 * nbx)
         rd8 = (r8[0::2, 0::2] + r8[0::2, 1::2]
                + r8[1::2, 0::2] + r8[1::2, 1::2])
         # NxN syntax + model-bias charge, in level units.  Calibrated

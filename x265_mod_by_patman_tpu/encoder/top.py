@@ -1200,7 +1200,8 @@ class Encoder:
                 from ..analysis.intra_mode import (decide_modes_split,
                                                    decide_tu4_split)
                 modes, split_map, modes8 = decide_modes_split(
-                    y, self.sps, qp, block=16)
+                    y, self.sps, qp, block=16,
+                    tu4=p.tu_intra_depth >= 2)
                 if p.tu_intra_depth >= 2 and np.any(split_map):
                     tu4_map = decide_tu4_split(y, self.sps, qp, modes8,
                                                split_map)
