@@ -22,10 +22,31 @@ from ..ops.cost import satd_batch
 from ..frame.zscan import frame_avail_masks
 
 
+MODE_CHUNK = 8192     # lanes per 35-mode sweep: the all-modes
+                      # prediction stack is 35*n^2 ints per lane
+                      # (a flat 4K frame of 16-blocks is ~1.2 GB of
+                      # HLO temps — config-4 OOM); larger frames map
+                      # over lane bands
+
+
 @functools.partial(jax.jit, static_argnames=("log2n", "bit_depth"))
 def _mode_costs(orig, avail, bx, by, log2n: int, bit_depth: int = 8):
     """SATD cost of all 35 modes for a batch of blocks predicted from
     original neighbors.  Returns (B, 35) int32."""
+    nb_all = bx.shape[0]
+    if nb_all > MODE_CHUNK:
+        nch = -(-nb_all // MODE_CHUNK)
+        pad = nch * MODE_CHUNK - nb_all
+
+        def padv(a):
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) \
+                .reshape((nch, MODE_CHUNK) + a.shape[1:])
+
+        out = jax.lax.map(
+            lambda t: _mode_costs(orig, t[2], t[0], t[1], log2n,
+                                  bit_depth),
+            (padv(bx), padv(by), padv(avail)))
+        return out.reshape(nch * MODE_CHUNK, 35)[:nb_all]
     n = 1 << log2n
     h, w = orig.shape
     x0 = bx * n
