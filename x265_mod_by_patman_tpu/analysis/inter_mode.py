@@ -521,33 +521,52 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
             syn_me = (mvd_bits_best + 3 + me_ref).astype(jnp.float32)
             best_rd = jnp.minimum(cc + lam2 * syn_me,
                                   sz + lam2 * (syn_me + 1.0))
-        for ((cmx, cmy, crf), ok, idx) in mcands:
-            ok = ok & (idx < 3)
-            # merge_idx TR bins at the candidate's true list position
-            # (cmax = MAX_MERGE-1 = 2: idx0 -> 1 bin, idx1/2 -> 2)
-            idx_bins = jnp.where(idx == 0, 1, 2)
-            y0t = by + crf * strip + m_pad
-            pr = mc_batch(tall, bx, y0t, cmx, cmy, n, 0, bd,
-                          use_pallas=use_pallas)
+        # candidate evaluation as ONE vmapped batch (MC gather + SATD
+        # + residual RD), argmin scan preserving the sequential loop's
+        # first-minimum tie-breaking — see the B-side b_cand_round note
+        cmx_s = jnp.stack([c[0][0] for c in mcands])
+        cmy_s = jnp.stack([c[0][1] for c in mcands])
+        crf_s = jnp.stack([c[0][2] for c in mcands])
+        idx_s = jnp.stack([c[2] for c in mcands])
+        ok_s = jnp.stack([c[1] for c in mcands]) & (idx_s < 3)
+        # merge_idx TR bins at the candidate's true list position
+        # (cmax = MAX_MERGE-1 = 2: idx0 -> 1 bin, idx1/2 -> 2)
+        idxb_s = jnp.where(idx_s == 0, 1, 2)
+
+        def eval_cand(cmx, cmy, crf):
+            pr = mc_batch(tall, bx, by + crf * strip + m_pad, cmx, cmy,
+                          n, 0, bd, use_pallas=use_pallas)
             sc_satd = satd_batch(org, pr)
-            # skip/merge_flag + merge_idx TR bins
-            sc = sc_satd + ((lam256 * (2 + idx_bins)) >> 8)
-            sc = jnp.where(ok, sc, 1 << 30)
             if rd:
                 cc, sz = _rd_resid_cost(org, pr, qp_b,
                                         n.bit_length() - 1, bd, lam2)
-                mb = (2 + idx_bins).astype(jnp.float32)
-                rdk = jnp.minimum(cc + lam2 * (mb + 4.0),
-                                  sz + lam2 * mb)
-                rdk = jnp.where(ok, rdk, jnp.float32(3e38))
-                upd = rdk < best_rd
-                best_rd = jnp.where(upd, rdk, best_rd)
+                return sc_satd, cc, sz
+            return sc_satd, sc_satd, sc_satd
+
+        if nb <= 130 * 130:
+            sc_r, cc_r, sz_r = jax.vmap(eval_cand)(cmx_s, cmy_s, crf_s)
+        else:
+            rows = [eval_cand(cmx_s[k], cmy_s[k], crf_s[k])
+                    for k in range(len(mcands))]
+            sc_r, cc_r, sz_r = (jnp.stack(x) for x in zip(*rows))
+        # skip/merge_flag + merge_idx TR bins
+        sc_all = sc_r + ((lam256 * (2 + idxb_s)) >> 8)
+        sc_all = jnp.where(ok_s, sc_all, 1 << 30)
+        if rd:
+            mb = (2 + idxb_s).astype(jnp.float32)
+            rdk_all = jnp.minimum(cc_r + lam2 * (mb + 4.0),
+                                  sz_r + lam2 * mb)
+            rdk_all = jnp.where(ok_s, rdk_all, jnp.float32(3e38))
+        for k in range(len(mcands)):
+            if rd:
+                upd = rdk_all[k] < best_rd
+                best_rd = jnp.where(upd, rdk_all[k], best_rd)
             else:
-                upd = sc < best_cost
-            best_cost = jnp.where(upd, sc, best_cost)
-            best_x = jnp.where(upd, cmx, best_x)
-            best_y = jnp.where(upd, cmy, best_y)
-            best_r = jnp.where(upd, crf, best_r)
+                upd = sc_all[k] < best_cost
+            best_cost = jnp.where(upd, sc_all[k], best_cost)
+            best_x = jnp.where(upd, cmx_s[k], best_x)
+            best_y = jnp.where(upd, cmy_s[k], best_y)
+            best_r = jnp.where(upd, crf_s[k], best_r)
         return (best_x, best_y, best_r, best_cost,
                 best_rd if rd else None)
 
