@@ -72,15 +72,19 @@ def full_search_batch(ref, orig, x0, y0, pred_mv_x, pred_mv_y,
         ov = os.environ.get("X265TPU_PALLAS")
         use_pallas = ov == "1" or (ov is None and _on_tpu(ref))
     nb_all = x0.shape[0]
-    if nb_all > ME_CHUNK:
-        # band the search over lane chunks: one flat window gather at
-        # 4K lowres (32640 blocks) plus its (2r+1)^2 SAD grid is
-        # hundreds of MB of HLO temps — part of the config-4 HBM OOM
-        nch = -(-nb_all // ME_CHUNK)
-        pad = nch * ME_CHUNK - nb_all
+    # byte-budgeted lane chunk: the window gather + SAD grid cost
+    # ~((n+2r)^2*2 + (2r+1)*128) ints per lane, so the viable chunk
+    # shrinks with the search radius (r=32 at 4K: one flat gather is
+    # ~1 GB; the config-4 P core measured 9.9 GiB of temps unchunked)
+    per_lane = ((n + 2 * search_range) ** 2 * 2
+                + (2 * search_range + 1) * 128) * 4
+    chunk = max(2048, min(ME_CHUNK, (320 << 20) // per_lane))
+    if nb_all > chunk:
+        nch = -(-nb_all // chunk)
+        pad = nch * chunk - nb_all
 
         def padv(a):
-            return jnp.pad(a, (0, pad)).reshape(nch, ME_CHUNK)
+            return jnp.pad(a, (0, pad)).reshape(nch, chunk)
 
         ops = (padv(x0), padv(y0), padv(pred_mv_x), padv(pred_mv_y),
                padv(x0 * 0 if center_x is None else center_x),
@@ -173,6 +177,26 @@ def subpel_refine_batch(ref, orig, x0, y0, mv_x, mv_y,
     from .interp import _mc_core, LUMA_FILTER, LUMA_TAPS
     h, w = ref.shape
     nt = LUMA_TAPS
+    nb_all = x0.shape[0]
+    # byte-budgeted lane chunk (see full_search_batch): the superset
+    # window + per-candidate crops cost ~3*(n+nt+1)^2 ints per lane
+    per_lane = 3 * (n + nt + 1) ** 2 * 4
+    chunk = max(4096, (160 << 20) // per_lane)
+    if nb_all > chunk:
+        nch = -(-nb_all // chunk)
+        pad = nch * chunk - nb_all
+
+        def padv(a):
+            return jnp.pad(a, (0, pad)).reshape(nch, chunk)
+
+        mvx_c, mvy_c, cost_c = jax.lax.map(
+            lambda t: subpel_refine_batch(ref, orig, t[0], t[1], t[2],
+                                          t[3], t[4], t[5], lambda_x256,
+                                          n, bit_depth, subme),
+            (padv(x0), padv(y0), padv(mv_x), padv(mv_y),
+             padv(pred_mv_x), padv(pred_mv_y)))
+        return (mvx_c.reshape(-1)[:nb_all], mvy_c.reshape(-1)[:nb_all],
+                cost_c.reshape(-1)[:nb_all])
     half = nt // 2 - 1
     gy = y0[:, None, None] + jnp.arange(n)[None, :, None]
     gx = x0[:, None, None] + jnp.arange(n)[None, None, :]
