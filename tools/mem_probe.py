@@ -18,6 +18,10 @@ def main():
     ap.add_argument("--w", type=int, default=3840)
     ap.add_argument("--h", type=int, default=2160)
     ap.add_argument("--b", action="store_true", help="probe the B core")
+    ap.add_argument("--no-rect", action="store_true")
+    ap.add_argument("--no-hme", action="store_true")
+    ap.add_argument("--rounds1", action="store_true")
+    ap.add_argument("--subme0", action="store_true")
     a = ap.parse_args()
     import jax
     import x265_mod_by_patman_tpu.analysis.inter_mode as im
@@ -26,7 +30,12 @@ def main():
 
     p = default_params(a.w, a.h, rc_mode="crf", crf=24.0)
     p.apply_preset("slow")
-    p.hme = True
+    p.hme = not a.no_hme
+    if a.no_rect:
+        p.rect = False
+        p.amp = False
+    if a.subme0:
+        p.subpel_refine = 0
     p.validate()
     sps = build_sps_info(p)
     rng = np.random.default_rng(0)
@@ -53,16 +62,17 @@ def main():
     setattr(im, name, capture)
     try:
         mr = max(4, min(p.search_range, 32))
+        rnds = (1, 1) if a.rounds1 else (2, 2)
         if a.b:
             im.analyse_b_frame(y, u, v, [ref], [ref], sps, 32,
                                search_range=mr, subme=p.subpel_refine,
                                rect=p.rect, amp=p.amp,
-                               pad_refs=(4, 2), hme=True, rounds=(2, 2))
+                               pad_refs=(4, 2), hme=p.hme, rounds=rnds)
         else:
             im.analyse_p_frame(y, u, v, [ref], sps, 32,
                                search_range=mr, subme=p.subpel_refine,
                                rect=p.rect, amp=p.amp, pad_refs=4,
-                               hme=True, rounds=(2, 2))
+                               hme=p.hme, rounds=rnds)
     except _Stop:
         pass
     finally:

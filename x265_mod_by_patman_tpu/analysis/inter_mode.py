@@ -46,6 +46,18 @@ def _neigh_field(f2d, sy: int, sx: int):
     return s, ok
 
 
+def _chain(dep, *vals):
+    """Thread a scheduling dependency through optimization_barrier so
+    unrolled per-reference loop iterations cannot be interleaved by the
+    XLA scheduler.  Without it the 4K P/B cores measured ~8 GiB of HLO
+    temps: every ref's search windows / MC gathers were scheduled
+    concurrently.  Returns vals (semantically unchanged)."""
+    if dep is None:
+        return vals if len(vals) > 1 else vals[0]
+    out = jax.lax.optimization_barrier((dep,) + tuple(vals))
+    return out[1:] if len(vals) > 1 else out[1]
+
+
 def _stack_refs(planes, m: int):
     """Stack reference planes vertically with per-plane edge padding of
     `m` rows, so one MC gather serves per-block reference indices:
@@ -308,7 +320,9 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
     # pure SATD by subtracting the exact bit charge the search applied
     cands = []
     pz = jnp.zeros(nb, jnp.int32)
+    dep = None
     for ridx, ry in enumerate(ry_all):
+        ry = _chain(dep, ry)
         ctr = None
         if hme and band is None and n == 16:
             ctr = _hme_center_fullres(ry, oy, nby, nbx, lam256,
@@ -330,6 +344,7 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
                                              subme)
         satd = cost - ((lam256 * mv_bits(mvx, mvy)) >> 8)
         cands.append((mvx, mvy, satd))
+        dep = cost
 
     # provisional joint (ref, mv): SATD + zero-pred mvd + ref_idx bins
     satd_r = jnp.stack([c[2] for c in cands])         # (R, nb)
@@ -932,29 +947,28 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
         # the chroma MC path's eighth-pel convention
         mvs_x = mvx if (pi == 0 or cshift) else mvx * 2
         mvs_y = mvy if (pi == 0 or cshift) else mvy * 2
-        preds = []
+        sel = None
         for ridx in range(nref):
             rp = refs[ridx][pi]
             wp = weights[ridx]
+            rp = _chain(sel, rp)      # serialize refs (peak HBM)
             if pi == 0 and wp is not None:
                 p14 = mc_batch_14(rp, bx_, by_, mvx, mvy, sz, c_idx, bd,
                                   use_pallas=use_pallas)
-                preds.append(wp_apply_batch(p14, wp[0], wp[1], 6, bd))
+                pr = wp_apply_batch(p14, wp[0], wp[1], 6, bd)
             elif pi != 0 and cpat is not None and cpat[ridx]:
                 # chroma explicit weights (spec 8.5.4.3.2 chroma arm;
                 # wc row = [w_cb, o_cb, w_cr, o_cr])
                 p14 = mc_batch_14(rp, bx_, by_, mvs_x, mvs_y, sz, c_idx,
                                   bd, use_pallas=False)
-                preds.append(wp_apply_batch(
+                pr = wp_apply_batch(
                     p14, wc[ridx, 2 * (pi - 1)],
-                    wc[ridx, 2 * (pi - 1) + 1], 6, bd))
+                    wc[ridx, 2 * (pi - 1) + 1], 6, bd)
             else:
-                preds.append(mc_batch(rp, bx_, by_, mvs_x, mvs_y, sz,
-                                      c_idx, bd, use_pallas=use_pallas))
-        sel = preds[0]
-        for ridx in range(1, nref):
-            sel = jnp.where((ref_sel == ridx)[:, None, None],
-                            preds[ridx], sel)
+                pr = mc_batch(rp, bx_, by_, mvs_x, mvs_y, sz,
+                              c_idx, bd, use_pallas=use_pallas)
+            sel = pr if sel is None else jnp.where(
+                (ref_sel == ridx)[:, None, None], pr, sel)
         if rect:
             if pi == 0:
                 rp8 = mc_batch(tall, sx4, ytall, fmvx, fmvy, 8, 0, bd,
@@ -1255,7 +1269,9 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
     # x265 predInterSearch per-ref loop, search.cpp:2554)
     def list_me(planes, nr_real=None):
         cands = []
+        dep = None
         for ry in planes:
+            ry = _chain(dep, ry)
             ctr = None
             if hme and n == 16:
                 ctr = _hme_center_fullres(ry, oy, nby, nbx, lam256,
@@ -1264,6 +1280,7 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
                 oy, ry, bx, by, n, lam256, search_range, bd,
                 use_pallas, subme, me_sea, hme=ctr)
             cands.append((mvx, mvy, cost, org_))
+            dep = cost
         satd_r = jnp.stack(
             [c[2] - ((lam256 * mv_bits(c[0], c[1])) >> 8)
              for c in cands])
@@ -1944,11 +1961,16 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
     refs0_p = [(r0ys[i], ru0s[i], rv0s[i]) for i in range(nref0)]
     refs1_p = [(r1ys[i], ru1s[i], rv1s[i]) for i in range(nref1)]
 
-    def sel_ref(preds, rsel_f):
-        sel = preds[0]
-        for ridx in range(1, len(preds)):
-            sel = jnp.where((rsel_f == ridx)[:, None, None],
-                            preds[ridx], sel)
+    def sel_ref_mc(planes, rsel_f, fn):
+        # running select with a serialization chain: materializing all
+        # refs' full-frame MC buffers concurrently was a top 4K HBM
+        # cost (see _chain)
+        sel = None
+        for ridx, rp in enumerate(planes):
+            rp = _chain(sel, rp)
+            pr = fn(rp)
+            sel = pr if sel is None else jnp.where(
+                (rsel_f == ridx)[:, None, None], pr, sel)
         return sel
 
     mc = []
@@ -1983,27 +2005,33 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
                       .reshape(nby, nbx, 2 * nc, nc))
             continue
         mvsc = 2 if (c_idx and not cshift) else 1   # 4:4:4 chroma MVs
-        b0 = sel_ref([mc_batch_14(p, bx_, by_, mv0x * mvsc,
-                                  mv0y * mvsc, sz, c_idx, bd,
-                                  use_pallas=use_pallas)
-                      for p in pls0], ref0_f)
-        b1 = sel_ref([mc_batch_14(p, bx_, by_, mv1x * mvsc,
-                                  mv1y * mvsc, sz, c_idx, bd,
-                                  use_pallas=use_pallas)
-                      for p in pls1], ref1_f)
+        b0 = sel_ref_mc(pls0, ref0_f,
+                        lambda p: mc_batch_14(p, bx_, by_, mv0x * mvsc,
+                                              mv0y * mvsc, sz, c_idx,
+                                              bd,
+                                              use_pallas=use_pallas))
+        b1 = sel_ref_mc(pls1, ref1_f,
+                        lambda p: mc_batch_14(p, bx_, by_, mv1x * mvsc,
+                                              mv1y * mvsc, sz, c_idx,
+                                              bd,
+                                              use_pallas=use_pallas))
         if c_idx == 0 and use_w:
             # weightB is luma-only (chroma flags stay 0 in the table)
             u0, u1 = uni_of(b0, 0), uni_of(b1, 1)
             bi = bi_of(b0, b1)
         else:
-            u0 = sel_ref([mc_batch(p, bx_, by_, mv0x * mvsc,
-                                   mv0y * mvsc, sz, c_idx, bd,
-                                   use_pallas=use_pallas)
-                          for p in pls0], ref0_f)
-            u1 = sel_ref([mc_batch(p, bx_, by_, mv1x * mvsc,
-                                   mv1y * mvsc, sz, c_idx, bd,
-                                   use_pallas=use_pallas)
-                          for p in pls1], ref1_f)
+            u0 = sel_ref_mc(pls0, ref0_f,
+                            lambda p: mc_batch(p, bx_, by_,
+                                               mv0x * mvsc,
+                                               mv0y * mvsc, sz, c_idx,
+                                               bd,
+                                               use_pallas=use_pallas))
+            u1 = sel_ref_mc(pls1, ref1_f,
+                            lambda p: mc_batch(p, bx_, by_,
+                                               mv1x * mvsc,
+                                               mv1y * mvsc, sz, c_idx,
+                                               bd,
+                                               use_pallas=use_pallas))
             bi = bi_combine(b0, b1, bd)
         sel = jnp.where(is_bi[:, None, None], bi,
                         jnp.where(use_l0[:, None, None], u0, u1))
