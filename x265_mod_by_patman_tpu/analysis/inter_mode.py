@@ -561,8 +561,12 @@ def _p_core(oy, rys, rus, rvs, wq, wo, avail, lam256, qp32, wpat,
         if nb <= 130 * 130:
             sc_r, cc_r, sz_r = jax.vmap(eval_cand)(cmx_s, cmy_s, crf_s)
         else:
-            rows = [eval_cand(cmx_s[k], cmy_s[k], crf_s[k])
-                    for k in range(len(mcands))]
+            rows = []
+            dep = None
+            for k in range(len(mcands)):
+                cmk = _chain(dep, cmx_s[k])
+                rows.append(eval_cand(cmk, cmy_s[k], crf_s[k]))
+                dep = rows[-1][0]
             sc_r, cc_r, sz_r = (jnp.stack(x) for x in zip(*rows))
         # skip/merge_flag + merge_idx TR bins
         sc_all = sc_r + ((lam256 * (2 + idxb_s)) >> 8)
@@ -1549,9 +1553,14 @@ def _b_core(oy, r0ys, ru0s, rv0s, r1ys, ru1s, rv1s, avail, lam256,
             sc_r, cc_r, sz_r = jax.vmap(eval_cand)(
                 nd_s, n0x_s, n0y_s, n1x_s, n1y_s, nr0_s, nr1_s)
         else:
-            rows = [eval_cand(nd_s[k], n0x_s[k], n0y_s[k], n1x_s[k],
-                              n1y_s[k], nr0_s[k], nr1_s[k])
-                    for k in range(len(bcands))]
+            rows = []
+            dep = None
+            for k in range(len(bcands)):
+                ndk = _chain(dep, nd_s[k])
+                rows.append(eval_cand(ndk, n0x_s[k], n0y_s[k],
+                                      n1x_s[k], n1y_s[k], nr0_s[k],
+                                      nr1_s[k]))
+                dep = rows[-1][0]
             sc_r, cc_r, sz_r = (jnp.stack(x) for x in zip(*rows))
         sc_all = sc_r + ((lam256 * (2 + idxb_s)) >> 8)
         sc_all = jnp.where(ok_s, sc_all, 1 << 30)
