@@ -169,13 +169,101 @@ def _rd_resid_cost(org, pred, qp_b, log2n: int, bd: int, lam2):
     bits = jnp.where(nz > 0, bits, 0.0)
     return sse_c + lam2 * bits, sse_z
 
+WINDOW_NBY_LIMIT = 32     # block rows per banded analysis dispatch:
+                          # the 4K cores measured 6.5 (P) / 13 (B) GiB
+                          # of HLO temps whole-frame (tools/mem_probe);
+                          # sequential row bands cap the working set
+                          # like the reference's CTU-row processing
+                          # (frameencoder.cpp:1638)
+
+
+def _analysis_bands(sps, block: int, search_range: int):
+    """None (whole-frame fits), or a list of
+    (r0, r1, halo_top_rows, halo_bot_rows) block-row bands."""
+    nby = sps.height // block
+    nbx = sps.width // block
+    if nby * nbx <= 9000:        # 1080p (8040 blocks) stays one dispatch
+        return None
+    halo = -(-(search_range + 24) // block) + 1
+    per = max(4, (WINDOW_NBY_LIMIT - 2 * halo) & ~3)
+    bands = []
+    r0 = 0
+    while r0 < nby:
+        r1 = min(nby, r0 + per)
+        bands.append((r0, r1, min(halo, r0), min(halo, nby - r1)))
+        r0 = r1
+    return bands
+
+
+def _banded_analysis(fn, bands, sps, block, plane_args, col_field,
+                     grid_outs, **kw):
+    """Run `fn` per row band on device-sliced planes and concatenate
+    the block-grid outputs.  plane_args: dict name -> (plane | list of
+    (y,u,v) tuples).  col_field: precomputed full-frame TMVP tuple of
+    (nby, nbx)-shaped arrays, or None.  grid_outs: indices of outputs
+    whose leading axis is block rows (all of them, here).  Band edges
+    clamp reads beyond the halo (decision-only effect — entropy derives
+    the true spec candidates; the encode stays bit-exact by
+    construction)."""
+    import dataclasses
+    from ..frame.planes import dev_i32
+    idc = getattr(sps, "chroma_format_idc", 1)
+    cs_y = 1 if idc == 1 else 0
+
+    def dev_planes(t):
+        return (dev_i32(t[0]), dev_i32(t[1]), dev_i32(t[2]))
+
+    devved = {}
+    for name, val in plane_args.items():
+        if isinstance(val, list):
+            devved[name] = [dev_planes(t) for t in val]
+        else:
+            devved[name] = dev_planes(val)
+    outs = None
+    for (r0, r1, ht, hb) in bands:
+        y0 = (r0 - ht) * block
+        y1 = (r1 + hb) * block
+        sl = slice(y0, y1)
+        csl = slice(y0 >> cs_y, y1 >> cs_y)
+
+        def cut(t):
+            return (t[0][sl], t[1][csl], t[2][csl])
+
+        args = {}
+        for name, val in devved.items():
+            args[name] = [cut(t) for t in val] if isinstance(val, list) \
+                else cut(val)
+        sub_sps = dataclasses.replace(sps, height=y1 - y0)
+        tm = None
+        if col_field is not None:
+            tm = tuple(a[r0 - ht:r1 + hb] for a in col_field)
+        got = fn(sub_sps, args, tm)
+        got = [o[ht:ht + (r1 - r0)] if i in grid_outs else o
+               for i, o in enumerate(got)]
+        if outs is None:
+            outs = [[o] for o in got]
+        else:
+            for acc, o in zip(outs, got):
+                acc.append(o)
+    join = []
+    for i, acc in enumerate(outs):
+        if len(acc) == 1:
+            join.append(acc[0])
+        elif isinstance(acc[0], jnp.ndarray):
+            join.append(jnp.concatenate(acc, 0))
+        else:
+            join.append(np.concatenate(acc, 0))
+    return join
+
+
 def analyse_p_frame(y, u, v, refs, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     weights=None, subme: int = 2, rect: bool = False,
                     amp: bool = False, chroma_weights=None,
                     me_sea: bool = False, col=None, ref_pocs=None,
                     cur_poc: int = 0, pad_refs: int = 0,
-                    hme: bool = False, rounds=(2, 1)):
+                    hme: bool = False, rounds=(2, 1),
+                    _tmvp_field=None):
     """Multi-reference P analysis (reference predInterSearch's per-ref
     loop, search.cpp:2554, batched).
 
@@ -189,8 +277,38 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
 
     The whole analysis is ONE jitted program (single device dispatch —
     the tunnel-attached TPU pays real RPC latency per dispatch, and the
-    unfused form cost ~30 round trips per frame)."""
+    unfused form cost ~30 round trips per frame); frames beyond ~1080p
+    run as sequential row-band dispatches (see WINDOW_NBY_LIMIT)."""
     from ..ops.me import _on_tpu
+    bands = None if _tmvp_field is not None \
+        else _analysis_bands(sps, block, search_range)
+    if bands is not None:
+        field = None
+        if col is not None and ref_pocs is not None and ref_pocs[0]:
+            low_delay = all(rp <= cur_poc for lst_p in ref_pocs
+                            for rp in lst_p)
+            tval, tmx, tmy = temporal_merge_field(
+                col, sps.height // block, sps.width // block, block,
+                sps.width, sps.height, sps.log2_ctu_size, 0,
+                ref_pocs[0][0], cur_poc, low_delay)
+            field = (np.asarray(tval), np.asarray(tmx),
+                     np.asarray(tmy))
+
+        def run(sub_sps, args, tm):
+            out = analyse_p_frame(
+                args["cur"][0], args["cur"][1], args["cur"][2],
+                args["refs"], sub_sps, qp, search_range=search_range,
+                block=block, weights=weights, subme=subme, rect=rect,
+                amp=amp, chroma_weights=chroma_weights, me_sea=me_sea,
+                col=None, ref_pocs=ref_pocs, cur_poc=cur_poc,
+                pad_refs=pad_refs, hme=hme, rounds=rounds,
+                _tmvp_field=tm if tm is not None else ())
+            return list(out[:4]) + list(out[4]) + list(out[5:])
+
+        o = _banded_analysis(run, bands, sps, block,
+                             {"cur": (y, u, v), "refs": list(refs)},
+                             field, grid_outs=set(range(9)))
+        return (o[0], o[1], o[2], o[3], (o[4], o[5], o[6]), o[7], o[8])
     bd = sps.bit_depth
     if weights is None:
         weights = [None] * len(refs)
@@ -231,7 +349,12 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     idc = getattr(sps, "chroma_format_idc", 1)
     cshift = 0 if idc == 3 else 1
     tmvp = None
-    if col is not None and ref_pocs is not None and ref_pocs[0]:
+    if _tmvp_field is not None:
+        # banded call: the full-frame TMVP field was derived once and
+        # row-sliced by the band driver ((): band with no TMVP)
+        if len(_tmvp_field):
+            tmvp = tuple(jnp.asarray(a) for a in _tmvp_field)
+    elif col is not None and ref_pocs is not None and ref_pocs[0]:
         # per-block temporal merge candidate (TMVP, targeting L0 ref 0
         # as the spec merge derivation does): x265's merge estimation
         # sees this candidate via the real list (search.cpp:2237); the
@@ -1109,13 +1232,36 @@ def _me_one_ref(oy, ry, bx, by, n, lam256, search_range, bit_depth=8,
     return mvx, mvy, cost, org
 
 
+def _b_tmvp_field(col, sps, block, ref_pocs, cur_poc):
+    """Full-frame 2-D B TMVP field (td, m0x, m0y, m1x, m1y) for the
+    band driver to row-slice (same derivation as the whole-frame
+    analyse_b_frame path)."""
+    low_delay = all(rp <= cur_poc for lst_p in ref_pocs
+                    for rp in lst_p)
+    nby_ = sps.height // block
+    nbx_ = sps.width // block
+    v0, m0x_, m0y_ = temporal_merge_field(
+        col, nby_, nbx_, block, sps.width, sps.height,
+        sps.log2_ctu_size, 0, ref_pocs[0][0], cur_poc, low_delay)
+    v1 = np.zeros_like(v0)
+    m1x_ = np.zeros_like(m0x_)
+    m1y_ = np.zeros_like(m0y_)
+    if ref_pocs[1]:
+        v1, m1x_, m1y_ = temporal_merge_field(
+            col, nby_, nbx_, block, sps.width, sps.height,
+            sps.log2_ctu_size, 1, ref_pocs[1][0], cur_poc, low_delay)
+    td_ = (v0.astype(np.int32) | (v1.astype(np.int32) << 1))
+    return (td_, np.asarray(m0x_), np.asarray(m0y_),
+            np.asarray(m1x_), np.asarray(m1y_))
+
+
 def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                     search_range: int = 16, block: int = 16,
                     subme: int = 2, weights_b=None, rect: bool = False,
                     me_sea: bool = False, amp: bool = False,
                     col=None, ref_pocs=None, cur_poc: int = 0,
                     pad_refs=(0, 0), hme: bool = False,
-                    rounds=(2, 2)):
+                    rounds=(2, 2), _tmvp_field=None):
     """B-frame analysis: per-list multi-reference ME (the batched analog
     of x265 predInterSearch's per-ref loop, search.cpp:2554) +
     bi-prediction test + merge/AMVP-true candidate rounds + intra
@@ -1148,6 +1294,33 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
     bd = sps.bit_depth
     lam, _ = lambda_qp(qp)
     lam256 = int(round(lam * 256)) << (bd - 8)
+    bands = None if _tmvp_field is not None \
+        else _analysis_bands(sps, block, search_range)
+    if bands is not None:
+        field = None
+        if col is not None and ref_pocs is not None and ref_pocs[0]:
+            field = _b_tmvp_field(col, sps, block, ref_pocs, cur_poc)
+
+        def run(sub_sps, args, tm):
+            out = analyse_b_frame(
+                args["cur"][0], args["cur"][1], args["cur"][2],
+                args["refs0"], args["refs1"], sub_sps, qp,
+                search_range=search_range, block=block, subme=subme,
+                weights_b=weights_b, rect=rect, amp=amp,
+                me_sea=me_sea, col=None, ref_pocs=ref_pocs,
+                cur_poc=cur_poc, pad_refs=pad_refs, hme=hme,
+                rounds=rounds,
+                _tmvp_field=tm if tm is not None else ())
+            return (list(out[:7]) + list(out[7]) + [out[8]]
+                    + list(out[9]))
+
+        o = _banded_analysis(run, bands, sps, block,
+                             {"cur": (y, u, v),
+                              "refs0": list(refs0),
+                              "refs1": list(refs1)},
+                             field, grid_outs=set(range(14)))
+        return (o[0], o[1], o[2], o[3], o[4], o[5], o[6],
+                (o[7], o[8], o[9]), o[10], (o[11], o[12], o[13]))
     avail = frame_avail_masks(sps.width, sps.height, block,
                               sps.log2_ctu_size, 0)
     from ..frame.planes import dev_i32
@@ -1186,7 +1359,11 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
         refs1 = list(refs1) + [refs1[-1]] * (pad_refs[1] - n_real1)
         l1p = l1p + (l1p[-1],) * (pad_refs[1] - n_real1)
     tmvp = None
-    if col is not None and ref_pocs is not None and ref_pocs[0]:
+    if _tmvp_field is not None:
+        if len(_tmvp_field):
+            tmvp = tuple(jnp.asarray(np.ascontiguousarray(a).ravel())
+                         for a in _tmvp_field)
+    elif col is not None and ref_pocs is not None and ref_pocs[0]:
         # bi temporal merge candidate (both lists scaled independently,
         # spec 8.5.3.2.3/8): B-frame static regions ride this to SKIP
         low_delay = all(rp <= cur_poc for lst_p in ref_pocs
