@@ -279,7 +279,7 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
     the tunnel-attached TPU pays real RPC latency per dispatch, and the
     unfused form cost ~30 round trips per frame); frames beyond ~1080p
     run as sequential row-band dispatches (see WINDOW_NBY_LIMIT)."""
-    from ..ops.me import _on_tpu
+    from ..ops.me import pallas_enabled
     bands = None if _tmvp_field is not None \
         else _analysis_bands(sps, block, search_range)
     if bands is not None:
@@ -371,7 +371,8 @@ def analyse_p_frame(y, u, v, refs, sps, qp: int,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), jnp.int32(qp), wpat,
                   search_range, block, bd,
-                  sps.log2_ctu_size, _on_tpu(oy), subme, rect_eff,
+                  sps.log2_ctu_size, pallas_enabled(oy), subme,
+                  rect_eff,
                   amp_eff, wc=wc, cpat=cpat, cshift=cshift,
                   is422=idc == 2, me_sea=me_sea, tmvp=tmvp,
                   n_real=jnp.int32(n_real), hme=hme,
@@ -1321,6 +1322,7 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                              field, grid_outs=set(range(14)))
         return (o[0], o[1], o[2], o[3], o[4], o[5], o[6],
                 (o[7], o[8], o[9]), o[10], (o[11], o[12], o[13]))
+    from ..ops.me import pallas_enabled
     avail = frame_avail_masks(sps.width, sps.height, block,
                               sps.log2_ctu_size, 0)
     from ..frame.planes import dev_i32
@@ -1390,7 +1392,7 @@ def analyse_b_frame(y, u, v, refs0, refs1, sps, qp: int,
                   jnp.asarray(avail.reshape(-1, avail.shape[-1])),
                   jnp.int32(lam256), jnp.int32(qp),
                   search_range, block, bd,
-                  _on_tpu(oy), subme, wb, wv,
+                  pallas_enabled(oy), subme, wb, wv,
                   0 if idc == 3 else 1, idc == 2, rect_eff,
                   sps.log2_ctu_size, me_sea, amp_eff, tmvp,
                   jnp.asarray(l0p, jnp.int32),

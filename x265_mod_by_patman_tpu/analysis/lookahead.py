@@ -289,10 +289,10 @@ class CuTreeLookahead:
         """(inter, mvx, mvy) of e measured against ref (cached)."""
         got = e.costs.get(ref.disp)
         if got is None:
-            from ..ops.me import _on_tpu
+            from ..ops.me import pallas_enabled
             c, fx, fy = _inter_costs(e.low, ref.low, self.nby,
                                      self.nbx, self.hme,
-                                     _on_tpu(e.low))
+                                     pallas_enabled(e.low))
             for a in (c, fx, fy):      # one round trip, not three
                 a.copy_to_host_async()
             got = (np.asarray(c, dtype=np.float64),

@@ -191,11 +191,11 @@ class SlicetypeLookahead:
                 t[i] = (kidx[b], kidx[p0], kidx[p1])
                 is_b[i] = p1 != b
                 valid[i] = True
-            from ..ops.me import _on_tpu
+            from ..ops.me import pallas_enabled
             fc, _ = _lattice_costs(stack, jnp.asarray(t),
                                    jnp.asarray(is_b), jnp.asarray(valid),
                                    self.nby, self.nbx, intra, self.hme,
-                                   _on_tpu(stack))
+                                   pallas_enabled(stack))
             fc = np.asarray(fc)
             for i, key in enumerate(chunk):
                 c = float(fc[i])

@@ -294,6 +294,17 @@ def full_search_ref(ref, orig, x0, y0, pred_mv, lambda_x256, n,
     return best[1], best[2], best[0]
 
 
+def pallas_enabled(a) -> bool:
+    """X265TPU_PALLAS=0/1 override, else device-keyed (use at
+    call sites that pass use_pallas explicitly into jits — resolving
+    inside a jit sees a tracer and silently disables pallas)."""
+    import os
+    ov = os.environ.get("X265TPU_PALLAS")
+    if ov is not None:
+        return ov == "1"
+    return _on_tpu(a)
+
+
 def _on_tpu(a) -> bool:
     """True only when the operand actually lives on a TPU device (the
     conftest pins tests to CPU while the default backend stays the
