@@ -201,6 +201,17 @@ def _substep_body(plane, levels, orig, bx, by, modes, avail,
         nz = jnp.sum((lev != 0).astype(jnp.int32), axis=(1, 2))
         lam2 = 0.85 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0) \
             * (1 << (2 * (bit_depth - 8)))
+        if c_idx != 0:
+            import os as _os
+            # chroma skip-RD lambda scale experiment knob: x265 folds
+            # chroma into ONE CU decision at the luma lambda with a
+            # chroma distortion weight (rdcost.h
+            # setCbDistortionWeight); our per-plane chroma lambda (from
+            # the lower chroma QP) is effectively smaller, which
+            # overcodes chroma in the grain-on-smooth regime (the
+            # round-5 1080p park diagnosis, BENCH_NOTES)
+            lam2 = lam2 * float(
+                _os.environ.get("X265TPU_CHROMA_SKIP_LAM", "1.0"))
         # B slices charge the coded-CU syntax delta the per-plane
         # decision cannot see (skip_flag vs merge_flag+cbf+TU flags ~8
         # extra bins when ANY plane codes; x265 folds all three planes
