@@ -107,6 +107,39 @@ def make_park(w, h, n, seed=7):
     return frames
 
 
+def make_field(w, h, n, seed=13):
+    """Smooth world + per-frame sensor grain: the 1080p-park regime at
+    any resolution.  Content detail lives on LARGE cells (low per-pixel
+    gradient) so MC/intra residuals are dominated by the per-frame
+    grain; this is the rate-model x lambda regime where the round-5
+    1080p BD measurement found a 2.6x overspend vs the anchor (the
+    default park profile has strong 8-px texture that masks it)."""
+    rng = np.random.default_rng(seed)
+    ww, wh = w * 2 + 64, h + 64
+    ground = _value_noise(rng, wh, ww, octaves=(48, 96, 192),
+                          amp=(40, 25, 15)) + 110.0
+    sky = (np.linspace(180, 120, wh, dtype=np.float32)[:, None]
+           * np.ones((1, ww), np.float32))
+    horizon = wh // 3
+    world = np.where(np.arange(wh)[:, None] < horizon, sky, ground)
+    wu = _value_noise(rng, wh // 2, ww // 2, (64, 128), (18, 10)) + 118.0
+    wv = _value_noise(rng, wh // 2, ww // 2, (64, 128), (14, 8)) + 134.0
+    world = world + rng.normal(0, 2.0, (wh, ww)).astype(np.float32)
+    frames = []
+    xs = np.cumsum(2.0 + 1.5 * np.sin(np.arange(n) / 4.0))
+    for i in range(n):
+        ox, oy = min(int(round(xs[i])) + 8, ww - w), 16
+        y = world[oy:oy + h, ox:ox + w].copy()
+        u = wu[oy // 2:oy // 2 + h // 2, ox // 2:ox // 2 + w // 2].copy()
+        v = wv[oy // 2:oy // 2 + h // 2, ox // 2:ox // 2 + w // 2].copy()
+        y += rng.normal(0, 1.8, y.shape)
+        u += rng.normal(0, 1.0, u.shape)
+        v += rng.normal(0, 1.0, v.shape)
+        frames.append((np.clip(y, 0, 255), np.clip(u, 0, 255),
+                       np.clip(v, 0, 255)))
+    return frames
+
+
 def make_nat(w, h, n, seed=11):
     rng = np.random.default_rng(seed)
     y = np.clip(_value_noise(rng, h, w, (4, 8, 16), (60, 40, 25))
@@ -140,7 +173,8 @@ def main():
     ap.add_argument("--clips", default="park,nat,bench")
     a = ap.parse_args()
     os.makedirs(a.out_dir, exist_ok=True)
-    gen = {"park": make_park, "nat": make_nat, "bench": make_bench}
+    gen = {"park": make_park, "nat": make_nat, "bench": make_bench,
+           "field": make_field}
     for name in a.clips.split(","):
         frames = gen[name](a.w, a.h, a.frames)
         path = os.path.join(a.out_dir, f"{name}_{a.w}x{a.h}.y4m")

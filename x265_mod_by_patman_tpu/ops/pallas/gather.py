@@ -91,8 +91,18 @@ def window_gather(ref_padded: jnp.ndarray, ys: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=())
 def pad_plane(ref: jnp.ndarray) -> jnp.ndarray:
     """Edge-replicated margin padding (PicYuv border extension analog);
-    guarantees at least XFETCH lanes for the aligned DMA fetches."""
+    guarantees at least XFETCH lanes for the aligned DMA fetches.
+
+    The padded width MUST be a multiple of 128: _gather_kernel clamps
+    the DMA start to ``w - XFETCH`` and annotates it multiple_of(128).
+    With an unaligned width that annotation is false on real hardware
+    (interpret mode doesn't check it) and every right-edge window comes
+    back garbage — at 1080p (2016-wide padded luma) this corrupted MC
+    for the last ~160 columns of every inter frame and tripled P/B
+    bits; 416p escaped only because its padded width (512) is aligned.
+    """
     h, w = ref.shape
     right = max(MARGIN, XFETCH - (w + MARGIN))
+    right += -(w + MARGIN + right) % 128
     return jnp.pad(ref.astype(jnp.int32),
                    ((MARGIN, MARGIN), (MARGIN, right)), mode="edge")
